@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed via the no-op writer (forces the whole plan,
+no driver-side collect of result data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "link_join",
+    "read_multiple",
+    "dedup_merge_first_wins",
+    "multi_prefix_group",
+    "group_index_build",
+    "list_range_filter",
+    "group_count",
+]
+
+
+def main() -> None:
+    from servihabitat_etl_spyke_spark.queries import QUERIES
+    from servihabitat_etl_spyke_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers once (excluded from timing)
+    QUERIES["total_count"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in QUERIES]
+    # include any headline-worthy late additions registered as bench-tagged
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Table catalog: named parquet tables under a scale-factor directory.
+
+The reference's stores are key->JSON maps behind a uniform
+``{iterator,get,put,del}`` contract (SURVEY.md §1.3); here every table is a
+parquet dataset and the "contract" is the DataFrame. Loading is lazy and
+schema comes from parquet footers (no inference cost); Catalyst pushes
+filters/projections into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one named table. Parquet scan → pushdown-friendly.
+
+    The synthetic ``events`` parquet stores ``ts`` as TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; we read nanos as long
+    (``nanosAsLong``) and normalize to a microsecond TimestampType column —
+    matching how DuckDB coerces TIMESTAMP_NS to TIMESTAMP.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name)
+            for name in names
+            if os.path.exists(table_path(sf_dir, name))}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Register every table as a temp view so ``spark.sql`` can see them."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

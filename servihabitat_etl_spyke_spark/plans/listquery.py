@@ -1,0 +1,211 @@
+"""The list-query planner: query-string contract -> one DataFrame chain.
+
+This is the engine's equivalent of the reference's generic "AutoAPI" list
+endpoint (``GET /api/v1/<model>?search=&filter=&orderBy=&page=&itemsPerPage=``,
+reference ``packages/protonode/src/lib/generateApi.ts:204-298`` +
+``packages/protobase/src/ProtoModel.ts:171-221``). The reference splits into an
+indexed fast path and a row-at-a-time full scan; here both collapse into ONE
+declarative plan — Catalyst's predicate pushdown + parquet min/max stats + AQE
+make the access-path decision (SURVEY.md §4.1: zero custom rules needed).
+
+Shape: ``table -> filter(P1,P2,P5) -> search(P3,P4) -> select(P6) ->
+orderBy(O1) -> paginate(O2,O3)``.
+
+Parity semantics preserved:
+- P1 equality filter is string-coerced (``data[key]?.toString() == value``,
+  ProtoModel.ts:187) -> compare on ``cast('string')``.
+- P2 range filter ``{from,to}`` is inclusive (ProtoModel.ts:174-185).
+- P3 tagged search: regex ``(\\w+):("[^"]+"|\\S+)`` (ProtoModel.ts:11), tag
+  keys lowercased at parse but matched case-SENSITIVELY against column names
+  (ProtoModel.ts:17,198) — i.e. tags only ever hit lowercase-named columns.
+  Values compared case-insensitively.
+- P4 free-text: case-insensitive substring over every column not marked
+  search(false) (ProtoModel.ts:204-217).
+- P5 path prefix: ``startswith`` on the path column (eventsSchemas.ts:26-42).
+- O3 envelope: ``itemsPerPage`` floor of 1, default 25; ``all=1`` bypass
+  (generateApi.ts:196,260).
+
+Scale notes: pagination is ORDER BY + OFFSET/LIMIT — Spark pushes the limit
+into a TakeOrderedAndProject when the page is small (no global sort
+materialization); deep pages fall back to a single shuffle. No step collects
+to the driver.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..model import Model
+
+# reference parser regex, ProtoModel.ts:11
+_TAG_RE = re.compile(r'(\w+):("[^"]+"|\S+)')
+
+
+def parse_search(search: str) -> tuple[dict[str, str], str]:
+    """Split a search string into ({tag_key: value}, residual_free_text).
+
+    Mirrors ``parseSearch`` (ProtoModel.ts:10-29): tag keys lowercased,
+    quoted values unquoted, the untagged remainder (whitespace-joined)
+    becomes the free-text query.
+    """
+    tags: dict[str, str] = {}
+    residual = search
+    for m in _TAG_RE.finditer(search):
+        key = m.group(1).lower()
+        value = m.group(2)
+        if value.startswith('"') and value.endswith('"'):
+            value = value[1:-1]
+        tags[key] = value
+        residual = residual.replace(m.group(0), " ")
+    free_text = " ".join(residual.split())
+    return tags, free_text
+
+
+@dataclass
+class ListParams:
+    filter: dict[str, Any] = dc_field(default_factory=dict)
+    search: Optional[str] = None
+    order_by: Optional[str] = None
+    order_direction: str = "asc"
+    page: int = 0
+    items_per_page: int = 25
+    all: bool = False
+    # distinct-group-options mode (?group=<key>), generateApi.ts:212-225
+    group: Optional[str] = None
+    group_search: Optional[str] = None
+    path_prefix: Optional[str] = None     # events path filter, P5
+    path_column: str = "path"
+    view: str = "list"
+
+
+def _eq_predicate(df: DataFrame, key: str, value: Any) -> Column:
+    # P1: string-coerced equality (ProtoModel.ts:186-188)
+    return F.col(key).cast("string") == F.lit(str(value))
+
+
+def _range_predicate(key: str, bounds: dict[str, Any]) -> Column:
+    # P2: inclusive bounds; either side optional (ProtoModel.ts:174-185)
+    pred = F.lit(True)
+    if "from" in bounds and bounds["from"] is not None:
+        pred = pred & (F.col(key) >= F.lit(bounds["from"]))
+    if "to" in bounds and bounds["to"] is not None:
+        pred = pred & (F.col(key) <= F.lit(bounds["to"]))
+    return pred
+
+
+def apply_filters(df: DataFrame, params: ListParams) -> DataFrame:
+    if params.path_prefix is not None:
+        df = df.filter(F.col(params.path_column).startswith(params.path_prefix))
+    for key, value in params.filter.items():
+        if key not in df.columns:
+            continue
+        if isinstance(value, dict):
+            df = df.filter(_range_predicate(key, value))
+        else:
+            df = df.filter(_eq_predicate(df, key, value))
+    return df
+
+
+def apply_search(df: DataFrame, model: Model, search: str) -> DataFrame:
+    tags, free_text = parse_search(search)
+    # P3: conjunctive case-insensitive equality; tag key must exactly match a
+    # column name (case-sensitive containment check, ProtoModel.ts:198)
+    for key, value in tags.items():
+        if key in df.columns:
+            df = df.filter(
+                F.lower(F.col(key).cast("string")) == F.lit(value.lower()))
+        else:
+            # reference drops every row when the tag key is absent
+            # (data.hasOwnProperty(key) false -> return false)
+            df = df.filter(F.lit(False))
+    # P4: OR of substring containment over searchable columns
+    if free_text:
+        cols = model.searchable_columns(df.columns)
+        if not cols:
+            return df.filter(F.lit(False))
+        pred = F.lit(False)
+        for c in cols:
+            pred = pred | F.lower(F.col(c).cast("string")).contains(
+                free_text.lower())
+        df = df.filter(pred)
+    return df
+
+
+def apply_projection(df: DataFrame, model: Model, view: str) -> DataFrame:
+    cols = model.visible_columns(df.columns, view)
+    if cols != df.columns:
+        df = df.select(*cols)
+    return df
+
+
+def apply_order(df: DataFrame, model: Model, params: ListParams) -> DataFrame:
+    order_by = params.order_by or model.default_order_by
+    direction = (params.order_direction or model.default_order_direction).lower()
+    if order_by is None or order_by not in df.columns:
+        return df
+    col = F.col(order_by)
+    primary = col.desc() if direction == "desc" else col.asc()
+    # deterministic tiebreak on the id column when present — the reference's
+    # in-memory sort is stable on insertion order; id order is the analog
+    tiebreak = []
+    if model.id_field in df.columns and model.id_field != order_by:
+        tiebreak = [F.col(model.id_field).asc()]
+    return df.orderBy(primary, *tiebreak)
+
+
+def paginate(df: DataFrame, params: ListParams) -> DataFrame:
+    if params.all:
+        return df
+    n = max(1, int(params.items_per_page))      # floor 1, generateApi.ts:260
+    page = max(0, int(params.page))
+    if page > 0:
+        df = df.offset(page * n)
+    return df.limit(n)
+
+
+def group_options(df: DataFrame, key: str, search: str | None = None,
+                  limit: int = 100) -> DataFrame:
+    """Distinct group values, optional prefix search, capped at ``limit``
+    (A5/P12; db.ts:291-309 + generateApi.ts:218-221)."""
+    out = df.select(F.col(key).alias("option")).distinct()
+    if search:
+        out = out.filter(F.lower(F.col("option").cast("string"))
+                         .startswith(search.lower()))
+    return out.orderBy("option").limit(limit)
+
+
+def list_query(df: DataFrame, model: Model, params: ListParams) -> DataFrame:
+    """Full list-query plan; returns the page of rows (or group options)."""
+    if params.group:
+        return group_options(apply_filters(df, params), params.group,
+                             params.group_search)
+    df = apply_filters(df, params)
+    if params.search:
+        df = apply_search(df, model, params.search)
+    df = apply_projection(df, model, params.view)
+    df = apply_order(df, model, params)
+    return paginate(df, params)
+
+
+def list_page(df: DataFrame, model: Model, params: ListParams) -> dict[str, Any]:
+    """Pagination envelope ``{itemsPerPage, items, total, page, pages}``
+    (O3; generateApi.ts:194-201). ``items`` stays a DataFrame — the caller
+    decides when to materialize."""
+    filtered = apply_filters(df, params)
+    if params.search:
+        filtered = apply_search(filtered, model, params.search)
+    total = filtered.count()
+    n = max(1, int(params.items_per_page))
+    items = paginate(apply_order(apply_projection(filtered, model, params.view),
+                                 model, params), params)
+    return {
+        "itemsPerPage": n,
+        "items": items,
+        "total": total,
+        "page": params.page,
+        "pages": -(-total // n),
+    }

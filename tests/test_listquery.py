@@ -1,0 +1,113 @@
+"""Unit tests for the list-query planner semantics (SURVEY.md §2.2, §2.5,
+§4.3 parity traps)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from servihabitat_etl_spyke_spark.model import FieldSpec, model
+from servihabitat_etl_spyke_spark.plans.listquery import (
+    ListParams, list_page, list_query, parse_search)
+
+M = model(
+    "m",
+    FieldSpec("id", is_id=True, indexed=True),
+    FieldSpec("name"),
+    FieldSpec("status", group_index=True),
+    FieldSpec("secret_col", secret=True),
+    FieldSpec("notes", searchable=False),
+)
+
+ROWS = [
+    ("1", "alpha tower", "pending", "s1", "findme"),
+    ("2", "beta block", "in-progress", "s2", "x"),
+    ("3", "Gamma Tower", "pending", "s3", "x"),
+    ("4", "delta", "done", "s4", "x"),
+]
+COLS = ["id", "name", "status", "secret_col", "notes"]
+
+
+def make_df(spark):
+    return spark.createDataFrame(ROWS, COLS)
+
+
+def test_parse_search_tags_and_freetext():
+    # regex (\w+):("[^"]+"|\S+), keys lowercased, quotes stripped
+    tags, free = parse_search('Status:pending city:"new york" tower')
+    assert tags == {"status": "pending", "city": "new york"}
+    assert free == "tower"
+
+
+def test_parse_search_freetext_only():
+    tags, free = parse_search("hello world")
+    assert tags == {} and free == "hello world"
+
+
+def test_eq_filter_string_coerced(spark):
+    df = make_df(spark)
+    out = list_query(df, M, ListParams(filter={"status": "pending"}))
+    assert {r.id for r in out.collect()} == {"1", "3"}
+
+
+def test_tag_search_case_insensitive_value(spark):
+    df = make_df(spark)
+    out = list_query(df, M, ListParams(search="status:PENDING"))
+    assert {r.id for r in out.collect()} == {"1", "3"}
+
+
+def test_tag_on_missing_column_drops_all(spark):
+    # parity trap §4.3.3: unknown tag key -> zero rows
+    df = make_df(spark)
+    out = list_query(df, M, ListParams(search="nosuchkey:x"))
+    assert out.count() == 0
+
+
+def test_free_text_excludes_search_false(spark):
+    # 'findme' only appears in notes which is search(false)
+    df = make_df(spark)
+    out = list_query(df, M, ListParams(search="findme"))
+    assert out.count() == 0
+    out2 = list_query(df, M, ListParams(search="tower"))
+    assert {r.id for r in out2.collect()} == {"1", "3"}
+
+
+def test_projection_masks_secret(spark):
+    df = make_df(spark)
+    out = list_query(df, M, ListParams())
+    assert "secret_col" not in out.columns
+
+
+def test_pagination_envelope(spark):
+    df = make_df(spark)
+    env = list_page(df, M, ListParams(items_per_page=3, page=1,
+                                      order_by="id"))
+    assert env["total"] == 4 and env["pages"] == 2
+    assert [r.id for r in env["items"].collect()] == ["4"]
+
+
+def test_items_per_page_floor_one(spark):
+    df = make_df(spark)
+    env = list_page(df, M, ListParams(items_per_page=0, order_by="id"))
+    assert env["itemsPerPage"] == 1
+    assert env["items"].count() == 1
+
+
+def test_all_bypasses_paging(spark):
+    df = make_df(spark)
+    out = list_query(df, M, ListParams(items_per_page=1, all=True))
+    assert out.count() == 4
+
+
+def test_group_options_mode(spark):
+    df = make_df(spark)
+    out = list_query(df, M, ListParams(group="status"))
+    assert {r.option for r in out.collect()} == {"pending", "in-progress", "done"}
+    out2 = list_query(df, M, ListParams(group="status", group_search="p"))
+    assert {r.option for r in out2.collect()} == {"pending"}
+
+
+def test_range_filter_inclusive(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], ["id", "v"])
+    m = model("r", FieldSpec("id", is_id=True))
+    out = list_query(df, m, ListParams(filter={"v": {"from": 2, "to": 5}}, all=True))
+    assert sorted(r.id for r in out.collect()) == [2, 3, 4, 5]
