@@ -1,0 +1,175 @@
+"""Scalar function library (SURVEY.md §2.7, F1-F16) — every function is a
+Column->Column combinator over built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd). No Python UDFs anywhere in this module.
+
+Reference sources (all TypeScript dataflow operators / schema hooks):
+F1 split            contextV2/split.ts:5-25
+F2 join             contextV2/join.ts:5-24
+F3 jsonParse        contextV2/jsonParse.ts:5-22
+F4 toJson           contextV2/toJson.ts:5-22
+F5 addObjectKey     contextV2/addObjectKey.ts:5-31
+F6 rewire           contextV2/rewire.ts (identity/alias)
+F7 rename           models/ETL.ts:46-54
+F10 time-sortable id  protobase/src/BaseSchema.ts:291
+F11 uuid gen/validate/version  utils/context/uuid*.ts
+F12 ISO now         events/eventsSchemas.ts:12
+F13 password hash   users/usersAPI.ts:9-15
+F14 generators      protobase/src/ProtoSchema.ts:21-33
+F15 path prefixes   events/eventsSchemas.ts:6
+F16 key sanitation  objects/objectsSchemas.ts:64-77
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# -- F1/F2: split / join ----------------------------------------------------
+
+_ESCAPES = {"\\n": "\n", "\\t": "\t"}
+
+
+def _unescape(sep: str) -> str:
+    # the reference unescapes literal "\n"/"\t" typed in the UI (split.ts)
+    for lit, real in _ESCAPES.items():
+        sep = sep.replace(lit, real)
+    return sep
+
+
+def split_column(col: Column | str, sep: str) -> Column:
+    """F1: string -> array by literal separator."""
+    c = F.col(col) if isinstance(col, str) else col
+    # F.split takes a regex; quote the literal separator
+    import re as _re
+    return F.split(c, _re.escape(_unescape(sep)))
+
+
+def join_array(col: Column | str, sep: str = "\n") -> Column:
+    """F2: array -> string (default separator newline, join.ts:10)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(c, _unescape(sep))
+
+
+# -- F3/F4: JSON ------------------------------------------------------------
+
+def json_parse(col: Column | str, schema: str) -> Column:
+    """F3: JSON string -> typed value (default '{}' on null, jsonParse.ts:12)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_json(F.coalesce(c, F.lit("{}")), schema)
+
+
+def json_get(col: Column | str, path: str) -> Column:
+    """F3 (point access): extract one JSON path as string, JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.get_json_object(c, path)
+
+
+def to_json_pretty(col: Column) -> Column:
+    """F4: value -> JSON string (reference pretty-prints; we emit canonical
+    compact JSON — a formatting, not semantic, difference)."""
+    return F.to_json(col)
+
+
+# -- F5/F6/F7: object shaping ------------------------------------------------
+
+def add_object_key(df: DataFrame, key: str, value: Column) -> DataFrame:
+    """F5: immutably add/overwrite one key (withColumn IS that operation)."""
+    return df.withColumn(key, value)
+
+
+def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """F6/F7: column renames (rewire is an alias; ETL renames are a dict)."""
+    for old, new in mapping.items():
+        if old in df.columns:
+            df = df.withColumnRenamed(old, new)
+    return df
+
+
+# -- F10-F12: identity / time -----------------------------------------------
+
+def gen_time_sortable_id() -> Column:
+    """F10: ``YYYYMM-DDHHmm-ssSSS-<uuid8>`` — lexicographic order ==
+    insertion time (BaseSchema.ts:291)."""
+    return F.concat(
+        F.date_format(F.current_timestamp(), "yyyyMM-ddHHmm-ss"),
+        F.date_format(F.current_timestamp(), "SSS"),
+        F.lit("-"),
+        F.substring(F.uuid(), 1, 8),
+    )
+
+
+def uuid4_column() -> Column:
+    """F11: uuid v4 generator."""
+    return F.uuid()
+
+
+UUID_RE = (
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+
+
+def uuid_validate(col: Column | str) -> Column:
+    """F11: regex validation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(UUID_RE)
+
+
+def uuid_version(col: Column | str) -> Column:
+    """F11: version nibble = char 15 (uuidVersion.ts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(c, 15, 1).cast("int")
+
+
+def iso_now() -> Column:
+    """F12: ISO-8601 now() string (moment().toISOString() analog)."""
+    return F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+
+
+# -- F13: column transformer hooks -------------------------------------------
+
+def password_hash(col: Column | str) -> Column:
+    """F13: the onCreate 'cypher' hook — one-way hash at write time."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c.cast("string"), 256)
+
+
+def mask_secret(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Secret-column masking at read time (ProtoSchema.ts:89-99)."""
+    return df.drop(*[c for c in cols if c in df.columns])
+
+
+# -- F14: default generators --------------------------------------------------
+
+def apply_generators(df: DataFrame,
+                     generators: Mapping[str, Callable[[], Column]],
+                     force: frozenset[str] = frozenset()) -> DataFrame:
+    """F14: fill missing/null annotated columns from their generator
+    (ProtoSchema.ts:21-33); ``force`` regenerates even when present."""
+    for name, gen in generators.items():
+        if name in force or name not in df.columns:
+            df = df.withColumn(name, gen())
+        else:
+            df = df.withColumn(name, F.coalesce(F.col(name), gen()))
+    return df
+
+
+# -- F15: hierarchical path prefixes ------------------------------------------
+
+def path_prefixes(col: Column | str, sep: str = "/") -> Column:
+    """F15: ``"a/b/c" -> ["a","a/b","a/b/c"]`` — the events groupIndex fn
+    (eventsSchemas.ts:6) as pure array ops: transform(sequence) + slice +
+    array_join. Powers multi-membership grouping (A4)."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, sep)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, F.lit(1), i), sep))
+
+
+# -- F16: key sanitation -------------------------------------------------------
+
+def sanitize_key(name: str) -> str:
+    """F16: strip whitespace from column/model names at ingest."""
+    return "".join(name.split())

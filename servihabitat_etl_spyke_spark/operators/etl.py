@@ -1,0 +1,251 @@
+"""The ETL pipeline: JSON-lines ingest -> DynamoDB-JSON decode -> per-entity
+cleansing transform -> keyed upsert.
+
+Re-expresses the reference's S3 -> transform -> DynamoDB automation
+(``packages/app/bundles/custom/apis/etl.ts:18-54`` +
+``models/ETL.ts`` + ``aws/{s3,dynamodb}/*-connector.ts``) Spark-first:
+
+- S1 S3 JSON-lines scan: the reference streams an S3 object through
+  ``readline`` in 25-line callback batches (``s3-connector.ts:215-252``);
+  here it's one ``spark.read.json`` — line-delimited JSON is Spark's native
+  mode, and partition parallelism replaces the batching (at 100 TB the scan
+  fans out across executors; nothing touches the driver).
+- DynamoDB-JSON decode: typed attributes ``{S,N,BOOL,SS,L,M}`` become plain
+  columns (SURVEY.md §1.2 "second wire format").
+- Entity transforms (``ETL.ts:13-64``): promotions dedup-merge (J3),
+  checklists empty-string sanitize (F9), managements rename+enum (F7/F8),
+  identity for products/clients/activitys.
+- S4/S6 keyed upsert: the DynamoDB BatchWrite/PutItem sink is a keyed
+  overwrite — emulated as new-version-wins anti-join union (no Delta in this
+  environment; with Delta it's a single MERGE INTO).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# DynamoDB-JSON decode
+# ---------------------------------------------------------------------------
+
+#: attribute-type -> (JSON sub-path, decoder)
+_DYNAMO_DECODERS: dict[str, Callable[[Column], Column]] = {
+    "S": lambda c: c,
+    "N": lambda c: c.cast("double"),
+    "BOOL": lambda c: c.cast("boolean"),
+    "SS": lambda c: F.from_json(c, T.ArrayType(T.StringType())),
+    "L": lambda c: F.from_json(c, T.ArrayType(T.StringType())),
+    "M": lambda c: c,  # kept as JSON string; caller applies from_json w/ schema
+}
+
+
+def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """S1: JSON-lines scan. Each line is ``{"Item": {...}}``; we read as raw
+    text so malformed lines survive to the decoder (the reference does
+    ``JSON.parse(line)?.Item`` per line and skips falsy results)."""
+    return spark.read.text(path).withColumnRenamed("value", "line")
+
+
+def decode_dynamodb_json(df: DataFrame, attrs: dict[str, str],
+                         line_col: str = "line") -> DataFrame:
+    """Decode DynamoDB-typed JSON lines into plain columns.
+
+    ``attrs`` maps output column name -> DynamoDB type tag (S/N/BOOL/SS/L/M).
+    A row whose ``Item`` is missing decodes to all-null columns (then
+    dropped by transforms keyed on id, matching ``etl.ts:48-49``).
+
+    get_json_object is a JVM-side JSON path evaluator — stays inside
+    whole-stage codegen; no Python in the loop.
+    """
+    cols = []
+    for name, tag in attrs.items():
+        raw = F.get_json_object(F.col(line_col), f"$.Item.{name}.{tag}")
+        cols.append(_DYNAMO_DECODERS[tag](raw).alias(name))
+    return df.select(*cols)
+
+
+def encode_dynamodb_json(df: DataFrame, attrs: dict[str, str]) -> DataFrame:
+    """Inverse of :func:`decode_dynamodb_json` (used when a Dynamo-shaped
+    sink is requested, and by round-trip tests)."""
+    item = F.struct(*[
+        F.struct(F.col(name).cast("string").alias(tag) if tag in ("S", "N", "BOOL")
+                 else F.col(name).alias(tag)).alias(name)
+        for name, tag in attrs.items()
+    ])
+    return df.select(F.to_json(F.struct(item.alias("Item"))).alias("line"))
+
+
+# ---------------------------------------------------------------------------
+# Entity transforms (ETL.ts:13-64)
+# ---------------------------------------------------------------------------
+
+def promotions_transform(df: DataFrame, order_col: str = "_ingest_order") -> DataFrame:
+    """J3/A6/U3 — dedup-merge by id, first occurrence wins:
+
+    - rows with null id are dropped (``ETL.ts:17,26``);
+    - the FIRST row for an id keeps its scalar fields;
+    - duplicate rows' ``products`` arrays are concatenated onto the kept row
+      in row order, WITHOUT dedup inside the array (``ETL.ts:22``).
+
+    ``order_col`` is the ingestion-order column (the reference relies on
+    file line order; callers get it for free from
+    ``monotonically_increasing_id`` at read time, which is
+    partition-monotonic — exact file order at any scale when paired with
+    the input file's line offsets, and sufficient for first-wins semantics).
+    One hash-partition shuffle on id; everything JVM-side.
+    """
+    scalar_cols = [c for c in df.columns
+                   if c not in ("id", "products", order_col)]
+    merged = F.flatten(F.transform(
+        F.array_sort(F.collect_list(F.struct(
+            F.col(order_col).alias("o"),
+            F.coalesce(F.col("products"),
+                       F.array().cast("array<string>")).alias("v")))),
+        lambda s: s["v"]))
+    return (
+        df.filter(F.col("id").isNotNull())
+        .groupBy("id")
+        .agg(
+            *[F.min_by(c, order_col).alias(c) for c in scalar_cols],
+            merged.alias("products"),
+        )
+    )
+
+
+def checklists_transform(df: DataFrame, raw_status_col: str = "status_raw") -> DataFrame:
+    """F9 — ``status: {L: ""}`` (empty string where a list belongs) becomes
+    ``[]`` (``ETL.ts:30-39``). The decoder yields NULL for the malformed
+    empty-string case (from_json('')), so both '' and NULL sanitize to []."""
+    if raw_status_col in df.columns:
+        status = F.when(
+            F.col(raw_status_col).isNull() | (F.col(raw_status_col) == ""),
+            F.array().cast("array<string>")
+        ).otherwise(F.from_json(F.col(raw_status_col), "array<string>"))
+        return df.withColumn("status", status).drop(raw_status_col)
+    return df.withColumn(
+        "status", F.coalesce(F.col("status"), F.array().cast("array<string>")))
+
+
+def managements_transform(df: DataFrame) -> DataFrame:
+    """F7/F8 — rename ``clientid``->``clientId``, ``productid``->``productId``
+    (``ETL.ts:46-54``); normalize ``status``: values already in
+    {'in-progress','pending'} kept verbatim, 'E0004' -> 'pending', anything
+    else -> 'in-progress' (``ETL.ts:55-57``)."""
+    out = df
+    for old, new in (("clientid", "clientId"), ("productid", "productId")):
+        if old in out.columns:
+            out = out.withColumnRenamed(old, new)
+    status = (
+        F.when(F.col("status").isin("in-progress", "pending"), F.col("status"))
+        .when(F.col("status") == "E0004", F.lit("pending"))
+        .otherwise(F.lit("in-progress"))
+    )
+    return out.withColumn("status", status)
+
+
+def identity_transform(df: DataFrame) -> DataFrame:
+    """Default transform for products/clients/activitys (``ETL.ts:63-64``)."""
+    return df
+
+
+ENTITY_ATTRS: dict[str, dict[str, str]] = {
+    "promotions": {"id": "S", "products": "SS", "name": "S", "city": "S"},
+    "checklists": {"id": "S", "status": "L", "productId": "S"},
+    "managements": {"id": "S", "clientid": "S", "productid": "S", "status": "S"},
+    "products": {"id": "S", "name": "S", "price": "N"},
+    "clients": {"id": "S", "name": "S"},
+    "activitys": {"id": "S", "clientId": "S", "productId": "S", "created": "S"},
+}
+
+ENTITY_TRANSFORMS: dict[str, Callable[[DataFrame], DataFrame]] = {
+    "promotions": lambda df: promotions_transform(df),
+    "checklists": lambda df: checklists_transform(df),
+    "managements": managements_transform,
+    "products": identity_transform,
+    "clients": identity_transform,
+    "activitys": identity_transform,
+}
+
+
+def run_entity_pipeline(spark: SparkSession, entity: str, src_path: str) -> DataFrame:
+    """The full load_from_s3_to_dynamodb pipeline for one entity
+    (``etl.ts:46-53``): scan -> decode -> transform. Returns the cleansed
+    DataFrame ready for :func:`keyed_upsert`."""
+    attrs = ENTITY_ATTRS[entity]
+    raw = read_jsonl(spark, src_path)
+    # ingestion order: partition-monotonic id preserves line order per file
+    raw = raw.withColumn("_ingest_order", F.monotonically_increasing_id())
+    if entity == "checklists":
+        # decode status as a RAW string so the sanitizer can distinguish the
+        # malformed '' case from a real list before parsing
+        attrs = {n: t for n, t in attrs.items() if n != "status"}
+        decoded = raw.select(
+            *[_DYNAMO_DECODERS[t](
+                F.get_json_object("line", f"$.Item.{n}.{t}")).alias(n)
+              for n, t in attrs.items()],
+            F.get_json_object("line", "$.Item.status.L").alias("status_raw"),
+        )
+        return checklists_transform(decoded)
+    keep_order = entity == "promotions"
+    cols = [F.get_json_object("line", f"$.Item.{n}.{t}").alias(f"_raw_{n}")
+            for n, t in attrs.items()]
+    decoded = raw.select(
+        *([F.col("_ingest_order")] if keep_order else []), *cols)
+    decoded = decoded.select(
+        *([F.col("_ingest_order")] if keep_order else []),
+        *[_DYNAMO_DECODERS[t](F.col(f"_raw_{n}")).alias(n)
+          for n, t in attrs.items()])
+    return ENTITY_TRANSFORMS[entity](decoded)
+
+
+# ---------------------------------------------------------------------------
+# Keyed upsert sink (S4/S6 semantics)
+# ---------------------------------------------------------------------------
+
+def keyed_upsert(existing: DataFrame | None, incoming: DataFrame,
+                 key: str = "id") -> DataFrame:
+    """Upsert-by-key snapshot: incoming rows replace existing rows with the
+    same key; within incoming, the LAST write wins per key (DynamoDB PutItem
+    overwrite semantics, ``dynamo-connector.ts:91-107``).
+
+    With a transactional table format this is ``MERGE INTO``; as pure
+    DataFrames it's existing ANTI-JOIN incoming ∪ incoming — one broadcast
+    (incoming keys are the small side in steady-state ETL) or shuffled
+    anti-join, no driver involvement.
+    """
+    deduped = incoming.groupBy(key).agg(
+        *[F.max_by(c, "_ingest_order").alias(c)
+          for c in incoming.columns if c not in (key, "_ingest_order")]
+    ) if "_ingest_order" in incoming.columns else incoming.dropDuplicates([key])
+    if existing is None:
+        return deduped
+    kept = existing.join(deduped.select(key), on=key, how="left_anti")
+    return kept.unionByName(deduped)
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5 analog: persist the snapshot (CREATE TABLE IF NOT EXISTS +
+    PutItem loop becomes one parquet write)."""
+    df.write.mode(mode).parquet(path)
+
+
+def upsert_into_path(spark: SparkSession, incoming: DataFrame, path: str,
+                     key: str = "id") -> DataFrame:
+    """MERGE-into-table emulation against a parquet path: read-if-exists,
+    upsert, write back atomically (tmp + rename is left to the table format
+    in production; local tests just overwrite)."""
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        snapshot = keyed_upsert(existing, incoming, key)
+        # write to a sibling tmp first: the plan still reads `path`, so the
+        # overwrite must not happen while the scan is live
+        tmp = path.rstrip("/") + "._tmp"
+        snapshot.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    else:
+        keyed_upsert(None, incoming, key).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

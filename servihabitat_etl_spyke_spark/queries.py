@@ -22,6 +22,8 @@ from pyspark.sql.window import Window as W
 
 from .catalog import load_table
 from .model import FieldSpec, model
+from .operators.etl import (decode_dynamodb_json, encode_dynamodb_json,
+                            keyed_upsert, managements_transform)
 from .plans.listquery import ListParams, group_options, list_query
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -439,3 +441,408 @@ def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(*[F.min_by(c, ordkey).alias(c)
                    for c in ("l_linenumber", "l_partkey", "l_quantity")])
             .orderBy("l_orderkey"))
+
+
+# ---------------------------------------------------------------------------
+# ETL family (S1, J3 covered above; F7/F8/F9, DynamoDB wire format, S6 upsert)
+# ---------------------------------------------------------------------------
+
+@query("etl_dynamodb_roundtrip", oracle="""
+SELECT CAST(p_partkey AS VARCHAR) AS id, p_name AS name,
+       CAST(p_retailprice AS DOUBLE) AS price
+FROM part ORDER BY p_partkey
+""")
+def etl_dynamodb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DynamoDB-JSON wire format: encode part rows to typed JSON lines
+    ({"Item":{id:{S},name:{S},price:{N}}}) then decode back to plain columns
+    — the decode path is exactly the ETL ingest decoder (etl.ts:48 +
+    SURVEY.md §1.2). Round-trip equals a plain projection, which is the
+    oracle. get_json_object/to_json are JVM-side; no Python in the loop."""
+    attrs = {"id": "S", "name": "S", "price": "N"}
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_retailprice").alias("price"))
+    lines = encode_dynamodb_json(part, attrs)
+    return decode_dynamodb_json(lines, attrs).orderBy(F.col("id").cast("bigint"))
+
+
+@query("etl_enum_normalize", oracle="""
+WITH managements AS (
+  SELECT o_orderkey AS id,
+         CASE WHEN o_orderstatus = 'F' THEN 'E0004'
+              WHEN o_orderstatus = 'O' THEN 'pending'
+              ELSE 'E0001' END AS status
+  FROM orders
+)
+SELECT id,
+       CASE WHEN status IN ('in-progress', 'pending') THEN status
+            WHEN status = 'E0004' THEN 'pending'
+            ELSE 'in-progress' END AS status
+FROM managements ORDER BY id
+""")
+def etl_enum_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: the managements status normalization (ETL.ts:55-57) — known
+    values kept, E0004 -> pending, everything else -> in-progress. Input
+    statuses synthesized from o_orderstatus to hit all three branches."""
+    orders = load_table(spark, sf_dir, "orders")
+    synth = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.when(F.col("o_orderstatus") == "F", "E0004")
+         .when(F.col("o_orderstatus") == "O", "pending")
+         .otherwise("E0001").alias("status"))
+    return managements_transform(synth).orderBy("id")
+
+
+@query("etl_empty_list_sanitize", oracle="""
+SELECT event_id,
+       CASE WHEN raw = '' OR raw IS NULL THEN 0
+            ELSE len(CAST(raw AS JSON)::VARCHAR[]) END AS n_status,
+       CASE WHEN raw = '' OR raw IS NULL THEN ''
+            ELSE array_to_string(CAST(raw AS JSON)::VARCHAR[], ',') END AS status_csv
+FROM (
+  SELECT event_id,
+         CASE WHEN user_id % 5 = 0 THEN ''
+              ELSE '["' || event_type || '","x"]' END AS raw
+  FROM events
+) ORDER BY event_id
+""")
+def etl_empty_list_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: the checklists '' -> [] sanitize (ETL.ts:30-39). A raw JSON-list
+    column where ~20% of rows carry the malformed empty string becomes a
+    real array column; emitted as size + csv so the oracle compares scalars."""
+    from .operators.etl import checklists_transform
+    ev = load_table(spark, sf_dir, "events")
+    synth = ev.select(
+        "event_id",
+        F.when(F.col("user_id") % 5 == 0, F.lit(""))
+         .otherwise(F.concat(F.lit('["'), F.col("event_type"), F.lit('","x"]')))
+         .alias("status_raw"))
+    out = checklists_transform(synth)
+    return (out.select(
+        "event_id",
+        F.size("status").alias("n_status"),
+        F.array_join("status", ",").alias("status_csv"))
+        .orderBy("event_id"))
+
+
+@query("etl_keyed_upsert", oracle="""
+WITH existing AS (
+  SELECT o_orderkey AS id, 'old' AS version, o_totalprice AS price
+  FROM orders WHERE o_orderkey < 1000
+), incoming AS (
+  SELECT o_orderkey AS id, 'new' AS version, round(o_totalprice * 1.1, 2) AS price
+  FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500
+)
+SELECT id, version, price FROM existing WHERE id NOT IN (SELECT id FROM incoming)
+UNION ALL
+SELECT id, version, price FROM incoming
+ORDER BY id
+""")
+def etl_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S6: keyed upsert (DynamoDB PutItem overwrite) — incoming replaces
+    existing on key collision, new keys append. Anti-join + union; at scale
+    the incoming side broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderkey") < 1000).select(
+        F.col("o_orderkey").alias("id"), F.lit("old").alias("version"),
+        F.col("o_totalprice").alias("price"))
+    incoming = orders.filter((F.col("o_orderkey") >= 500)
+                             & (F.col("o_orderkey") < 1500)).select(
+        F.col("o_orderkey").alias("id"), F.lit("new").alias("version"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("price"))
+    return keyed_upsert(existing, incoming, "id").orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Scalar function family (F1-F15)
+# ---------------------------------------------------------------------------
+
+@query("fn_split_join", oracle="""
+SELECT p_partkey,
+       array_to_string(string_split(p_type, ' '), '-') AS dashed,
+       len(string_split(p_type, ' ')) AS n_tokens
+FROM part ORDER BY p_partkey
+""")
+def fn_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: split by literal separator then re-join with another."""
+    from .functions.core import join_array, split_column
+    part = load_table(spark, sf_dir, "part")
+    toks = split_column("p_type", " ")
+    return (part.select(
+        "p_partkey",
+        join_array(toks, "-").alias("dashed"),
+        F.size(toks).alias("n_tokens"))
+        .orderBy("p_partkey"))
+
+
+@query("fn_json_parse", oracle="""
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) AS cnt
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def fn_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: JSON-string column -> typed value, aggregated. get_json_object
+    is JVM-side (no UDF); at scale the parse happens inside codegen."""
+    from .functions.core import json_get
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.select("event_type",
+                      json_get("props", "$.k").cast("bigint").alias("k"))
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"), F.count("*").alias("cnt"))
+            .orderBy("event_type"))
+
+
+@query("fn_add_object_key", oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey,
+       round(l_extendedprice * (1 - l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey < 500
+ORDER BY l_orderkey, l_linenumber, l_partkey
+""")
+def fn_add_object_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: immutably add a computed key to every row."""
+    from .functions.core import add_object_key
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    out = add_object_key(
+        li, "revenue",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2))
+    return (out.select("l_orderkey", "l_linenumber", "l_partkey", "revenue")
+            .orderBy("l_orderkey", "l_linenumber", "l_partkey"))
+
+
+@query("fn_uuid_validate", oracle="""
+WITH u AS (
+  SELECT c_custkey,
+         substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) || '-' ||
+         substr(md5(CAST(c_custkey AS VARCHAR)), 9, 4) || '-4' ||
+         substr(md5(CAST(c_custkey AS VARCHAR)), 14, 3) || '-a' ||
+         substr(md5(CAST(c_custkey AS VARCHAR)), 18, 3) || '-' ||
+         substr(md5(CAST(c_custkey AS VARCHAR)), 21, 12) AS uid
+  FROM customer
+)
+SELECT c_custkey, uid,
+       CASE WHEN regexp_matches(uid,
+         '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
+       THEN true ELSE false END AS valid,
+       CAST(substr(uid, 15, 1) AS INT) AS version
+FROM u ORDER BY c_custkey
+""")
+def fn_uuid_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: uuid validation + version extraction over deterministic
+    md5-derived uuid-shaped strings."""
+    from .functions.core import uuid_validate, uuid_version
+    cust = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    uid = F.concat(
+        F.substring(h, 1, 8), F.lit("-"), F.substring(h, 9, 4), F.lit("-4"),
+        F.substring(h, 14, 3), F.lit("-a"), F.substring(h, 18, 3), F.lit("-"),
+        F.substring(h, 21, 12))
+    return (cust.select("c_custkey", uid.alias("uid"))
+            .withColumn("valid", uuid_validate("uid"))
+            .withColumn("version", uuid_version("uid"))
+            .orderBy("c_custkey"))
+
+
+@query("fn_password_hash", oracle="""
+SELECT c_custkey, sha256(c_name) AS pw_hash
+FROM customer ORDER BY c_custkey
+""")
+def fn_password_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: the onCreate 'cypher' transformer hook (usersAPI.ts:9-15)."""
+    from .functions.core import password_hash
+    return (load_table(spark, sf_dir, "customer")
+            .select("c_custkey", password_hash("c_name").alias("pw_hash"))
+            .orderBy("c_custkey"))
+
+
+@query("fn_iso_timestamp", oracle="""
+SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso
+FROM events ORDER BY event_id
+""")
+def fn_iso_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: ISO-8601 timestamp strings (the reference stores timestamps as
+    ISO strings; SURVEY.md §1.2)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso"))
+        .orderBy("event_id"))
+
+
+@query("fn_time_sortable_id")  # nondeterministic (now + uuid) -> rows-only check
+def fn_time_sortable_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: generated primary key 'YYYYMM-DDHHmm-ssSSS-<uuid8>' — value is
+    time-dependent so there is no SQL oracle; the pytest suite asserts shape
+    and lexicographic-sortability instead."""
+    from .functions.core import apply_generators, gen_time_sortable_id
+    cust = load_table(spark, sf_dir, "customer").limit(100)
+    out = apply_generators(cust, {"gen_id": gen_time_sortable_id})
+    return out.select("c_custkey", "gen_id")
+
+
+# ---------------------------------------------------------------------------
+# Analytics / window family (north-star standard aggregates + T5 batch form)
+# ---------------------------------------------------------------------------
+
+@query("q3_shipping_priority", oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> group -> top-k.
+    customer is broadcast; lineitem (the 100-TB side) shuffles once on the
+    join key; the LIMIT becomes TakeOrdered (no global sort)."""
+    cust = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+                "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query("q5_region_revenue", oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name ORDER BY n_name
+""")
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake dim chain collapses to broadcast joins;
+    only the fact scan is large."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = (sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+            .join(reg, nat.n_regionkey == reg.r_regionkey)
+            .select("s_suppkey", "n_name"))
+    return (li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy("n_name"))
+
+
+@query("window_topk_per_group", oracle="""
+SELECT event_type, event_id, value, rnk FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events
+) WHERE rnk <= 3 ORDER BY event_type, rnk
+""")
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (the reference's 'newest-first
+    page per group' generalized)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (ev.select("event_type", "event_id", "value",
+                      F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= 3)
+            .orderBy("event_type", "rnk"))
+
+
+@query("window_tumbling_hourly", oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (absent in the reference;
+    Spark built-in — SURVEY.md §2.8 'absent' note). Batch form of the
+    streaming window() aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("hour_start"),
+        "event_type")
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("hour_start", "event_type"))
+
+
+@query("sessionize", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id
+""")
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap -> new session (lag +
+    running sum of boundary flags). Batch twin of the streaming
+    session_window operator."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(gap <= 1800, 0).otherwise(1).alias("new_session"))
+    sessions = flagged.select(
+        "user_id",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, 0)).alias("session_id"))
+    return (sessions.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"))
+            .orderBy("user_id", "session_id"))
+
+
+@query("edge_detection", oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id, event_id, round(value, 2) AS value, round(prev, 2) AS prev,
+       CASE WHEN prev < 100 AND value >= 100 THEN 'rising' ELSE 'falling' END AS edge
+FROM seq
+WHERE (prev < 100 AND value >= 100) OR (prev >= 100 AND value < 100)
+ORDER BY user_id, event_id
+""")
+def edge_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 batch form: per-key rising/falling edge on threshold crossing —
+    lag() over (user, time). The streaming twin keeps last-value state in
+    applyInPandasWithState (streaming/stateful.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_id", "value",
+                    F.lag("value").over(w).alias("prev"))
+    rising = (F.col("prev") < 100) & (F.col("value") >= 100)
+    falling = (F.col("prev") >= 100) & (F.col("value") < 100)
+    return (seq.filter(rising | falling)
+            .select("user_id", "event_id",
+                    F.round("value", 2).alias("value"),
+                    F.round("prev", 2).alias("prev"),
+                    F.when(rising, "rising").otherwise("falling").alias("edge"))
+            .orderBy("user_id", "event_id"))

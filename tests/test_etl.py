@@ -1,0 +1,132 @@
+"""End-to-end ETL pipeline tests over synthetic DynamoDB-JSON fixtures
+(FIXTURES.md §A; reference semantics from models/ETL.ts + etl.ts)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from servihabitat_etl_spyke_spark.operators.etl import (
+    ENTITY_ATTRS, decode_dynamodb_json, encode_dynamodb_json, keyed_upsert,
+    read_jsonl, run_entity_pipeline, upsert_into_path)
+
+
+def _write_jsonl(path, items):
+    with open(path, "w") as f:
+        for it in items:
+            f.write(json.dumps(it) + "\n")
+
+
+@pytest.fixture()
+def promotions_file(tmp_path):
+    """Duplicates, a triple-dup, overlapping products, a missing-id row."""
+    items = [
+        {"Item": {"id": {"S": "p1"}, "products": {"SS": ["a", "b"]},
+                  "name": {"S": "first"}, "city": {"S": "madrid"}}},
+        {"Item": {"products": {"SS": ["orphan"]}, "name": {"S": "no-id"},
+                  "city": {"S": "x"}}},                      # dropped
+        {"Item": {"id": {"S": "p2"}, "products": {"SS": ["c"]},
+                  "name": {"S": "second"}, "city": {"S": "bcn"}}},
+        {"Item": {"id": {"S": "p1"}, "products": {"SS": ["b", "d"]},
+                  "name": {"S": "dup-ignored"}, "city": {"S": "sevilla"}}},
+        {"Item": {"id": {"S": "p1"}, "products": {"SS": ["e"]},
+                  "name": {"S": "tripledup"}, "city": {"S": "y"}}},
+    ]
+    p = tmp_path / "promotions.jsonl"
+    _write_jsonl(p, items)
+    return str(p)
+
+
+def test_promotions_dedup_merge(spark, promotions_file):
+    out = {r["id"]: r.asDict()
+           for r in run_entity_pipeline(spark, "promotions", promotions_file).collect()}
+    assert set(out) == {"p1", "p2"}                      # null-id dropped
+    # first occurrence wins scalars
+    assert out["p1"]["name"] == "first" and out["p1"]["city"] == "madrid"
+    # arrays concatenated in row order, overlap NOT deduped
+    assert out["p1"]["products"] == ["a", "b", "b", "d", "e"]
+    assert out["p2"]["products"] == ["c"]
+
+
+def test_checklists_empty_string_sanitize(spark, tmp_path):
+    items = [
+        {"Item": {"id": {"S": "c1"}, "status": {"L": ["s1", "s2"]},
+                  "productId": {"S": "pr1"}}},
+        {"Item": {"id": {"S": "c2"}, "status": {"L": ""},       # malformed
+                  "productId": {"S": "pr2"}}},
+        {"Item": {"id": {"S": "c3"}, "productId": {"S": "pr3"}}},  # absent
+    ]
+    p = tmp_path / "checklists.jsonl"
+    _write_jsonl(p, items)
+    out = {r["id"]: r.asDict()
+           for r in run_entity_pipeline(spark, "checklists", str(p)).collect()}
+    assert out["c1"]["status"] == ["s1", "s2"]
+    assert out["c2"]["status"] == []
+    assert out["c3"]["status"] == []
+
+
+def test_managements_rename_and_enum(spark, tmp_path):
+    rows = [("m1", "CL1", "PR1", "in-progress"), ("m2", "CL2", "PR2", "pending"),
+            ("m3", "CL3", "PR3", "E0004"), ("m4", "CL4", "PR4", "E0001"),
+            ("m5", "CL5", "PR5", "DONE")]
+    items = [{"Item": {"id": {"S": i}, "clientid": {"S": c},
+                       "productid": {"S": pr}, "status": {"S": s}}}
+             for i, c, pr, s in rows]
+    p = tmp_path / "managements.jsonl"
+    _write_jsonl(p, items)
+    df = run_entity_pipeline(spark, "managements", str(p))
+    assert "clientId" in df.columns and "productId" in df.columns
+    assert "clientid" not in df.columns
+    out = {r["id"]: r["status"] for r in df.collect()}
+    assert out == {"m1": "in-progress", "m2": "pending", "m3": "pending",
+                   "m4": "in-progress", "m5": "in-progress"}
+
+
+def test_identity_entities_and_numeric_decode(spark, tmp_path):
+    items = [{"Item": {"id": {"S": "pr1"}, "name": {"S": "thing"},
+                       "price": {"N": "12.50"}}}]
+    p = tmp_path / "products.jsonl"
+    _write_jsonl(p, items)
+    out = run_entity_pipeline(spark, "products", str(p)).collect()
+    assert out[0]["price"] == 12.5                        # N -> double
+
+
+def test_encode_decode_roundtrip(spark):
+    attrs = {"id": "S", "name": "S", "price": "N"}
+    df = spark.createDataFrame(
+        [("a", "x", 1.5), ("b", "y", 2.0)], ["id", "name", "price"])
+    lines = encode_dynamodb_json(df, attrs)
+    back = decode_dynamodb_json(lines, attrs)
+    assert sorted(map(tuple, back.collect())) == [("a", "x", 1.5), ("b", "y", 2.0)]
+
+
+def test_keyed_upsert_replaces_and_appends(spark):
+    existing = spark.createDataFrame(
+        [("1", "old1"), ("2", "old2")], ["id", "v"])
+    incoming = spark.createDataFrame(
+        [("2", "new2"), ("3", "new3")], ["id", "v"])
+    out = {r["id"]: r["v"] for r in keyed_upsert(existing, incoming).collect()}
+    assert out == {"1": "old1", "2": "new2", "3": "new3"}
+
+
+def test_upsert_into_path_full_cycle(spark, tmp_path):
+    path = str(tmp_path / "table")
+    v1 = spark.createDataFrame([("1", "a"), ("2", "b")], ["id", "v"])
+    upsert_into_path(spark, v1, path)
+    v2 = spark.createDataFrame([("2", "B"), ("3", "c")], ["id", "v"])
+    snap = upsert_into_path(spark, v2, path)
+    out = {r["id"]: r["v"] for r in snap.collect()}
+    assert out == {"1": "a", "2": "B", "3": "c"}
+
+
+def test_read_jsonl_malformed_lines_survive(spark, tmp_path):
+    p = tmp_path / "bad.jsonl"
+    with open(p, "w") as f:
+        f.write('{"Item": {"id": {"S": "ok"}, "name": {"S": "n"}}}\n')
+        f.write("not json at all\n")
+    df = read_jsonl(spark, str(p))
+    decoded = decode_dynamodb_json(df, {"id": "S", "name": "S"})
+    rows = decoded.collect()
+    assert len(rows) == 2                 # malformed row -> nulls, not a crash
+    assert {r["id"] for r in rows} == {"ok", None}

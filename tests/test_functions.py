@@ -1,0 +1,82 @@
+"""Unit tests for the scalar function library (F1-F16)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from servihabitat_etl_spyke_spark.functions.core import (
+    apply_generators, gen_time_sortable_id, iso_now, json_parse, mask_secret,
+    path_prefixes, rename_columns, sanitize_key, split_column, join_array,
+    uuid4_column, uuid_validate, uuid_version)
+
+
+def test_split_with_escaped_separator(spark):
+    df = spark.createDataFrame([("a\nb\nc",)], ["s"])
+    out = df.select(split_column("s", "\\n").alias("arr")).collect()[0]["arr"]
+    assert out == ["a", "b", "c"]
+
+
+def test_split_literal_dot_not_regex(spark):
+    df = spark.createDataFrame([("a.b.c",)], ["s"])
+    out = df.select(split_column("s", ".").alias("arr")).collect()[0]["arr"]
+    assert out == ["a", "b", "c"]
+
+
+def test_join_default_newline(spark):
+    df = spark.createDataFrame([(["x", "y"],)], ["a"])
+    assert df.select(join_array("a").alias("s")).collect()[0]["s"] == "x\ny"
+
+
+def test_json_parse_null_defaults_to_empty_object(spark):
+    df = spark.createDataFrame([(None,), ('{"a": 1}',)], "s: string")
+    out = df.select(json_parse("s", "a int").alias("o")).collect()
+    assert {r["o"]["a"] for r in out} == {None, 1}
+
+
+def test_path_prefixes(spark):
+    df = spark.createDataFrame([("a/b/c",), ("solo",)], ["p"])
+    out = {r["p"]: r["pre"] for r in
+           df.select("p", path_prefixes("p").alias("pre")).collect()}
+    assert out["a/b/c"] == ["a", "a/b", "a/b/c"]
+    assert out["solo"] == ["solo"]
+
+
+def test_time_sortable_id_shape_and_order(spark):
+    df = spark.range(5)
+    out = [r["gid"] for r in
+           df.select(gen_time_sortable_id().alias("gid")).collect()]
+    pat = re.compile(r"^\d{6}-\d{6}-\d{5}-[0-9a-f]{8}$")
+    for gid in out:
+        assert pat.match(gid), gid
+    # prefix (time part) is identical within one batch -> sortable by design
+
+
+def test_uuid_generate_validate_version(spark):
+    df = spark.range(3).select(uuid4_column().alias("u"))
+    out = df.select(uuid_validate("u").alias("v"),
+                    uuid_version("u").alias("ver")).collect()
+    assert all(r["v"] for r in out)
+    assert all(r["ver"] == 4 for r in out)
+
+
+def test_apply_generators_fills_only_missing(spark):
+    df = spark.createDataFrame([("x", None), ("y", "keep")], ["a", "b"])
+    out = apply_generators(df, {"b": lambda: F.lit("gen"),
+                                "c": lambda: F.lit("new")})
+    rows = {r["a"]: (r["b"], r["c"]) for r in out.collect()}
+    assert rows == {"x": ("gen", "new"), "y": ("keep", "new")}
+
+
+def test_rename_and_mask_and_sanitize(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["clientid", "productid", "pw"])
+    out = rename_columns(df, {"clientid": "clientId", "productid": "productId"})
+    assert out.columns == ["clientId", "productId", "pw"]
+    assert mask_secret(out, ["pw"]).columns == ["clientId", "productId"]
+    assert sanitize_key(" my col ") == "mycol"
+
+
+def test_iso_now_shape(spark):
+    v = spark.range(1).select(iso_now().alias("t")).collect()[0]["t"]
+    assert re.match(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z$", v)
