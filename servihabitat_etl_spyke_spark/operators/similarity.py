@@ -1,0 +1,225 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two paths:
+- **Brute-force cosine top-k** (the exact baseline): broadcast the query
+  vectors, compute cosine with built-in array ops (zip_with + aggregate —
+  JVM-side, no Python), rank per query. At 100 TB the corpus side is a
+  single scan, no shuffle until the per-query top-k (which AQE keeps tiny).
+- **LSH-bucketed ANN** (the scale path): deterministic random-hyperplane
+  signatures bucket the corpus; queries probe their own bucket (plus
+  multi-probe neighbors), exact re-rank inside the bucket. Sub-linear reads
+  when the bucket index is a partitioned table.
+- **IVF-style ANN**: coarse quantizer = per-label centroids (k-means stand-in;
+  any trained codebook drops in); probe the nearest n_probe centroids.
+
+A vectorized pandas-UDF scorer (`cosine_topk_pandas`) is provided for the
+bench path — numpy matmul over Arrow batches beats per-element JVM
+expression trees on wide vectors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns (fold over zip_with — JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    Returns (query_id, neighbor_id, rank) — integer output so results are
+    hash-stable across engines (scores drive the order but stay internal;
+    ties broken by neighbor id)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"))
+    scored = (c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("qvec"), F.col("cvec")).alias("score")))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (scored.select("query_id", "neighbor_id",
+                          F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank"))
+
+
+def cosine_topk_pandas(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Vectorized scorer: numpy matmul per Arrow batch (the bench/scale
+    variant of :func:`cosine_topk`; identical results, verified in tests).
+
+    The query matrix is closed over (broadcast by pickling — small by
+    contract); each partition scores its batch against ALL queries in one
+    GEMM, keeps a local top-k, and the final global top-k per query is a
+    tiny shuffle of k*partitions rows."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()  # queries are small by contract
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ qmat.T                      # (batch, nq)
+            out = []
+            for qi, qid in enumerate(qids):
+                s = sims[:, qi]
+                mask = ids != qid
+                cand_ids, cand_s = ids[mask], s[mask]
+                top = min(k, len(cand_ids))
+                if top == 0:
+                    continue
+                idx = np.argpartition(-cand_s, top - 1)[:top]
+                out.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": cand_ids[idx],
+                    "score": cand_s[idx]}))
+            yield (pd.concat(out) if out
+                   else pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                      "neighbor_id": pd.Series([], dtype="int64"),
+                                      "score": pd.Series([], dtype="float64")}))
+
+    partial = corpus.mapInPandas(
+        score, schema="query_id long, neighbor_id long, score double")
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (partial.select("query_id", "neighbor_id",
+                           F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank"))
+
+
+# -- Random-hyperplane LSH -----------------------------------------------------
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes from md5 bits (no RNG state,
+    reproducible everywhere)."""
+    planes = []
+    for p in range(n_planes):
+        coords = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).digest()[0]
+            coords.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(coords)
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-pack sign(v . plane_i) into an int bucket id."""
+    sig = None
+    for i, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(x) for x in plane]))
+        bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("long")
+
+
+def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 n_planes: int = 8, multiprobe: bool = True,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN: hyperplane-LSH bucket join + exact re-rank inside the bucket.
+
+    Sub-linear: each query only scores vectors sharing its bucket (expected
+    corpus/2^n_planes). ``multiprobe`` additionally probes every bucket at
+    Hamming distance 1 from the query's — (n_planes+1)/2^n_planes of the
+    corpus — which roughly doubles-to-triples recall for near-random vectors
+    at the same index. The corpus side still joins on bucket EQUALITY (the
+    probe fan-out happens on the tiny query side), so the plan stays a
+    broadcast hash join. Approximate — recall measured in tests against
+    :func:`cosine_topk`."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(n_planes, dim)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"),
+                      lsh_signature(F.col(vec_col), planes).alias("bucket"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"),
+                       lsh_signature(F.col(vec_col), planes).alias("qbucket"))
+    if multiprobe:
+        probes = F.array(F.col("qbucket"),
+                         *[F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+                           for i in range(n_planes)])
+    else:
+        probes = F.array(F.col("qbucket"))
+    q = q.select("query_id", "qvec", F.explode(probes).alias("bucket"))
+    scored = (c.join(F.broadcast(q), "bucket")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("qvec"), F.col("cvec")).alias("score"))
+              .dropDuplicates(["query_id", "neighbor_id"]))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (scored.select("query_id", "neighbor_id",
+                          F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank"))
+
+
+# -- IVF-style coarse quantization ---------------------------------------------
+
+
+def ivf_centroids(corpus: DataFrame, label_col: str = "label",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Coarse codebook: centroid per label partition (k-means stand-in —
+    the synthetic `label` column IS a cluster assignment; a trained
+    codebook slots into the same shape)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    sums = corpus.groupBy(label_col).agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at(vec_col, i + 1)).alias(f"s{i}") for i in range(dim)])
+    centroid = F.array(*[(F.col(f"s{i}") / F.col("n")).alias(f"c{i}")
+                         for i in range(dim)])
+    return sums.select(F.col(label_col).alias("centroid_id"),
+                       centroid.alias("centroid"))
+
+
+def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 n_probe: int = 2, label_col: str = "label",
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF probe: rank centroids per query, search only the n_probe nearest
+    partitions, exact re-rank inside. At scale the corpus is partitioned by
+    label so probing reads only those partitions (partition pruning)."""
+    cents = ivf_centroids(corpus, label_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    qc = (q.join(F.broadcast(cents))
+          .select("query_id", "qvec", "centroid_id",
+                  cosine(F.col("qvec"), F.col("centroid")).alias("cscore")))
+    wq = W.partitionBy("query_id").orderBy(F.col("cscore").desc(), "centroid_id")
+    probes = (qc.select("query_id", "qvec", "centroid_id",
+                        F.row_number().over(wq).alias("crank"))
+              .filter(F.col("crank") <= n_probe))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"),
+                      F.col(label_col).alias("centroid_id"))
+    scored = (c.join(F.broadcast(probes), "centroid_id")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("qvec"), F.col("cvec")).alias("score")))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (scored.select("query_id", "neighbor_id",
+                          F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank"))

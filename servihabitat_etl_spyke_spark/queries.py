@@ -29,6 +29,9 @@ from .plans.listquery import ListParams, group_options, list_query
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# north-star registrations live in queries_northstar.py; imported at the
+# bottom of this module so they share these registries.
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
@@ -846,3 +849,6 @@ def edge_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("prev", 2).alias("prev"),
                     F.when(rising, "rising").otherwise("falling").alias("edge"))
             .orderBy("user_id", "event_id"))
+
+# -- register the north-star families into QUERIES/ORACLES ------------------
+from . import queries_northstar  # noqa: E402,F401  (registration side effects)

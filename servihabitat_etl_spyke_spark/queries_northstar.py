@@ -1,0 +1,307 @@
+"""North-star query registrations: dedup suite, similarity search, text
+analysis, multimodal plumbing (BASELINE.json extensions).
+
+MinHash/SimHash oracles are generated programmatically — the SQL replicates
+the exact md5-derived 32-bit hashing, so DuckDB computes identical
+signatures and the hash-match is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import load_table
+from .operators import dedup as D
+from .operators import multimodal as MM
+from .operators import similarity as SIM
+from .operators import text as TX
+from .queries import query
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments
+# ---------------------------------------------------------------------------
+
+# distinct word 3-gram shingles (mirror of dedup.word_shingles with n=3)
+_SH_SQL = """
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
+    FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+_H32 = "('0x' || substr(md5({v}), 1, 8))::UBIGINT::BIGINT"
+
+
+def _minhash_oracle(k: int = 16, bands: int = 4, rows: int = 4,
+                    threshold: float = 0.5) -> str:
+    mins = ",\n         ".join(
+        "min({h}) AS mh{i}".format(
+            h=_H32.format(v="'{}:' || shingle".format(i)), i=i)
+        for i in range(k))
+    band_rows = []
+    for bi in range(bands):
+        key = " || ',' || ".join(
+            f"mh{bi * rows + ri}::VARCHAR" for ri in range(rows))
+        band_rows.append(
+            f"SELECT doc_id, {bi} AS band, md5({key}) AS key FROM sig")
+    banded = "\n  UNION ALL\n  ".join(band_rows)
+    return f"""
+WITH {_SH_SQL},
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  {banded}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT id_a, id_b, count(*) AS common
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.id_a
+  JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b,
+       round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits))
+    packed = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
+    return f"""
+WITH {_SH_SQL},
+hashed AS (SELECT doc_id, {_H32.format(v='shingle')} AS h FROM sh),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, ({packed})::BIGINT AS simhash
+FROM votes ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact", oracle="""
+SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY digest
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-digest groupBy keeping the smallest id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs).orderBy("digest")
+
+
+@query("neardup_jaccard", oracle=f"""
+WITH {_SH_SQL},
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.2
+ORDER BY id_a, id_b
+""")
+def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (inverted-index shingle join;
+    threshold 0.2 catches the generator's planted near-duplicates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, threshold=0.2).orderBy("id_a", "id_b")
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands x 4 rows) near-dup: candidates from band
+    buckets, exact-Jaccard verify on candidates only. The oracle replicates
+    the identical md5-derived signatures, so the match is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_neardup(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-bit SimHash fingerprints (bit-vote aggregation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query("ann_cosine_topk", oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.embedding) AS s
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+""")
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors — the exact ANN
+    baseline. Integer-only output keeps the hash stable across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk(emb, queries, k=10)
+
+
+@query("ann_lsh_topk")  # approximate -> rows-only; recall asserted in pytest
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (the sub-linear scale path). Approximate
+    by construction: no SQL oracle; tests measure recall vs the exact
+    baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ann_lsh_topk(emb, queries, k=10, n_planes=4)
+
+
+@query("ann_ivf_topk")  # approximate -> rows-only; recall asserted in pytest
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-label centroids as the coarse codebook, probe the
+    2 nearest partitions, exact re-rank inside."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ann_ivf_topk(emb, queries, k=10, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query("text_quality", oracle=r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS chars_per_token,
+       round(len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','a','of','and','is','in','to','it'], t)))
+             * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       round(len(regexp_extract_all(text, '[^\w\s]'))
+             * 1.0 / length(text), 6) AS punct_ratio,
+       round(len(list_filter(string_split(text, ' '), t -> t = upper(t)))
+             * 1.0 / len(string_split(text, ' ')), 6) AS uppercase_token_ratio
+FROM documents ORDER BY doc_id
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals (length/token/stopword/punct ratios)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.quality_features(docs).orderBy("doc_id")
+
+
+@query("text_token_count", oracle=r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+""")
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex pre-tokenizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        TX.token_count_bpe(F.col("text")).alias("n_bpe_tokens"))
+        .orderBy("doc_id"))
+
+
+@query("text_lang_id", oracle="""
+WITH scores AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text,' '), t -> list_contains(['der','die','und','das','ist'], t))) AS score_de,
+    len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and','is'], t))) AS score_en,
+    len(list_filter(string_split(text,' '), t -> list_contains(['el','la','de','que','y'], t))) AS score_es,
+    len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','et','est'], t))) AS score_fr,
+    len(list_filter(string_split(text,' '), t -> list_contains(['的','是','了','在','我'], t))) AS score_zh
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+       WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+       WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+       WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+       WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+       ELSE 'zh' END AS lang_pred,
+  score_de, score_en, score_es, score_fr, score_zh
+FROM scores ORDER BY doc_id
+""")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID (n-gram heuristic, deterministic ties)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.language_id(docs).orderBy("doc_id")
+
+
+@query("text_fingerprint", oracle=r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+       ('0x' || substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8))::UBIGINT::BIGINT AS bucket32
+FROM documents ORDER BY doc_id
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint + 32-bit partitioning bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.fingerprint(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query("multimodal_meta", oracle="""
+SELECT doc_id, 'image/fake' AS media_type,
+       strlen(text) AS n_bytes,
+       md5(text) AS digest,
+       CAST(strlen(text) % 640 + 1 AS INT) AS width,
+       CAST(strlen(text) % 480 + 1 AS INT) AS height
+FROM documents ORDER BY doc_id
+""")
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> typed metadata via Arrow-batched mapInPandas
+    (decode step stubbed deterministically; plumbing is the real thing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = MM.attach_binary(docs)
+    return MM.extract_media_meta(blobs).orderBy("doc_id")
+
+
+@query("multimodal_frames")  # 1->N pandas iterator; checked by pytest
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/sample extraction: N rows out per blob in (video/audio shape).
+    Deterministic stub sampling; rows-only driver check, exact assertions
+    in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = MM.attach_binary(docs)
+    return MM.sample_frames(blobs).orderBy("doc_id", "frame_idx")

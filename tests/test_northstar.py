@@ -1,0 +1,104 @@
+"""Tests for the approximate/Python-path north-star operators: recall of
+ANN variants vs the exact baseline, pandas scorer equivalence, multimodal
+frame plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from servihabitat_etl_spyke_spark.catalog import load_table
+from servihabitat_etl_spyke_spark.operators import multimodal as MM
+from servihabitat_etl_spyke_spark.operators import similarity as SIM
+from servihabitat_etl_spyke_spark.operators.dedup import (
+    exact_dedup, lsh_candidate_pairs, minhash_signatures, word_shingles)
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_pandas_topk_matches_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries, k=10)
+    fast = SIM.cosine_topk_pandas(emb, queries, k=10)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, fast.collect()))
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(SIM.cosine_topk(emb, queries, k=10))
+    approx = _topk_sets(SIM.ann_lsh_topk(emb, queries, k=10, n_planes=4))
+    # LSH buckets shrink the candidate set ~16x; planted neighbors are weak
+    # (max cos ~0.37) so demand modest but non-trivial recall
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_ivf_ann_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(SIM.cosine_topk(emb, queries, k=10))
+    n_labels = emb.select("label").distinct().count()
+    approx = _topk_sets(SIM.ann_ivf_topk(emb, queries, k=10, n_probe=max(2, n_labels // 2)))
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_minhash_lsh_finds_planted_dup(spark):
+    # two near-identical docs + unrelated ones: the planted pair MUST bucket
+    # together (identical docs share every band)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + "lambda"), (3, "totally different words here now"),
+         (4, "another unrelated document text body")],
+        ["doc_id", "text"])
+    sig = minhash_signatures(docs)
+    cand = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sig).collect()}
+    assert (1, 2) in cand
+    assert (3, 4) not in cand
+
+
+def test_exact_dedup_counts_copies(spark):
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], ["doc_id", "text"])
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_word_shingles_short_text(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], ["text"])
+    out = [r["s"] for r in df.select(word_shingles(F.col("text")).alias("s")).collect()]
+    assert out[0] == ["a b"]                      # shorter than n -> one shingle
+    assert out[1] == ["a b c", "b c d"]
+
+
+def test_multimodal_frames_shape(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    blobs = MM.attach_binary(docs)
+    frames = MM.sample_frames(blobs, every_n_bytes=64, max_frames=8).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rows in by_doc.items():
+        raw = texts[did].encode()
+        assert len(rows) == min(8, len(raw) // 64)
+        for fr in rows:
+            assert fr["sample_value"] == raw[fr["byte_offset"]]
+            assert fr["byte_offset"] == fr["frame_idx"] * 64
+
+
+def test_multimodal_meta_digest_is_md5(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    out = MM.extract_media_meta(MM.attach_binary(docs)).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out:
+        assert r["digest"] == hashlib.md5(texts[r["doc_id"]].encode()).hexdigest()
+        assert r["n_bytes"] == len(texts[r["doc_id"]].encode())
