@@ -850,5 +850,6 @@ def edge_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(rising, "rising").otherwise("falling").alias("edge"))
             .orderBy("user_id", "event_id"))
 
-# -- register the north-star families into QUERIES/ORACLES ------------------
+# -- register the north-star + streaming families into QUERIES/ORACLES ------
 from . import queries_northstar  # noqa: E402,F401  (registration side effects)
+from . import queries_streaming  # noqa: E402,F401  (registration side effects)

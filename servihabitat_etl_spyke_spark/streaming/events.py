@@ -1,0 +1,101 @@
+"""Event stream source + write-path semantics (SURVEY.md §3.3, §2.8).
+
+The reference's event path is: generate id/created -> optionally skip
+storage (``ephemeral``) -> write to one-or-both env stores -> publish
+``notifications/<model>/<action>/<path>`` to MQTT
+(``eventsAPI.ts:12-47``, ``generateApi.ts:335-366``).
+
+Spark shape: an append-only ``events`` table is simultaneously a batch
+table and a file-streaming source; the "broker" is the derived
+notification-topic column that subscribers filter on (topics.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+ENVS = ("dev", "prod")
+
+#: reference topic scheme: notifications/<model>/<action>/<id-or-path>
+#: (ProtoModel.ts:145-154, eventsSchemas.ts:52-54)
+TOPIC_FMT = "notifications/{model}/{action}/"
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based Structured Streaming source over the events parquet.
+
+    Schema comes from a batch peek (file sources need an explicit schema);
+    the TIMESTAMP(NANOS) column is normalized exactly as the batch
+    ``catalog.load_table`` does, so stream and batch twins agree.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        # file source needs a directory basePath; select just this table's
+        # file(s) out of the shared sf_dir via the name glob
+        stream = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", os.path.basename(path))
+                  .parquet(sf_dir))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def with_generated(df: DataFrame) -> DataFrame:
+    """F10/F12 write-path generators: time-sortable ``id`` and ISO-8601
+    ``created`` filled only where missing (``applyGenerators``,
+    ProtoSchema.ts:21-33). Works on batch and streaming frames."""
+    gen_id = F.concat(
+        F.date_format(F.current_timestamp(), "yyyyMM-ddHHmm-ssSSS"),
+        F.lit("-"), F.substring(F.uuid(), 1, 8))
+    iso_now = F.date_format(
+        F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    out = df
+    if "id" not in df.columns:
+        out = out.withColumn("id", gen_id)
+    else:
+        out = out.withColumn("id", F.coalesce(F.col("id"), gen_id))
+    if "created" not in df.columns:
+        out = out.withColumn("created", iso_now)
+    else:
+        out = out.withColumn("created", F.coalesce(F.col("created"), iso_now))
+    return out
+
+
+def route_envs(df: DataFrame, env_col: str = "environment") -> DataFrame:
+    """U2 multi-env fan-out: ``environment`` in {dev, prod} routes to one
+    store; ``*`` writes the row to BOTH (``eventsAPI.ts:18-36``,
+    ``generateApi.ts:343-350``). Modeled as an ``env`` partition column —
+    the ``*`` row is duplicated via explode, then writers
+    ``partitionBy('env')`` and readers filter one partition."""
+    envs = F.when(F.col(env_col) == "*", F.array(*[F.lit(e) for e in ENVS])) \
+        .otherwise(F.array(F.col(env_col)))
+    return (df.withColumn("env", F.explode(envs))
+            .drop(env_col))
+
+
+def split_ephemeral(df: DataFrame, flag_col: str = "ephemeral"
+                    ) -> tuple[DataFrame, DataFrame]:
+    """T3: ``ephemeral: true`` events are published but never stored
+    (``skipStorage``, eventsAPI.ts:12-17). Returns (to_store, to_publish):
+    publish sees everything, storage sees only non-ephemeral rows."""
+    flag = F.coalesce(F.col(flag_col).cast("boolean"), F.lit(False))
+    return df.filter(~flag), df
+
+
+def cdc_topics(df: DataFrame, model: str, action_col: str = "action",
+               key_col: str = "id") -> DataFrame:
+    """T4 change-notification stream: every mutation publishes
+    ``notifications/<model>/<action>/<id>`` with the row as payload
+    (``generateApi.ts:124-136``). Batch twin of Delta CDF + a topic column."""
+    topic = F.concat(
+        F.lit("notifications/"), F.lit(model), F.lit("/"),
+        F.col(action_col), F.lit("/"), F.col(key_col).cast("string"))
+    return df.withColumn("topic", topic)

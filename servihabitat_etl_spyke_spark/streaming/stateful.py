@@ -1,0 +1,179 @@
+"""T5/T6: per-key stateful streaming operators.
+
+- Edge detection: the reference keeps a module-level ``memory`` map of the
+  last value per id and fires only on threshold transitions
+  (``context/flowEdgeDetector.ts:6-28``).
+- State machines: named instances of declarative definitions — states +
+  ``on`` transition tables — advanced by incoming events
+  (``stateMachinesApi.ts:8-45``, sample at
+  ``packages/app/bundles/custom/stateMachines/sampleMachine.ts:6-56``).
+
+Spark-first: the streaming forms keep state in
+``applyInPandasWithState`` (Arrow-batched, partitioned by key — state
+shards across executors, nothing sits on the driver); the batch twins are
+a ``lag()`` window (edge) and an ``aggregate()`` fold over an ordered
+event array (machine), both whole-stage-codegen JVM expressions so the
+100 TB path has no Python in it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# ---------------------------------------------------------------------------
+# T5: edge detection
+# ---------------------------------------------------------------------------
+
+_EDGE_OUT = ("user_id BIGINT, event_id BIGINT, value DOUBLE, prev DOUBLE, "
+             "edge STRING")
+_EDGE_STATE = "last DOUBLE"
+
+
+def edge_detect_stream(events: DataFrame, threshold: float = 100.0,
+                       key_col: str = "user_id") -> DataFrame:
+    """Streaming rising/falling edge detector.
+
+    Per-key last-value state lives in the state store; each micro-batch is
+    processed as Arrow record batches (sorted within the group), emitting
+    only transition rows — identical semantics to the batch ``lag()`` twin
+    (queries.edge_detection) when run over the same data with
+    ``availableNow``.
+    """
+
+    def detect(key: tuple, pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (last,) = state.get if state.exists else (None,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            prev = pdf["value"].shift(1)
+            if last is not None:
+                prev.iloc[0] = last
+            rising = (prev < threshold) & (pdf["value"] >= threshold)
+            falling = (prev >= threshold) & (pdf["value"] < threshold)
+            mask = rising | falling
+            if len(pdf):
+                last = float(pdf["value"].iloc[-1])
+            if mask.any():
+                out = pd.DataFrame({
+                    "user_id": pdf.loc[mask, key_col],
+                    "event_id": pdf.loc[mask, "event_id"],
+                    "value": pdf.loc[mask, "value"].round(2),
+                    "prev": prev[mask].round(2),
+                    "edge": rising[mask].map({True: "rising",
+                                              False: "falling"}),
+                })
+                yield out
+        if last is not None:
+            state.update((last,))
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        detect, _EDGE_OUT, _EDGE_STATE, "append",
+        GroupStateTimeout.NoTimeout)
+
+
+# ---------------------------------------------------------------------------
+# T6: state machines
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class StateMachine:
+    """Declarative machine: initial state + (state, event) -> state table.
+
+    Mirrors the reference's xstate-style definitions (states with ``on``
+    transition maps); unknown (state, event) pairs stay put, matching
+    xstate's ignore-unhandled-event behavior.
+    """
+
+    initial: str
+    transitions: dict[tuple[str, str], str] = field(default_factory=dict)
+
+    def step(self, state: str, event: str) -> str:
+        return self.transitions.get((state, event), state)
+
+    def transition_column(self, acc: Column, event: Column) -> Column:
+        """The step function as one chained CASE expression (JVM-side)."""
+        expr: Column | None = None
+        for (src, ev), dst in self.transitions.items():
+            cond = (acc == src) & (event == ev)
+            expr = F.when(cond, dst) if expr is None else expr.when(cond, dst)
+        return acc if expr is None else expr.otherwise(acc)
+
+    def transition_sql(self, acc: str, event: str) -> str:
+        """The same step function as ANSI SQL (for the DuckDB oracle)."""
+        cases = " ".join(
+            f"WHEN {acc} = '{src}' AND {event} = '{ev}' THEN '{dst}'"
+            for (src, ev), dst in self.transitions.items())
+        return f"CASE {cases} ELSE {acc} END"
+
+
+#: demo machine over the synthetic events vocabulary
+#: (click / view / signup / purchase / error)
+USER_LIFECYCLE = StateMachine(
+    initial="anon",
+    transitions={
+        ("anon", "signup"): "registered",
+        ("registered", "click"): "browsing",
+        ("registered", "view"): "browsing",
+        ("browsing", "purchase"): "customer",
+        ("browsing", "error"): "broken",
+        ("broken", "click"): "browsing",
+        ("customer", "purchase"): "vip",
+    },
+)
+
+
+def state_machine_fold(events: DataFrame, machine: StateMachine,
+                       key_col: str = "user_id",
+                       event_col: str = "event_type") -> DataFrame:
+    """Batch twin: fold each key's time-ordered event array through the
+    transition table. ``array_sort`` on (ts, event_id) structs gives a
+    deterministic order; ``aggregate`` keeps the fold inside codegen —
+    per key the work is O(events) with no Python and no extra shuffle
+    beyond the single groupBy."""
+    ordered = F.array_sort(F.collect_list(
+        F.struct("ts", "event_id", F.col(event_col).alias("ev"))))
+    seq = F.transform(ordered, lambda s: s["ev"])
+    final = F.aggregate(
+        seq, F.lit(machine.initial),
+        lambda acc, ev: machine.transition_column(acc, ev))
+    return (events.groupBy(key_col)
+            .agg(final.alias("final_state"),
+                 F.count("*").alias("n_events")))
+
+
+_SM_STATE = "state STRING"
+
+
+def state_machine_stream(events: DataFrame, machine: StateMachine,
+                         key_col: str = "user_id",
+                         event_col: str = "event_type") -> DataFrame:
+    """Streaming form: one state-store row per machine instance; each
+    micro-batch advances the machine and emits the post-batch state
+    (update-mode friendly). Entry-action side effects are modeled as the
+    emitted rows themselves (SURVEY.md §7 'model actions as emitted rows,
+    not callbacks')."""
+    out_schema = f"{key_col} BIGINT, state STRING, n_events BIGINT"
+
+    def advance(key: tuple, pdfs: Iterable[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        (cur,) = state.get if state.exists else (machine.initial,)
+        n = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev in pdf[event_col]:
+                cur = machine.step(cur, ev)
+            n += len(pdf)
+        state.update((cur,))
+        yield pd.DataFrame({key_col: [key[0]], "state": [cur],
+                            "n_events": [n]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        advance, out_schema, _SM_STATE, "update",
+        GroupStateTimeout.NoTimeout)

@@ -1,0 +1,138 @@
+"""Streaming layer tests: MQTT wildcard compilation, real Structured
+Streaming runs (availableNow trigger + memory sink) checked against their
+batch twins, and stateful operators (edge detection, state machines).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from servihabitat_etl_spyke_spark.catalog import load_table
+from servihabitat_etl_spyke_spark.queries import QUERIES
+from servihabitat_etl_spyke_spark.streaming import (
+    edge_detect_stream, mqtt_to_regex, read_event_stream,
+    state_machine_stream, topic_filter, tumbling_counts_stream,
+)
+from servihabitat_etl_spyke_spark.streaming.stateful import (
+    USER_LIFECYCLE, StateMachine, state_machine_fold,
+)
+
+
+# ---------------------------------------------------------------------------
+# T1: wildcard compilation (pure)
+# ---------------------------------------------------------------------------
+
+MATCH_CASES = [
+    ("a/b/c", "a/b/c", True),
+    ("a/+/c", "a/b/c", True),
+    ("a/+/c", "a/b/d", False),
+    ("a/+/c", "a/b/b/c", False),          # + is exactly one segment
+    ("a/#", "a/b/c/d", True),
+    ("a/#", "a", True),                    # '#' also matches the parent
+    ("a/#", "b/c", False),
+    ("#", "anything/at/all", True),
+    ("+/b", "a/b", True),
+    ("+/b", "a/b/c", False),
+    ("a/b", "a/b/c", False),               # literal is exact
+    ("a.b/c", "a.b/c", True),              # regex metachars escaped
+    ("a.b/c", "axb/c", False),
+]
+
+
+@pytest.mark.parametrize("pattern,topic,expect", MATCH_CASES)
+def test_mqtt_to_regex(pattern, topic, expect):
+    import re
+    assert bool(re.match(mqtt_to_regex(pattern), topic)) is expect
+
+
+def test_hash_mid_pattern_rejected():
+    with pytest.raises(ValueError):
+        mqtt_to_regex("a/#/c")
+
+
+def test_topic_filter_batch(spark):
+    df = spark.createDataFrame(
+        [(t,) for _, t, _ in MATCH_CASES], "topic string")
+    got = {r.topic for r in topic_filter(df, "a/#").collect()}
+    assert "a/b/c/d" in got and "b/c" not in got
+
+
+# ---------------------------------------------------------------------------
+# streaming runs (availableNow -> memory sink) vs batch twins
+# ---------------------------------------------------------------------------
+
+def _run_stream(df, name, tmp_path, output_mode="append"):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode)
+         .option("checkpointLocation", str(tmp_path / name))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return df.sparkSession.table(name)
+
+
+def test_event_stream_source(spark, sf_dir, tmp_path):
+    stream = read_event_stream(spark, sf_dir)
+    assert stream.isStreaming
+    got = _run_stream(stream, "ev_all", tmp_path)
+    batch = load_table(spark, sf_dir, "events")
+    assert got.count() == batch.count()
+    # ts normalized identically to the batch reader
+    assert dict(got.dtypes)["ts"] == dict(batch.dtypes)["ts"] == "timestamp"
+
+
+def test_stream_topic_subscription(spark, sf_dir, tmp_path):
+    stream = read_event_stream(spark, sf_dir).withColumn(
+        "topic", F.concat(F.lit("notifications/event/create/"),
+                          F.col("event_type")))
+    sub = topic_filter(stream, "notifications/+/create/click/#")
+    got = _run_stream(sub, "ev_sub", tmp_path)
+    batch = load_table(spark, sf_dir, "events")
+    assert got.count() == batch.filter(F.col("event_type") == "click").count()
+    assert got.count() > 0
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, tmp_path):
+    stream = read_event_stream(spark, sf_dir)
+    agg = tumbling_counts_stream(stream, "1 hour", "10 minutes")
+    got = _run_stream(agg, "ev_tumble", tmp_path, output_mode="complete")
+    batch = (load_table(spark, sf_dir, "events")
+             .groupBy(F.window("ts", "1 hour"), "event_type")
+             .agg(F.count("*").alias("cnt")))
+    g = {(r["window"]["start"], r["event_type"]): r["cnt"]
+         for r in got.collect()}
+    b = {(r["window"]["start"], r["event_type"]): r["cnt"]
+         for r in batch.collect()}
+    assert g == b and len(g) > 0
+
+
+def test_edge_detect_stream_matches_batch(spark, sf_dir, tmp_path):
+    stream = read_event_stream(spark, sf_dir)
+    got = _run_stream(edge_detect_stream(stream), "ev_edges", tmp_path)
+    batch = QUERIES["edge_detection"](spark, sf_dir)
+    g = sorted((r.user_id, r.event_id, r.edge) for r in got.collect())
+    b = sorted((r.user_id, r.event_id, r.edge) for r in batch.collect())
+    assert g == b and len(g) > 0
+
+
+def test_state_machine_stream_matches_fold(spark, sf_dir, tmp_path):
+    stream = read_event_stream(spark, sf_dir)
+    got = _run_stream(state_machine_stream(stream, USER_LIFECYCLE),
+                      "ev_sm", tmp_path, output_mode="update")
+    batch = state_machine_fold(
+        load_table(spark, sf_dir, "events"), USER_LIFECYCLE)
+    g = {r.user_id: r.state for r in got.collect()}
+    b = {r.user_id: r.final_state for r in batch.collect()}
+    assert g == b and len(g) > 0
+
+
+# ---------------------------------------------------------------------------
+# T6: machine definition semantics (pure)
+# ---------------------------------------------------------------------------
+
+def test_state_machine_step_semantics():
+    m = StateMachine("off", {("off", "on"): "on", ("on", "off"): "off"})
+    assert m.step("off", "on") == "on"
+    assert m.step("off", "bogus") == "off"      # unhandled events ignored
+    assert m.step("on", "on") == "on"
