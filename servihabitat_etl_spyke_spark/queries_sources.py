@@ -1,0 +1,133 @@
+"""Source-layer + flow-predicate query registrations (SURVEY.md §2.1
+S8/S10, §2.2 P9/P11).
+
+Sheet fixtures are literal in both engines (VALUES oracle) — the operator
+under test is the header-zip / keyed-upsert semantics, not the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import TABLES, load_table
+from .queries import query
+from .sources import catalog_table, sheet_from_rows, sheet_upsert
+
+# ---------------------------------------------------------------------------
+# S8/S9: sheets
+# ---------------------------------------------------------------------------
+
+#: header + rows, including a short row (pads to '') and an over-long row
+#: (extra cell dropped) — the exact zip semantics of getSpreadSheetElements
+_SHEET = [
+    ["id", "name", " region "],
+    ["1", "acme", "emea"],
+    ["2", "globex"],                      # short -> region ''
+    ["3", "initech", "apac", "EXTRA"],    # long -> extra cell dropped
+]
+
+_UPDATES = [
+    ("2", "globex-2", "amer"),            # existing key -> replaced
+    ("4", "umbrella", "emea"),            # new key -> appended
+]
+
+
+@query("sheets_ingest", oracle="""
+SELECT * FROM (VALUES ('1', 'acme', 'emea'),
+                      ('2', 'globex', ''),
+                      ('3', 'initech', 'apac'))
+       AS t(id, name, region)
+ORDER BY id
+""")
+def sheets_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: header-zip ingest — short rows pad, long rows truncate, header
+    names sanitize (' region ' -> 'region'), everything stays string."""
+    return sheet_from_rows(spark, _SHEET).orderBy("id")
+
+
+@query("sheets_keyed_upsert", oracle="""
+SELECT * FROM (VALUES ('1', 'acme', 'emea'),
+                      ('2', 'globex-2', 'amer'),
+                      ('3', 'initech', 'apac'),
+                      ('4', 'umbrella', 'emea'))
+       AS t(id, name, region)
+ORDER BY id
+""")
+def sheets_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: keyed put = update-in-place else append (batched as one
+    anti-join union — MERGE INTO shape)."""
+    sheet = sheet_from_rows(spark, _SHEET)
+    updates = spark.createDataFrame(
+        _UPDATES, "id string, name string, region string")
+    return sheet_upsert(sheet, updates, "id").orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# S10: catalog introspection (virtual `databases` table)
+# ---------------------------------------------------------------------------
+
+@query("catalog_introspect", oracle="""
+SELECT table_name, CAST(count(*) AS INT) AS n_columns
+FROM information_schema.columns
+GROUP BY table_name ORDER BY table_name
+""")
+def catalog_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: datasets-as-rows — every registered table with its column
+    count, from parquet footers only (no data scan); the oracle asks
+    DuckDB's information_schema the same question."""
+    return catalog_table(spark, sf_dir, TABLES).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# P9/P10/P11: flow predicates
+# ---------------------------------------------------------------------------
+
+@query("switch_route", oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_returnflag = 'R' THEN 'then' ELSE 'else' END AS eq_route,
+       CASE WHEN l_quantity > 25 THEN 'then' ELSE 'else' END AS gt_route,
+       CASE WHEN contains(l_returnflag || l_linestatus, 'N')
+            THEN 'then' ELSE 'else' END AS includes_route
+FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+LIMIT 1000
+""")
+def switch_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/P10: the comparison-switch router — equals / greater / includes
+    predicates each route rows to a then/else branch
+    (flowSwitch.ts:8-67). One CASE per predicate, pure codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    route = lambda c: F.when(c, "then").otherwise("else")  # noqa: E731
+    return (li.select(
+        "l_orderkey", "l_linenumber",
+        route(F.col("l_returnflag") == "R").alias("eq_route"),
+        route(F.col("l_quantity") > 25).alias("gt_route"),
+        route(F.concat("l_returnflag", "l_linestatus").contains("N"))
+        .alias("includes_route"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(1000))
+
+
+@query("range_banding", oracle="""
+SELECT event_id, round(value, 2) AS value,
+       CASE WHEN value > 60 + 15 THEN 'above'
+            WHEN value < 60 - 15 THEN 'below' ELSE 'in-range' END AS band,
+       round(CASE WHEN value > 60 + 15 THEN value - (60 + 15)
+                  WHEN value < 60 - 15 THEN (60 - 15) - value
+                  ELSE 0 END, 2) AS delta
+FROM events ORDER BY event_id
+""")
+def range_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: value vs desired±threshold -> above/below/in-range band plus
+    the distance to the band edge (flowInRange.ts:5-38)."""
+    desired, threshold = 60.0, 15.0
+    ev = load_table(spark, sf_dir, "events")
+    hi, lo = desired + threshold, desired - threshold
+    v = F.col("value")
+    band = (F.when(v > hi, "above").when(v < lo, "below")
+            .otherwise("in-range"))
+    delta = (F.when(v > hi, v - hi).when(v < lo, lo - v)
+             .otherwise(F.lit(0.0)))
+    return (ev.select("event_id", F.round(v, 2).alias("value"),
+                      band.alias("band"),
+                      F.round(delta, 2).alias("delta"))
+            .orderBy("event_id"))
