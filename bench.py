@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
+    # relational / list-query core
     "q1_pricing_summary",
     "link_join",
     "read_multiple",
@@ -28,6 +29,17 @@ HEADLINE = [
     "group_index_build",
     "list_range_filter",
     "group_count",
+    # streaming twins (stateful fold, windows, watermark)
+    "state_machine_fold",
+    "window_sliding",
+    "session_window_batch",
+    "late_data_watermark",
+    # north-star: dedup / similarity / text
+    "dedup_minhash_lsh",
+    "neardup_jaccard",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality",
 ]
 
 

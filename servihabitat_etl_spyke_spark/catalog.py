@@ -41,6 +41,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-distribute rows across the full cluster width before CPU-heavy
+    per-row work (shingling, regex featurization, media decode). Small
+    corpora often arrive as one or few parquet files — one partition per
+    file would serialize the compute on a handful of tasks; one cheap
+    shuffle of the raw rows buys full parallelism for everything
+    downstream. Keyed so later per-key aggregations are co-partitioned."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name)

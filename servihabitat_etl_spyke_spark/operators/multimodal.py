@@ -27,6 +27,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..catalog import spread
+
 #: metadata struct carried alongside every blob
 MEDIA_META_SCHEMA = ("media_type string, n_bytes long, digest string, "
                      "width int, height int")
@@ -38,7 +40,9 @@ def attach_binary(docs: DataFrame, id_col: str = "doc_id",
     """Build a blob table from the documents fixture: utf-8 bytes stand in
     for encoded media (deterministic; real pipelines read binary files via
     ``spark.read.format('binaryFile')``)."""
-    return docs.select(
+    # spread so each Arrow-batched Python worker gets a partition of blobs
+    # (a single input file must not serialize the decode)
+    return spread(docs, id_col).select(
         F.col(id_col),
         F.encode(F.col(text_col), "utf-8").alias("content"),
         F.lit(media_type).alias("media_type"),

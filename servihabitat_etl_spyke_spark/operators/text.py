@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..catalog import spread
+
 #: BPE-ish pre-tokenizer: word pieces OR single non-space punctuation —
 #: the standard GPT-2-style pre-tokenization shape, minus unicode classes.
 BPE_ISH_RE = r"\w+|[^\w\s]"
@@ -48,6 +50,7 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
     """Per-doc quality signals: lengths, token stats, stopword ratio,
     punctuation ratio, all-caps ratio — the standard cheap filters applied
     before expensive model-based scoring."""
+    docs = spread(docs, id_col)
     text = F.col(text_col)
     toks = tokens(text)
     n_tok = F.size(toks)
@@ -70,6 +73,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
     token set; argmax wins with a fixed priority order on ties; all-zero ->
     'und'. (The heuristic shape of fastText-style n-gram ID, expressible as
     a pure expression tree.)"""
+    docs = spread(docs, id_col)
     toks = tokens(F.col(text_col))
     scores = {lang: _count_in(toks, words)
               for lang, words in LANG_MARKERS.items()}
@@ -90,6 +94,7 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized lowercase
     text, plus a 32-bit integer bucket (for partitioned exact-dup joins)."""
+    docs = spread(docs, id_col)
     normalized = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     digest = F.md5(normalized)
     return docs.select(

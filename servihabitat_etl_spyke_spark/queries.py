@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
 from .catalog import load_table
@@ -40,6 +40,18 @@ def query(name: str, oracle: str | None = None):
             ORACLES[name] = oracle
         return fn
     return deco
+
+
+def round2(c: Column) -> Column:
+    """Engine-stable 2-decimal rounding of a computed double.
+
+    ``F.round`` routes through Java BigDecimal.valueOf (shortest decimal
+    string), DuckDB rounds the raw binary double — they disagree on
+    half-cent edges (e.g. x*1.1 = 311582.53499999997 prints as .535: Spark
+    .54, DuckDB .53). floor(x*100 + 0.5)/100 is pure IEEE arithmetic, so
+    both engines compute bit-identical results; the oracle uses the same
+    formula."""
+    return F.floor(c * 100 + F.lit(0.5)) / 100
 
 
 # ---------------------------------------------------------------------------
@@ -544,7 +556,8 @@ WITH existing AS (
   SELECT o_orderkey AS id, 'old' AS version, o_totalprice AS price
   FROM orders WHERE o_orderkey < 1000
 ), incoming AS (
-  SELECT o_orderkey AS id, 'new' AS version, round(o_totalprice * 1.1, 2) AS price
+  SELECT o_orderkey AS id, 'new' AS version,
+         floor(o_totalprice * 1.1 * 100 + 0.5) / 100 AS price
   FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500
 )
 SELECT id, version, price FROM existing WHERE id NOT IN (SELECT id FROM incoming)
@@ -563,7 +576,7 @@ def etl_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = orders.filter((F.col("o_orderkey") >= 500)
                              & (F.col("o_orderkey") < 1500)).select(
         F.col("o_orderkey").alias("id"), F.lit("new").alias("version"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("price"))
+        round2(F.col("o_totalprice") * 1.1).alias("price"))
     return keyed_upsert(existing, incoming, "id").orderBy("id")
 
 
@@ -609,7 +622,7 @@ def fn_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("fn_add_object_key", oracle="""
 SELECT l_orderkey, l_linenumber, l_partkey,
-       round(l_extendedprice * (1 - l_discount), 2) AS revenue
+       floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue
 FROM lineitem
 WHERE l_orderkey < 500
 ORDER BY l_orderkey, l_linenumber, l_partkey
@@ -620,7 +633,7 @@ def fn_add_object_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
     out = add_object_key(
         li, "revenue",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2))
+        round2(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
     return (out.select("l_orderkey", "l_linenumber", "l_partkey", "revenue")
             .orderBy("l_orderkey", "l_linenumber", "l_partkey"))
 

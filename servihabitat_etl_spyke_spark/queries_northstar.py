@@ -39,14 +39,18 @@ _H32 = "('0x' || substr(md5({v}), 1, 8))::UBIGINT::BIGINT"
 
 def _minhash_oracle(k: int = 16, bands: int = 4, rows: int = 4,
                     threshold: float = 0.5) -> str:
+    # chunked hash family (mirror of dedup.minhash_signatures): hash i is
+    # the 32-bit hex chunk i%4 of md5("{i//4}:" || shingle), kept as a
+    # fixed-width hex string (lexicographic min == numeric min)
+    def h(i: int) -> str:
+        return ("substr(md5('{p}:' || shingle), {start}, 8)"
+                ).format(p=i // 4, start=1 + 8 * (i % 4))
     mins = ",\n         ".join(
-        "min({h}) AS mh{i}".format(
-            h=_H32.format(v="'{}:' || shingle".format(i)), i=i)
-        for i in range(k))
+        f"min({h(i)}) AS mh{i}" for i in range(k))
     band_rows = []
     for bi in range(bands):
         key = " || ',' || ".join(
-            f"mh{bi * rows + ri}::VARCHAR" for ri in range(rows))
+            f"mh{bi * rows + ri}" for ri in range(rows))
         band_rows.append(
             f"SELECT doc_id, {bi} AS band, md5({key}) AS key FROM sig")
     banded = "\n  UNION ALL\n  ".join(band_rows)

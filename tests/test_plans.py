@@ -1,0 +1,84 @@
+"""Physical-plan quality gates: the properties that make these operators
+survive a 100 TB scale-up, asserted against .explain output so a refactor
+can't silently regress them.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from servihabitat_etl_spyke_spark.queries import QUERIES
+
+
+def plan_of(spark, name, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def test_link_join_broadcasts(spark, sf_dir):
+    """J1: the FK-resolution join must broadcast the dimension side —
+    no shuffle of the fact table."""
+    plan = plan_of(spark, "link_join", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_filter_pushdown(spark, sf_dir):
+    """P2: range predicates must reach the parquet scan (row-group
+    skipping via min/max stats at scale)."""
+    plan = plan_of(spark, "list_range_filter", sf_dir)
+    assert "GreaterThanOrEqual(o_totalprice" in plan
+    assert "LessThanOrEqual(o_totalprice" in plan
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    """P6: a 2-column projection must read 2 columns, not the table."""
+    plan = plan_of(spark, "link_join", sf_dir)
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas, "no ReadSchema in plan"
+    orders_scan = next(ln for ln in read_schemas if "o_orderkey" in ln)
+    assert "o_orderdate" not in orders_scan and "o_comment" not in orders_scan
+
+
+def test_star_join_all_broadcast(spark, sf_dir):
+    """Q5-shape star join: every dimension hop must broadcast; the only
+    shuffles are the final aggregation/sort exchanges."""
+    plan = plan_of(spark, "q5_region_revenue", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_region_filter_pushed_through_star(spark, sf_dir):
+    """The r_name='ASIA' literal must be pushed into the region scan, not
+    evaluated post-join."""
+    plan = plan_of(spark, "q5_region_revenue", sf_dir)
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+@pytest.mark.parametrize("name", [
+    "q1_pricing_summary", "dedup_merge_first_wins", "state_machine_fold",
+    "window_sliding", "neardup_jaccard", "dedup_minhash_lsh",
+    "text_quality", "late_data_watermark", "queue_priority_drain",
+])
+def test_no_python_row_loop_in_hot_paths(spark, sf_dir, name):
+    """Every batch operator must stay JVM-side: no row-at-a-time Python
+    (BatchEvalPython) anywhere. (Arrow-batched pandas exchange is allowed
+    only in the explicitly-Python multimodal/similarity operators.)"""
+    plan = plan_of(spark, name, sf_dir)
+    assert "BatchEvalPython" not in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """The flagship aggregation must combine map-side (partial_sum before
+    the exchange) — at scale this is the difference between shuffling 6
+    grouped rows per partition and shuffling the whole fact table.
+    (WholeStageCodegen subsumes this but is only visible post-execution
+    under AQE; partial aggregation shows in the static plan.)"""
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange hashpartitioning")
