@@ -165,19 +165,36 @@ def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.5,
                         n: int = 3) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH buckets -> candidate pairs ->
     exact-Jaccard verification on candidates only. Returns
-    (id_a, id_b, jaccard >= threshold)."""
+    (id_a, id_b, jaccard >= threshold).
+
+    Scale shape: the corpus is shingled ONCE (signature pass). Verification
+    re-shingles only docs that appear in a candidate pair — candidates are a
+    vanishing fraction of a 100 TB corpus, so the expensive exact-Jaccard
+    stage is proportional to |candidates|, not |docs|. Both the candidate
+    pair list and the candidate id list are broadcast (they fit by
+    construction or the LSH banding is mistuned)."""
     sig = minhash_signatures(docs, k, id_col, text_col, n)
-    cand = lsh_candidate_pairs(sig, bands, rows, id_col)
-    sh = shingle_table(docs, id_col, text_col, n)
+    # persist + materialize the (tiny) candidate list: it feeds TWO broadcast
+    # exchanges (candidate ids for the semi-join, candidate pairs for
+    # verification), and broadcast subplans build concurrently — without an
+    # eager cache the whole signature+banding subplan executes twice
+    cand = lsh_candidate_pairs(sig, bands, rows, id_col).persist()
+    cand.count()
+    # verification corpus: only docs named in some candidate pair
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                .union(cand.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    cdocs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh = shingle_table(cdocs, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (cand.join(a, "id_a").join(b, ["id_b", "shingle"])
+    common = (F.broadcast(cand).join(a, "id_a").join(b, ["id_b", "shingle"])
               .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(sa, "id_a").join(sb, "id_b")
+        common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
         .withColumn("jaccard", F.round(
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6))
         .filter(F.col("jaccard") >= threshold)
@@ -215,3 +232,89 @@ def simhash_buckets(fingerprints: DataFrame, half_bits: int = 16,
         F.col(id_col), F.col("simhash"),
         (F.col("simhash").bitwiseAND(F.lit(mask))).alias("lo"),
         F.shiftright("simhash", half_bits).bitwiseAND(F.lit(mask)).alias("hi"))
+
+
+# -- embedding-cosine near-dup --------------------------------------------------
+
+
+def _unit_vectors(corpus: DataFrame, id_col: str, vec_col: str,
+                  out_col: str = "uvec") -> DataFrame:
+    """(id, unit-normalized double vector) — norm computed once per row in
+    its own projection (inside a single transform() it would re-fold per
+    element: 64 norms/row instead of 1)."""
+    from .similarity import norm
+    return (corpus
+            .select(F.col(id_col), F.col(vec_col).alias("_v"),
+                    norm(F.col(vec_col)).alias("_n"))
+            .select(F.col(id_col),
+                    F.transform("_v", lambda x: x.cast("double") / F.col("_n"))
+                    .alias(out_col)))
+
+
+def embedding_neardup(corpus: DataFrame, threshold: float = 0.45,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding-cosine near-dup: every pair with cosine >= threshold,
+    as (id_a, id_b) with id_a < id_b. Vectors are unit-normalized once, so
+    each pair costs a single dot product.
+
+    This is the exact baseline (O(n^2) pair scan via broadcast
+    nested-loop); the 100 TB path is :func:`embedding_neardup_lsh`, which
+    prunes candidates with banded hyperplane signatures first. Integer-only
+    output keeps the oracle hash stable; the threshold compare is
+    double-precision with data margins >> float noise."""
+    a = _unit_vectors(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("id_a"), F.col("uvec").alias("ua"))
+    b = _unit_vectors(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("id_b"), F.col("uvec").alias("ub"))
+    from .similarity import dot
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .filter(dot(F.col("ua"), F.col("ub")) >= threshold)
+            .select("id_a", "id_b"))
+
+
+def embedding_neardup_lsh(corpus: DataFrame, threshold: float = 0.45,
+                          bands: int = 4, rows: int = 4,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Approximate embedding near-dup at scale: banded random-hyperplane
+    signatures (bands x rows planes; same band-key trick as MinHash-LSH)
+    generate candidate pairs, exact cosine verifies >= threshold.
+
+    Candidate probability for a pair at angular similarity p = (1 - θ/π)
+    is 1-(1-p^rows)^bands — recall/cost tuned by (bands, rows). The
+    self-join is on (band, key) equality, so the plan is a hash join over
+    bucket keys, never an n^2 scan; verification touches candidate ids
+    only (same shape as :func:`minhash_lsh_neardup`)."""
+    from .similarity import _hyperplanes, dot
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(bands * rows, dim)
+    unit = _unit_vectors(corpus, id_col, vec_col)
+
+    def band_key(bi: int) -> Column:
+        bits = None
+        for ri in range(rows):
+            d = dot(F.col("uvec"),
+                    F.array(*[F.lit(x) for x in planes[bi * rows + ri]]))
+            bit = F.when(d >= 0, F.lit(1 << ri)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        return bits.cast("long")
+
+    banded = unit.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"), band_key(bi).alias("key"))
+            for bi in range(bands)])).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    ua = unit.select(F.col(id_col).alias("id_a"), F.col("uvec").alias("ua"))
+    ub = unit.select(F.col(id_col).alias("id_b"), F.col("uvec").alias("ub"))
+    return (cand.join(ua, "id_a").join(ub, "id_b")
+            .filter(dot(F.col("ua"), F.col("ub")) >= threshold)
+            .select("id_a", "id_b"))

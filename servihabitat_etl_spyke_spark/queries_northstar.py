@@ -157,6 +157,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs).orderBy("doc_id")
 
 
+@query("dedup_embedding", oracle="""
+WITH u AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (a.n * b.n) >= 0.45
+ORDER BY id_a, id_b
+""")
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cosine >= 0.45). Unit-normalize
+    once, one dot per pair; id-only output for engine-stable hashing. The
+    oracle mirrors the double-precision math explicitly (margins >= 1e-4 at
+    both sf0.01 and sf0.1, far above float noise)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_neardup(emb, threshold=0.45).orderBy("id_a", "id_b")
+
+
+@query("dedup_embedding_lsh")  # approximate -> rows-only; recall in pytest
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH embedding near-dup (the 100 TB path: bucket
+    self-join prunes candidates before exact-cosine verify). Approximate by
+    construction — recall vs the exact baseline asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (D.embedding_neardup_lsh(emb, threshold=0.45, bands=8, rows=2)
+            .orderBy("id_a", "id_b"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -41,6 +41,19 @@ def test_lsh_ann_recall(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.2, recalls
 
 
+def test_embedding_neardup_lsh_recall(spark, sf_dir):
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        embedding_neardup, embedding_neardup_lsh)
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = set(map(tuple, embedding_neardup(emb, threshold=0.45).collect()))
+    approx = set(map(tuple,
+                     embedding_neardup_lsh(emb, threshold=0.45,
+                                           bands=8, rows=2).collect()))
+    # exact-cosine verification => no false positives, ever
+    assert approx <= exact
+    assert len(exact & approx) / max(len(exact), 1) >= 0.8
+
+
 def test_ivf_ann_recall(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
