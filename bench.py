@@ -22,6 +22,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     # relational / list-query core
     "q1_pricing_summary",
+    "q6_revenue_delta",
+    "agg_rollup",
     "link_join",
     "read_multiple",
     "dedup_merge_first_wins",

@@ -1,0 +1,207 @@
+"""Standard-aggregate extension queries (SURVEY.md §2.4 note: the reference
+has only counts — `packages/protonode/src/lib/db.ts:136-154` — so sums/avgs/
+percentiles/grouping-sets are north-star surface, expressed as pure Spark
+built-ins over the TPC-H-ish tables).
+
+Scale notes per query live in docstrings; everything here is a single
+scan + one shuffle (partial aggregation map-side), no UDFs, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from .catalog import load_table
+from .queries import query, round2
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped single-pass aggregations
+# ---------------------------------------------------------------------------
+
+
+@query("q6_revenue_delta", oracle="""
+SELECT floor(sum(l_extendedprice * l_discount) * 100 + 0.5) / 100 AS revenue_delta,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight conjunctive filter + single global sum.
+
+    The whole predicate set (timestamp range, discount band, quantity cap)
+    reaches the parquet scan as PushedFilters — at 100 TB this is the
+    pattern where row-group min/max stats skip most of the file; the
+    aggregate is map-side partial + a 1-row final reduce (no real shuffle).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24))
+        .agg(round2(F.sum(F.col("l_extendedprice") * F.col("l_discount")))
+             .alias("revenue_delta"),
+             F.count("*").alias("n_rows")))
+
+
+@query("q4_priority_semi", oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS -> left-semi join, then group-count.
+
+    The semi-join build side is lineitem pre-filtered and reduced to
+    distinct orderkeys BEFORE the join — the shuffle carries keys only.
+    At scale both sides hash-partition on orderkey; AQE picks
+    broadcast when the filtered key set is small."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_quantity") >= 45)
+          .select(F.col("l_orderkey").alias("o_orderkey"))
+          .distinct())
+    return (orders.join(li, "o_orderkey", "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+
+@query("agg_rollup", oracle="""
+SELECT l_returnflag, l_linestatus,
+       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in one pass: (flag, status), (flag), ().
+    Spark plans rollup as a single Expand + one shuffle — strictly better
+    than N separate groupBys unioned (N scans, N shuffles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(round2(F.sum("l_quantity")).alias("sum_qty"),
+                 F.count("*").alias("n"))
+            .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                     F.col("l_linestatus").asc_nulls_first()))
+
+
+@query("agg_cube", oracle="""
+SELECT l_returnflag, l_linestatus,
+       floor(avg(l_extendedprice) * 100 + 0.5) / 100 AS avg_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^d grouping combinations in one Expand pass (adds the
+    status-only marginal over :func:`agg_rollup`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(round2(F.avg("l_extendedprice")).alias("avg_price"),
+                 F.count("*").alias("n"))
+            .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                     F.col("l_linestatus").asc_nulls_first()))
+
+
+# ---------------------------------------------------------------------------
+# Percentiles / dispersion / distincts
+# ---------------------------------------------------------------------------
+
+
+@query("agg_percentiles", oracle="""
+SELECT l_returnflag,
+       floor(quantile_cont(l_extendedprice, 0.25) * 100 + 0.5) / 100 AS p25,
+       floor(quantile_cont(l_extendedprice, 0.50) * 100 + 0.5) / 100 AS p50,
+       floor(quantile_cont(l_extendedprice, 0.90) * 100 + 0.5) / 100 AS p90
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`). Exact percentile sorts per group — fine
+    per-key; the 100 TB path for global percentiles is
+    `approx_percentile` (t-digest, mergeable, single pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(round2(F.expr("percentile(l_extendedprice, 0.25)")).alias("p25"),
+                 round2(F.expr("percentile(l_extendedprice, 0.50)")).alias("p50"),
+                 round2(F.expr("percentile(l_extendedprice, 0.90)")).alias("p90"))
+            .orderBy("l_returnflag"))
+
+
+@query("agg_stats", oracle="""
+SELECT l_linestatus,
+       floor(min(l_extendedprice) * 100 + 0.5) / 100 AS min_price,
+       floor(max(l_extendedprice) * 100 + 0.5) / 100 AS max_price,
+       floor(avg(l_extendedprice) * 100 + 0.5) / 100 AS avg_price,
+       floor(stddev_samp(l_extendedprice) * 100 + 0.5) / 100 AS sd_price,
+       count(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+""")
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion summary per group: min/max/avg/sample-stddev/distinct.
+    COUNT(DISTINCT) plans as a two-stage partial-distinct aggregate (no
+    per-group set materialization); everything else is mergeable partials.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_linestatus")
+            .agg(round2(F.min("l_extendedprice")).alias("min_price"),
+                 round2(F.max("l_extendedprice")).alias("max_price"),
+                 round2(F.avg("l_extendedprice")).alias("avg_price"),
+                 round2(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+                 F.countDistinct("l_partkey").alias("n_parts"))
+            .orderBy("l_linestatus"))
+
+
+@query("agg_approx_distinct")  # HLL sketch != oracle-exact -> rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB path for distinct
+    counts — constant memory, mergeable sketches, one pass. Relative error
+    vs the exact count asserted in pytest (rsd=0.01 here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey", rsd=0.01)
+                 .alias("approx_parts"))
+            .orderBy("l_returnflag"))
+
+
+# ---------------------------------------------------------------------------
+# Queue drain orders (T7 fifo/lifo twins of queue_priority_drain)
+# ---------------------------------------------------------------------------
+
+
+@query("queue_fifo_lifo", oracle="""
+SELECT event_type, event_id, fifo_pos, lifo_pos FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS fifo_pos,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS lifo_pos
+  FROM events
+) WHERE fifo_pos <= 5 OR lifo_pos <= 5
+ORDER BY event_type, event_id
+""")
+def queue_fifo_lifo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 fifo/lifo drain order per queue (= event_type): enqueue order is
+    event time; the first 5 dequeued under each discipline. One sort per
+    partition key serves both directions (mirror positions)."""
+    ev = load_table(spark, sf_dir, "events")
+    wf = W.partitionBy("event_type").orderBy("ts", "event_id")
+    wl = W.partitionBy("event_type").orderBy(F.col("ts").desc(),
+                                             F.col("event_id").desc())
+    return (ev.select("event_type", "event_id",
+                      F.row_number().over(wf).alias("fifo_pos"),
+                      F.row_number().over(wl).alias("lifo_pos"))
+            .filter((F.col("fifo_pos") <= 5) | (F.col("lifo_pos") <= 5))
+            .orderBy("event_type", "event_id"))

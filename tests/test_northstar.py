@@ -115,3 +115,15 @@ def test_multimodal_meta_digest_is_md5(spark, sf_dir):
     for r in out:
         assert r["digest"] == hashlib.md5(texts[r["doc_id"]].encode()).hexdigest()
         assert r["n_bytes"] == len(texts[r["doc_id"]].encode())
+
+
+def test_approx_distinct_relative_error(spark, sf_dir):
+    from servihabitat_etl_spyke_spark.queries import QUERIES
+    approx = {r["l_returnflag"]: r["approx_parts"]
+              for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {r["l_returnflag"]: r["n"]
+             for r in li.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_partkey").alias("n")).collect()}
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n <= 0.05, (k, approx[k], n)
