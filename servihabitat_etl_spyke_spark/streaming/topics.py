@@ -64,3 +64,32 @@ def subscribe(df: DataFrame, pattern: str, *,
     if from_ is not None:
         out = out.filter(F.col("from") == from_)
     return out
+
+
+def changes_only(df: DataFrame, key_cols: list[str], value_col: str,
+                 order_cols: list[str]) -> DataFrame:
+    """T10 'change' subscription mode (``apps/api/src/api.ts:18`` comment
+    contract: "all = continuous, single = just one, change = first
+    change"): emit a message only when its value differs from the previous
+    message on the same key.
+
+    Batch form: lag() over (key, order) — one shuffle on the key, no
+    state. The streaming twin holds last-value per key in
+    applyInPandasWithState (see streaming/stateful.py edge detector, which
+    is this operator specialized to a threshold crossing). The first
+    message per key always emits (prev is null)."""
+    from pyspark.sql.window import Window as W
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    prev = F.lag(F.col(value_col)).over(w)
+    return (df.withColumn("_prev", prev)
+            .filter(F.col("_prev").isNull()
+                    | (F.col(value_col) != F.col("_prev")))
+            .drop("_prev"))
+
+
+def subscribe_single(df: DataFrame, pattern: str, *, order_cols: list[str],
+                     topic_col: str = "topic") -> DataFrame:
+    """T10 'single' mode: just the first matching message (deterministic
+    under ``order_cols``; the reference's arrival-order head)."""
+    return (topic_filter(df, pattern, topic_col)
+            .orderBy(*order_cols).limit(1))
