@@ -82,3 +82,52 @@ def test_q1_partial_aggregation(spark, sf_dir):
         .fromString("simple"))
     assert "partial_sum" in plan
     assert plan.index("partial_sum") > plan.index("Exchange hashpartitioning")
+
+
+def test_q6_filters_reach_parquet_scan(spark, sf_dir):
+    """Q6 shape: the full conjunctive predicate set must appear as
+    PushedFilters on the lineitem scan (row-group skipping at scale)."""
+    plan = plan_of(spark, "q6_revenue_delta", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_q6_scan_prunes_to_four_columns(spark, sf_dir):
+    plan = plan_of(spark, "q6_revenue_delta", sf_dir)
+    scan = next(ln for ln in plan.splitlines()
+                if "ReadSchema" in ln and "l_discount" in ln)
+    assert "l_returnflag" not in scan and "l_orderkey" not in scan
+
+
+def test_rollup_single_expand_single_shuffle(spark, sf_dir):
+    """A rollup must plan as ONE Expand + one aggregation exchange — not a
+    union of per-level groupBys (which would scan the table N times)."""
+    plan = plan_of(spark, "agg_rollup", sf_dir)
+    tree = plan.split("\n\n")[0]  # formatted mode: tree, then node details
+    assert tree.count("Expand") == 1
+    assert tree.count("Scan parquet") == 1
+
+
+def test_q4_semi_join_no_duplicate_amplification(spark, sf_dir):
+    """The EXISTS must be a LeftSemi join (one output row per order however
+    many matching lineitems exist)."""
+    plan = plan_of(spark, "q4_priority_semi", sf_dir)
+    assert "LeftSemi" in plan
+
+
+def test_embedding_neardup_lsh_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The LSH candidate self-join must join on bucket-key equality (hash
+    join family) — never a nested-loop over all pairs."""
+    plan = plan_of(spark, "dedup_embedding_lsh", sf_dir)
+    assert "NestedLoop" not in plan
+
+
+def test_flow_map_filter_uses_arrow_not_row_python(spark, sf_dir):
+    """The flow operators are the sanctioned Python path: they must use
+    Arrow-batched mapInPandas (MapInPandas/ArrowEvalPython), never
+    row-at-a-time BatchEvalPython."""
+    plan = plan_of(spark, "flow_map_filter", sf_dir)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
