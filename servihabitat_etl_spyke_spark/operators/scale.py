@@ -1,0 +1,85 @@
+"""Scale techniques as first-class operators: skew salting and bucketed
+co-located joins.
+
+These exist because at 100 TB the default plans for skewed keys and repeated
+fact-fact joins are the bottleneck:
+
+- **Salting**: a groupBy/join where one key holds a large fraction of rows
+  serializes that key's work onto one task. AQE's skew-join splitting covers
+  the join case at runtime; explicit salting additionally covers skewed
+  *aggregations* and makes the fan-out deterministic. Two phases: partial
+  aggregate on (key, salt) — spreading the hot key over `salt_n` tasks —
+  then final aggregate on key. Results are exactly equal to the unsalted
+  plan (oracle-checked), only the shuffle distribution changes.
+
+- **Bucketing**: pre-partitioning both join sides into the same bucket
+  layout on the join key turns every future equi-join/aggregation on that
+  key into a zero-shuffle operation (asserted via plan: no Exchange). This
+  is the Spark analog of the reference's persistent ordered indexes
+  (`packages/protonode/src/lib/db.ts:546-582` — it pre-sorts once to avoid
+  per-query sorting; we pre-shuffle once to avoid per-query shuffling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def with_salt(df: DataFrame, salt_n: int, from_col: str) -> DataFrame:
+    """Deterministic salt in [0, salt_n): hash of a secondary column (NOT
+    rand() — re-runs and retried tasks must produce identical rows)."""
+    return df.withColumn("_salt", F.pmod(F.hash(F.col(from_col)), F.lit(salt_n)))
+
+
+def salted_group_agg(df: DataFrame, key: str, salt_from: str, salt_n: int,
+                     **aggs: tuple[str, str]) -> DataFrame:
+    """Skew-safe groupBy: partial agg on (key, salt), final agg on key.
+
+    ``aggs`` maps output column -> (function, input column) with function in
+    {count, sum, min, max}; each is re-associated across the two phases
+    (count -> sum of partial counts, etc.). avg = sum/count downstream."""
+    partial_exprs, final_exprs = [], []
+    for out, (fn, col) in aggs.items():
+        p = f"_p_{out}"
+        if fn == "count":
+            partial_exprs.append(F.count(col).alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(p))
+            final_exprs.append(F.min(p).alias(out))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(p))
+            final_exprs.append(F.max(p).alias(out))
+        else:
+            raise ValueError(f"non-reassociable aggregate: {fn}")
+    salted = with_salt(df, salt_n, salt_from)
+    partial = salted.groupBy(key, "_salt").agg(*partial_exprs)
+    return partial.groupBy(key).agg(*final_exprs)
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, key: str,
+                salt_n: int, salt_from: str) -> DataFrame:
+    """Skew-safe equi-join: salt the (large, skewed) fact side, replicate
+    the dim side across all salt values (explode of a salt_n-element
+    sequence — dim grows salt_n-fold, so use for small-to-medium dims when
+    broadcast is too big but one fact key floods a task). Output equals the
+    plain join exactly."""
+    f = with_salt(fact, salt_n, salt_from)
+    d = (dim.withColumn("_salt", F.explode(
+        F.sequence(F.lit(0), F.lit(salt_n - 1)))))
+    out = f.join(d, [key, "_salt"]).drop("_salt")
+    return out
+
+
+def write_bucketed(df: DataFrame, name: str, path: str, key: str,
+                   n_buckets: int = 8) -> None:
+    """Persist a table bucketed (and sorted) by the join key. Subsequent
+    equi-joins/groupBys on ``key`` between tables sharing this layout plan
+    with ZERO Exchange (asserted in tests)."""
+    (df.write.mode("overwrite")
+     .bucketBy(n_buckets, key).sortBy(key)
+     .option("path", path)
+     .saveAsTable(name))

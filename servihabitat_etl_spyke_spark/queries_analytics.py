@@ -178,6 +178,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag"))
 
 
+@query("skew_salted_agg", oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+       floor(max(l_extendedprice) * 100 + 0.5) / 100 AS max_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/scale.py): partial agg on
+    (key, salt) spreads a hot key over 16 tasks, final agg re-associates.
+    The oracle is the PLAIN group-by — proving salting changes only the
+    shuffle distribution, never the result."""
+    from .operators.scale import salted_group_agg
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_group_agg(
+        li, "l_returnflag", salt_from="l_orderkey", salt_n=16,
+        n=("count", "l_quantity"), sum_qty_raw=("sum", "l_quantity"),
+        max_price_raw=("max", "l_extendedprice"))
+    return (out.select(
+        "l_returnflag", "n",
+        round2(F.col("sum_qty_raw")).alias("sum_qty"),
+        round2(F.col("max_price_raw")).alias("max_price"))
+        .orderBy("l_returnflag"))
+
+
 # ---------------------------------------------------------------------------
 # Queue drain orders (T7 fifo/lifo twins of queue_priority_drain)
 # ---------------------------------------------------------------------------
