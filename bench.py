@@ -23,6 +23,7 @@ HEADLINE = [
     # relational / list-query core
     "q1_pricing_summary",
     "q6_revenue_delta",
+    "q10_return_revenue",
     "agg_rollup",
     "link_join",
     "read_multiple",

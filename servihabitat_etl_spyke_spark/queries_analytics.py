@@ -178,6 +178,123 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag"))
 
 
+@query("q14_promo_ratio", oracle="""
+SELECT floor(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000
+       AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate <  TIMESTAMP '1995-10-01'
+""")
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (CASE inside sum) over a
+    fact-dim join. part broadcasts; the month filter is pushed to the fact
+    scan, so the join input is a sliver of lineitem."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1995-09-01")
+                  & (F.col("l_shipdate") < "1995-10-01")))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+    joined = li.join(F.broadcast(part),
+                     li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (F.floor(100.0 * F.sum(promo) / F.sum(rev) * 10000 + F.lit(0.5))
+         / 10000).alias("promo_pct"))
+
+
+@query("q17_small_qty_avg", oracle="""
+WITH pa AS (
+  SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS half_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT floor(sum(l_extendedprice) / 7.0 * 100 + 0.5) / 100 AS avg_yearly,
+       count(*) AS n
+FROM lineitem JOIN pa ON l_partkey = pk
+WHERE l_quantity < half_avg
+""")
+def q17_small_qty_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into an aggregate + self-join — the plan Catalyst would
+    produce from the subquery form, written explicitly. The per-part agg
+    output is small (one row per part) -> broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = (li.groupBy(F.col("l_partkey").alias("pk"))
+          .agg((0.5 * F.avg("l_quantity")).alias("half_avg")))
+    return (li.join(F.broadcast(pa), li.l_partkey == pa.pk)
+            .filter(F.col("l_quantity") < F.col("half_avg"))
+            .agg(round2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+                 F.count("*").alias("n")))
+
+
+@query("q18_large_orders", oracle="""
+WITH big AS (
+  SELECT l_orderkey AS k, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+)
+SELECT c_name, o_orderkey,
+       floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+       floor(total_qty * 100 + 0.5) / 100 AS total_qty
+FROM big
+JOIN orders   ON o_orderkey = k
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_orderkey
+""")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate driving a join chain.
+    The qty rollup shrinks lineitem to one row per order and the HAVING
+    prunes to the rare big orders BEFORE any join — the join inputs are
+    tiny, so both hops broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy(F.col("l_orderkey").alias("k"))
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > 180))
+    return (big.join(orders, big.k == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_name", "o_orderkey",
+                    round2(F.col("o_totalprice")).alias("o_totalprice"),
+                    round2(F.col("total_qty")).alias("total_qty"))
+            .orderBy("o_orderkey"))
+
+
+@query("q10_return_revenue", oracle="""
+SELECT c_custkey, c_name,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+         AS revenue,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_return_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most — multi-join, group, top-20
+    by revenue. The returnflag filter pushes to the fact scan; customer and
+    nation broadcast; the final top-k is a TakeOrdered (no full sort)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R"))
+    nat = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(round2(F.sum(rev)).alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "n_name")
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20))
+
+
 @query("skew_salted_agg", oracle="""
 SELECT l_returnflag,
        count(*) AS n,
