@@ -180,6 +180,112 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 # -- IVF-style coarse quantization ---------------------------------------------
 
 
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance between two array columns (JVM fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> list[list[float]]:
+    """Lloyd's k-means, fully distributed: assignment is a broadcast
+    cross-join + per-point argmin (rank over distance), the update is one
+    groupBy averaging each dimension. Only the k x dim centroid matrix ever
+    reaches the driver (it IS the model). Deterministic: seeds are the k
+    lowest-id vectors, ties break on centroid id.
+
+    Scale: per iteration cost is |corpus| x k distance evaluations and one
+    shuffle — the standard Spark k-means shape; for 100 TB use a sampled
+    minibatch per iteration (same code over corpus.sample())."""
+    from pyspark.sql.window import Window as _W
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+    cents = [list(map(float, r[0])) for r in
+             corpus.orderBy(id_col).limit(k).select(vec_col).collect()]
+    pts = corpus.select(F.col(id_col), F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cid int, cvec array<double>")
+        best = (pts.crossJoin(F.broadcast(cdf))
+                .withColumn("d2", sq_dist(F.col("v"), F.col("cvec")))
+                .withColumn("rnk", F.row_number().over(
+                    _W.partitionBy(id_col).orderBy("d2", "cid")))
+                .filter(F.col("rnk") == 1))
+        stats = (best.groupBy("cid").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+              for i in range(dim)])).collect()
+        new = list(cents)  # empty clusters keep their previous centroid
+        for r in stats:
+            new[r["cid"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+        cents = new
+    return cents
+
+
+def assign_to_centroids(corpus: DataFrame, centroids: list[list[float]],
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment (adds ``centroid_id``): broadcast
+    cross-join + argmin — the IVF index build. At scale, write the result
+    partitioned by centroid_id so probes prune partitions."""
+    from pyspark.sql.window import Window as _W
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "centroid_id int, cvec array<double>")
+    return (corpus.crossJoin(F.broadcast(cdf))
+            .withColumn("_d2", sq_dist(F.col(vec_col), F.col("cvec")))
+            .withColumn("_rnk", F.row_number().over(
+                _W.partitionBy(id_col).orderBy("_d2", "centroid_id")))
+            .filter(F.col("_rnk") == 1)
+            .drop("_d2", "_rnk", "cvec"))
+
+
+def ann_ivf_topk_trained(corpus: DataFrame, queries: DataFrame,
+                         centroids: list[list[float]], k: int = 10,
+                         n_probe: int = 2, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN over a TRAINED codebook (kmeans_fit) instead of the label
+    stand-in: assign corpus once, probe the n_probe nearest centroids per
+    query, exact re-rank inside."""
+    assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
+    return _ivf_probe(assigned, queries, centroids, k, n_probe,
+                      id_col, vec_col)
+
+
+def _ivf_probe(assigned: DataFrame, queries: DataFrame,
+               centroids: list[list[float]], k: int, n_probe: int,
+               id_col: str, vec_col: str) -> DataFrame:
+    spark = assigned.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "centroid_id int, cvec array<double>")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    qc = (q.join(F.broadcast(cdf))
+          .select("query_id", "qvec", "centroid_id",
+                  cosine(F.col("qvec"), F.col("cvec")).alias("cscore")))
+    wq = W.partitionBy("query_id").orderBy(F.col("cscore").desc(), "centroid_id")
+    probes = (qc.select("query_id", "qvec", "centroid_id",
+                        F.row_number().over(wq).alias("crank"))
+              .filter(F.col("crank") <= n_probe))
+    c = assigned.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("cvec"), "centroid_id")
+    scored = (c.join(F.broadcast(probes), "centroid_id")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("qvec"), F.col("cvec")).alias("score")))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (scored.select("query_id", "neighbor_id",
+                          F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank"))
+
+
 def ivf_centroids(corpus: DataFrame, label_col: str = "label",
                   vec_col: str = "embedding") -> DataFrame:
     """Coarse codebook: centroid per label partition (k-means stand-in —

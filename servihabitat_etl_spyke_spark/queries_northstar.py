@@ -234,6 +234,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_ivf_topk(emb, queries, k=10, n_probe=2)
 
 
+@query("ann_ivf_kmeans_topk")  # approximate -> rows-only; recall in pytest
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a TRAINED coarse codebook: distributed Lloyd's k-means
+    (broadcast-assign + groupBy-update; only the k x dim model reaches the
+    driver), then probe the 2 nearest of 4 clusters and exact re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = SIM.kmeans_fit(emb, k=4, iters=3)
+    return SIM.ann_ivf_topk_trained(emb, queries, cents, k=10, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

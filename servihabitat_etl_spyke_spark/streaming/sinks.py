@@ -1,0 +1,47 @@
+"""Streaming sinks: keyed upsert via foreachBatch, and exact streaming
+dedup with watermark-bounded state.
+
+The reference's event path writes each row into a keyed store as it
+arrives (`packages/protonode/src/lib/generateApi.ts:343-350` db.put loop).
+The Spark twin is a micro-batched MERGE: every trigger applies the batch's
+rows to the table with last-writer-wins-per-key semantics — the same
+`keyed_upsert` used by the batch ETL (operators/etl.py), so batch and
+streaming ingestion share one code path and one semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.etl import upsert_into_path
+
+
+def stream_keyed_upsert(stream: DataFrame, path: str, key: str,
+                        checkpoint: str, *,
+                        available_now: bool = True) -> StreamingQuery:
+    """S6 streaming twin: MERGE each micro-batch into the parquet snapshot
+    at ``path`` (foreachBatch -> the batch keyed_upsert). Exactly-once per
+    batch via the checkpoint; at scale the sink is a transactional table
+    format and this becomes ``MERGE INTO`` inside foreachBatch."""
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        upsert_into_path(batch.sparkSession, batch, path, key=key)
+
+    writer = (stream.writeStream
+              .foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_dedup(stream: DataFrame, keys: list[str], *,
+                 event_time_col: str, delay: str = "1 hour") -> DataFrame:
+    """Exact streaming dedup (north-star dedup family, streaming form):
+    dropDuplicates on ``keys`` with state bounded by a watermark — a
+    duplicate arriving within ``delay`` of the original's event time is
+    suppressed; state for older keys is evicted, so memory is O(keys per
+    watermark window), not O(stream). The batch twin is
+    ``dropDuplicates(keys)`` exactly."""
+    return (stream.withWatermark(event_time_col, delay)
+            .dropDuplicates(keys))

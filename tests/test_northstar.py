@@ -127,3 +127,33 @@ def test_approx_distinct_relative_error(spark, sf_dir):
              .agg(F.countDistinct("l_partkey").alias("n")).collect()}
     for k, n in exact.items():
         assert abs(approx[k] - n) / n <= 0.05, (k, approx[k], n)
+
+
+def test_kmeans_ivf_recall_beats_floor(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(SIM.cosine_topk(emb, queries, k=10))
+    cents = SIM.kmeans_fit(emb, k=4, iters=3)
+    approx = _topk_sets(
+        SIM.ann_ivf_topk_trained(emb, queries, cents, k=10, n_probe=2))
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_kmeans_is_deterministic_and_converges(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = SIM.kmeans_fit(emb, k=3, iters=2)
+    b = SIM.kmeans_fit(emb, k=3, iters=2)
+    assert a == b
+
+    # objective (sum of min sq-dist) must not increase with more iterations
+    def obj(cents):
+        assigned = SIM.assign_to_centroids(emb, cents)
+        cdf = {i: c for i, c in enumerate(cents)}
+        rows = assigned.select("embedding", "centroid_id").collect()
+        return sum(
+            sum((float(v) - c) ** 2 for v, c in zip(r["embedding"], cdf[r["centroid_id"]]))
+            for r in rows)
+    early = obj(SIM.kmeans_fit(emb, k=3, iters=1))
+    late = obj(SIM.kmeans_fit(emb, k=3, iters=4))
+    assert late <= early + 1e-6, (early, late)

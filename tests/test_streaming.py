@@ -136,3 +136,38 @@ def test_state_machine_step_semantics():
     assert m.step("off", "on") == "on"
     assert m.step("off", "bogus") == "off"      # unhandled events ignored
     assert m.step("on", "on") == "on"
+
+
+# ---------------------------------------------------------------------------
+# streaming sinks: keyed upsert + watermarked dedup
+# ---------------------------------------------------------------------------
+
+def test_stream_keyed_upsert_matches_batch(spark, sf_dir, tmp_path):
+    from servihabitat_etl_spyke_spark.operators.etl import keyed_upsert
+    from servihabitat_etl_spyke_spark.streaming.events import read_event_stream
+    from servihabitat_etl_spyke_spark.streaming.sinks import stream_keyed_upsert
+
+    stream = read_event_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type")
+    q = stream_keyed_upsert(stream, str(tmp_path / "snap"), "event_id",
+                            str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "snap"))
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    expect = keyed_upsert(None, batch, key="event_id")
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
+
+
+def test_stream_dedup_suppresses_duplicates(spark, sf_dir, tmp_path):
+    from servihabitat_etl_spyke_spark.streaming.events import read_event_stream
+    from servihabitat_etl_spyke_spark.streaming.sinks import stream_dedup
+
+    # duplicate every event by unioning the source with itself
+    base = read_event_stream(spark, sf_dir)
+    doubled = base.union(read_event_stream(spark, sf_dir))
+    deduped = stream_dedup(doubled, ["event_id"], event_time_col="ts")
+    got = _run_stream(deduped, "ev_dedup", tmp_path)
+    batch = load_table(spark, sf_dir, "events")
+    assert got.count() == batch.select("event_id").distinct().count()
