@@ -115,3 +115,58 @@ def sample_frames(blobs: DataFrame, every_n_bytes: int = 64,
     return blobs.mapInPandas(
         frames,
         schema=f"{id_col} long, frame_idx int, byte_offset long, sample_value int")
+
+
+def resize_stub(blobs: DataFrame, target_w: int = 224, target_h: int = 224,
+                id_col: str = "doc_id") -> DataFrame:
+    """Resize step (image preprocessing shape): content -> content', with
+    dimension metadata updated. STUB: the 'resized' payload is a
+    deterministic digest-tagged truncation of the original bytes; a real
+    implementation decodes, PIL-resizes, re-encodes inside the same
+    mapInPandas contract (bytes in, bytes out, one row per row)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, payloads, ws, hs = [], [], [], []
+            for did, content in zip(pdf[id_col], pdf["content"]):
+                raw = bytes(content)
+                tag = hashlib.md5(
+                    raw + f":{target_w}x{target_h}".encode()).digest()
+                out_ids.append(did)
+                payloads.append(tag + raw[: target_w * target_h // 64])
+                ws.append(target_w)
+                hs.append(target_h)
+            yield pd.DataFrame({id_col: pd.Series(out_ids, dtype="int64"),
+                                "content": payloads,
+                                "width": pd.Series(ws, dtype="int32"),
+                                "height": pd.Series(hs, dtype="int32")})
+
+    return blobs.mapInPandas(
+        resize, schema=f"{id_col} long, content binary, width int, height int")
+
+
+def extract_features(blobs: DataFrame, dim: int = 16,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Feature extraction (embedding shape): content -> array<float>. STUB:
+    md5-seeded deterministic pseudo-features in [-1, 1) — the output column
+    is schema-compatible with the `embeddings` table, so the similarity
+    operators (cosine_topk, ann_*) consume it directly; swap the body for a
+    real vision/audio encoder batch call in production."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for did, content in zip(pdf[id_col], pdf["content"]):
+                raw = bytes(content)
+                vals = []
+                counter = 0
+                while len(vals) < dim:
+                    h = hashlib.md5(raw + counter.to_bytes(4, "big")).digest()
+                    vals.extend(b / 128.0 - 1.0 for b in h)
+                    counter += 1
+                ids.append(did)
+                vecs.append([float(v) for v in vals[:dim]])
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "embedding": vecs})
+
+    return blobs.mapInPandas(feats, schema=f"{id_col} long, embedding array<float>")

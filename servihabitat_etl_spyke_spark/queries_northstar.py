@@ -351,3 +351,18 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = MM.attach_binary(docs)
     return MM.sample_frames(blobs).orderBy("doc_id", "frame_idx")
+
+
+@query("multimodal_embed_ann")  # stubbed encoder -> rows-only; pytest-checked
+def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline: binary blobs -> resize (stub) ->
+    feature-extract (stub encoder, md5-seeded) -> exact cosine top-3 over
+    the extracted embeddings. Proves the full decode->embed->search chain
+    is wired; each stub swaps for a real codec/encoder without touching the
+    Spark plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = MM.resize_stub(MM.attach_binary(docs), 64, 32)
+    feats = (MM.extract_features(blobs, dim=16)
+             .withColumnRenamed("doc_id", "vec_id"))
+    queries = feats.filter(F.col("vec_id") < 3)
+    return SIM.cosine_topk(feats, queries, k=3)

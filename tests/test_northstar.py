@@ -157,3 +157,28 @@ def test_kmeans_is_deterministic_and_converges(spark, sf_dir):
     early = obj(SIM.kmeans_fit(emb, k=3, iters=1))
     late = obj(SIM.kmeans_fit(emb, k=3, iters=4))
     assert late <= early + 1e-6, (early, late)
+
+
+def test_multimodal_resize_and_features_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(4)
+    blobs = MM.attach_binary(docs)
+    r1 = {r["doc_id"]: (bytes(r["content"]), r["width"], r["height"])
+          for r in MM.resize_stub(blobs, 64, 32).collect()}
+    r2 = {r["doc_id"]: (bytes(r["content"]), r["width"], r["height"])
+          for r in MM.resize_stub(blobs, 64, 32).collect()}
+    assert r1 == r2 and all(w == 64 and h == 32 for _, w, h in r1.values())
+
+    f1 = {r["doc_id"]: r["embedding"] for r in
+          MM.extract_features(blobs, dim=16).collect()}
+    assert all(len(v) == 16 and all(-1.0 <= x < 1.0 for x in v)
+               for v in f1.values())
+
+
+def test_multimodal_features_feed_similarity(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    feats = (MM.extract_features(MM.attach_binary(docs), dim=16)
+             .withColumnRenamed("doc_id", "vec_id"))
+    queries = feats.limit(2)
+    out = SIM.cosine_topk(feats, queries, k=3)
+    assert out.count() > 0
+    assert set(out.columns) == {"query_id", "neighbor_id", "rank"}
