@@ -99,3 +99,32 @@ def cdc_topics(df: DataFrame, model: str, action_col: str = "action",
         F.lit("notifications/"), F.lit(model), F.lit("/"),
         F.col(action_col), F.lit("/"), F.col(key_col).cast("string"))
     return df.withColumn("topic", topic)
+
+
+def write_event_store(df: DataFrame, path: str,
+                      date_col: str = "ts") -> None:
+    """Physical layout of the events store at scale: partitioned by
+    (env, event_date). Env reads touch one subtree (the reference's
+    dev/prod split of LevelDB paths, ``eventsAPI.ts:55-60``), and
+    time-ranged queries prune to the matching date partitions — the two
+    predicates every event query carries. Within a partition, files stay
+    time-ordered by write order (the orderedInsert append analog)."""
+    (df.withColumn("event_date", F.to_date(F.col(date_col)))
+     .write.mode("overwrite")
+     .partitionBy("env", "event_date")
+     .parquet(path))
+
+
+def read_event_store(spark, path: str, env: str | None = None,
+                     date_from: str | None = None,
+                     date_to: str | None = None) -> DataFrame:
+    """Read with the env/date predicates expressed so they prune partitions
+    (asserted in tests via PartitionFilters in the scan)."""
+    df = spark.read.parquet(path)
+    if env is not None:
+        df = df.filter(F.col("env") == env)
+    if date_from is not None:
+        df = df.filter(F.col("event_date") >= date_from)
+    if date_to is not None:
+        df = df.filter(F.col("event_date") <= date_to)
+    return df

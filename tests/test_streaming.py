@@ -171,3 +171,32 @@ def test_stream_dedup_suppresses_duplicates(spark, sf_dir, tmp_path):
     got = _run_stream(deduped, "ev_dedup", tmp_path)
     batch = load_table(spark, sf_dir, "events")
     assert got.count() == batch.select("event_id").distinct().count()
+
+
+def test_event_store_partition_pruning(spark, sf_dir, tmp_path):
+    from servihabitat_etl_spyke_spark.streaming.events import (
+        read_event_store, route_envs, write_event_store)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "environment", F.when(F.col("event_id") % 3 == 0, "*")
+        .when(F.col("event_id") % 3 == 1, "dev").otherwise("prod"))
+    routed = route_envs(ev)
+    path = str(tmp_path / "event_store")
+    write_event_store(routed, path)
+
+    got = read_event_store(spark, path, env="dev")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # env filter must prune at the partition level, not post-scan
+    assert "PartitionFilters: [" in plan and "env" in plan.split(
+        "PartitionFilters:")[1][:200]
+    # fan-out correctness: dev = dev rows + '*' rows
+    expect = ev.filter(F.col("environment").isin("dev", "*")).count()
+    assert got.count() == expect
+
+    # date range prunes too
+    some_date = routed.selectExpr("to_date(ts) d").groupBy("d").count() \
+        .orderBy(F.col("count").desc()).first()["d"]
+    ranged = read_event_store(spark, path, env="prod",
+                              date_from=str(some_date), date_to=str(some_date))
+    plan2 = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "event_date" in plan2.split("PartitionFilters:")[1][:300]
+    assert ranged.count() > 0
