@@ -1,0 +1,108 @@
+"""Engine facade: the one object a user of the reference system would hold.
+
+The reference exposes its capabilities as HTTP endpoints per model
+(`packages/protonode/src/lib/generateApi.ts` mounts list/read/create/...
+per declared model). This facade is the PySpark-native equivalent surface:
+register models, run list queries with the same query-string contract, run
+SQL over every table, run any named query from the registry, and reach the
+ETL / streaming entry points — all over one SparkSession.
+
+    eng = Engine.local(sf_dir="/root/testdata/sf0.01")
+    page = eng.list("orders", filter={"o_orderstatus": "F"},
+                    order_by="o_totalprice", order_direction="desc",
+                    items_per_page=25, page=0)
+    df   = eng.sql("SELECT count(*) FROM lineitem")
+    out  = eng.run("dedup_minhash_lsh")
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import load_table, register_views
+from .model import Model
+from .plans.listquery import ListParams, list_page, list_query
+from .session import get_spark
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._models: dict[str, Model] = {}
+        self._views_registered = False
+
+    @classmethod
+    def local(cls, sf_dir: str, cpus: int | None = None) -> "Engine":
+        eng = cls(get_spark(cpus=cpus), sf_dir)
+        eng.register_default_models()
+        return eng
+
+    # -- catalog ------------------------------------------------------------
+
+    def register_model(self, model: Model) -> None:
+        """Runtime DDL analog (objects bundle, objectsAPI.ts:133-193): a new
+        model becomes queryable immediately — no codegen, just metadata."""
+        self._models[model.name] = model
+
+    def register_default_models(self) -> None:
+        from .queries import CUSTOMER, DOCUMENTS, EVENTS, ORDERS
+        for m in (ORDERS, CUSTOMER, DOCUMENTS, EVENTS):
+            self.register_model(m)
+
+    def model(self, name: str) -> Model:
+        return self._models[name]
+
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    # -- query surfaces -----------------------------------------------------
+
+    def list(self, model_name: str, *, filter: dict[str, Any] | None = None,
+             search: str = "", group: str | None = None,
+             group_search: str | None = None, order_by: str | None = None,
+             order_direction: str = "asc", page: int = 0,
+             items_per_page: int = 25, all_rows: bool = False,
+             view: str = "list") -> DataFrame:
+        """The AutoAPI list endpoint (§3.1 lifecycle) as one call."""
+        params = ListParams(
+            filter=filter or {}, search=search, group=group,
+            group_search=group_search, order_by=order_by,
+            order_direction=order_direction, page=page,
+            items_per_page=items_per_page, all=all_rows, view=view)
+        return list_query(self.table(model_name), self.model(model_name),
+                          params)
+
+    def page(self, model_name: str, **kwargs: Any) -> dict[str, Any]:
+        """list() plus the pagination envelope
+        {itemsPerPage, items, total, page, pages}."""
+        params = ListParams(
+            filter=kwargs.get("filter") or {},
+            search=kwargs.get("search", ""),
+            order_by=kwargs.get("order_by"),
+            order_direction=kwargs.get("order_direction", "asc"),
+            page=kwargs.get("page", 0),
+            items_per_page=kwargs.get("items_per_page", 25),
+            all=kwargs.get("all_rows", False),
+            view=kwargs.get("view", "list"))
+        return list_page(self.table(model_name), self.model(model_name),
+                         params)
+
+    def sql(self, statement: str) -> DataFrame:
+        """ANSI SQL over every registered table (views created lazily)."""
+        if not self._views_registered:
+            register_views(self.spark, self.sf_dir)
+            self._views_registered = True
+        return self.spark.sql(statement)
+
+    def run(self, query_name: str) -> DataFrame:
+        """Run any named query from the registry (UD1 automations analog:
+        named, parameterized by the engine's sf_dir)."""
+        from .queries import QUERIES
+        return QUERIES[query_name](self.spark, self.sf_dir)
+
+    def queries(self) -> list[str]:
+        from .queries import QUERIES
+        return sorted(QUERIES)
