@@ -765,7 +765,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = (sup.join(nat, sup.s_nationkey == nat.n_nationkey)
             .join(reg, nat.n_regionkey == reg.r_regionkey)
             .select("s_suppkey", "n_name"))
-    return (li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+    # no broadcast hint: supplier scales with data volume — size estimates
+    # broadcast it while it fits, AQE switches to shuffle when it doesn't
+    return (li.join(dims, li.l_suppkey == dims.s_suppkey)
             .groupBy("n_name")
             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"))

@@ -190,16 +190,16 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01'
 """)
 def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional aggregation (CASE inside sum) over a
-    fact-dim join. part broadcasts; the month filter is pushed to the fact
-    scan, so the join input is a sliver of lineitem."""
+    fact-dim join; the month filter is pushed to the fact scan, so the
+    join input is a sliver of lineitem."""
     li = (load_table(spark, sf_dir, "lineitem")
           .filter((F.col("l_shipdate") >= "1995-09-01")
                   & (F.col("l_shipdate") < "1995-10-01")))
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
-    joined = li.join(F.broadcast(part),
-                     li.l_partkey == part.p_partkey)
+    # part scales with data volume -> no forced broadcast; stats/AQE decide
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.agg(
         (F.floor(100.0 * F.sum(promo) / F.sum(rev) * 10000 + F.lit(0.5))
          / 10000).alias("promo_pct"))
@@ -218,12 +218,12 @@ WHERE l_quantity < half_avg
 def q17_small_qty_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery (per-part average)
     decorrelated into an aggregate + self-join — the plan Catalyst would
-    produce from the subquery form, written explicitly. The per-part agg
-    output is small (one row per part) -> broadcast."""
+    produce from the subquery form, written explicitly."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = (li.groupBy(F.col("l_partkey").alias("pk"))
           .agg((0.5 * F.avg("l_quantity")).alias("half_avg")))
-    return (li.join(F.broadcast(pa), li.l_partkey == pa.pk)
+    # pa has one row per part — scales with data; no forced broadcast
+    return (li.join(pa, li.l_partkey == pa.pk)
             .filter(F.col("l_quantity") < F.col("half_avg"))
             .agg(round2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
                  F.count("*").alias("n")))
@@ -285,8 +285,9 @@ def q10_return_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("l_returnflag") == "R"))
     nat = load_table(spark, sf_dir, "nation")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # customer scales with data (no hint); nation is a fixed 25-row dim
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
             .groupBy("c_custkey", "c_name", "n_name")
             .agg(round2(F.sum(rev)).alias("revenue"))
