@@ -32,7 +32,7 @@ class Engine:
         self.spark = spark
         self.sf_dir = sf_dir
         self._models: dict[str, Model] = {}
-        self._views_registered = False
+        self._views_version = -1  # forces first-use view registration
 
     @classmethod
     def local(cls, sf_dir: str, cpus: int | None = None) -> "Engine":
@@ -60,6 +60,18 @@ class Engine:
 
     # -- query surfaces -----------------------------------------------------
 
+    @staticmethod
+    def _params(*, filter: dict[str, Any] | None = None, search: str = "",
+                group: str | None = None, group_search: str | None = None,
+                order_by: str | None = None, order_direction: str = "asc",
+                page: int = 0, items_per_page: int = 25,
+                all_rows: bool = False, view: str = "list") -> ListParams:
+        return ListParams(
+            filter=filter or {}, search=search, group=group,
+            group_search=group_search, order_by=order_by,
+            order_direction=order_direction, page=page,
+            items_per_page=items_per_page, all=all_rows, view=view)
+
     def list(self, model_name: str, *, filter: dict[str, Any] | None = None,
              search: str = "", group: str | None = None,
              group_search: str | None = None, order_by: str | None = None,
@@ -67,34 +79,42 @@ class Engine:
              items_per_page: int = 25, all_rows: bool = False,
              view: str = "list") -> DataFrame:
         """The AutoAPI list endpoint (§3.1 lifecycle) as one call."""
-        params = ListParams(
-            filter=filter or {}, search=search, group=group,
+        params = self._params(
+            filter=filter, search=search, group=group,
             group_search=group_search, order_by=order_by,
             order_direction=order_direction, page=page,
-            items_per_page=items_per_page, all=all_rows, view=view)
+            items_per_page=items_per_page, all_rows=all_rows, view=view)
         return list_query(self.table(model_name), self.model(model_name),
                           params)
 
-    def page(self, model_name: str, **kwargs: Any) -> dict[str, Any]:
+    def page(self, model_name: str, *, filter: dict[str, Any] | None = None,
+             search: str = "", order_by: str | None = None,
+             order_direction: str = "asc", page: int = 0,
+             items_per_page: int = 25, all_rows: bool = False,
+             view: str = "list") -> dict[str, Any]:
         """list() plus the pagination envelope
-        {itemsPerPage, items, total, page, pages}."""
-        params = ListParams(
-            filter=kwargs.get("filter") or {},
-            search=kwargs.get("search", ""),
-            order_by=kwargs.get("order_by"),
-            order_direction=kwargs.get("order_direction", "asc"),
-            page=kwargs.get("page", 0),
-            items_per_page=kwargs.get("items_per_page", 25),
-            all=kwargs.get("all_rows", False),
-            view=kwargs.get("view", "list"))
+        {itemsPerPage, items, total, page, pages}. Same explicit keywords
+        as list() — a misspelled parameter is a TypeError, never silently
+        the default."""
+        params = self._params(
+            filter=filter, search=search, order_by=order_by,
+            order_direction=order_direction, page=page,
+            items_per_page=items_per_page, all_rows=all_rows, view=view)
         return list_page(self.table(model_name), self.model(model_name),
                          params)
 
     def sql(self, statement: str) -> DataFrame:
-        """ANSI SQL over every registered table (views created lazily)."""
-        if not self._views_registered:
+        """ANSI SQL over the standard tables AND every registered model
+        (views refresh when the model registry grows, so runtime-registered
+        models are immediately SQL-visible)."""
+        if self._views_version != len(self._models):
             register_views(self.spark, self.sf_dir)
-            self._views_registered = True
+            for name in self._models:
+                try:
+                    self.table(name).createOrReplaceTempView(name)
+                except Exception:
+                    pass  # model without a backing parquet file
+            self._views_version = len(self._models)
         return self.spark.sql(statement)
 
     def run(self, query_name: str) -> DataFrame:

@@ -37,12 +37,15 @@ def salted_group_agg(df: DataFrame, key: str, salt_from: str, salt_n: int,
 
     ``aggs`` maps output column -> (function, input column) with function in
     {count, sum, min, max}; each is re-associated across the two phases
-    (count -> sum of partial counts, etc.). avg = sum/count downstream."""
+    (count -> sum of partial counts, etc.). avg = sum/count downstream.
+    ``("count", "*")`` counts rows (count(*)); ``("count", col)`` counts
+    non-null values of col — the two differ on nullable columns."""
     partial_exprs, final_exprs = [], []
     for out, (fn, col) in aggs.items():
         p = f"_p_{out}"
         if fn == "count":
-            partial_exprs.append(F.count(col).alias(p))
+            cnt = F.count(F.lit(1)) if col == "*" else F.count(col)
+            partial_exprs.append(cnt.alias(p))
             final_exprs.append(F.sum(p).alias(out))
         elif fn == "sum":
             partial_exprs.append(F.sum(col).alias(p))

@@ -202,9 +202,21 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
     minibatch per iteration (same code over corpus.sample())."""
     from pyspark.sql.window import Window as _W
     spark = corpus.sparkSession
-    dim = len(corpus.select(vec_col).first()[0])
-    cents = [list(map(float, r[0])) for r in
-             corpus.orderBy(id_col).limit(k).select(vec_col).collect()]
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("kmeans_fit: empty corpus")
+    dim = len(first[0])
+    # seeds: the k DISTINCT vectors with the lowest ids — duplicate seeds
+    # would create dead twin centroids (ties assign to the lower cid, the
+    # twin never receives points and never moves)
+    seed_rows = (corpus.groupBy(vec_col)
+                 .agg(F.min(id_col).alias("_mid"))
+                 .orderBy("_mid").limit(k)
+                 .select(vec_col).collect())
+    cents = [list(map(float, r[0])) for r in seed_rows]
+    if len(cents) < k:
+        raise ValueError(
+            f"kmeans_fit: k={k} but only {len(cents)} distinct vectors")
     pts = corpus.select(F.col(id_col), F.col(vec_col).alias("v"))
     for _ in range(iters):
         cdf = spark.createDataFrame(
@@ -253,23 +265,26 @@ def ann_ivf_topk_trained(corpus: DataFrame, queries: DataFrame,
     stand-in: assign corpus once, probe the n_probe nearest centroids per
     query, exact re-rank inside."""
     assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
-    return _ivf_probe(assigned, queries, centroids, k, n_probe,
-                      id_col, vec_col)
-
-
-def _ivf_probe(assigned: DataFrame, queries: DataFrame,
-               centroids: list[list[float]], k: int, n_probe: int,
-               id_col: str, vec_col: str) -> DataFrame:
-    spark = assigned.sparkSession
-    cdf = spark.createDataFrame(
+    cdf = corpus.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "centroid_id int, cvec array<double>")
+    return _ivf_probe(assigned, queries, cdf, k, n_probe, id_col, vec_col)
+
+
+def _ivf_probe(assigned: DataFrame, queries: DataFrame, cdf: DataFrame,
+               k: int, n_probe: int, id_col: str, vec_col: str) -> DataFrame:
+    """Shared IVF probe + re-rank: rank centroids by the SAME metric used
+    for corpus assignment (squared euclidean — probing by a different
+    metric would skip exactly the cell holding a query's true neighbors),
+    search only the n_probe nearest cells, exact cosine re-rank inside.
+    ``cdf`` is (centroid_id int, cvec array<double>); ``assigned`` carries
+    a centroid_id column."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"))
     qc = (q.join(F.broadcast(cdf))
           .select("query_id", "qvec", "centroid_id",
-                  cosine(F.col("qvec"), F.col("cvec")).alias("cscore")))
-    wq = W.partitionBy("query_id").orderBy(F.col("cscore").desc(), "centroid_id")
+                  sq_dist(F.col("qvec"), F.col("cvec")).alias("cdist")))
+    wq = W.partitionBy("query_id").orderBy(F.col("cdist").asc(), "centroid_id")
     probes = (qc.select("query_id", "qvec", "centroid_id",
                         F.row_number().over(wq).alias("crank"))
               .filter(F.col("crank") <= n_probe))
@@ -304,28 +319,11 @@ def ivf_centroids(corpus: DataFrame, label_col: str = "label",
 def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  n_probe: int = 2, label_col: str = "label",
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF probe: rank centroids per query, search only the n_probe nearest
-    partitions, exact re-rank inside. At scale the corpus is partitioned by
-    label so probing reads only those partitions (partition pruning)."""
-    cents = ivf_centroids(corpus, label_col, vec_col)
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qvec"))
-    qc = (q.join(F.broadcast(cents))
-          .select("query_id", "qvec", "centroid_id",
-                  cosine(F.col("qvec"), F.col("centroid")).alias("cscore")))
-    wq = W.partitionBy("query_id").orderBy(F.col("cscore").desc(), "centroid_id")
-    probes = (qc.select("query_id", "qvec", "centroid_id",
-                        F.row_number().over(wq).alias("crank"))
-              .filter(F.col("crank") <= n_probe))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cvec"),
-                      F.col(label_col).alias("centroid_id"))
-    scored = (c.join(F.broadcast(probes), "centroid_id")
-              .filter(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      cosine(F.col("qvec"), F.col("cvec")).alias("score")))
-    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
-    return (scored.select("query_id", "neighbor_id",
-                          F.row_number().over(w).alias("rank"))
-            .filter(F.col("rank") <= k)
-            .orderBy("query_id", "rank"))
+    """IVF probe over the label stand-in codebook: per-label centroids,
+    probe via the shared :func:`_ivf_probe` (same metric as assignment),
+    exact re-rank inside. At scale the corpus is partitioned by label so
+    probing reads only those partitions (partition pruning)."""
+    cdf = (ivf_centroids(corpus, label_col, vec_col)
+           .select("centroid_id", F.col("centroid").alias("cvec")))
+    assigned = corpus.withColumn("centroid_id", F.col(label_col))
+    return _ivf_probe(assigned, queries, cdf, k, n_probe, id_col, vec_col)

@@ -312,7 +312,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     out = salted_group_agg(
         li, "l_returnflag", salt_from="l_orderkey", salt_n=16,
-        n=("count", "l_quantity"), sum_qty_raw=("sum", "l_quantity"),
+        n=("count", "*"), sum_qty_raw=("sum", "l_quantity"),
         max_price_raw=("max", "l_extendedprice"))
     return (out.select(
         "l_returnflag", "n",

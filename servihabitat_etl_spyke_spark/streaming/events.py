@@ -102,15 +102,20 @@ def cdc_topics(df: DataFrame, model: str, action_col: str = "action",
 
 
 def write_event_store(df: DataFrame, path: str,
-                      date_col: str = "ts") -> None:
+                      date_col: str = "ts", mode: str = "append") -> None:
     """Physical layout of the events store at scale: partitioned by
     (env, event_date). Env reads touch one subtree (the reference's
     dev/prod split of LevelDB paths, ``eventsAPI.ts:55-60``), and
     time-ranged queries prune to the matching date partitions — the two
     predicates every event query carries. Within a partition, files stay
-    time-ordered by write order (the orderedInsert append analog)."""
+    time-ordered by write order (the orderedInsert append analog).
+
+    Default mode is APPEND — the store is append-only like the reference's
+    event log; each batch adds files under its partitions without touching
+    earlier days. Pass mode='overwrite' only for a full rebuild (static
+    partition overwrite wipes the whole path)."""
     (df.withColumn("event_date", F.to_date(F.col(date_col)))
-     .write.mode("overwrite")
+     .write.mode(mode)
      .partitionBy("env", "event_date")
      .parquet(path))
 

@@ -18,13 +18,23 @@ from ..operators.etl import upsert_into_path
 
 
 def stream_keyed_upsert(stream: DataFrame, path: str, key: str,
-                        checkpoint: str, *,
+                        checkpoint: str, *, order_col: str | None = None,
                         available_now: bool = True) -> StreamingQuery:
     """S6 streaming twin: MERGE each micro-batch into the parquet snapshot
     at ``path`` (foreachBatch -> the batch keyed_upsert). Exactly-once per
     batch via the checkpoint; at scale the sink is a transactional table
-    format and this becomes ``MERGE INTO`` inside foreachBatch."""
+    format and this becomes ``MERGE INTO`` inside foreachBatch.
+
+    Within one micro-batch, ``order_col`` (e.g. an event-time or sequence
+    column) decides which duplicate of a key wins — last per order wins,
+    matching the reference's sequential db.put loop. Without it, micro-
+    batch frames carry no row order, so the within-batch winner is
+    arbitrary (documented dropDuplicates fallback)."""
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql import functions as F
+        if order_col is not None:
+            batch = batch.withColumn(
+                "_ingest_order", F.col(order_col).cast("long"))
         upsert_into_path(batch.sparkSession, batch, path, key=key)
 
     writer = (stream.writeStream
@@ -38,10 +48,11 @@ def stream_keyed_upsert(stream: DataFrame, path: str, key: str,
 def stream_dedup(stream: DataFrame, keys: list[str], *,
                  event_time_col: str, delay: str = "1 hour") -> DataFrame:
     """Exact streaming dedup (north-star dedup family, streaming form):
-    dropDuplicates on ``keys`` with state bounded by a watermark — a
-    duplicate arriving within ``delay`` of the original's event time is
-    suppressed; state for older keys is evicted, so memory is O(keys per
-    watermark window), not O(stream). The batch twin is
-    ``dropDuplicates(keys)`` exactly."""
+    dropDuplicatesWithinWatermark — a duplicate arriving within ``delay``
+    of the original's event time is suppressed, and state older than the
+    watermark is EVICTED, so memory is O(keys per watermark window), not
+    O(total distinct keys). (Plain dropDuplicates(keys) would keep one
+    state row per key forever when the event-time column isn't part of the
+    key set.) The batch twin is ``dropDuplicates(keys)``."""
     return (stream.withWatermark(event_time_col, delay)
-            .dropDuplicates(keys))
+            .dropDuplicatesWithinWatermark(keys))

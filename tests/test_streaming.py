@@ -200,3 +200,18 @@ def test_event_store_partition_pruning(spark, sf_dir, tmp_path):
     plan2 = ranged._jdf.queryExecution().executedPlan().toString()
     assert "event_date" in plan2.split("PartitionFilters:")[1][:300]
     assert ranged.count() > 0
+
+
+def test_event_store_append_preserves_prior_partitions(spark, sf_dir, tmp_path):
+    from servihabitat_etl_spyke_spark.streaming.events import (
+        read_event_store, route_envs, write_event_store)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "environment", F.lit("dev"))
+    routed = route_envs(ev)
+    half_a = routed.filter(F.col("event_id") % 2 == 0)
+    half_b = routed.filter(F.col("event_id") % 2 == 1)
+    path = str(tmp_path / "append_store")
+    write_event_store(half_a, path)
+    write_event_store(half_b, path)      # append: must NOT wipe half_a
+    got = read_event_store(spark, path, env="dev")
+    assert got.count() == routed.count()
