@@ -881,3 +881,4 @@ from . import queries_flow  # noqa: E402,F401  (registration side effects)
 from . import queries_northstar  # noqa: E402,F401  (registration side effects)
 from . import queries_sources  # noqa: E402,F401  (registration side effects)
 from . import queries_streaming  # noqa: E402,F401  (registration side effects)
+from . import queries_tpch  # noqa: E402,F401  (registration side effects)
