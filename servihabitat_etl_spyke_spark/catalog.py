@@ -47,7 +47,14 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     corpora often arrive as one or few parquet files — one partition per
     file would serialize the compute on a handful of tasks; one cheap
     shuffle of the raw rows buys full parallelism for everything
-    downstream. Keyed so later per-key aggregations are co-partitioned."""
+    downstream. Keyed so later per-key aggregations are co-partitioned.
+
+    NOTE: do NOT gate this on ``df.rdd.getNumPartitions()`` — accessing
+    ``.rdd`` forces AQE to materialize the upstream query stages eagerly
+    (measured 3-10x blowups on plans with joins upstream). On a real
+    cluster defaultParallelism is the full executor-core count, so the
+    repartition is width-preserving there; callers with already-wide
+    inputs should simply skip spread()."""
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, key)
 

@@ -8,10 +8,11 @@ Scale design:
   counts. The shingle join is the classic "inverted index" plan: no O(n^2)
   cross product; hot shingles are the skew risk (AQE skew-join splits them;
   a stop-shingle filter caps the worst case).
-- MinHash+LSH: k min-hashes per doc in ONE aggregation (k min() columns over
-  the exploded shingles — a single shuffle), banded into b groups of r;
-  candidate pairs join on (band, band_key) buckets, then exact-Jaccard
-  verification runs ONLY on candidates.
+- MinHash+LSH: k min-hashes per doc computed row-locally over the shingle
+  array (higher-order functions, ZERO shuffles — min over the multiset ==
+  min over the set), banded into b groups of r; candidate pairs join on
+  (band, band_key) buckets, then exact-Jaccard verification runs ONLY on
+  candidates.
 - SimHash: per-shingle 32-bit hash -> per-bit ±1 votes -> sign vector packed
   to an int. One explode + one groupBy.
 
@@ -112,27 +113,34 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
 def minhash_signatures(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3) -> DataFrame:
     """k-permutation MinHash signature per doc: min of k 32-bit hashes
-    over the shingle set — ONE aggregation, columns mh0..mh{k-1}.
+    over the shingle set — columns mh0..mh{k-1}.
+
+    Entirely ROW-LOCAL: the shingle array never explodes and there is no
+    aggregation, because min over the shingle *multiset* equals min over
+    the set (duplicates can't win a min) — so the whole signature stage is
+    a projection with higher-order array functions: zero shuffles, scales
+    with input partitions, nothing to spill. (The previous form —
+    explode + distinct + 16-column groupBy — cost two shuffles of the full
+    shingle table.)
 
     Cost shape: one md5 yields FOUR hash functions (128 bits = 4 x 32-bit
-    hex chunks), so k=16 needs 4 digests per shingle, materialized in a
-    projection BEFORE the aggregate (aggregate expressions don't CSE — 16
-    min() exprs each embedding md5 would recompute it 16x). The hashes
-    stay fixed-width hex strings: lexicographic min == numeric min, and
-    dropping 16 conv() string->long parses per shingle is ~25% off the
-    signature stage."""
+    hex chunks), so k=16 needs 4 digests per shingle, computed once in a
+    projection the k substring/array_min exprs then share. The hashes stay
+    fixed-width hex strings: lexicographic min == numeric min, and skipping
+    string->long parses is ~25% off the stage."""
     assert k % 4 == 0, "k must be a multiple of 4 (4 hashes per digest)"
-    sh = shingle_table(docs, id_col, text_col, n)
-    digests = sh.select(
+    arr = word_shingles(F.col(text_col), n)
+    digests = _spread(docs, id_col).select(
         F.col(id_col),
-        *[F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"d{j}")
+        *[F.transform(arr, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s)))
+          .alias(f"d{j}")
           for j in range(k // 4)])
-    chunks = digests.select(
+    return digests.select(
         F.col(id_col),
-        *[F.substring(F.col(f"d{i // 4}"), 1 + 8 * (i % 4), 8).alias(f"h{i}")
+        *[F.array_min(F.transform(
+            F.col(f"d{i // 4}"),
+            lambda x, i=i: F.substring(x, 1 + 8 * (i % 4), 8))).alias(f"mh{i}")
           for i in range(k)])
-    return chunks.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(k)])
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 4,
@@ -170,36 +178,33 @@ def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.5,
     Scale shape: the corpus is shingled ONCE (signature pass). Verification
     re-shingles only docs that appear in a candidate pair — candidates are a
     vanishing fraction of a 100 TB corpus, so the expensive exact-Jaccard
-    stage is proportional to |candidates|, not |docs|. Both the candidate
-    pair list and the candidate id list are broadcast (they fit by
-    construction or the LSH banding is mistuned)."""
+    stage is proportional to |candidates|, not |docs|. The pair list (and
+    the pairs-with-text intermediate) broadcast — they fit by construction
+    or the LSH banding is mistuned — so docs itself never shuffles."""
     sig = minhash_signatures(docs, k, id_col, text_col, n)
     # persist + materialize the (tiny) candidate list: it feeds TWO broadcast
-    # exchanges (candidate ids for the semi-join, candidate pairs for
-    # verification), and broadcast subplans build concurrently — without an
-    # eager cache the whole signature+banding subplan executes twice
+    # exchanges (one per text-attachment join), and broadcast subplans build
+    # concurrently — without an eager cache the whole signature+banding
+    # subplan executes twice
     cand = lsh_candidate_pairs(sig, bands, rows, id_col).persist()
     cand.count()
-    # verification corpus: only docs named in some candidate pair
-    cand_ids = (cand.select(F.col("id_a").alias(id_col))
-                .union(cand.select(F.col("id_b").alias(id_col)))
-                .distinct())
-    cdocs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
-    sh = shingle_table(cdocs, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (F.broadcast(cand).join(a, "id_a").join(b, ["id_b", "shingle"])
-              .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
-        .withColumn("jaccard", F.round(
-            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    # Verification: attach both texts to each pair via two broadcast joins
+    # (the pair list is tiny by construction; docs never shuffles), then
+    # exact Jaccard is ROW-LOCAL set algebra on the two distinct-shingle
+    # arrays — no shingle explode, no per-pair groupBy, no size joins.
+    sh_arr = word_shingles(F.col(text_col), n)
+    with_a = (docs.select(F.col(id_col).alias("id_a"),
+                          sh_arr.alias("sh_a"))
+              .join(F.broadcast(cand), "id_a"))
+    pairs = (docs.select(F.col(id_col).alias("id_b"),
+                         sh_arr.alias("sh_b"))
+             .join(F.broadcast(with_a), "id_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - common
+    return (pairs
+            .withColumn("jaccard", F.round(common / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
 
 # -- SimHash ---------------------------------------------------------------------------
@@ -209,17 +214,28 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
             text_col: str = "text", n: int = 3) -> DataFrame:
     """Per-doc SimHash: each shingle votes ±1 on every bit of its 32-bit
     hash; the sign vector packs into one integer fingerprint. Near-dup docs
-    differ in few bits (Hamming distance)."""
-    sh = shingle_table(docs, id_col, text_col, n)
-    h = _hash32(F.col("shingle"))
-    votes = sh.groupBy(id_col).agg(*[
-        F.sum(F.when((h.bitwiseAND(F.lit(1 << j))) != 0, 1).otherwise(-1))
-        .alias(f"v{j}") for j in range(bits)])
+    differ in few bits (Hamming distance).
+
+    Row-local like :func:`minhash_signatures`: the distinct-shingle array
+    hashes once per shingle, then the per-bit ±1 votes fold inside the row
+    (``F.aggregate``) — no explode, no 32-column shuffle. Integer votes are
+    exactly associative, so this is bit-identical to the grouped form."""
+    arr = word_shingles(F.col(text_col), n)
+    hashed = _spread(docs, id_col).select(
+        F.col(id_col),
+        F.transform(arr, lambda s: _hash32(s)).alias("_h"))
+
+    def vote(j: int) -> Column:
+        return F.aggregate(
+            "_h", F.lit(0),
+            lambda acc, x: acc + F.when(
+                x.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1))
+
     packed = None
     for j in range(bits):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(vote(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
-    return votes.select(F.col(id_col), packed.cast("long").alias("simhash"))
+    return hashed.select(F.col(id_col), packed.cast("long").alias("simhash"))
 
 
 def simhash_buckets(fingerprints: DataFrame, half_bits: int = 16,
