@@ -189,14 +189,18 @@ def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.5,
     cand = lsh_candidate_pairs(sig, bands, rows, id_col).persist()
     cand.count()
     # Verification: attach both texts to each pair via two broadcast joins
-    # (the pair list is tiny by construction; docs never shuffles), then
-    # exact Jaccard is ROW-LOCAL set algebra on the two distinct-shingle
-    # arrays — no shingle explode, no per-pair groupBy, no size joins.
+    # (the pair list is tiny by construction; docs never hash-shuffles),
+    # then exact Jaccard is ROW-LOCAL set algebra on the two distinct-
+    # shingle arrays — no shingle explode, no per-pair groupBy, no size
+    # joins. docs is spread first: broadcast joins preserve the input
+    # partitioning, so a few-file corpus would otherwise run the whole
+    # shingle+intersect stage on a few tasks.
     sh_arr = word_shingles(F.col(text_col), n)
-    with_a = (docs.select(F.col(id_col).alias("id_a"),
+    wide = _spread(docs, id_col)
+    with_a = (wide.select(F.col(id_col).alias("id_a"),
                           sh_arr.alias("sh_a"))
               .join(F.broadcast(cand), "id_a"))
-    pairs = (docs.select(F.col(id_col).alias("id_b"),
+    pairs = (wide.select(F.col(id_col).alias("id_b"),
                          sh_arr.alias("sh_b"))
              .join(F.broadcast(with_a), "id_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))
