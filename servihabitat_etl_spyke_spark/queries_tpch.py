@@ -540,3 +540,134 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("err_id",
                     F.coalesce(F.col("__n"), F.lit(0)).alias("n_clicks"))
             .orderBy("err_id"))
+
+
+@query("q11_important_parts", oracle="""
+WITH supplied AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3')
+SELECT l_partkey AS p_key,
+       floor(sum(value) * 100 + 0.5) / 100 AS part_value
+FROM supplied
+GROUP BY l_partkey
+HAVING sum(value) > (SELECT sum(value) * 0.0012 FROM supplied)
+ORDER BY p_key
+""")
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted): parts whose supplied value from one
+    nation's suppliers exceeds a fraction of that nation's total. No
+    partsupp table, so "supplied value" is revenue from lineitem.
+
+    Shape: grouped agg + global scalar threshold. The scalar is a second
+    aggregation over the SAME grouped result (sum of per-part sums — exact
+    same addends), broadcast back as a 1-row cross join: the fact table is
+    scanned and shuffled ONCE, and because both sides of the HAVING
+    comparison are sums of identical per-part doubles, the engine/oracle
+    margin is the per-part spacing (~1e2), never a fold-order ulp.
+    Output ordered by key, not by the float measure."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = (load_table(spark, sf_dir, "nation")
+           .filter(F.col("n_name") == "NATION_3").select("n_nationkey"))
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (li
+                .join(F.broadcast(
+                    supp.join(F.broadcast(nat),
+                              supp.s_nationkey == nat.n_nationkey)
+                    .select("s_suppkey")),
+                    li.l_suppkey == F.col("s_suppkey"))
+                .groupBy(F.col("l_partkey").alias("p_key"))
+                .agg(F.sum(value).alias("_v")))
+    total = per_part.agg((F.sum("_v") * 0.0012).alias("_thr"))
+    return (per_part.join(F.broadcast(total))
+            .filter(F.col("_v") > F.col("_thr"))
+            .select("p_key", round2(F.col("_v")).alias("part_value"))
+            .orderBy("p_key"))
+
+
+@query("q16_supplier_part_counts", oracle="""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""")
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted): distinct suppliers per part group,
+    excluding a brand, a type, and "complaint" suppliers (no s_comment in
+    the testdata — negative account balance stands in).
+
+    The part filters (two <> plus an IN-list on size) prune ~93% of parts
+    BEFORE the fact join; the excluded-supplier list is a broadcast
+    anti-join (tiny by construction). countDistinct plans as two-phase
+    partial aggregation — one shuffle on the group key. Integer-only
+    output; the count is the sort leader with the full group key as
+    tiebreak."""
+    part = (load_table(spark, sf_dir, "part")
+            .filter((F.col("p_brand") != "Brand#3")
+                    & (F.col("p_type") != "PROMO")
+                    & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (li
+            .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+@query("q20_concentrated_suppliers", oracle="""
+SELECT s_name FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                     AND l_shipdate <  TIMESTAMP '1998-01-01'
+                    THEN l_quantity ELSE 0 END) > 0.5 * sum(l_quantity))
+ORDER BY s_name
+""")
+def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted): suppliers in one nation who shipped more
+    than half their all-time volume of some 'small%' part during 1997 (the
+    partsupp availqty comparison becomes a within-group share-of-total).
+
+    Shape: conditional-sum HAVING over a (supplier, part) grouping, then a
+    semi-join back to the supplier dim. Quantities are integer-valued
+    doubles, so both sides of the 0.5x comparison are exact in either
+    engine — no fold-order risk. The part prefix filter prunes before the
+    fact join; the qualifying-supplier list semi-joins broadcast."""
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_name").startswith("small")).select("p_partkey"))
+    li = load_table(spark, sf_dir, "lineitem")
+    in97 = ((F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01"))
+    qualifying = (li
+                  .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+                  .groupBy("l_suppkey", "l_partkey")
+                  .agg(F.sum(F.when(in97, F.col("l_quantity")).otherwise(0.0))
+                       .alias("_q97"),
+                       F.sum("l_quantity").alias("_qall"))
+                  .filter(F.col("_q97") > 0.5 * F.col("_qall"))
+                  .select("l_suppkey").distinct())
+    nat = (load_table(spark, sf_dir, "nation")
+           .filter(F.col("n_name") == "NATION_3").select("n_nationkey"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (supp
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(qualifying),
+                  supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+            .select("s_name").orderBy("s_name"))
