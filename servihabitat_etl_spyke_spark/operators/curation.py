@@ -1,0 +1,175 @@
+"""Corpus-curation operators for training-data pipelines (north-star
+extension, BASELINE.json): PII redaction, eval-set decontamination,
+deterministic stratified sampling, token-window chunking, and sequence
+packing.
+
+These extend the reference's document surface (its ETL layer stops at
+row-shaped transforms — `packages/app/bundles/custom/aws/s3/s3-connector.ts`
+processes 25-line batches with per-row JS callbacks); a 100 TB pretraining
+corpus additionally needs corpus-level hygiene ops, so they are first-class
+here.
+
+Scale design:
+- pii_redact: a chain of regexp_replace/regexp_count expressions — pure
+  projection, whole-stage codegen, zero shuffles. Patterns are RE2-safe
+  (no lookaround) so the DuckDB oracle runs them verbatim.
+- decontaminate: the eval set is tiny relative to the corpus BY DEFINITION,
+  so its distinct n-grams broadcast; the training corpus is scanned once and
+  never shuffled except the final per-doc count. Never an n^2 compare.
+- stratified_sample: md5-derived per-row uniform in [0,1) compared against a
+  per-stratum rate — projection + filter, no shuffle, reproducible across
+  engines and runs (no rand()).
+- chunk_tokens: per-row higher-order array ops (sequence/slice) + posexplode;
+  output row count scales with corpus size but each input row expands
+  locally — no shuffle.
+- pack_greedy: contiguous cumulative-sum packing via a window per group —
+  ONE shuffle on the group key. Sequential within a group, parallel across
+  groups (sources/shards), which is how packing parallelizes at 100 TB:
+  shard first, pack within shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import spread as _spread
+from .dedup import word_shingles
+
+# -- PII redaction -----------------------------------------------------------
+
+# RE2-compatible (works in both Java regex and DuckDB/RE2): no lookaround.
+# Order matters — specific before generic: SSNs and IPv4s both match the
+# dot/dash-tolerant phone pattern, so they must be masked first.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d() .-]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_redact(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Mask emails / SSNs / phone numbers / IPv4s in ``text_col``.
+
+    Returns (id, redacted, n_pii) where n_pii counts all matches found.
+    Pure projection (regexp_count + chained regexp_replace): zero shuffles,
+    stays inside whole-stage codegen."""
+    red = F.col(text_col)
+    n = F.lit(0)
+    for _, pat, token in PII_PATTERNS:
+        n = n + F.regexp_count(red, F.lit(pat))
+        red = F.regexp_replace(red, pat, token)
+    return docs.select(F.col(id_col), red.alias("redacted"),
+                       n.cast("long").alias("n_pii"))
+
+
+# -- eval-set decontamination -------------------------------------------------
+
+
+def decontaminate(train: DataFrame, evalset: DataFrame, n: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Flag training docs sharing any word n-gram with the eval set:
+    (train id, n_shared) for every contaminated doc — the standard
+    test-set-decontamination pass before pretraining.
+
+    The eval side reduces to its DISTINCT n-gram set and broadcasts (eval
+    benchmarks are tiny vs. a 100 TB corpus — if this ever doesn't fit,
+    the fallback is the same plan minus the broadcast hint). The train
+    corpus explodes its shingles once and aggregates per doc id — shuffle
+    is proportional to matched grams only, because the broadcast join
+    filters before the groupBy."""
+    grams = word_shingles(F.col(text_col), n)
+    ev = (evalset.select(F.explode(grams).alias("gram"))
+          .distinct())
+    tr = (_spread(train, id_col)
+          .select(F.col(id_col), F.explode(grams).alias("gram")))
+    return (tr.join(F.broadcast(ev), "gram")
+            .groupBy(id_col)
+            .agg(F.countDistinct("gram").alias("n_shared")))
+
+
+# -- deterministic stratified sampling ---------------------------------------
+
+
+def _unit_uniform(key: Column) -> Column:
+    """Deterministic pseudo-uniform in [0, 10000) from a key column:
+    int(md5(key)[:8], 16) % 10000. Engine-reproducible (DuckDB:
+    ('0x' || substr(md5(k), 1, 8))::UBIGINT % 10000) and stable across
+    runs — no rand(), so a re-run samples the SAME rows."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10) \
+        .cast("long") % 10000
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strata_col: str, key_col: str,
+                      default_rate: float = 0.0) -> DataFrame:
+    """Keep each row with probability ``rates[stratum]`` (else
+    ``default_rate``), decided by a deterministic hash of ``key_col`` —
+    the dataset-mixing primitive (per-source / per-language rates).
+
+    Projection + filter: no shuffle, no driver round-trip, reproducible.
+    Rates are basis-point granular (floor(rate * 10000))."""
+    u = _unit_uniform(F.col(key_col))
+    # per-stratum threshold as a when-chain ending in the default
+    expr = F.lit(int(default_rate * 10000))
+    for stratum, rate in sorted(rates.items(), reverse=True):
+        expr = F.when(F.col(strata_col) == stratum,
+                      F.lit(int(rate * 10000))).otherwise(expr)
+    return df.filter(u < expr)
+
+
+# -- token-window chunking ----------------------------------------------------
+
+
+def chunk_tokens(docs: DataFrame, max_tokens: int = 64, overlap: int = 0,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Split each doc into token windows of ``max_tokens`` with ``overlap``
+    tokens shared between consecutive windows — the standard
+    context-window shaping pass. Returns (id, chunk_idx, chunk, n_tokens).
+
+    Row-local: window starts come from sequence(), windows from slice() —
+    the expansion happens inside the task that read the row, so the op
+    scales with input partitions and never shuffles."""
+    assert 0 <= overlap < max_tokens
+    step = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    # starts: 0, step, 2*step, ... while start < len - overlap (and always
+    # at least one window)
+    n_starts = F.greatest(
+        F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(step)), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda i: F.slice(toks, i * step + 1, max_tokens))
+    return (_spread(docs, id_col)
+            .select(F.col(id_col),
+                    F.posexplode(chunks).alias("chunk_idx", "_c"))
+            .select(F.col(id_col), "chunk_idx",
+                    F.array_join("_c", " ").alias("chunk"),
+                    F.size("_c").alias("n_tokens")))
+
+
+# -- sequence packing ---------------------------------------------------------
+
+
+def pack_greedy(docs: DataFrame, max_tokens: int = 512,
+                group_col: str = "source", id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Assign each doc to a training-sequence bin: docs are taken in id
+    order within each group and a bin closes once it has ``max_tokens``
+    tokens (contiguous cumulative packing — a doc that crosses the
+    boundary starts the next bin's count, standard for sharded corpora).
+
+    Returns (id, group, n_tokens, bin). One shuffle (window partitioned by
+    group, ordered by id); packing is sequential per group but parallel
+    across groups, which is the scalable shape — shard first, pack within
+    shards."""
+    ntok = F.size(F.split(F.col(text_col), " "))
+    w = (W.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (docs
+            .select(F.col(id_col), F.col(group_col),
+                    ntok.alias("n_tokens"))
+            .withColumn("bin", F.floor(before / max_tokens)))

@@ -877,6 +877,7 @@ def edge_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- register the north-star + streaming families into QUERIES/ORACLES ------
 from . import queries_analytics  # noqa: E402,F401  (registration side effects)
+from . import queries_curation  # noqa: E402,F401  (registration side effects)
 from . import queries_flow  # noqa: E402,F401  (registration side effects)
 from . import queries_northstar  # noqa: E402,F401  (registration side effects)
 from . import queries_sources  # noqa: E402,F401  (registration side effects)

@@ -1,0 +1,149 @@
+"""Corpus-curation queries (north-star extension): PII redaction, eval-set
+decontamination, deterministic stratified sampling, token chunking, and
+sequence packing over the ``documents`` table.
+
+Oracle notes: every op here was designed to be ANSI/DuckDB-expressible —
+regexes are RE2-safe, sampling hashes are md5-derived (see
+operators/curation.py), chunk windows are pure integer arithmetic — so all
+five queries are hash-checked, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import load_table
+from .operators import curation as C
+from .queries import query
+
+
+@query("curate_pii_redact", oracle="""
+WITH r0 AS (SELECT doc_id, text FROM documents),
+r1 AS (SELECT doc_id,
+        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n1,
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+       FROM r0),
+r2 AS (SELECT doc_id, n1,
+        len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n2,
+        regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS t
+       FROM r1),
+r3 AS (SELECT doc_id, n1, n2,
+        len(regexp_extract_all(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n3,
+        regexp_replace(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS t
+       FROM r2),
+r4 AS (SELECT doc_id, n1, n2, n3,
+        len(regexp_extract_all(t, '\\+?\\d[\\d() .-]{7,}\\d')) AS n4,
+        regexp_replace(t, '\\+?\\d[\\d() .-]{7,}\\d', '<PHONE>', 'g') AS t
+       FROM r3)
+SELECT doc_id, n1 + n2 + n3 + n4 AS n_pii, md5(t) AS red_digest
+FROM r4 ORDER BY doc_id
+""")
+def curate_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over the corpus: per-doc match count + digest of the
+    redacted text (digest, not the text itself, keeps the result narrow).
+
+    Pure projection — regexp_count + chained regexp_replace inside
+    whole-stage codegen; the oracle chains the identical RE2-safe patterns.
+    The synthetic corpus contains no PII (n_pii = 0 everywhere), so the
+    hash check proves the pass-through path; the positive path is covered
+    by unit tests on crafted rows (tests/test_curation.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    red = C.pii_redact(docs)
+    return (red.select("doc_id", "n_pii",
+                       F.md5("redacted").alias("red_digest"))
+            .orderBy("doc_id"))
+
+
+@query("curate_decontaminate", oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + 3), ' ') AS gram
+  FROM toks, UNNEST(range(1, greatest(len(t) - 3, 1) + 1)) AS u(i)),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
+FROM grams g JOIN ev USING (gram)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id ORDER BY g.doc_id
+""")
+def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: training docs (id % 97 != 0) sharing any
+    4-gram with the held-out eval slice (id % 97 == 0), with the count of
+    distinct shared grams. (Real corpora use 8+ grams — the operator's
+    default; the synthetic corpus's tiny vocabulary needs n=4 for the
+    check to catch anything.)
+
+    The eval side's distinct grams broadcast (eval benchmarks are tiny
+    against a pretraining corpus); the train side explodes once and only
+    matched grams reach the per-doc aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return C.decontaminate(train, ev, n=4).orderBy("doc_id")
+
+
+@query("curate_stratified_sample", oracle="""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000
+      < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000 ELSE 500 END
+ORDER BY doc_id
+""")
+def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing sample: keep 50% of English, 20% of Chinese, 5% of
+    everything else, decided by a deterministic md5 hash of doc_id — the
+    same rows survive on every run and in every engine (no rand()).
+
+    Projection + filter only; at 100 TB this is the map-side mixing pass
+    that runs fused with whatever reads the corpus next."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = C.stratified_sample(docs, {"en": 0.5, "zh": 0.2},
+                              strata_col="lang", key_col="doc_id",
+                              default_rate=0.05)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+@query("curate_chunk_tokens", oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s AS (SELECT doc_id, t,
+             greatest(CAST(ceil((len(t) - 16) / 48.0) AS BIGINT), 1) AS ns
+      FROM toks)
+SELECT doc_id, i AS chunk_idx,
+       len(list_slice(t, i * 48 + 1, i * 48 + 64)) AS n_tokens,
+       md5(array_to_string(list_slice(t, i * 48 + 1, i * 48 + 64), ' '))
+         AS chunk_digest
+FROM s, UNNEST(range(0, ns)) AS u(i)
+ORDER BY doc_id, chunk_idx
+""")
+def curate_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window shaping: 64-token chunks with 16-token overlap per
+    doc (digest + length per chunk; the digest keeps the checked result
+    narrow).
+
+    Row-local expansion (sequence/slice/posexplode) — no shuffle; the
+    chunk arithmetic is pure integers so the oracle reproduces it
+    exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = C.chunk_tokens(docs, max_tokens=64, overlap=16)
+    return (out.select("doc_id", "chunk_idx", "n_tokens",
+                       F.md5("chunk").alias("chunk_digest"))
+            .orderBy("doc_id", "chunk_idx"))
+
+
+@query("curate_pack_greedy", oracle="""
+SELECT doc_id, source,
+       len(string_split(text, ' ')) AS n_tokens,
+       CAST(floor((sum(len(string_split(text, ' ')))
+                     OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - len(string_split(text, ' '))) / 512.0) AS BIGINT) AS bin
+FROM documents ORDER BY doc_id
+""")
+def curate_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: docs are packed in id order within each
+    source; a bin closes at 512 tokens (contiguous cumulative packing).
+
+    One shuffle (window on source); packing parallelizes across sources —
+    the 100 TB recipe is shard-then-pack, and this IS the per-shard pack."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (C.pack_greedy(docs, max_tokens=512, group_col="source")
+            .orderBy("doc_id"))

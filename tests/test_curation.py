@@ -1,0 +1,120 @@
+"""Corpus-curation operator tests: PII positives on crafted rows, chunking
+edge cases, packing semantics, sampling determinism, decontamination
+ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from servihabitat_etl_spyke_spark.operators import curation as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_redact_masks_all_pattern_kinds(spark):
+    docs = _docs(spark, [
+        (1, "mail me at alice.smith+x@example.co.uk today"),
+        (2, "ssn 123-45-6789 ok"),
+        (3, "call +1 (555) 123-4567 now"),
+        (4, "host 192.168.0.1 down"),
+        (5, "clean text with no pii at all"),
+    ])
+    out = {r["doc_id"]: r for r in C.pii_redact(docs).collect()}
+    assert out[1]["redacted"] == "mail me at <EMAIL> today"
+    assert out[2]["redacted"] == "ssn <SSN> ok"
+    assert out[3]["redacted"] == "call <PHONE> now"
+    assert out[4]["redacted"] == "host <IP> down"
+    assert out[5]["redacted"] == "clean text with no pii at all"
+    assert [out[i]["n_pii"] for i in range(1, 6)] == [1, 1, 1, 1, 0]
+
+
+def test_pii_redact_ssn_not_eaten_by_phone(spark):
+    # SSN runs before the generic phone pattern; a combined line keeps both
+    docs = _docs(spark, [(1, "id 123-45-6789 tel 555-123-4567")])
+    r = C.pii_redact(docs).collect()[0]
+    assert r["redacted"] == "id <SSN> tel <PHONE>"
+    assert r["n_pii"] == 2
+
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    docs = _docs(spark, [(1, text), (2, "a b")])
+    out = C.chunk_tokens(docs, max_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: starts 0,3,6 (start 9 >= len - overlap would add nothing new)
+    assert rows[(1, 0)]["chunk"] == "t0 t1 t2 t3"
+    assert rows[(1, 1)]["chunk"] == "t3 t4 t5 t6"
+    assert rows[(1, 2)]["chunk"] == "t6 t7 t8 t9"
+    assert (1, 3) not in rows
+    # consecutive chunks share exactly `overlap` tokens
+    assert rows[(1, 0)]["chunk"].split()[-1] == rows[(1, 1)]["chunk"].split()[0]
+    # short doc -> exactly one chunk, untruncated
+    assert rows[(2, 0)]["chunk"] == "a b" and (2, 1) not in rows
+
+
+def test_chunk_tokens_covers_every_token(spark):
+    text = " ".join(f"w{i}" for i in range(137))
+    docs = _docs(spark, [(7, text)])
+    out = C.chunk_tokens(docs, max_tokens=64, overlap=16).collect()
+    seen = set()
+    for r in out:
+        seen.update(r["chunk"].split())
+    assert seen == set(text.split())
+
+
+def test_pack_greedy_bins_close_at_capacity(spark):
+    # 5 docs of 3 tokens each, capacity 6 -> bins of 2 docs (ids in order)
+    docs = spark.createDataFrame(
+        [(i, "x y z", "s0") for i in range(5)],
+        "doc_id long, text string, source string")
+    out = {r["doc_id"]: r["bin"] for r in
+           C.pack_greedy(docs, max_tokens=6, group_col="source").collect()}
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_pack_greedy_groups_pack_independently(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s0"), (2, "a b c d", "s1")],
+        "doc_id long, text string, source string")
+    out = C.pack_greedy(docs, max_tokens=4, group_col="source").collect()
+    assert {r["bin"] for r in out} == {0}
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 == 0 else "zh") for i in range(2000)],
+        "doc_id long, text string, lang string")
+    a = C.stratified_sample(docs, {"en": 0.5, "zh": 0.1},
+                            strata_col="lang", key_col="doc_id")
+    b = C.stratified_sample(docs, {"en": 0.5, "zh": 0.1},
+                            strata_col="lang", key_col="doc_id")
+    ra = sorted(r["doc_id"] for r in a.collect())
+    assert ra == sorted(r["doc_id"] for r in b.collect())  # reproducible
+    counts = {r["lang"]: r["n"] for r in
+              a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 380 <= counts["en"] <= 620       # ~500 expected of 1000
+    assert 40 <= counts["zh"] <= 160        # ~100 expected of 1000
+
+
+def test_stratified_sample_default_rate_zero_drops_unlisted(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", "fr") for i in range(100)],
+        "doc_id long, text string, lang string")
+    out = C.stratified_sample(docs, {"en": 1.0}, strata_col="lang",
+                              key_col="doc_id")
+    assert out.count() == 0
+
+
+def test_decontaminate_flags_exact_overlap_only(spark):
+    base = " ".join(f"w{i}" for i in range(8))
+    train = _docs(spark, [
+        (1, base + " tail tokens here"),       # contains the eval 8-gram
+        (2, " ".join(f"u{i}" for i in range(12))),  # disjoint
+    ])
+    ev = _docs(spark, [(100, base)])
+    out = {r["doc_id"]: r["n_shared"] for r in
+           C.decontaminate(train, ev, n=8).collect()}
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out
