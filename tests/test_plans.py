@@ -131,3 +131,56 @@ def test_flow_map_filter_uses_arrow_not_row_python(spark, sf_dir):
     plan = plan_of(spark, "flow_map_filter", sf_dir)
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q11_reuses_per_part_aggregate(spark, sf_dir):
+    """Q11's per-part aggregate feeds both the scalar threshold and the
+    output rows; it must come from cache (two InMemoryTableScans), not a
+    doubled fact-table scan."""
+    plan = plan_of(spark, "q11_important_parts", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("InMemoryTableScan") == 2
+
+
+def test_q16_broadcasts_both_dims_and_pushes_part_filters(spark, sf_dir):
+    plan = plan_of(spark, "q16_supplier_part_counts", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("SortMergeJoin") == 0
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "In(p_size" in plan                      # IN-list reaches the scan
+    assert "Not(EqualTo(p_brand,Brand#3))" in plan
+
+
+def test_q20_part_prefix_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, "q20_concentrated_suppliers", sf_dir)
+    assert "StringStartsWith(p_name,small)" in plan
+    assert "SortMergeJoin" not in plan.split("\n\n")[0]
+
+
+def test_decontaminate_eval_grams_broadcast(spark, sf_dir):
+    """The eval side must broadcast — a shuffle join here would shuffle the
+    full training corpus's exploded grams."""
+    plan = plan_of(spark, "curate_decontaminate", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 1
+    assert tree.count("SortMergeJoin") == 0
+
+
+def test_rowlocal_curation_ops_scan_once_no_join(spark, sf_dir):
+    """Redaction, sampling, and chunking are single-scan projections —
+    any join or aggregation appearing here means a regression."""
+    for name in ("curate_pii_redact", "curate_stratified_sample",
+                 "curate_chunk_tokens"):
+        plan = plan_of(spark, name, sf_dir)
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Scan parquet") == 1, name
+        assert "Join" not in tree, name
+        assert "HashAggregate" not in tree, name
+
+
+def test_pack_greedy_single_window_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "curate_pack_greedy", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1
+    # exactly two exchanges: hash for the window + range for the orderBy
+    assert tree.count("Exchange") == 2
