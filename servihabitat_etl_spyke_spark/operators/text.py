@@ -102,3 +102,84 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
         digest.alias("fingerprint"),
         F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("bucket32"),
     )
+
+
+# -- repetition stats (Gopher/C4-style quality rules) -------------------------
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals used by Gopher/C4-style quality
+    filters: distinct-token ratio, most-frequent-token share, and
+    duplicate-3-gram fraction. High repetition marks boilerplate and
+    degenerate generations.
+
+    Entirely row-local array algebra (no explode, no shuffle): the
+    most-frequent-token share counts occurrences per DISTINCT token with a
+    nested filter — O(distinct * n) per row, bounded by doc length — and
+    the 3-gram list keeps duplicates (the dup fraction needs the
+    multiset). All ratios are integer/integer divisions, so any engine
+    computes bit-identical doubles."""
+    toks = F.split(F.col(text_col), " ")
+    dist = F.array_distinct(toks)
+    counts = F.transform(
+        dist, lambda x: F.size(F.filter(toks, lambda y: y == x)))
+    g3 = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "))
+    return spread(docs, id_col).select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        (F.size(dist) / F.size(toks)).alias("distinct_ratio"),
+        (F.array_max(counts) / F.size(toks)).alias("top_token_frac"),
+        (1 - F.size(F.array_distinct(g3)) / F.size(g3)).alias("dup_3gram_frac"),
+    )
+
+
+# -- unigram LM scoring -------------------------------------------------------
+
+
+def unigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram model: (tok, p) with p = count / corpus total.
+
+    One explode + one token-keyed aggregation (a single shuffle whose
+    width is the vocabulary, not the corpus); the scalar total is a
+    second tiny aggregation over the per-token counts, broadcast as a
+    1-row join — the exploded corpus is never re-scanned."""
+    counts = (docs
+              .select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+              .groupBy("tok").agg(F.count("*").alias("_c"))
+              .persist())
+    counts.count()
+    total = counts.agg(F.sum("_c").alias("_t"))
+    return (counts.join(F.broadcast(total))
+            .select("tok", (F.col("_c") / F.col("_t")).alias("p")))
+
+
+def lm_score(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Mean token log-probability per doc under a unigram model — the
+    cheap perplexity proxy for quality filtering (low = gibberish or
+    out-of-domain).
+
+    The LM broadcasts (a vocabulary is small by definition); docs explode
+    once, join map-side, and aggregate per doc id — the only shuffle is
+    the per-doc aggregation. The standard two-pass shape: build the model
+    once, score any stream against it.
+
+    Numerics: each token's ln(p) is quantized to integer NANO-units before
+    summing — integer sums are fold-order-free and exact, so the result is
+    bit-identical in any engine / any partitioning (a raw double avg(ln p)
+    measured within 1.6e-10 of a rounding edge on the test corpus, under
+    the ~1e-8 cross-engine fold-order noise). The 1e-9 quantization error
+    is orders below any quality-filter threshold."""
+    nano = F.floor(F.log("p") * 1000000000 + F.lit(0.5)).cast("long")
+    toked = (spread(docs, id_col)
+             .select(F.col(id_col),
+                     F.explode(F.split(F.col(text_col), " ")).alias("tok")))
+    return (toked.join(F.broadcast(lm.select("tok", nano.alias("_nano"))),
+                       "tok")
+            .groupBy(id_col)
+            .agg(((F.sum("_nano") / F.count("*")) / 1000000000)
+                 .alias("avg_logprob"),
+                 F.count("*").alias("n_scored")))

@@ -147,3 +147,66 @@ def curate_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (C.pack_greedy(docs, max_tokens=512, group_col="source")
             .orderBy("doc_id"))
+
+
+@query("text_repetition_stats", oracle="""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id, t,
+       list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                      i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS g3
+      FROM s)
+SELECT doc_id, len(t) AS n_tokens,
+       len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS distinct_ratio,
+       list_max(list_transform(list_distinct(t),
+                               x -> len(list_filter(t, y -> y = x))))
+         / CAST(len(t) AS DOUBLE) AS top_token_frac,
+       1 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE) AS dup_3gram_frac
+FROM g ORDER BY doc_id
+""")
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per doc: distinct-token
+    ratio, most-frequent-token share, duplicate-3-gram fraction.
+
+    Row-local array algebra, no shuffle; every ratio is an int/int
+    division so both engines produce bit-identical doubles — no rounding
+    needed."""
+    from .operators.text import repetition_stats
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+@query("text_lm_score", oracle="""
+WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+              FROM documents),
+freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS t FROM freq),
+lm AS (SELECT tok,
+              CAST(floor(ln(c / CAST(t AS DOUBLE)) * 1000000000 + 0.5)
+                   AS BIGINT) AS nano
+       FROM freq, tot)
+SELECT doc_id,
+       floor(((sum(nano) / count(*)) / 1000000000) * 1000000 + 0.5)
+         / 1000000 AS avg_logprob,
+       count(*) AS n_scored
+FROM toks JOIN lm USING (tok)
+GROUP BY doc_id ORDER BY doc_id
+""")
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: mean token log-probability per doc (the
+    cheap perplexity proxy every corpus filter starts with).
+
+    Two passes by design — build the model (vocabulary-wide shuffle),
+    broadcast it, score the stream (per-doc aggregation). Per-token ln(p)
+    is quantized to integer nano-units inside lm_score, so the per-doc
+    mean is fold-order-free and bit-identical across engines; the final
+    1e-6 rounding can't flake."""
+    from .operators.text import lm_score, unigram_lm
+    docs = load_table(spark, sf_dir, "documents")
+    lm = unigram_lm(docs)
+    out = lm_score(docs, lm)
+    return (out.select(
+        "doc_id",
+        (F.floor(F.col("avg_logprob") * 1000000 + F.lit(0.5)) / 1000000)
+        .alias("avg_logprob"),
+        "n_scored")
+        .orderBy("doc_id"))

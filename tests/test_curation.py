@@ -118,3 +118,31 @@ def test_decontaminate_flags_exact_overlap_only(spark):
            C.decontaminate(train, ev, n=8).collect()}
     assert 1 in out and out[1] >= 1
     assert 2 not in out
+
+
+def test_repetition_stats_degenerate_vs_diverse(spark):
+    from servihabitat_etl_spyke_spark.operators.text import repetition_stats
+    docs = _docs(spark, [
+        (1, "spam spam spam spam spam spam"),
+        (2, "one two three four five six"),
+    ])
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["distinct_ratio"] == 1 / 6
+    assert out[1]["top_token_frac"] == 1.0
+    assert out[1]["dup_3gram_frac"] == 0.75  # 4 trigrams, 1 distinct
+    assert out[2]["distinct_ratio"] == 1.0
+    assert out[2]["top_token_frac"] == 1 / 6
+    assert out[2]["dup_3gram_frac"] == 0.0
+
+
+def test_lm_score_common_tokens_score_higher(spark):
+    from servihabitat_etl_spyke_spark.operators.text import (lm_score,
+                                                             unigram_lm)
+    docs = _docs(spark, [
+        (1, "the the the the"),          # most frequent token
+        (2, "the the rare1 rare2"),
+    ])
+    lm = unigram_lm(docs)
+    out = {r["doc_id"]: r for r in lm_score(docs, lm).collect()}
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+    assert out[1]["n_scored"] == 4 and out[2]["n_scored"] == 4
