@@ -55,6 +55,10 @@ HEADLINE = [
     # temporal joins (operators/temporal.py)
     "asof_join_events",
     "range_join_events",
+    # corpus curation + quality scoring (operators/curation.py, text.py)
+    "curate_decontaminate",
+    "curate_pack_greedy",
+    "text_lm_score",
 ]
 
 
