@@ -75,6 +75,10 @@ def main() -> None:
     for name in names:
         best = float("inf")
         for _ in range(2):
+            # some queries persist() intermediates; without this the
+            # second run would read the first run's cache and under-time
+            # the query (and the entries would leak across the whole run)
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()

@@ -40,12 +40,16 @@ from .dedup import word_shingles
 
 # RE2-compatible (works in both Java regex and DuckDB/RE2): no lookaround.
 # Order matters — specific before generic: SSNs and IPv4s both match the
-# dot/dash-tolerant phone pattern, so they must be masked first.
+# separator-tolerant phone pattern, so they must be masked first. The phone
+# pattern requires 9-15 digits with at most two separator chars between
+# consecutive digits, so 8-digit ISO dates ("2020-01-01") and spaced numeric
+# ranges ("2010 - 2020") do NOT match; datetime strings with 9+ digits can
+# still false-positive (inherent to regex phone detection).
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d() .-]{7,}\d", "<PHONE>"),
+    ("phone", r"\+?\d([ ().-]{0,2}\d){8,14}", "<PHONE>"),
 ]
 
 
@@ -94,12 +98,12 @@ def decontaminate(train: DataFrame, evalset: DataFrame, n: int = 8,
 
 
 def _unit_uniform(key: Column) -> Column:
-    """Deterministic pseudo-uniform in [0, 10000) from a key column:
-    int(md5(key)[:8], 16) % 10000. Engine-reproducible (DuckDB:
-    ('0x' || substr(md5(k), 1, 8))::UBIGINT % 10000) and stable across
+    """Deterministic pseudo-uniform in [0, 10000) from a key column —
+    dedup's engine-portable md5 hash mod 10000 (DuckDB:
+    ('0x' || substr(md5(k), 1, 8))::UBIGINT % 10000). Stable across
     runs — no rand(), so a re-run samples the SAME rows."""
-    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10) \
-        .cast("long") % 10000
+    from .dedup import _hash32
+    return _hash32(key.cast("string")) % 10000
 
 
 def stratified_sample(df: DataFrame, rates: dict[str, float],
@@ -110,13 +114,15 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     the dataset-mixing primitive (per-source / per-language rates).
 
     Projection + filter: no shuffle, no driver round-trip, reproducible.
-    Rates are basis-point granular (floor(rate * 10000))."""
+    Rates are basis-point granular — round(), not int(): truncation would
+    turn 0.57 * 10000 == 5699.999... into 5699 and disagree with any other
+    engine computing the threshold as 5700."""
     u = _unit_uniform(F.col(key_col))
     # per-stratum threshold as a when-chain ending in the default
-    expr = F.lit(int(default_rate * 10000))
+    expr = F.lit(round(default_rate * 10000))
     for stratum, rate in sorted(rates.items(), reverse=True):
         expr = F.when(F.col(strata_col) == stratum,
-                      F.lit(int(rate * 10000))).otherwise(expr)
+                      F.lit(round(rate * 10000))).otherwise(expr)
     return df.filter(u < expr)
 
 

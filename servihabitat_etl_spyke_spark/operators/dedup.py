@@ -129,6 +129,10 @@ def minhash_signatures(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
     fixed-width hex strings: lexicographic min == numeric min, and skipping
     string->long parses is ~25% off the stage."""
     assert k % 4 == 0, "k must be a multiple of 4 (4 hashes per digest)"
+    # drop NULL-text docs (the explode+groupBy form dropped them naturally;
+    # without this they'd carry null signatures and collide in every LSH
+    # band — m null docs -> O(m^2) spurious candidate pairs)
+    docs = docs.filter(F.col(text_col).isNotNull())
     arr = word_shingles(F.col(text_col), n)
     digests = _spread(docs, id_col).select(
         F.col(id_col),
@@ -188,20 +192,26 @@ def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.5,
     # subplan executes twice
     cand = lsh_candidate_pairs(sig, bands, rows, id_col).persist()
     cand.count()
-    # Verification: attach both texts to each pair via two broadcast joins
-    # (the pair list is tiny by construction; docs never hash-shuffles),
-    # then exact Jaccard is ROW-LOCAL set algebra on the two distinct-
-    # shingle arrays — no shingle explode, no per-pair groupBy, no size
-    # joins. docs is spread first: broadcast joins preserve the input
-    # partitioning, so a few-file corpus would otherwise run the whole
-    # shingle+intersect stage on a few tasks.
+    # Verification: semi-join docs down to candidate ids FIRST (broadcast —
+    # the shingle projection must not run over the full corpus, only the
+    # vanishing candidate fraction), THEN attach both shingle arrays to
+    # each pair via two more broadcast joins; exact Jaccard is ROW-LOCAL
+    # set algebra on the two distinct-shingle arrays — no shingle explode,
+    # no per-pair groupBy, no size joins. docs never hash-shuffles. The
+    # candidate docs are spread: broadcast joins preserve input
+    # partitioning, so a few-file corpus would otherwise verify on a few
+    # tasks.
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                .union(cand.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    cdocs = _spread(
+        docs.join(F.broadcast(cand_ids), id_col, "left_semi"), id_col)
     sh_arr = word_shingles(F.col(text_col), n)
-    wide = _spread(docs, id_col)
-    with_a = (wide.select(F.col(id_col).alias("id_a"),
-                          sh_arr.alias("sh_a"))
+    with_a = (cdocs.select(F.col(id_col).alias("id_a"),
+                           sh_arr.alias("sh_a"))
               .join(F.broadcast(cand), "id_a"))
-    pairs = (wide.select(F.col(id_col).alias("id_b"),
-                         sh_arr.alias("sh_b"))
+    pairs = (cdocs.select(F.col(id_col).alias("id_b"),
+                          sh_arr.alias("sh_b"))
              .join(F.broadcast(with_a), "id_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - common
@@ -223,7 +233,9 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
     Row-local like :func:`minhash_signatures`: the distinct-shingle array
     hashes once per shingle, then the per-bit ±1 votes fold inside the row
     (``F.aggregate``) — no explode, no 32-column shuffle. Integer votes are
-    exactly associative, so this is bit-identical to the grouped form."""
+    exactly associative, so this is bit-identical to the grouped form
+    (NULL-text docs dropped, as the grouped form did naturally)."""
+    docs = docs.filter(F.col(text_col).isNotNull())
     arr = word_shingles(F.col(text_col), n)
     hashed = _spread(docs, id_col).select(
         F.col(id_col),

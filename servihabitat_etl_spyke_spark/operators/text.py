@@ -157,10 +157,16 @@ def unigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lm_score(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
+             text_col: str = "text",
+             oov_logprob: float | None = None) -> DataFrame:
     """Mean token log-probability per doc under a unigram model — the
     cheap perplexity proxy for quality filtering (low = gibberish or
     out-of-domain).
+
+    Out-of-vocabulary tokens score ``oov_logprob`` (default: ln of half
+    the rarest in-vocab probability) via a LEFT join — an inner join
+    would silently DROP docs whose tokens are all OOV, i.e. exactly the
+    gibberish a perplexity filter exists to catch.
 
     The LM broadcasts (a vocabulary is small by definition); docs explode
     once, join map-side, and aggregate per doc id — the only shuffle is
@@ -173,13 +179,19 @@ def lm_score(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
     measured within 1.6e-10 of a rounding edge on the test corpus, under
     the ~1e-8 cross-engine fold-order noise). The 1e-9 quantization error
     is orders below any quality-filter threshold."""
+    import math
+    if oov_logprob is None:
+        min_p = lm.agg(F.min("p")).first()[0]
+        oov_logprob = math.log(min_p * 0.5) if min_p else -30.0
+    oov_nano = int(math.floor(oov_logprob * 1000000000 + 0.5))
     nano = F.floor(F.log("p") * 1000000000 + F.lit(0.5)).cast("long")
     toked = (spread(docs, id_col)
              .select(F.col(id_col),
                      F.explode(F.split(F.col(text_col), " ")).alias("tok")))
     return (toked.join(F.broadcast(lm.select("tok", nano.alias("_nano"))),
-                       "tok")
+                       "tok", "left")
             .groupBy(id_col)
-            .agg(((F.sum("_nano") / F.count("*")) / 1000000000)
+            .agg(((F.sum(F.coalesce(F.col("_nano"), F.lit(oov_nano)))
+                   / F.count("*")) / 1000000000)
                  .alias("avg_logprob"),
                  F.count("*").alias("n_scored")))

@@ -32,8 +32,8 @@ r3 AS (SELECT doc_id, n1, n2,
         regexp_replace(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS t
        FROM r2),
 r4 AS (SELECT doc_id, n1, n2, n3,
-        len(regexp_extract_all(t, '\\+?\\d[\\d() .-]{7,}\\d')) AS n4,
-        regexp_replace(t, '\\+?\\d[\\d() .-]{7,}\\d', '<PHONE>', 'g') AS t
+        len(regexp_extract_all(t, '\\+?\\d([ ().-]{0,2}\\d){8,14}')) AS n4,
+        regexp_replace(t, '\\+?\\d([ ().-]{0,2}\\d){8,14}', '<PHONE>', 'g') AS t
        FROM r3)
 SELECT doc_id, n1 + n2 + n3 + n4 AS n_pii, md5(t) AS red_digest
 FROM r4 ORDER BY doc_id

@@ -146,3 +146,27 @@ def test_lm_score_common_tokens_score_higher(spark):
     out = {r["doc_id"]: r for r in lm_score(docs, lm).collect()}
     assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
     assert out[1]["n_scored"] == 4 and out[2]["n_scored"] == 4
+
+
+def test_pii_redact_leaves_dates_and_ranges_alone(spark):
+    docs = _docs(spark, [
+        (1, "released 2020-01-01 updated 2021-12-31"),
+        (2, "range 2010 - 2020 and 1.5 - 2.5"),
+        (3, "datetime has 20-01-01 08:30 in it"),
+    ])
+    out = {r["doc_id"]: r for r in C.pii_redact(docs).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["n_pii"] == 0, out[i]["redacted"]
+
+
+def test_lm_score_keeps_all_oov_docs(spark):
+    from servihabitat_etl_spyke_spark.operators.text import (lm_score,
+                                                             unigram_lm)
+    known = _docs(spark, [(1, "the cat sat"), (2, "the dog ran")])
+    lm = unigram_lm(known)
+    gibberish = _docs(spark, [(9, "zxqv wvut qqqq")])
+    out = lm_score(gibberish, lm).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 9
+    # OOV floor is below every in-vocab score
+    in_vocab = lm_score(known, lm).collect()
+    assert out[0]["avg_logprob"] < min(r["avg_logprob"] for r in in_vocab)
