@@ -350,3 +350,53 @@ def embedding_neardup_lsh(corpus: DataFrame, threshold: float = 0.45,
     return (cand.join(ua, "id_a").join(ub, "id_b")
             .filter(dot(F.col("ua"), F.col("ub")) >= threshold)
             .select("id_a", "id_b"))
+
+
+# -- near-dup clustering (connected components) -------------------------------
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Cluster near-dup pairs into connected components: (doc_id,
+    cluster_id) where cluster_id is the minimum doc id reachable through
+    the pair graph — the canonical-representative step every dedup
+    pipeline runs after pair generation (keep cluster_id, drop the rest).
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds, and near-dup clusters are shallow (pairs come from
+    shared buckets, so components are dense and diameter is small — 2-4
+    rounds in practice). Each round is one join + one groupBy on the edge
+    partitioning; lineage is truncated per round with localCheckpoint so
+    the plan doesn't grow unboundedly. Only vertices that appear in some
+    pair are emitted — singleton docs are their own cluster by definition.
+
+    At extreme skew (a single billion-doc component) the alternating
+    large-star/small-star algorithm halves rounds; the propagation loop
+    here is the simple, shuffle-minimal form that covers real dedup
+    graphs."""
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .union(pairs.select(F.col(id_b).alias("u"),
+                                 F.col(id_a).alias("v")))
+             .repartition("u")
+             .localCheckpoint())
+    labels = edges.groupBy("u").agg(
+        F.least(F.first("u"), F.min("v")).alias("label"))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.select(F.col("u").alias("v"),
+                                        F.col("label").alias("lv")), "v")
+               .groupBy("u").agg(F.min("lv").alias("nmin")))
+        merged = (labels.join(nbr, "u", "left")
+                  .select("u",
+                          F.least(F.col("label"),
+                                  F.coalesce("nmin", F.col("label")))
+                          .alias("new_label"),
+                          F.col("label")))
+        changed = merged.filter(F.col("new_label") < F.col("label")).count()
+        labels = (merged.select("u", F.col("new_label").alias("label"))
+                  .localCheckpoint())
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

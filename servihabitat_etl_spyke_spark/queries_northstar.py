@@ -54,8 +54,7 @@ def _minhash_oracle(k: int = 16, bands: int = 4, rows: int = 4,
         band_rows.append(
             f"SELECT doc_id, {bi} AS band, md5({key}) AS key FROM sig")
     banded = "\n  UNION ALL\n  ".join(band_rows)
-    return f"""
-WITH {_SH_SQL},
+    body = f"""WITH {_SH_SQL},
 sig AS (
   SELECT doc_id,
          {mins}
@@ -81,8 +80,29 @@ SELECT id_a, id_b,
 FROM common
 JOIN sizes sa ON id_a = sa.doc_id
 JOIN sizes sb ON id_b = sb.doc_id
-WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= {threshold}
-ORDER BY id_a, id_b
+WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= {threshold}"""
+    return body + "\nORDER BY id_a, id_b\n"
+
+
+def _cluster_oracle() -> str:
+    """Connected components over the minhash pair graph: min reachable id
+    via a recursive CTE (the pair SQL nests as a subquery CTE)."""
+    pairs = _minhash_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+  WHERE e.v <> r.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+FROM reach GROUP BY u ORDER BY doc_id
 """
 
 
@@ -148,6 +168,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical md5-derived signatures, so the match is exact."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_neardup(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@query("dedup_clusters", oracle=_cluster_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs -> connected components ->
+    (doc_id, cluster_id = min reachable id, i.e. the canonical doc).
+    The oracle computes the identical components with a recursive CTE
+    over the same pair SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_neardup(docs, threshold=0.5)
+    return D.connected_components(pairs).orderBy("doc_id")
 
 
 @query("dedup_simhash", oracle=_simhash_oracle())
