@@ -23,6 +23,7 @@ fact-fact joins are the bottleneck:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window as W
 
 
 def with_salt(df: DataFrame, salt_n: int, from_col: str) -> DataFrame:
@@ -86,3 +87,45 @@ def write_bucketed(df: DataFrame, name: str, path: str, key: str,
      .bucketBy(n_buckets, key).sortBy(key)
      .option("path", path)
      .saveAsTable(name))
+
+
+def global_row_numbers(df: DataFrame, order_col: str,
+                       tiebreaks: list[str] | None = None,
+                       out_col: str = "rn",
+                       buckets: int | None = None) -> DataFrame:
+    """Contiguous global row numbers 1..N in (order_col, *tiebreaks) order
+    WITHOUT the single-partition global window (``row_number() OVER
+    (ORDER BY ...)`` plans an Exchange SinglePartition — one task sorts
+    the world, the classic 100 TB non-starter).
+
+    Plan: approxQuantile boundaries on order_col -> explicit range bucket
+    per row (a codegen'd comparison chain, no shuffle) -> per-bucket
+    row_number window (ONE hash shuffle, all buckets in parallel) ->
+    add broadcast per-bucket offsets. Three passes over the input (two
+    narrow aggregations + the window) instead of one serialized sort.
+
+    The result is EXACTLY row_number() over the total order regardless of
+    where the approximate boundaries land: equal order_col values always
+    share a bucket, so local rank + bucket offset == global rank.
+    (order_col, *tiebreaks) should be a total order for a deterministic
+    assignment; order_col must be numeric for approxQuantile."""
+    n = buckets or df.sparkSession.sparkContext.defaultParallelism
+    bounds = sorted(set(df.stat.approxQuantile(
+        order_col, [i / n for i in range(1, n)], 0.001)))
+    bucket = None
+    for b in bounds:
+        term = (F.col(order_col) > F.lit(b)).cast("int")
+        bucket = term if bucket is None else bucket + term
+    part = df.withColumn("_b", bucket if bucket is not None else F.lit(0))
+    counts = part.groupBy("_b").count().collect()
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["_b"]):
+        offsets.append((r["_b"], acc))
+        acc += r["count"]
+    off_df = df.sparkSession.createDataFrame(offsets, "_b int, _off long")
+    w = (W.partitionBy("_b")
+         .orderBy(order_col, *(tiebreaks or [])))
+    return (part.join(F.broadcast(off_df), "_b")
+            .withColumn(out_col,
+                        (F.row_number().over(w) + F.col("_off")))
+            .drop("_b", "_off"))

@@ -348,3 +348,40 @@ def queue_fifo_lifo(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.row_number().over(wl).alias("lifo_pos"))
             .filter((F.col("fifo_pos") <= 5) | (F.col("lifo_pos") <= 5))
             .orderBy("event_type", "event_id"))
+
+
+# ---------------------------------------------------------------------------
+# Scale techniques: global sequence ids, mergeable sketch percentiles
+# ---------------------------------------------------------------------------
+
+
+@query("scale_global_rownum", oracle="""
+SELECT l_orderkey, l_linenumber,
+       row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+FROM lineitem ORDER BY rn
+""")
+def scale_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row numbers over the full fact table — computed
+    with quantile buckets + per-bucket windows + broadcast offsets
+    (operators/scale.py::global_row_numbers), NEVER the oracle's
+    single-partition global window. Identical output, parallel plan; the
+    plan gate asserts no Exchange SinglePartition feeds the window."""
+    from .operators.scale import global_row_numbers
+    li = load_table(spark, sf_dir, "lineitem")
+    out = global_row_numbers(li.select("l_orderkey", "l_linenumber"),
+                             "l_orderkey", tiebreaks=["l_linenumber"])
+    return out.select("l_orderkey", "l_linenumber", "rn").orderBy("rn")
+
+
+@query("agg_approx_percentiles")  # sketch-based != oracle-exact -> rows-only
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: the single-pass mergeable-sketch path for
+    quantiles at 100 TB (exact percentile needs a per-group sort; the
+    sketch merges map-side). Accuracy against the exact form is asserted
+    in tests/test_scale.py, not by the hash oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.percentile_approx(
+                "l_extendedprice", [0.5, 0.95, 0.99], 10000)
+                .alias("approx_pcts"))
+            .orderBy("l_returnflag"))

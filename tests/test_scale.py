@@ -68,3 +68,49 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         assert joined.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_global_row_numbers_match_global_window(spark, sf_dir):
+    from pyspark.sql.window import Window
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.operators.scale import (
+        global_row_numbers)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber")
+    fast = global_row_numbers(li, "l_orderkey", tiebreaks=["l_linenumber"])
+    slow = li.withColumn("rn", F.row_number().over(
+        Window.orderBy("l_orderkey", "l_linenumber")))
+    assert fast.count() == slow.count()
+    diff = (fast.join(slow, ["l_orderkey", "l_linenumber", "rn"],
+                      "left_anti").count())
+    assert diff == 0
+
+
+def test_global_row_numbers_avoids_single_partition_window(spark, sf_dir):
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.operators.scale import (
+        global_row_numbers)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber")
+    out = global_row_numbers(li, "l_orderkey", tiebreaks=["l_linenumber"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window must run on hash-partitioned buckets, never one partition
+    assert "SinglePartition" not in plan
+
+
+def test_approx_percentiles_within_sketch_error(spark, sf_dir):
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = {r["l_returnflag"]: r["approx_pcts"] for r in
+              li.groupBy("l_returnflag")
+              .agg(F.percentile_approx("l_extendedprice",
+                                       [0.5, 0.95, 0.99], 10000)
+                   .alias("approx_pcts")).collect()}
+    exact = {r["l_returnflag"]: r["pcts"] for r in
+             li.groupBy("l_returnflag")
+             .agg(F.expr("percentile(l_extendedprice, "
+                         "array(0.5D, 0.95D, 0.99D))").alias("pcts"))
+             .collect()}
+    for flag, aps in approx.items():
+        for a, e in zip(aps, exact[flag]):
+            assert abs(a - e) / max(abs(e), 1e-9) < 0.02, (flag, a, e)
