@@ -134,24 +134,36 @@ def minhash_signatures(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
     # band — m null docs -> O(m^2) spurious candidate pairs)
     docs = docs.filter(F.col(text_col).isNotNull())
     arr = word_shingles(F.col(text_col), n)
+
+    # closure FACTORIES, not `lambda s, j=j:` parameter defaults — a
+    # 2-parameter lambda makes PySpark pass (element, INDEX) and the
+    # "default" silently binds to the runtime index column (seen: the
+    # f-string baked "Column<x_N>:" into the hash seed, making signatures
+    # plan-context-dependent garbage)
+    def _seeded_md5(j: int):
+        prefix = f"{j}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    def _hex_chunk(start: int):
+        return lambda x: F.substring(x, start, 8)
+
     digests = _spread(docs, id_col).select(
         F.col(id_col),
-        *[F.transform(arr, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s)))
-          .alias(f"d{j}")
+        *[F.transform(arr, _seeded_md5(j)).alias(f"d{j}")
           for j in range(k // 4)])
     return digests.select(
         F.col(id_col),
         *[F.array_min(F.transform(
             F.col(f"d{i // 4}"),
-            lambda x, i=i: F.substring(x, 1 + 8 * (i % 4), 8))).alias(f"mh{i}")
+            _hex_chunk(1 + 8 * (i % 4)))).alias(f"mh{i}")
           for i in range(k)])
 
 
-def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 4,
-                        id_col: str = "doc_id") -> DataFrame:
-    """Band the signature into ``bands`` groups of ``rows``; docs sharing any
-    band key are candidates. Emits distinct (id_a, id_b), id_a < id_b."""
-    banded = sig.select(
+def band_signatures(sig: DataFrame, bands: int = 4, rows: int = 4,
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, band, key) bucket table: the signature split into ``bands``
+    groups of ``rows``, each group md5-compacted to one key."""
+    return sig.select(
         F.col(id_col),
         F.explode(F.array(*[
             F.struct(
@@ -160,6 +172,13 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 4,
                                          for ri in range(rows)])).alias("key"))
             for bi in range(bands)])).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 4,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Band the signature into ``bands`` groups of ``rows``; docs sharing any
+    band key are candidates. Emits distinct (id_a, id_b), id_a < id_b."""
+    banded = band_signatures(sig, bands, rows, id_col)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -171,36 +190,24 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 4,
     )
 
 
-def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.5,
-                        k: int = 16, bands: int = 4, rows: int = 4,
-                        id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 3) -> DataFrame:
-    """Full near-dup pipeline: MinHash -> LSH buckets -> candidate pairs ->
-    exact-Jaccard verification on candidates only. Returns
-    (id_a, id_b, jaccard >= threshold).
+def verify_pairs(docs: DataFrame, cand: DataFrame, threshold: float = 0.5,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n: int = 3) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair list against the doc
+    corpus: (id_a, id_b, jaccard >= threshold).
 
-    Scale shape: the corpus is shingled ONCE (signature pass). Verification
-    re-shingles only docs that appear in a candidate pair — candidates are a
-    vanishing fraction of a 100 TB corpus, so the expensive exact-Jaccard
-    stage is proportional to |candidates|, not |docs|. The pair list (and
-    the pairs-with-text intermediate) broadcast — they fit by construction
-    or the LSH banding is mistuned — so docs itself never shuffles."""
-    sig = minhash_signatures(docs, k, id_col, text_col, n)
-    # persist + materialize the (tiny) candidate list: it feeds TWO broadcast
-    # exchanges (one per text-attachment join), and broadcast subplans build
-    # concurrently — without an eager cache the whole signature+banding
-    # subplan executes twice
-    cand = lsh_candidate_pairs(sig, bands, rows, id_col).persist()
-    cand.count()
-    # Verification: semi-join docs down to candidate ids FIRST (broadcast —
-    # the shingle projection must not run over the full corpus, only the
-    # vanishing candidate fraction), THEN attach both shingle arrays to
-    # each pair via two more broadcast joins; exact Jaccard is ROW-LOCAL
-    # set algebra on the two distinct-shingle arrays — no shingle explode,
-    # no per-pair groupBy, no size joins. docs never hash-shuffles. The
-    # candidate docs are spread: broadcast joins preserve input
-    # partitioning, so a few-file corpus would otherwise verify on a few
-    # tasks.
+    ``cand`` must be materialized (persisted) by the caller — it feeds two
+    broadcast exchanges, and broadcast subplans build concurrently, so an
+    un-cached candidate plan would execute twice.
+
+    Semi-joins docs down to candidate ids FIRST (broadcast — the shingle
+    projection must not run over the full corpus, only the vanishing
+    candidate fraction), THEN attaches both shingle arrays to each pair
+    via two more broadcast joins; exact Jaccard is ROW-LOCAL set algebra
+    on the two distinct-shingle arrays — no shingle explode, no per-pair
+    groupBy, no size joins. docs never hash-shuffles. The candidate docs
+    are spread: broadcast joins preserve input partitioning, so a few-file
+    corpus would otherwise verify on a few tasks."""
     cand_ids = (cand.select(F.col("id_a").alias(id_col))
                 .union(cand.select(F.col("id_b").alias(id_col)))
                 .distinct())
@@ -219,6 +226,69 @@ def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.5,
             .withColumn("jaccard", F.round(common / union, 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.5,
+                        k: int = 16, bands: int = 4, rows: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3) -> DataFrame:
+    """Full near-dup pipeline: MinHash -> LSH buckets -> candidate pairs ->
+    exact-Jaccard verification on candidates only. Returns
+    (id_a, id_b, jaccard >= threshold).
+
+    Scale shape: the corpus is shingled ONCE (signature pass). Verification
+    re-shingles only docs that appear in a candidate pair — candidates are a
+    vanishing fraction of a 100 TB corpus, so the expensive exact-Jaccard
+    stage is proportional to |candidates|, not |docs|. The pair list (and
+    the pairs-with-text intermediate) broadcast — they fit by construction
+    or the LSH banding is mistuned — so docs itself never shuffles."""
+    sig = minhash_signatures(docs, k, id_col, text_col, n)
+    # persist + materialize the (tiny) candidate list — see verify_pairs
+    cand = lsh_candidate_pairs(sig, bands, rows, id_col).persist()
+    cand.count()
+    return verify_pairs(docs, cand, threshold, id_col, text_col, n)
+
+
+def incremental_neardup(new_docs: DataFrame, stored_docs: DataFrame,
+                        stored_sig: DataFrame | None = None,
+                        threshold: float = 0.5, k: int = 16,
+                        bands: int = 4, rows: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3) -> DataFrame:
+    """Incremental near-dup: pairs (jaccard >= threshold) involving at
+    least one NEW doc — the daily-crawl shape, where a fresh batch is
+    checked against an already-signed corpus without re-hashing it.
+
+    ``stored_sig`` is the persisted signature table from previous runs
+    (columns id + mh0..mh{k-1}, e.g. written by minhash_signatures); pass
+    None to derive it from stored_docs (first run). The new batch's band
+    table BROADCASTS (a daily batch is tiny against the corpus), so the
+    candidate join streams the stored band table map-side — the stored
+    corpus is never shuffled, and only candidate docs are re-read for
+    verification. New-vs-new pairs are found too (the target side includes
+    the new batch).
+
+    Append ``minhash_signatures(new_docs)`` to the signature store after
+    each run to keep the cycle going."""
+    new_sig = minhash_signatures(new_docs, k, id_col, text_col, n)
+    if stored_sig is None:
+        stored_sig = minhash_signatures(stored_docs, k, id_col, text_col, n)
+    bn = band_signatures(new_sig, bands, rows, id_col).alias("a")
+    bt = band_signatures(stored_sig.unionByName(new_sig), bands, rows,
+                         id_col).alias("b")
+    cand = (F.broadcast(bn)
+            .join(bt, (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.key") == F.col("b.key"))
+                  & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+            .select(F.least(F.col(f"a.{id_col}"),
+                            F.col(f"b.{id_col}")).alias("id_a"),
+                    F.greatest(F.col(f"a.{id_col}"),
+                               F.col(f"b.{id_col}")).alias("id_b"))
+            .distinct()
+            .persist())
+    cand.count()
+    docs_all = stored_docs.unionByName(new_docs)
+    return verify_pairs(docs_all, cand, threshold, id_col, text_col, n)
 
 
 # -- SimHash ---------------------------------------------------------------------------

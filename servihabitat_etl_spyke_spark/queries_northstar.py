@@ -170,6 +170,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_neardup(docs, threshold=0.5).orderBy("id_a", "id_b")
 
 
+def _incremental_oracle() -> str:
+    """Pairs involving at least one 'new' doc (id % 5 == 0): incremental
+    LSH against a signed corpus equals the full pair set restricted to
+    pairs touching the new batch."""
+    body = _minhash_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH pairs AS ({body})
+SELECT id_a, id_b, jaccard FROM pairs
+WHERE id_a % 5 = 0 OR id_b % 5 = 0
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_incremental", oracle=_incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the 20% of docs with id % 5 == 0 arrive as a
+    'new batch' and are checked against the signed 80% corpus (signature
+    table reused, corpus never re-hashed). Matches the full-corpus pair
+    set restricted to pairs involving a new doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    stored = docs.filter(F.col("doc_id") % 5 != 0)
+    stored_sig = D.minhash_signatures(stored)
+    return (D.incremental_neardup(new, stored, stored_sig, threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
 @query("dedup_clusters", oracle=_cluster_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash-LSH pairs -> connected components ->

@@ -30,3 +30,53 @@ def test_connected_components_long_path_converges(spark):
     out = connected_components(pairs).collect()
     assert {r["cluster_id"] for r in out} == {0}
     assert len(out) == 13
+
+
+def test_minhash_signature_matches_hashlib_ground_truth(spark):
+    """Pin the signature bytes to an independent hashlib computation —
+    guards against expression-building bugs (e.g. PySpark treating a
+    2-param lambda as (element, index) and silently binding a closure
+    default to the index column, which once made signatures
+    plan-context-dependent)."""
+    import hashlib
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        minhash_signatures)
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee")], "doc_id long, text string")
+    r = minhash_signatures(docs, k=8).collect()[0]
+    shingles = ["aa bb cc", "bb cc dd", "cc dd ee"]
+    for i in range(8):
+        digs = [hashlib.md5(f"{i // 4}:{s}".encode()).hexdigest()
+                for s in shingles]
+        start = 8 * (i % 4)
+        assert r[f"mh{i}"] == min(d[start:start + 8] for d in digs), i
+
+
+def test_signature_is_plan_context_independent(spark):
+    """The same doc must get the same signature whether signed alone or
+    within a larger corpus (incremental dedup depends on it)."""
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        minhash_signatures)
+    full = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c") for i in range(20)],
+        "doc_id long, text string")
+    subset = full.filter("doc_id = 7")
+    a = minhash_signatures(full).filter("doc_id = 7").collect()[0]
+    b = minhash_signatures(subset).collect()[0]
+    assert a.asDict() == b.asDict()
+
+
+def test_incremental_equals_full_restricted(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        incremental_neardup, minhash_lsh_neardup, minhash_signatures)
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    stored = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = incremental_neardup(new, stored,
+                              minhash_signatures(stored)).collect()
+    full = (minhash_lsh_neardup(docs)
+            .filter((F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0))
+            .collect())
+    assert sorted(map(tuple, inc)) == sorted(map(tuple, full))
