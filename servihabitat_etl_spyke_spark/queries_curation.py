@@ -210,3 +210,46 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_logprob"),
         "n_scored")
         .orderBy("doc_id"))
+
+
+@query("corpus_profile", oracle="""
+WITH d AS (SELECT lang, n_chars, string_split(text, ' ') AS t
+           FROM documents),
+e AS (SELECT lang, n_chars, len(t) AS ntok,
+             CAST(floor(1000000000.0 * len(list_distinct(t)) / len(t) + 0.5)
+                  AS BIGINT) AS dr_nano
+      FROM d)
+SELECT lang, count(*) AS n_docs, sum(ntok) AS total_tokens,
+       floor(quantile_cont(n_chars, 0.5) * 100 + 0.5) / 100 AS p50_chars,
+       floor(quantile_cont(n_chars, 0.95) * 100 + 0.5) / 100 AS p95_chars,
+       floor((sum(dr_nano) / count(*)) / 1000.0 + 0.5) / 1000000
+         AS mean_distinct_ratio
+FROM e GROUP BY lang ORDER BY lang
+""")
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card profile per language: doc count, token volume, length
+    quantiles, mean lexical diversity — the summary table every corpus
+    release ships with.
+
+    One grouped aggregation (exact per-group percentiles sort within the
+    group — per-key work; swap percentile_approx at petabyte group sizes).
+    The diversity mean uses the integer-nano quantization pattern
+    (fold-order-free; see text_lm_score)."""
+    from .queries import round2
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    dr_nano = F.floor(
+        F.lit(1000000000.0) * F.size(F.array_distinct(toks)) / F.size(toks)
+        + F.lit(0.5)).cast("long")
+    enriched = docs.select("lang", "n_chars",
+                           F.size(toks).alias("ntok"),
+                           dr_nano.alias("dr_nano"))
+    return (enriched.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("ntok").alias("total_tokens"),
+                 round2(F.expr("percentile(n_chars, 0.5)")).alias("p50_chars"),
+                 round2(F.expr("percentile(n_chars, 0.95)")).alias("p95_chars"),
+                 (F.floor((F.sum("dr_nano") / F.count("*")) / 1000.0
+                          + F.lit(0.5)) / 1000000)
+                 .alias("mean_distinct_ratio"))
+            .orderBy("lang"))

@@ -13,6 +13,7 @@ from datetime import datetime, timedelta
 from hypothesis import given, settings, strategies as st
 
 from servihabitat_etl_spyke_spark.plans.listquery import parse_search
+from servihabitat_etl_spyke_spark.session import get_spark
 from servihabitat_etl_spyke_spark.streaming import schedules as SCH
 from servihabitat_etl_spyke_spark.streaming.topics import mqtt_to_regex
 
@@ -122,3 +123,53 @@ def test_floor_round_formula_is_pure_ieee(x):
     assert got == again or abs(got - again) <= 0.01  # fma may differ by 1 ulp bucket
     # and it's within half a cent of x
     assert abs(got - x) <= 0.005 + 1e-9 * abs(x)
+
+
+# -- curation invariants (hypothesis) ----------------------------------------
+
+
+@given(st.lists(st.integers(min_value=1, max_value=200), min_size=1,
+                max_size=12),
+       st.integers(min_value=2, max_value=32))
+@settings(max_examples=12, deadline=None)
+def test_chunking_partitions_every_token_without_loss(lens, max_tokens):
+    """Chunks with overlap=0 exactly partition each doc's token stream:
+    counts sum to the doc length and order is preserved."""
+    spark = get_spark("tests-prop")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(ln)))
+         for i, ln in enumerate(lens)],
+        "doc_id long, text string")
+    from servihabitat_etl_spyke_spark.operators.curation import chunk_tokens
+    out = chunk_tokens(docs, max_tokens=max_tokens, overlap=0).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).extend(r["chunk"].split())
+    for i, ln in enumerate(lens):
+        assert by_doc[i] == [f"t{i}_{j}" for j in range(ln)]
+
+
+@given(st.lists(st.integers(min_value=1, max_value=50), min_size=1,
+                max_size=15),
+       st.integers(min_value=4, max_value=64))
+@settings(max_examples=12, deadline=None)
+def test_packing_bins_are_contiguous_and_bounded(lens, cap):
+    """pack_greedy bins are contiguous in doc order and every bin's token
+    total stays below cap + the size of its last doc (contiguous packing
+    overflows by at most one document)."""
+    spark = get_spark("tests-prop")
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range(ln)), "s") for i, ln in
+         enumerate(lens)],
+        "doc_id long, text string, source string")
+    from servihabitat_etl_spyke_spark.operators.curation import pack_greedy
+    rows = sorted(pack_greedy(docs, max_tokens=cap, group_col="source")
+                  .collect(), key=lambda r: r["doc_id"])
+    bins = [r["bin"] for r in rows]
+    assert bins == sorted(bins)          # contiguous, monotone in id order
+    totals = {}
+    for r in rows:
+        totals[r["bin"]] = totals.get(r["bin"], 0) + r["n_tokens"]
+    for b, tot in totals.items():
+        last = max(r["n_tokens"] for r in rows if r["bin"] == b)
+        assert tot < cap + last + 1
