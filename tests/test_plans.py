@@ -184,3 +184,59 @@ def test_pack_greedy_single_window_shuffle(spark, sf_dir):
     assert tree.count("Window") == 1
     # exactly two exchanges: hash for the window + range for the orderBy
     assert tree.count("Exchange") == 2
+
+
+# -- registry-wide scale-hazard audit ----------------------------------------
+
+# Queries ALLOWED to show a given hazard, with the reason it is by-design.
+# Anything else exhibiting one of these plan shapes fails the audit.
+_ALLOWED_HAZARDS = {
+    # BroadcastNestedLoopJoin with a 1-row build side: global scalar
+    # (threshold / total) broadcast back over a grouped result
+    "q11_important_parts": {"bnlj", "single_part"},
+    "q22_dormant_customers": {"bnlj", "single_part"},
+    "text_lm_score": {"bnlj", "single_part"},
+    "ephemeral_split": {"bnlj", "single_part"},
+    # exact brute-force similarity baselines (documented O(n^2); the LSH /
+    # IVF variants are the scale path) + tiny centroid cross joins
+    "ann_cosine_topk": {"bnlj"},
+    "ann_ivf_topk": {"bnlj"},
+    "ann_ivf_kmeans_topk": {"bnlj"},
+    "dedup_embedding": {"bnlj"},
+    "multimodal_embed_ann": {"bnlj"},
+    # single-row global aggregates (final agg of partials — tiny by then)
+    "q6_revenue_delta": {"single_part"},
+    "q14_promo_ratio": {"single_part"},
+    "q15_top_supplier": {"single_part"},
+    "q17_small_qty_avg": {"single_part"},
+    "q19_disjunctive_bands": {"single_part"},
+    "total_count": {"single_part"},
+    "pages_envelope": {"single_part"},
+    "fn_time_sortable_id": {"single_part"},
+}
+
+
+def test_registry_wide_no_new_scale_hazards(spark, sf_dir):
+    """Every registered query's physical plan is checked for the three
+    100 TB killers — CartesianProduct, Exchange SinglePartition, and
+    BroadcastNestedLoopJoin — against an explicit allowlist of by-design
+    exceptions. A new query (or a refactor of an old one) that introduces
+    one of these fails here with its name."""
+    violations = {}
+    for name, fn in sorted(QUERIES.items()):
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        tree = plan.split("\n\n")[0]
+        found = set()
+        if "CartesianProduct" in tree:
+            found.add("cartesian")
+        if "SinglePartition" in plan:
+            found.add("single_part")
+        if "BroadcastNestedLoopJoin" in tree:
+            found.add("bnlj")
+        extra = found - _ALLOWED_HAZARDS.get(name, set())
+        if extra:
+            violations[name] = sorted(extra)
+    assert not violations, violations
