@@ -170,3 +170,45 @@ def test_lm_score_keeps_all_oov_docs(spark):
     # OOV floor is below every in-vocab score
     in_vocab = lm_score(known, lm).collect()
     assert out[0]["avg_logprob"] < min(r["avg_logprob"] for r in in_vocab)
+
+
+def _run_stream(df, name, tmp_path):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / name))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return df.sparkSession.table(name)
+
+
+def test_stateless_curation_ops_run_in_streaming(spark, sf_dir, tmp_path):
+    """PII redaction, stratified sampling, chunking, and repetition stats
+    are stateless projections, so the SAME operator functions run
+    unchanged on a readStream DataFrame — the streaming-ingest curation
+    path needs no reimplementation. (Packing and decontamination are
+    stateful/two-pass by nature and stay batch or foreachBatch.)"""
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.operators.text import repetition_stats
+    batch = load_table(spark, sf_dir, "documents")
+    stream = (spark.readStream.schema(batch.schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    assert stream.isStreaming
+
+    got_red = _run_stream(C.pii_redact(stream), "cur_red", tmp_path)
+    assert got_red.count() == batch.count()
+
+    got_samp = _run_stream(
+        C.stratified_sample(stream, {"en": 0.5}, strata_col="lang",
+                            key_col="doc_id", default_rate=0.1),
+        "cur_samp", tmp_path)
+    batch_samp = C.stratified_sample(batch, {"en": 0.5}, strata_col="lang",
+                                     key_col="doc_id", default_rate=0.1)
+    assert got_samp.count() == batch_samp.count()  # same deterministic rows
+
+    got_chunk = _run_stream(C.chunk_tokens(stream, 64, 16),
+                            "cur_chunk", tmp_path)
+    assert got_chunk.count() == C.chunk_tokens(batch, 64, 16).count()
+
+    got_rep = _run_stream(repetition_stats(stream), "cur_rep", tmp_path)
+    assert got_rep.count() == batch.count()
