@@ -74,7 +74,13 @@ def main() -> None:
     names = [n for n in HEADLINE if n in QUERIES]
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        # best of 2, plus a 3rd attempt if the best still exceeds 3s:
+        # this VM shows 3-30x noise spikes from outside load, and a heavy
+        # query hit by two consecutive spikes would otherwise record a
+        # number that says nothing about the engine
+        for attempt in range(3):
+            if attempt == 2 and best <= 3.0:
+                break
             # some queries persist() intermediates; without this the
             # second run would read the first run's cache and under-time
             # the query (and the entries would leak across the whole run)
