@@ -327,3 +327,32 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
            .select("centroid_id", F.col("centroid").alias("cvec")))
     assigned = corpus.withColumn("centroid_id", F.col(label_col))
     return _ivf_probe(assigned, queries, cdf, k, n_probe, id_col, vec_col)
+
+
+# -- int8 storage quantization ------------------------------------------------
+
+
+def quantize_embeddings(corpus: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round_half_up(x_i / scale) — 4x smaller storage for ANN shards
+    with, typically, <1% recall loss. Returns (id, scale, qvec).
+
+    Row-local projection (no shuffle). round is floor(x + 0.5) — pure
+    IEEE arithmetic, so any engine quantizes bit-identically (F.round
+    would route through BigDecimal and disagree on .5 edges). Zero
+    vectors get scale 0 and all-zero codes."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(x, F.abs))
+    scale = amax / 127.0
+    q = F.when(scale == 0,
+               F.transform(x, lambda v: F.lit(0).cast("int"))) \
+        .otherwise(F.transform(
+            x, lambda v: F.floor(v / scale + 0.5).cast("int")))
+    return corpus.select(F.col(id_col), scale.alias("scale"),
+                         q.alias("qvec"))
+
+
+def dequantize(qvec: Column, scale: Column) -> Column:
+    """Inverse of :func:`quantize_embeddings` (double array)."""
+    return F.transform(qvec, lambda v: v.cast("double") * scale)

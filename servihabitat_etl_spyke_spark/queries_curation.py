@@ -253,3 +253,74 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                           + F.lit(0.5)) / 1000000)
                  .alias("mean_distinct_ratio"))
             .orderBy("lang"))
+
+
+@query("curate_pipeline", oracle="""
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+d AS (SELECT doc_id, text, lang, string_split(text, ' ') AS t
+      FROM documents JOIN keep USING (doc_id)),
+q AS (SELECT doc_id, text, lang, t FROM d
+      WHERE len(list_distinct(t)) / CAST(len(t) AS DOUBLE) >= 0.4),
+s AS (SELECT doc_id, t FROM q
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 10000
+            < CASE lang WHEN 'en' THEN 8000 ELSE 3000 END),
+c AS (SELECT doc_id, t,
+             greatest(CAST(ceil(len(t) / 64.0) AS BIGINT), 1) AS ns FROM s)
+SELECT doc_id, i AS chunk_idx,
+       len(list_slice(t, i * 64 + 1, i * 64 + 64)) AS n_tokens
+FROM c, UNNEST(range(0, ns)) AS u(i)
+ORDER BY doc_id, chunk_idx
+""")
+def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE composed dataflow: exact dedup ->
+    lexical-diversity quality gate -> per-language stratified sample ->
+    64-token chunking. A user runs their whole pretraining data prep in a
+    single call; every stage is the same operator exposed individually.
+
+    Shuffle story: dedup is one digest groupBy; the quality gate joins
+    the doc-keyed stats back co-partitioned on doc_id; sampling and
+    chunking are projections. Three shuffles end to end, none carrying
+    more than (id, text)."""
+    from .operators.dedup import exact_dedup
+    from .operators.text import repetition_stats
+    docs = load_table(spark, sf_dir, "documents")
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    deduped = docs.join(keep, "doc_id", "left_semi")
+    stats = repetition_stats(deduped).filter(F.col("distinct_ratio") >= 0.4)
+    gated = deduped.join(stats.select("doc_id"), "doc_id")
+    sampled = C.stratified_sample(gated, {"en": 0.8}, strata_col="lang",
+                                  key_col="doc_id", default_rate=0.3)
+    return (C.chunk_tokens(sampled, max_tokens=64, overlap=0)
+            .select("doc_id", "chunk_idx", "n_tokens")
+            .orderBy("doc_id", "chunk_idx"))
+
+
+@query("embed_quantize", oracle="""
+WITH x AS (SELECT vec_id,
+                  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+           FROM embeddings),
+s AS (SELECT vec_id, e,
+             list_max(list_transform(e, v -> abs(v))) / 127.0 AS scale
+      FROM x)
+SELECT vec_id,
+       floor(scale * 1000000 + 0.5) / 1000000 AS scale_r,
+       CASE WHEN scale = 0
+            THEN list_transform(e, v -> CAST(0 AS INT))
+            ELSE list_transform(e, v -> CAST(floor(v / scale + 0.5) AS INT))
+       END AS qvec
+FROM s ORDER BY vec_id
+""")
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding table: per-vector
+    scale + int codes (the 4x-smaller ANN shard format). Pure projection;
+    codes are integers and the scale is floor-rounded, so the oracle is
+    bit-exact."""
+    from .operators.similarity import quantize_embeddings
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return (q.select("vec_id",
+                     (F.floor(F.col("scale") * 1000000 + F.lit(0.5))
+                      / 1000000).alias("scale_r"),
+                     "qvec")
+            .orderBy("vec_id"))

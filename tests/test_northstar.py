@@ -182,3 +182,32 @@ def test_multimodal_features_feed_similarity(spark, sf_dir):
     out = SIM.cosine_topk(feats, queries, k=3)
     assert out.count() > 0
     assert set(out.columns) == {"query_id", "neighbor_id", "rank"}
+
+
+def test_quantize_roundtrip_preserves_topk_neighbors(spark, sf_dir):
+    """int8 round-trip must preserve brute-force cosine top-5 neighbors
+    for most queries (the recall argument for shipping quantized shards)."""
+    from servihabitat_etl_spyke_spark.operators.similarity import (
+        dequantize, quantize_embeddings)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    deq = q.select("vec_id", dequantize(F.col("qvec"),
+                                        F.col("scale")).alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(SIM.cosine_topk(emb, queries, k=5))
+    approx = _topk_sets(SIM.cosine_topk(
+        deq, emb.filter(F.col("vec_id") < 5), k=5))
+    overlap = sum(len(exact[i] & approx[i]) for i in exact) \
+        / sum(len(exact[i]) for i in exact)
+    assert overlap >= 0.8, overlap
+
+
+def test_quantize_codes_within_int8_range(spark, sf_dir):
+    from servihabitat_etl_spyke_spark.operators.similarity import (
+        quantize_embeddings)
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = (quantize_embeddings(emb)
+         .select(F.array_max("qvec").alias("hi"),
+                 F.array_min("qvec").alias("lo"))
+         .agg(F.max("hi"), F.min("lo")).collect()[0])
+    assert r[0] <= 127 and r[1] >= -127
