@@ -604,7 +604,8 @@ def fn_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("fn_json_parse", oracle="""
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        count(*) AS cnt
 FROM events GROUP BY event_type ORDER BY event_type
 """)

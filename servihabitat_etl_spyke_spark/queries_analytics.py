@@ -378,10 +378,15 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: the single-pass mergeable-sketch path for
     quantiles at 100 TB (exact percentile needs a per-group sort; the
     sketch merges map-side). Accuracy against the exact form is asserted
-    in tests/test_scale.py, not by the hash oracle."""
+    in tests/test_scale.py, not by the hash oracle.
+
+    Output is one scalar column per percentile (never an array column:
+    the driver harness canonicalizes results via pandas sort_values,
+    which cannot hash list cells)."""
     li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return (li.groupBy("l_returnflag")
-            .agg(F.percentile_approx(
-                "l_extendedprice", [0.5, 0.95, 0.99], 10000)
-                .alias("approx_pcts"))
+            .agg(pct.getItem(0).alias("p50"),
+                 pct.getItem(1).alias("p95"),
+                 pct.getItem(2).alias("p99"))
             .orderBy("l_returnflag"))

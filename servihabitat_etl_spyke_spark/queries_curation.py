@@ -219,7 +219,8 @@ e AS (SELECT lang, n_chars, len(t) AS ntok,
              CAST(floor(1000000000.0 * len(list_distinct(t)) / len(t) + 0.5)
                   AS BIGINT) AS dr_nano
       FROM d)
-SELECT lang, count(*) AS n_docs, sum(ntok) AS total_tokens,
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS total_tokens,
        floor(quantile_cont(n_chars, 0.5) * 100 + 0.5) / 100 AS p50_chars,
        floor(quantile_cont(n_chars, 0.95) * 100 + 0.5) / 100 AS p95_chars,
        floor((sum(dr_nano) / count(*)) / 1000.0 + 0.5) / 1000000
@@ -302,25 +303,37 @@ WITH x AS (SELECT vec_id,
            FROM embeddings),
 s AS (SELECT vec_id, e,
              list_max(list_transform(e, v -> abs(v))) / 127.0 AS scale
-      FROM x)
+      FROM x),
+q AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(e, v -> CAST(0 AS INT))
+                  ELSE list_transform(
+                      e, v -> CAST(floor(v / scale + 0.5) AS INT))
+             END AS qvec
+      FROM s)
 SELECT vec_id,
        floor(scale * 1000000 + 0.5) / 1000000 AS scale_r,
-       CASE WHEN scale = 0
-            THEN list_transform(e, v -> CAST(0 AS INT))
-            ELSE list_transform(e, v -> CAST(floor(v / scale + 0.5) AS INT))
-       END AS qvec
-FROM s ORDER BY vec_id
+       md5(array_to_string(qvec, ',')) AS qvec_digest,
+       CAST(list_sum(qvec) AS BIGINT) AS code_sum
+FROM q ORDER BY vec_id
 """)
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding table: per-vector
     scale + int codes (the 4x-smaller ANN shard format). Pure projection;
     codes are integers and the scale is floor-rounded, so the oracle is
-    bit-exact."""
+    bit-exact.
+
+    The int8 code vector is surfaced as a digest + checksum rather than
+    the raw array: the driver harness cannot canonicalize array-typed
+    output cells (pandas sort_values on list cells raises), and the
+    digest pins every code byte anyway."""
     from .operators.similarity import quantize_embeddings
     emb = load_table(spark, sf_dir, "embeddings")
     q = quantize_embeddings(emb)
     return (q.select("vec_id",
                      (F.floor(F.col("scale") * 1000000 + F.lit(0.5))
                       / 1000000).alias("scale_r"),
-                     "qvec")
+                     F.md5(F.array_join("qvec", ",")).alias("qvec_digest"),
+                     F.aggregate("qvec", F.lit(0).cast("long"),
+                                 lambda acc, x: acc + x).alias("code_sum"))
             .orderBy("vec_id"))

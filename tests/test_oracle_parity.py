@@ -53,8 +53,9 @@ def duckdb_run(sql: str, sf_dir: str):
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()
+    pdf = con.execute(sql).df()
     con.close()
-    return cols, rows
+    return cols, rows, pdf
 
 
 ORACLES = entry_mod.oracle_sql()
@@ -66,7 +67,23 @@ def test_oracle_parity(spark, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
-    d_cols, d_rows = duckdb_run(ORACLES[name], sf_dir)
+    d_cols, d_rows, d_pdf = duckdb_run(ORACLES[name], sf_dir)
+
+    # The driver canonicalizes BOTH sides through pandas, where dtype
+    # matters: DuckDB widens integer sum() to HUGEINT, which lands as
+    # float64 and hash-mismatches Spark's int64 even when values are
+    # byte-identical (the fn_json_parse r01 FAIL). An integral Spark
+    # column whose DuckDB twin is float WITHOUT any NaN means the oracle
+    # needs an explicit CAST(... AS BIGINT).
+    integral = {f.name for f in sdf.schema.fields
+                if f.dataType.typeName() in
+                ("long", "integer", "short", "byte")}
+    for c in d_pdf.columns:
+        if c in integral and d_pdf[c].dtype.kind == "f":
+            assert d_pdf[c].isna().any(), (
+                f"{name}: oracle column {c!r} is HUGEINT/float in pandas "
+                f"but Spark emits integer — wrap the oracle aggregate in "
+                f"CAST(... AS BIGINT)")
 
     s_n, s_names, s_hash = table_digest(s_cols, s_rows)
     d_n, d_names, d_hash = table_digest(d_cols, d_rows)
@@ -91,3 +108,16 @@ def test_every_query_runs(spark, sf_dir):
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_no_complex_typed_output_columns(spark, sf_dir):
+    """The driver harness canonicalizes results via pandas.sort_values,
+    which dies on unhashable cells (TypeError: unhashable type 'list').
+    No registry query — oracled OR rows-only — may emit array/map/struct
+    output columns (the agg_approx_percentiles r01 crash)."""
+    bad = []
+    for name, fn in QUERIES.items():
+        for f in fn(spark, sf_dir).schema.fields:
+            if f.dataType.typeName() in ("array", "map", "struct"):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"complex-typed output columns: {bad}"

@@ -100,12 +100,11 @@ def test_global_row_numbers_avoids_single_partition_window(spark, sf_dir):
 
 def test_approx_percentiles_within_sketch_error(spark, sf_dir):
     from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.queries_analytics import (
+        agg_approx_percentiles)
     li = load_table(spark, sf_dir, "lineitem")
-    approx = {r["l_returnflag"]: r["approx_pcts"] for r in
-              li.groupBy("l_returnflag")
-              .agg(F.percentile_approx("l_extendedprice",
-                                       [0.5, 0.95, 0.99], 10000)
-                   .alias("approx_pcts")).collect()}
+    approx = {r["l_returnflag"]: [r["p50"], r["p95"], r["p99"]] for r in
+              agg_approx_percentiles(spark, sf_dir).collect()}
     exact = {r["l_returnflag"]: r["pcts"] for r in
              li.groupBy("l_returnflag")
              .agg(F.expr("percentile(l_extendedprice, "
