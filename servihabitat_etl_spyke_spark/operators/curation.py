@@ -34,7 +34,6 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import spread as _spread
-from .dedup import word_shingles
 
 # -- PII redaction -----------------------------------------------------------
 
@@ -84,10 +83,15 @@ def decontaminate(train: DataFrame, evalset: DataFrame, n: int = 8,
     corpus explodes its shingles once and aggregates per doc id — shuffle
     is proportional to matched grams only, because the broadcast join
     filters before the groupBy."""
-    grams = word_shingles(F.col(text_col), n)
-    ev = (evalset.select(F.explode(grams).alias("gram"))
+    # tokens bound in their own projection first: a split() captured in
+    # the shingle lambda would re-tokenize per n-gram position (see
+    # dedup.shingles_from_tokens)
+    from .dedup import shingles_from_tokens, tokenized
+    grams = shingles_from_tokens(F.col("_toks"), n)
+    ev = (evalset.select(F.split(F.col(text_col), " ").alias("_toks"))
+          .select(F.explode(grams).alias("gram"))
           .distinct())
-    tr = (_spread(train, id_col)
+    tr = (tokenized(train, id_col, text_col)
           .select(F.col(id_col), F.explode(grams).alias("gram")))
     return (tr.join(F.broadcast(ev), "gram")
             .groupBy(id_col)
@@ -140,7 +144,7 @@ def chunk_tokens(docs: DataFrame, max_tokens: int = 64, overlap: int = 0,
     scales with input partitions and never shuffles."""
     assert 0 <= overlap < max_tokens
     step = max_tokens - overlap
-    toks = F.split(F.col(text_col), " ")
+    toks = F.col("_toks")
     # starts: 0, step, 2*step, ... while start < len - overlap (and always
     # at least one window)
     n_starts = F.greatest(
@@ -148,7 +152,11 @@ def chunk_tokens(docs: DataFrame, max_tokens: int = 64, overlap: int = 0,
     chunks = F.transform(
         F.sequence(F.lit(0), n_starts - 1),
         lambda i: F.slice(toks, i * step + 1, max_tokens))
+    # tokens bound as an attribute first — an inline split captured in the
+    # slice lambda would re-tokenize once per window (see
+    # dedup.shingles_from_tokens)
     return (_spread(docs, id_col)
+            .select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
             .select(F.col(id_col),
                     F.posexplode(chunks).alias("chunk_idx", "_c"))
             .select(F.col(id_col), "chunk_idx",

@@ -39,9 +39,15 @@ def _hash32(c: Column, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM array ops)."""
-    toks = F.split(text, " ")
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-array column.
+
+    ``toks`` MUST be a materialized column (an attribute from its own
+    projection), never an inline ``F.split(...)`` expression: expressions
+    captured inside a higher-order-function lambda are re-evaluated PER
+    ELEMENT (interpreted, no invariant hoisting), so an inline split would
+    re-tokenize the document once per shingle position — measured ~5x on
+    the signature stage. Use :func:`tokenized` to bind the projection."""
     # floor of 1: a shorter-than-n text yields one (truncated) shingle;
     # floor 0 would make sequence(1,0) DESCEND ([1,0]) and break slice()
     grams = F.transform(
@@ -50,14 +56,31 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def tokenized(docs: DataFrame, id_col: str, text_col: str,
+              extra_cols: list[str] | None = None) -> DataFrame:
+    """(id, _toks) projection: whitespace tokens as a bound attribute, the
+    required input shape for :func:`shingles_from_tokens`. Docs are
+    hash-spread first — the CPU-heavy shingle/hash work downstream must
+    not serialize on a few input file partitions."""
+    return _spread(docs, id_col).select(
+        F.col(id_col), *(extra_cols or []),
+        F.split(F.col(text_col), " ").alias("_toks"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a raw text column. Convenience
+    form for one-off column use — inside operators prefer
+    ``tokenized(...)`` + :func:`shingles_from_tokens` (see there: an
+    inline split re-evaluates per shingle inside the lambda)."""
+    return shingles_from_tokens(F.split(text, " "), n)
+
+
 def shingle_table(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded distinct-shingle table (docs are
-    hash-spread first — the CPU-heavy explode+hash must not serialize on
-    a few input file partitions)."""
-    return _spread(docs, id_col).select(
+    """(doc_id, shingle) exploded distinct-shingle table."""
+    return tokenized(docs, id_col, text_col).select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
 
 
 # -- exact dedup ---------------------------------------------------------------
@@ -109,11 +132,27 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
 
 # -- MinHash + LSH ------------------------------------------------------------------
 
+# Universal-hash family for MinHash permutations (Broder's construction):
+# h_i(x) = (a_i * x + b_i) mod p over a 32-bit base hash x. p is the
+# smallest prime > 2^32; a_i < 2^30 keeps a*x + b < 2^63 (no signed-64
+# overflow, so Spark and DuckDB compute bit-identical values).
+_MH_PRIME = 4294967311
+
+
+def _mh_params(k: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) permutation constants — fixed multiplicative
+    mixing of the index, shared by the Spark operator and the SQL oracle
+    generator so both engines build the identical hash family."""
+    a = [((0x9E3779B1 * (i + 1)) % (1 << 30)) | 1 for i in range(k)]
+    b = [(0x85EBCA77 * (i + 1)) % _MH_PRIME for i in range(k)]
+    return a, b
+
 
 def minhash_signatures(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3) -> DataFrame:
-    """k-permutation MinHash signature per doc: min of k 32-bit hashes
-    over the shingle set — columns mh0..mh{k-1}.
+    """k-permutation MinHash signature per doc: min over the shingle set of
+    k universal-hash permutations of a 32-bit base hash — long columns
+    mh0..mh{k-1}.
 
     Entirely ROW-LOCAL: the shingle array never explodes and there is no
     aggregation, because min over the shingle *multiset* equals min over
@@ -123,39 +162,40 @@ def minhash_signatures(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
     explode + distinct + 16-column groupBy — cost two shuffles of the full
     shingle table.)
 
-    Cost shape: one md5 yields FOUR hash functions (128 bits = 4 x 32-bit
-    hex chunks), so k=16 needs 4 digests per shingle, computed once in a
-    projection the k substring/array_min exprs then share. The hashes stay
-    fixed-width hex strings: lexicographic min == numeric min, and skipping
-    string->long parses is ~25% off the stage."""
-    assert k % 4 == 0, "k must be a multiple of 4 (4 hashes per digest)"
+    Cost shape: ONE md5 per shingle (the base hash); the k permutations
+    are integer multiply-add-mod folds over the long array — no per-
+    permutation digests, no string allocation. (An earlier 4-seeded-md5
+    chunked family cost 4 md5 + 16 substring transforms per shingle;
+    the arithmetic family is ~2x faster and standard practice.)"""
     # drop NULL-text docs (the explode+groupBy form dropped them naturally;
     # without this they'd carry null signatures and collide in every LSH
     # band — m null docs -> O(m^2) spurious candidate pairs)
     docs = docs.filter(F.col(text_col).isNotNull())
-    arr = word_shingles(F.col(text_col), n)
 
-    # closure FACTORIES, not `lambda s, j=j:` parameter defaults — a
-    # 2-parameter lambda makes PySpark pass (element, INDEX) and the
+    # Tokens, shingles, and base hashes each get their OWN projection:
+    # inlining would re-evaluate the producing expression per consumer —
+    # and per ELEMENT when captured in a lambda (see shingles_from_tokens).
+    # CollapseProject leaves a non-cheap expression used more than once in
+    # its own Project. Measured ~2x off the stage, on top of the ~5x from
+    # not re-splitting inside the lambda.
+    shingled = tokenized(docs, id_col, text_col).select(
+        F.col(id_col), shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
+    hashed = shingled.select(
+        F.col(id_col),
+        F.transform("_sh", lambda s: _hash32(s)).alias("_h"))
+
+    # closure FACTORY, not `lambda x, a=a, b=b:` parameter defaults — a
+    # multi-parameter lambda makes PySpark pass (element, INDEX) and the
     # "default" silently binds to the runtime index column (seen: the
     # f-string baked "Column<x_N>:" into the hash seed, making signatures
     # plan-context-dependent garbage)
-    def _seeded_md5(j: int):
-        prefix = f"{j}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    def _perm(a: int, b: int):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
 
-    def _hex_chunk(start: int):
-        return lambda x: F.substring(x, start, 8)
-
-    digests = _spread(docs, id_col).select(
+    av, bv = _mh_params(k)
+    return hashed.select(
         F.col(id_col),
-        *[F.transform(arr, _seeded_md5(j)).alias(f"d{j}")
-          for j in range(k // 4)])
-    return digests.select(
-        F.col(id_col),
-        *[F.array_min(F.transform(
-            F.col(f"d{i // 4}"),
-            _hex_chunk(1 + 8 * (i % 4)))).alias(f"mh{i}")
+        *[F.array_min(F.transform("_h", _perm(av[i], bv[i]))).alias(f"mh{i}")
           for i in range(k)])
 
 
@@ -211,9 +251,10 @@ def verify_pairs(docs: DataFrame, cand: DataFrame, threshold: float = 0.5,
     cand_ids = (cand.select(F.col("id_a").alias(id_col))
                 .union(cand.select(F.col("id_b").alias(id_col)))
                 .distinct())
-    cdocs = _spread(
-        docs.join(F.broadcast(cand_ids), id_col, "left_semi"), id_col)
-    sh_arr = word_shingles(F.col(text_col), n)
+    cdocs = tokenized(
+        docs.join(F.broadcast(cand_ids), id_col, "left_semi"),
+        id_col, text_col)
+    sh_arr = shingles_from_tokens(F.col("_toks"), n)
     with_a = (cdocs.select(F.col(id_col).alias("id_a"),
                            sh_arr.alias("sh_a"))
               .join(F.broadcast(cand), "id_a"))
@@ -306,10 +347,11 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
     exactly associative, so this is bit-identical to the grouped form
     (NULL-text docs dropped, as the grouped form did naturally)."""
     docs = docs.filter(F.col(text_col).isNotNull())
-    arr = word_shingles(F.col(text_col), n)
-    hashed = _spread(docs, id_col).select(
-        F.col(id_col),
-        F.transform(arr, lambda s: _hash32(s)).alias("_h"))
+    hashed = (tokenized(docs, id_col, text_col)
+              .select(F.col(id_col),
+                      shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
+              .select(F.col(id_col),
+                      F.transform("_sh", lambda s: _hash32(s)).alias("_h")))
 
     def vote(j: int) -> Column:
         return F.aggregate(

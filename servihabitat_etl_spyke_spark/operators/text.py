@@ -49,12 +49,15 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Per-doc quality signals: lengths, token stats, stopword ratio,
     punctuation ratio, all-caps ratio — the standard cheap filters applied
-    before expensive model-based scoring."""
-    docs = spread(docs, id_col)
+    before expensive model-based scoring.
+
+    Tokens are bound in their own projection — six inline references to a
+    split() expression would tokenize six times per row."""
     text = F.col(text_col)
-    toks = tokens(text)
+    toks = F.col("_toks")
     n_tok = F.size(toks)
-    return docs.select(
+    return spread(docs, id_col).select(
+        F.col(id_col), text, tokens(text).alias("_toks")).select(
         F.col(id_col),
         F.length(text).alias("n_chars"),
         n_tok.alias("n_tokens"),
@@ -119,21 +122,33 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     nested filter — O(distinct * n) per row, bounded by doc length — and
     the 3-gram list keeps duplicates (the dup fraction needs the
     multiset). All ratios are integer/integer divisions, so any engine
-    computes bit-identical doubles."""
-    toks = F.split(F.col(text_col), " ")
-    dist = F.array_distinct(toks)
+    computes bit-identical doubles.
+
+    Tokens / distinct tokens / 3-gram list are each bound in their own
+    projection: an inline split() captured in a lambda re-evaluates PER
+    ELEMENT (see dedup.shingles_from_tokens), and a non-cheap expression
+    referenced twice inline is computed twice."""
+    toks, dist, g3 = F.col("_toks"), F.col("_dist"), F.col("_g3")
     counts = F.transform(
         dist, lambda x: F.size(F.filter(toks, lambda y: y == x)))
-    g3 = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, 3), " "))
-    return spread(docs, id_col).select(
-        F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        (F.size(dist) / F.size(toks)).alias("distinct_ratio"),
-        (F.array_max(counts) / F.size(toks)).alias("top_token_frac"),
-        (1 - F.size(F.array_distinct(g3)) / F.size(g3)).alias("dup_3gram_frac"),
-    )
+    return (spread(docs, id_col)
+            .select(F.col(id_col),
+                    F.split(F.col(text_col), " ").alias("_toks"))
+            .select(F.col(id_col), "_toks",
+                    F.array_distinct("_toks").alias("_dist"),
+                    F.transform(
+                        F.sequence(F.lit(1),
+                                   F.greatest(F.size(toks) - 2, F.lit(1))),
+                        lambda i: F.array_join(F.slice(toks, i, 3), " "))
+                    .alias("_g3"))
+            .select(
+                F.col(id_col),
+                F.size(toks).alias("n_tokens"),
+                (F.size(dist) / F.size(toks)).alias("distinct_ratio"),
+                (F.array_max(counts) / F.size(toks)).alias("top_token_frac"),
+                (1 - F.size(F.array_distinct(g3)) / F.size(g3))
+                .alias("dup_3gram_frac"),
+            ))
 
 
 # -- unigram LM scoring -------------------------------------------------------

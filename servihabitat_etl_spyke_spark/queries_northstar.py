@@ -39,26 +39,27 @@ _H32 = "('0x' || substr(md5({v}), 1, 8))::UBIGINT::BIGINT"
 
 def _minhash_oracle(k: int = 16, bands: int = 4, rows: int = 4,
                     threshold: float = 0.5) -> str:
-    # chunked hash family (mirror of dedup.minhash_signatures): hash i is
-    # the 32-bit hex chunk i%4 of md5("{i//4}:" || shingle), kept as a
-    # fixed-width hex string (lexicographic min == numeric min)
-    def h(i: int) -> str:
-        return ("substr(md5('{p}:' || shingle), {start}, 8)"
-                ).format(p=i // 4, start=1 + 8 * (i % 4))
+    # universal-hash family (mirror of dedup.minhash_signatures): hash i
+    # is (a_i * h32(shingle) + b_i) mod p — pure BIGINT arithmetic, so
+    # DuckDB reproduces the Spark signatures bit-exactly
+    from .operators.dedup import _MH_PRIME, _mh_params
+    av, bv = _mh_params(k)
     mins = ",\n         ".join(
-        f"min({h(i)}) AS mh{i}" for i in range(k))
+        f"min(({av[i]} * h + {bv[i]}) % {_MH_PRIME}) AS mh{i}"
+        for i in range(k))
     band_rows = []
     for bi in range(bands):
-        key = " || ',' || ".join(
-            f"mh{bi * rows + ri}" for ri in range(rows))
+        key = ", ".join(f"mh{bi * rows + ri}" for ri in range(rows))
         band_rows.append(
-            f"SELECT doc_id, {bi} AS band, md5({key}) AS key FROM sig")
+            f"SELECT doc_id, {bi} AS band, md5(concat_ws(',', {key})) "
+            f"AS key FROM sig")
     banded = "\n  UNION ALL\n  ".join(band_rows)
     body = f"""WITH {_SH_SQL},
+hashed AS (SELECT doc_id, {_H32.format(v='shingle')} AS h FROM sh),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ),
 banded AS (
   {banded}

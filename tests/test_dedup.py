@@ -40,16 +40,17 @@ def test_minhash_signature_matches_hashlib_ground_truth(spark):
     plan-context-dependent)."""
     import hashlib
     from servihabitat_etl_spyke_spark.operators.dedup import (
-        minhash_signatures)
+        _MH_PRIME, _mh_params, minhash_signatures)
     docs = spark.createDataFrame(
         [(1, "aa bb cc dd ee")], "doc_id long, text string")
     r = minhash_signatures(docs, k=8).collect()[0]
     shingles = ["aa bb cc", "bb cc dd", "cc dd ee"]
+    base = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            for s in shingles]
+    av, bv = _mh_params(8)
     for i in range(8):
-        digs = [hashlib.md5(f"{i // 4}:{s}".encode()).hexdigest()
-                for s in shingles]
-        start = 8 * (i % 4)
-        assert r[f"mh{i}"] == min(d[start:start + 8] for d in digs), i
+        assert r[f"mh{i}"] == min(
+            (av[i] * h + bv[i]) % _MH_PRIME for h in base), i
 
 
 def test_signature_is_plan_context_independent(spark):
