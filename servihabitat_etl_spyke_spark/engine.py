@@ -32,6 +32,9 @@ class Engine:
         self.spark = spark
         self.sf_dir = sf_dir
         self._models: dict[str, Model] = {}
+        # bumped on EVERY register_model call (a len()-based check would
+        # miss same-name re-registration and never refresh the SQL views)
+        self._registry_version = 0
         self._views_version = -1  # forces first-use view registration
 
     @classmethod
@@ -46,6 +49,7 @@ class Engine:
         """Runtime DDL analog (objects bundle, objectsAPI.ts:133-193): a new
         model becomes queryable immediately — no codegen, just metadata."""
         self._models[model.name] = model
+        self._registry_version += 1
 
     def register_default_models(self) -> None:
         from .queries import CUSTOMER, DOCUMENTS, EVENTS, ORDERS
@@ -107,14 +111,18 @@ class Engine:
         """ANSI SQL over the standard tables AND every registered model
         (views refresh when the model registry grows, so runtime-registered
         models are immediately SQL-visible)."""
-        if self._views_version != len(self._models):
+        if self._views_version != self._registry_version:
+            from pyspark.errors import AnalysisException
             register_views(self.spark, self.sf_dir)
             for name in self._models:
                 try:
                     self.table(name).createOrReplaceTempView(name)
-                except Exception:
-                    pass  # model without a backing parquet file
-            self._views_version = len(self._models)
+                except AnalysisException as e:
+                    # only "no backing file yet" is benign; schema
+                    # corruption / permission errors must surface
+                    if "PATH_NOT_FOUND" not in str(e):
+                        raise
+            self._views_version = self._registry_version
         return self.spark.sql(statement)
 
     def run(self, query_name: str) -> DataFrame:

@@ -385,11 +385,19 @@ def _unit_vectors(corpus: DataFrame, id_col: str, vec_col: str,
                   out_col: str = "uvec") -> DataFrame:
     """(id, unit-normalized double vector) — norm computed once per row in
     its own projection (inside a single transform() it would re-fold per
-    element: 64 norms/row instead of 1)."""
+    element: 64 norms/row instead of 1).
+
+    Zero-norm vectors are DROPPED: dividing by 0 would yield NaN
+    components, and Spark orders NaN above every double, so
+    ``dot(ua, ub) >= threshold`` would be TRUE for every pair touching a
+    zero vector — spurious near-dup pairs, with NaN semantics that differ
+    between engines. A zero embedding has no direction; it cannot be
+    cosine-similar to anything."""
     from .similarity import norm
     return (corpus
             .select(F.col(id_col), F.col(vec_col).alias("_v"),
                     norm(F.col(vec_col)).alias("_n"))
+            .filter(F.col("_n") > 0)
             .select(F.col(id_col),
                     F.transform("_v", lambda x: x.cast("double") / F.col("_n"))
                     .alias(out_col)))
@@ -495,6 +503,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
              .localCheckpoint())
     labels = edges.groupBy("u").agg(
         F.least(F.first("u"), F.min("v")).alias("label"))
+    changed = 0
     for _ in range(max_iter):
         nbr = (edges.join(labels.select(F.col("u").alias("v"),
                                         F.col("label").alias("lv")), "v")
@@ -510,5 +519,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                   .localCheckpoint())
         if changed == 0:
             break
+    if changed != 0:
+        # exiting by iteration cap with labels still moving would return
+        # silently-wrong cluster ids — fail loudly instead (a dedup graph
+        # with diameter > max_iter needs a larger cap or the alternating
+        # large-star/small-star variant)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing)")
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("label").alias("cluster_id"))

@@ -217,10 +217,20 @@ def keyed_upsert(existing: DataFrame | None, incoming: DataFrame,
     (incoming keys are the small side in steady-state ETL) or shuffled
     anti-join, no driver involvement.
     """
-    deduped = incoming.groupBy(key).agg(
-        *[F.max_by(c, "_ingest_order").alias(c)
-          for c in incoming.columns if c not in (key, "_ingest_order")]
-    ) if "_ingest_order" in incoming.columns else incoming.dropDuplicates([key])
+    if "_ingest_order" in incoming.columns:
+        payload = [c for c in incoming.columns
+                   if c not in (key, "_ingest_order")]
+        # ONE max_by over a struct of the whole payload: per-column
+        # max_by(c, order) would pick each column independently, and two
+        # rows tying on _ingest_order could interleave fields into a
+        # merged row that never existed
+        deduped = (incoming.groupBy(key)
+                   .agg(F.max_by(F.struct(*payload), "_ingest_order")
+                        .alias("_w"))
+                   .select(key, *[F.col(f"_w.{c}").alias(c)
+                                  for c in payload]))
+    else:
+        deduped = incoming.dropDuplicates([key])
     if existing is None:
         return deduped
     kept = existing.join(deduped.select(key), on=key, how="left_anti")

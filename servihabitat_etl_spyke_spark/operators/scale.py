@@ -116,7 +116,15 @@ def global_row_numbers(df: DataFrame, order_col: str,
     for b in bounds:
         term = (F.col(order_col) > F.lit(b)).cast("int")
         bucket = term if bucket is None else bucket + term
-    part = df.withColumn("_b", bucket if bucket is not None else F.lit(0))
+    # NULL order_col rows get a dedicated bucket BELOW all boundaries:
+    # approxQuantile ignores nulls and `col > bound` is NULL for them, so
+    # without this the comparison chain yields a NULL bucket and the
+    # offsets join silently DROPS those rows. row_number() keeps nulls and
+    # Spark's default asc ordering is NULLS FIRST — bucket -1 plus the
+    # window's own null placement reproduces that exactly.
+    bucket = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(
+        bucket if bucket is not None else F.lit(0))
+    part = df.withColumn("_b", bucket)
     counts = part.groupBy("_b").count().collect()
     offsets, acc = [], 0
     for r in sorted(counts, key=lambda r: r["_b"]):

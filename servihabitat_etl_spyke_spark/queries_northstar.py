@@ -220,7 +220,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH u AS (
   SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
-  FROM embeddings)
+  FROM embeddings
+  WHERE list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),

@@ -81,3 +81,31 @@ def test_incremental_equals_full_restricted(spark, sf_dir):
             .filter((F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0))
             .collect())
     assert sorted(map(tuple, inc)) == sorted(map(tuple, full))
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Exiting by iteration cap with labels still moving must raise, not
+    return silently-wrong cluster ids."""
+    import pytest
+
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        connected_components)
+    path_graph = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path_graph, max_iter=1)
+
+
+def test_embedding_neardup_drops_zero_vectors(spark):
+    """A zero embedding has no direction: dividing by its 0 norm yields
+    NaN, and Spark sorts NaN above every double, so zero vectors used to
+    pair with EVERYTHING. They must emit no pairs at all."""
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        embedding_neardup)
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0]),
+         (4, [0.9, 0.1])],
+        "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in embedding_neardup(emb, threshold=0.45).collect()}
+    assert pairs == {(3, 4)}

@@ -60,3 +60,25 @@ def test_runtime_model_registration(eng):
     assert len(rows) == 3
     vals = [r["p_retailprice"] for r in rows]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_sql_views_refresh_on_reregistration(spark, sf_dir, tmp_path):
+    """Re-registering a model under an existing name must refresh the SQL
+    views even though the model COUNT is unchanged (a len()-based check
+    missed it), and a backing parquet that appears after the first sql()
+    call must become visible."""
+    import os
+
+    from servihabitat_etl_spyke_spark.catalog import TABLES, table_path
+
+    for t in TABLES:
+        os.symlink(table_path(sf_dir, t), tmp_path / f"{t}.parquet")
+    e = Engine(spark, str(tmp_path))
+    e.register_default_models()
+    e.register_model(model("extra", FieldSpec("id", is_id=True)))
+    assert e.sql("SELECT count(*) AS n FROM orders").first()["n"] > 0
+    # backing file appears AFTER the first sql(); same model count
+    spark.createDataFrame([(1, "x")], "id long, v string") \
+        .write.parquet(str(tmp_path / "extra.parquet"))
+    e.register_model(model("extra", FieldSpec("id", is_id=True)))
+    assert e.sql("SELECT v FROM extra").first()["v"] == "x"

@@ -130,3 +130,16 @@ def test_read_jsonl_malformed_lines_survive(spark, tmp_path):
     rows = decoded.collect()
     assert len(rows) == 2                 # malformed row -> nulls, not a crash
     assert {r["id"] for r in rows} == {"ok", None}
+
+
+def test_keyed_upsert_tie_on_order_keeps_coherent_row(spark):
+    """Two rows sharing key AND _ingest_order must resolve to ONE of the
+    input rows — per-column max_by could interleave fields from different
+    rows into a row that never existed."""
+    from servihabitat_etl_spyke_spark.operators.etl import keyed_upsert
+    incoming = spark.createDataFrame(
+        [(1, "a1", "b1", 7), (1, "a2", "b2", 7)],
+        "id long, x string, y string, _ingest_order long")
+    rows = keyed_upsert(None, incoming, "id").collect()
+    assert len(rows) == 1
+    assert (rows[0]["x"], rows[0]["y"]) in {("a1", "b1"), ("a2", "b2")}

@@ -113,3 +113,15 @@ def test_approx_percentiles_within_sketch_error(spark, sf_dir):
     for flag, aps in approx.items():
         for a, e in zip(aps, exact[flag]):
             assert abs(a - e) / max(abs(e), 1e-9) < 0.02, (flag, a, e)
+
+
+def test_global_row_numbers_keeps_null_order_keys(spark):
+    """NULL order_col rows must be kept and ranked first (row_number()
+    semantics: asc NULLS FIRST) — the bucket chain used to evaluate to
+    NULL for them and the offsets join silently dropped the rows."""
+    df = spark.createDataFrame(
+        [(None, 1), (5, 2), (None, 3), (2, 4)], "k int, t int")
+    out = SC.global_row_numbers(df, "k", tiebreaks=["t"], buckets=2).collect()
+    assert len(out) == 4
+    rn = {(r["k"], r["t"]): r["rn"] for r in out}
+    assert rn == {(None, 1): 1, (None, 3): 2, (2, 4): 3, (5, 2): 4}
