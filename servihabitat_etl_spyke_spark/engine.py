@@ -32,6 +32,10 @@ class Engine:
         self.spark = spark
         self.sf_dir = sf_dir
         self._models: dict[str, Model] = {}
+        # runtime-declared tables (create_model): name -> DataFrame.
+        # Shadows same-named parquet — latest declaration wins, like the
+        # reference's put handler overwriting an existing object schema.
+        self._runtime_tables: dict[str, DataFrame] = {}
         # bumped on EVERY register_model call (a len()-based check would
         # miss same-name re-registration and never refresh the SQL views)
         self._registry_version = 0
@@ -51,6 +55,46 @@ class Engine:
         self._models[model.name] = model
         self._registry_version += 1
 
+    def create_model(self, spec, data: list | DataFrame | None = None,
+                     bind_to: str | None = None) -> Model:
+        """CREATE TABLE from a JSON object description — the full `objects`
+        bundle lifecycle (reference ``objectsAPI.ts:133-193`` accepts the
+        description, codegens a zod schema, and provisions a CRUD store;
+        ``objectsSchemas.ts:11-20,63-78`` define the description format).
+
+        Here the description compiles straight to FieldSpec metadata + a
+        Spark StructType (model.model_from_json_description) and the model is
+        immediately list()/page()/sql()-queryable:
+
+        - ``data=None``: an empty table with the declared schema (the
+          reference's fresh LevelDB store).
+        - ``data=[rows]`` or a DataFrame: initial-data bootstrap
+          (S12 semantics) — rows are validated against the declared schema.
+        - ``bind_to='orders'``: the declared metadata governs an EXISTING
+          parquet table (rename-free ALTER: new annotations, same data);
+          the description's keys select/serve as the visible columns.
+        """
+        m = Model.from_json_description(spec)
+        if bind_to is not None:
+            df = load_table(self.spark, self.sf_dir, bind_to)
+            missing = [f for f in m.fields if f not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"bind_to={bind_to!r} lacks declared keys {missing}")
+            self._runtime_tables[m.name] = df.select(*m.fields)
+        elif isinstance(data, DataFrame):
+            declared = set(m.fields)
+            if set(data.columns) != declared:
+                raise ValueError(
+                    f"bootstrap DataFrame columns {sorted(data.columns)} != "
+                    f"declared keys {sorted(declared)}")
+            self._runtime_tables[m.name] = data
+        else:
+            self._runtime_tables[m.name] = self.spark.createDataFrame(
+                data or [], schema=m.schema)
+        self.register_model(m)
+        return m
+
     def register_default_models(self) -> None:
         from .queries import CUSTOMER, DOCUMENTS, EVENTS, ORDERS
         for m in (ORDERS, CUSTOMER, DOCUMENTS, EVENTS):
@@ -60,6 +104,8 @@ class Engine:
         return self._models[name]
 
     def table(self, name: str) -> DataFrame:
+        if name in self._runtime_tables:
+            return self._runtime_tables[name]
         return load_table(self.spark, self.sf_dir, name)
 
     # -- query surfaces -----------------------------------------------------

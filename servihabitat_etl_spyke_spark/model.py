@@ -29,10 +29,13 @@ Semantics preserved (parity-critical, see SURVEY.md §4.3):
 
 from __future__ import annotations
 
+import json
+import re
 from dataclasses import dataclass, field
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 from pyspark.sql import Column
+from pyspark.sql import types as T
 
 
 @dataclass
@@ -65,6 +68,11 @@ class Model:
     fields: dict[str, FieldSpec] = field(default_factory=dict)
     default_order_by: Optional[str] = None
     default_order_direction: str = "asc"
+    # Spark schema for runtime-declared models (from_json_description);
+    # None for models whose schema comes from an existing parquet footer.
+    schema: Optional[T.StructType] = None
+    # raw key specs preserved so to_json_description round-trips losslessly
+    _key_specs: dict[str, dict] = field(default_factory=dict, repr=False)
 
     @property
     def id_field(self) -> str:
@@ -98,6 +106,175 @@ class Model:
         return out
 
 
+# ---------------------------------------------------------------------------
+# Runtime model declaration from a JSON object description
+# ---------------------------------------------------------------------------
+# The reference creates new models at runtime from a JSON schema description
+# (the `objects` bundle: ``objectsAPI.ts:133-193`` accepts
+# ``{name, id, keys: {field: {type, params, modifiers: [{name, params}]}}}``,
+# ``objectsSchemas.ts:11-20`` enumerates the legal types and modifiers, and
+# ``transformData`` at ``objectsSchemas.ts:63-78`` strips whitespace from key
+# names and defaults a missing ``type`` to "string"). There the description is
+# code-generated into a zod schema file; here it compiles directly to
+# (FieldSpec metadata + Spark StructType) — no codegen, queryable immediately.
+
+#: type name -> Spark type for scalar key types. ``object``/``record``/
+#: ``union`` carry arbitrary JSON payloads — stored as JSON text (the engine's
+#: jsonParse/toJson functions, F3/F4, are the accessors, mirroring how the
+#: reference persists them as JSON strings in its KV stores).
+_SCALAR_TYPES: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "number": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "date": T.TimestampType(),
+    "object": T.StringType(),
+    "record": T.StringType(),
+    "union": T.StringType(),
+}
+
+#: modifiers with engine semantics; everything else in the reference's
+#: modifier list (display, label, hint, color, textArea, picker, …) is
+#: UI-only (``objectsSchemas.ts:22-48``) and accepted-but-ignored here.
+_SEMANTIC_MODIFIERS = frozenset({
+    "id", "search", "filter", "indexed", "groupIndex", "linkTo",
+    "secret", "hidden", "optional", "static", "generate",
+})
+
+
+def _strip_ws(s: str) -> str:
+    # objectsAPI.ts put handler: name.replace(/\s/g, "")
+    return re.sub(r"\s", "", s)
+
+
+def spark_type_for(key_type: str, params: list[str] | None = None) -> T.DataType:
+    """Map a reference key type (+params) to a Spark DataType.
+
+    ``array`` takes its element type from params[0] (default string);
+    ``number`` with an ``int`` param becomes LongType (exact arithmetic),
+    otherwise DoubleType (JS number semantics).
+    """
+    params = params or []
+    if key_type == "array":
+        elem = params[0] if params else "string"
+        return T.ArrayType(spark_type_for(elem), containsNull=True)
+    if key_type == "number" and any(p in ("int", "integer", "bigint") for p in params):
+        return T.LongType()
+    try:
+        return _SCALAR_TYPES[key_type]
+    except KeyError:
+        raise ValueError(
+            f"unknown key type {key_type!r}; legal types: "
+            f"{sorted(_SCALAR_TYPES) + ['array']}") from None
+
+
+def model_from_json_description(spec: str | dict[str, Any]) -> Model:
+    """Compile a reference-style object description into a Model + schema.
+
+    Accepts the JSON document the reference's objects API accepts
+    (``objectsAPI.ts:133-193``): ``name``/``id`` (whitespace stripped), and
+    ``keys`` mapping field name -> ``{type, params?, modifiers?}``. A key
+    with no ``type`` defaults to string (``transformData``,
+    ``objectsSchemas.ts:63-78``); unknown types raise. Semantic modifiers
+    (id/search/filter/indexed/groupIndex/linkTo/secret/hidden/optional)
+    become FieldSpec metadata; UI-only modifiers are ignored.
+    """
+    if isinstance(spec, str):
+        spec = json.loads(spec)
+    if "name" not in spec:
+        raise ValueError("object description requires a 'name'")
+    name = _strip_ws(str(spec["name"]))
+    keys: dict[str, Any] = spec.get("keys") or {}
+
+    fields: dict[str, FieldSpec] = {}
+    struct_fields: list[T.StructField] = []
+    key_specs: dict[str, dict] = {}
+    for raw_key, kspec in keys.items():
+        kname = _strip_ws(raw_key)
+        kspec = {"type": "string", **(kspec or {})}
+        mods: dict[str, list[str]] = {}
+        for m in kspec.get("modifiers") or []:
+            mods[m["name"]] = list(m.get("params") or [])
+        dtype = spark_type_for(kspec["type"], kspec.get("params"))
+
+        link = None
+        if "linkTo" in mods:
+            p = mods["linkTo"]
+            if len(p) != 2:
+                raise ValueError(
+                    f"linkTo on {kname!r} needs [model, target_key], got {p}")
+            link = (p[0], p[1])
+        hidden = frozenset(mods.get("hidden") or [])
+        fields[kname] = FieldSpec(
+            kname,
+            is_id="id" in mods,
+            indexed="indexed" in mods or "id" in mods,
+            searchable="secret" not in mods,
+            filterable=True,
+            group_index="groupIndex" in mods,
+            link_to=link,
+            secret="secret" in mods,
+            hidden_views=hidden,
+        )
+        # id columns are implicitly required; everything else is nullable
+        # unless the description says otherwise (zod fields are required by
+        # default but Spark reads treat all parquet columns as nullable, so
+        # only the id is pinned non-null).
+        struct_fields.append(
+            T.StructField(kname, dtype, nullable="id" not in mods))
+        key_specs[kname] = {
+            "type": kspec["type"],
+            **({"params": list(kspec["params"])} if kspec.get("params") else {}),
+            **({"modifiers": [
+                {"name": n, **({"params": p} if p else {})}
+                for n, p in mods.items()]} if mods else {}),
+        }
+
+    order_by = spec.get("defaultOrderBy")
+    if order_by is not None:
+        order_by = _strip_ws(str(order_by))
+        if order_by not in fields:
+            raise ValueError(f"defaultOrderBy {order_by!r} is not a key")
+    return Model(
+        name=name,
+        fields=fields,
+        default_order_by=order_by,
+        default_order_direction=spec.get("defaultOrderDirection", "asc"),
+        schema=T.StructType(struct_fields),
+        _key_specs=key_specs,
+    )
+
+
+def model_to_json_description(m: Model) -> dict[str, Any]:
+    """Inverse of :func:`model_from_json_description` (lossless for models
+    built from a description; metadata-derived for hand-declared models)."""
+    if m._key_specs:
+        keys = {k: dict(v) for k, v in m._key_specs.items()}
+    else:
+        keys = {}
+        for f in m.fields.values():
+            mods = []
+            if f.is_id:
+                mods.append({"name": "id"})
+            if f.indexed and not f.is_id:
+                mods.append({"name": "indexed"})
+            if f.group_index:
+                mods.append({"name": "groupIndex"})
+            if f.link_to:
+                mods.append({"name": "linkTo", "params": list(f.link_to)})
+            if f.secret:
+                mods.append({"name": "secret"})
+            if f.hidden_views:
+                mods.append({"name": "hidden",
+                             "params": sorted(f.hidden_views)})
+            keys[f.name] = {"type": "string",
+                            **({"modifiers": mods} if mods else {})}
+    out: dict[str, Any] = {"name": m.name, "keys": keys}
+    if m.default_order_by is not None:
+        out["defaultOrderBy"] = m.default_order_by
+        out["defaultOrderDirection"] = m.default_order_direction
+    return out
+
+
 def model(name: str, *specs: FieldSpec, default_order_by: str | None = None,
           default_order_direction: str = "asc") -> Model:
     return Model(
@@ -106,3 +283,8 @@ def model(name: str, *specs: FieldSpec, default_order_by: str | None = None,
         default_order_by=default_order_by,
         default_order_direction=default_order_direction,
     )
+
+
+# ergonomic aliases: Model.from_json_description(spec) / m.to_json_description()
+Model.from_json_description = staticmethod(model_from_json_description)
+Model.to_json_description = model_to_json_description

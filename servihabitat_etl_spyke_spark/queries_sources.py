@@ -131,3 +131,74 @@ def range_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
                       band.alias("band"),
                       F.round(delta, 2).alias("delta"))
             .orderBy("event_id"))
+
+
+# ---------------------------------------------------------------------------
+# Runtime model DDL (the `objects` bundle: models declared from a JSON
+# description at runtime — reference objectsAPI.ts:133-193,
+# objectsSchemas.ts:11-20,63-78)
+# ---------------------------------------------------------------------------
+
+@query("runtime_model_ddl", oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE CAST(c_mktsegment AS VARCHAR) = 'BUILDING'
+ORDER BY c_custkey
+LIMIT 25 OFFSET 25
+""")
+def runtime_model_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declare a model from a reference-style JSON description (id / indexed /
+    groupIndex / secret modifiers), bind it to existing parquet, and run a
+    list query THROUGH the declared metadata: the secret key (acct bal) is
+    masked out of the list view, the filter hits the groupIndex key, paging
+    orders by the id key. Whitespace in the model name and a key name is
+    stripped exactly as the reference's put handler does."""
+    from .engine import Engine
+    eng = Engine(spark, sf_dir)
+    eng.create_model({
+        "name": "client book",           # -> "clientbook"
+        "keys": {
+            "c_custkey": {"type": "number", "params": ["int"],
+                          "modifiers": [{"name": "id"}]},
+            "c_name ":   {"type": "string"},   # -> "c_name"
+            "c_acctbal": {"type": "number",
+                          "modifiers": [{"name": "secret"}]},
+            "c_mktsegment": {"type": "string",
+                             "modifiers": [{"name": "groupIndex"}]},
+        },
+        "defaultOrderBy": "c_custkey",
+    }, bind_to="customer")
+    return eng.list("clientbook", filter={"c_mktsegment": "BUILDING"}, page=1)
+
+
+@query("runtime_model_bootstrap", oracle="""
+SELECT o_orderpriority AS priority,
+       count(*) AS n_orders,
+       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+FROM orders
+GROUP BY priority
+ORDER BY priority
+""")
+def runtime_model_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full runtime-table lifecycle: declare a NEW model from a JSON
+    description, bootstrap it with initial data (S12), and read it back via
+    engine SQL — proving runtime-declared tables are immediately SQL-visible
+    alongside the parquet catalog (the reference provisions a fresh CRUD
+    store per object; here the store is the registered DataFrame view)."""
+    from .engine import Engine
+    eng = Engine(spark, sf_dir)
+    stats = (load_table(spark, sf_dir, "orders")
+             .groupBy(F.col("o_orderpriority").alias("priority"))
+             .agg(F.count("*").alias("n_orders"),
+                  (F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)) / 100
+                   ).alias("revenue")))
+    eng.create_model({
+        "name": "order_stats",
+        "keys": {
+            "priority": {"type": "string", "modifiers": [{"name": "id"}]},
+            "n_orders": {"type": "number", "params": ["int"]},
+            "revenue":  {"type": "number"},
+        },
+    }, data=stats)
+    return eng.sql(
+        "SELECT priority, n_orders, revenue FROM order_stats ORDER BY priority")
