@@ -18,7 +18,8 @@ from .queries import query
 from .streaming import events as EV
 from .streaming import queues as Q
 from .streaming import windows as WIN
-from .streaming.stateful import USER_LIFECYCLE, state_machine_fold
+from .streaming.stateful import (USER_LIFECYCLE, state_machine_entry_events,
+                                 state_machine_fold)
 from .streaming.topics import mqtt_to_regex, topic_filter
 
 # ---------------------------------------------------------------------------
@@ -143,6 +144,49 @@ def state_machine_fold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/stateful.py::state_machine_stream)."""
     ev = load_table(spark, sf_dir, "events")
     return state_machine_fold(ev, USER_LIFECYCLE).orderBy("user_id")
+
+
+@query("state_machine_entries", oracle=f"""
+WITH RECURSIVE seqs AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq,
+         list(event_id ORDER BY ts, event_id) AS ids
+  FROM events GROUP BY user_id
+),
+fold AS (
+  SELECT user_id, seq, ids, 1 AS i,
+         '{USER_LIFECYCLE.initial}' AS state, CAST(NULL AS VARCHAR) AS prev
+  FROM seqs
+  UNION ALL
+  SELECT user_id, seq, ids, i + 1, {_SM_CASE}, state
+  FROM fold WHERE i <= len(seq)
+),
+entries AS (
+  SELECT user_id, i, state,
+         CASE WHEN i = 1 THEN NULL ELSE ids[i - 1] END AS event_id
+  FROM fold WHERE i = 1 OR state <> prev
+)
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY i) AS entry_seq,
+       event_id,
+       'stateMachines/state/entry' AS path,
+       'state-machine' AS emitted_from,
+       'machine-' || CAST(user_id AS VARCHAR) AS machine,
+       'userLifecycle' AS definition,
+       state AS current_state
+FROM entries
+ORDER BY user_id, entry_seq
+""")
+def state_machine_entries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 entry actions: every state entry emits an event row with the
+    reference's event shape (sampleMachine.ts:16-29 — path
+    'stateMachines/state/entry', from 'state-machine', payload machine/
+    definition/currentState). Initial entry fires on spawn (event_id NULL);
+    unhandled events fire nothing. Streaming twin:
+    streaming/stateful.py::state_machine_entries_stream (equivalence
+    asserted in tests/test_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (state_machine_entry_events(ev, USER_LIFECYCLE)
+            .orderBy("user_id", "entry_seq"))
 
 
 # ---------------------------------------------------------------------------

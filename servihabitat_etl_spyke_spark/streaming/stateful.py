@@ -148,6 +148,121 @@ def state_machine_fold(events: DataFrame, machine: StateMachine,
                  F.count("*").alias("n_events")))
 
 
+#: the reference's entry-action event shape (sampleMachine.ts:16-29: every
+#: state entry fires generateEvent({path: 'stateMachines/state/entry',
+#: from: 'state-machine', user: instanceName, payload: {machine, definition,
+#: currentState}})). SURVEY §7: actions are EMITTED ROWS, not callbacks.
+ENTRY_PATH = "stateMachines/state/entry"
+ENTRY_FROM = "state-machine"
+
+
+def state_machine_entry_events(events: DataFrame, machine: StateMachine,
+                               definition: str = "userLifecycle",
+                               key_col: str = "user_id",
+                               event_col: str = "event_type") -> DataFrame:
+    """Batch twin of entry actions: one emitted event row per state ENTRY.
+
+    Mirrors the reference sample machine (sampleMachine.ts:6-56), where each
+    state's ``entry`` hook fires an event into the events stream; here the
+    fold computes the full state trajectory per instance and emits exactly
+    the rows those hooks would have produced: one for the initial state on
+    spawn (no triggering event) and one per state CHANGE (unhandled events
+    keep the state and — like the reference's ignored INC/DEC/SET — fire no
+    entry).
+
+    Plan shape: single groupBy shuffle; the trajectory is an ``aggregate``
+    fold accumulating an array of visited states (JVM codegen, no Python).
+    The array append makes a key's fold O(n_events²) in copies — fine for
+    machine-instance event counts (tens..thousands); for pathological keys
+    feed through operators.scale.salted_group_agg-style splitting first.
+    """
+    ordered = F.array_sort(F.collect_list(
+        F.struct("ts", "event_id", F.col(event_col).alias("ev"))))
+    grouped = events.groupBy(key_col).agg(ordered.alias("evs"))
+
+    # states[0] = initial; states[i] = state after consuming event i
+    states = F.aggregate(
+        F.col("evs"), F.array(F.lit(machine.initial)),
+        lambda acc, e: F.concat(acc, F.array(
+            machine.transition_column(F.element_at(acc, -1), e["ev"]))))
+    n = F.size(F.col("evs"))
+    steps = F.arrays_zip(
+        F.slice(states, 1, n).alias("prev"),
+        F.slice(states, 2, n).alias("cur"),
+        F.col("evs").alias("e"))
+    changed = F.filter(steps, lambda s: s["prev"] != s["cur"])
+    entries = F.concat(
+        # spawn: the initial state's entry action (event_id NULL)
+        F.array(F.struct(F.lit(None).cast("bigint").alias("event_id"),
+                         F.lit(machine.initial).alias("state"))),
+        F.transform(changed, lambda s: F.struct(
+            s["e"]["event_id"].alias("event_id"), s["cur"].alias("state"))))
+
+    out = grouped.select(key_col, F.posexplode(entries).alias("pos", "entry"))
+    return out.select(
+        F.col(key_col),
+        (F.col("pos") + 1).cast("bigint").alias("entry_seq"),
+        F.col("entry.event_id").alias("event_id"),
+        F.lit(ENTRY_PATH).alias("path"),
+        F.lit(ENTRY_FROM).alias("emitted_from"),   # reference key: `from`
+        F.concat(F.lit("machine-"), F.col(key_col).cast("string"))
+         .alias("machine"),
+        F.lit(definition).alias("definition"),
+        F.col("entry.state").alias("current_state"))
+
+
+_SM_ENTRY_STATE = "state STRING, entry_seq BIGINT"
+
+
+def state_machine_entries_stream(events: DataFrame, machine: StateMachine,
+                                 definition: str = "userLifecycle",
+                                 key_col: str = "user_id",
+                                 event_col: str = "event_type") -> DataFrame:
+    """Streaming twin: entry-action rows emitted as transitions happen.
+
+    Append-mode ``applyInPandasWithState``: the state store holds (current
+    state, entry counter) per instance; a new instance first emits the
+    initial state's entry (the reference fires it on spawn), then one row
+    per state change across micro-batches. Over identical data this equals
+    the batch fold (asserted in tests/test_streaming.py)."""
+    out_schema = (f"{key_col} BIGINT, entry_seq BIGINT, event_id BIGINT, "
+                  "path STRING, emitted_from STRING, machine STRING, "
+                  "definition STRING, current_state STRING")
+
+    def advance(key: tuple, pdfs: Iterable[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur, seq = state.get
+            entries: list[tuple] = []
+        else:
+            cur, seq = machine.initial, 1
+            entries = [(seq, None, cur)]
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, ev in zip(pdf["event_id"], pdf[event_col]):
+                nxt = machine.step(cur, ev)
+                if nxt != cur:
+                    seq += 1
+                    entries.append((seq, int(eid), nxt))
+                    cur = nxt
+        state.update((cur, seq))
+        if entries:
+            yield pd.DataFrame({
+                key_col: [key[0]] * len(entries),
+                "entry_seq": [e[0] for e in entries],
+                "event_id": [e[1] for e in entries],
+                "path": ENTRY_PATH,
+                "emitted_from": ENTRY_FROM,
+                "machine": f"machine-{key[0]}",
+                "definition": definition,
+                "current_state": [e[2] for e in entries],
+            })
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        advance, out_schema, _SM_ENTRY_STATE, "append",
+        GroupStateTimeout.NoTimeout)
+
+
 _SM_STATE = "state STRING"
 
 

@@ -16,7 +16,8 @@ from servihabitat_etl_spyke_spark.streaming import (
     state_machine_stream, topic_filter, tumbling_counts_stream,
 )
 from servihabitat_etl_spyke_spark.streaming.stateful import (
-    USER_LIFECYCLE, StateMachine, state_machine_fold,
+    USER_LIFECYCLE, StateMachine, state_machine_entries_stream,
+    state_machine_entry_events, state_machine_fold,
 )
 
 
@@ -130,6 +131,48 @@ def test_state_machine_stream_matches_fold(spark, sf_dir, tmp_path):
 # ---------------------------------------------------------------------------
 # T6: machine definition semantics (pure)
 # ---------------------------------------------------------------------------
+
+def test_state_machine_entries_stream_matches_batch(spark, sf_dir, tmp_path):
+    stream = read_event_stream(spark, sf_dir)
+    got = _run_stream(state_machine_entries_stream(stream, USER_LIFECYCLE),
+                      "ev_sm_entries", tmp_path)
+    batch = state_machine_entry_events(
+        load_table(spark, sf_dir, "events"), USER_LIFECYCLE)
+    cols = ("user_id entry_seq event_id current_state path emitted_from "
+            "machine definition".split())
+    g = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    assert g == b and len(g) > 0
+
+
+def test_state_machine_entry_events_exact(spark):
+    """Hand-checked trajectory: entries fire on spawn + every state CHANGE;
+    unhandled events (the reference's ignored INC/DEC/SET) fire nothing."""
+    m = StateMachine("idle", {("idle", "CHANGE"): "waiting",
+                              ("waiting", "RESET"): "idle"})
+    rows = [  # (user, ts-ordinal stored in event_id for ordering)
+        (1, 1, "noop"), (1, 2, "CHANGE"), (1, 3, "CHANGE"), (1, 4, "RESET"),
+        (2, 5, "noop"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, e, t, e) for u, e, t in rows],
+        "user_id BIGINT, event_id BIGINT, event_type STRING, ts BIGINT")
+    out = state_machine_entry_events(ev, m, definition="sampleMachine")
+    got = [(r.user_id, r.entry_seq, r.event_id, r.current_state)
+           for r in out.orderBy("user_id", "entry_seq").collect()]
+    assert got == [
+        (1, 1, None, "idle"),       # spawn entry
+        (1, 2, 2, "waiting"),       # CHANGE
+        (1, 3, 4, "idle"),          # RESET (second CHANGE was unhandled
+                                    # in 'waiting' -> no entry)
+        (2, 1, None, "idle"),       # spawn only; noop fires nothing
+    ]
+    one = out.filter(F.col("user_id") == 1).first()
+    assert one.path == "stateMachines/state/entry"
+    assert one.emitted_from == "state-machine"
+    assert one.machine == "machine-1"
+    assert one.definition == "sampleMachine"
+
 
 def test_state_machine_step_semantics():
     m = StateMachine("off", {("off", "on"): "on", ("on", "off"): "off"})
