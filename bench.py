@@ -39,6 +39,7 @@ HEADLINE = [
     "group_count",
     # streaming twins (stateful fold, windows, watermark)
     "state_machine_fold",
+    "state_machine_entries",
     "window_sliding",
     "session_window_batch",
     "late_data_watermark",
@@ -103,6 +104,25 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+
+    # regression tracking: per-query ratio vs the pinned round-1 baseline
+    # (BENCH_BASELINE.json). Only meaningful at the baseline's sf; ratios
+    # >2x are singled out (bench noise on this VM is 3-4x on single runs,
+    # so a flagged query means "re-measure / profile", not proof).
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            base = json.load(fh)
+        if base.get("sf") == sf_val:
+            deltas = {n: round(t / base["queries"][n], 2)
+                      for n, t in timings.items()
+                      if base["queries"].get(n)}
+            out["baseline_round"] = base.get("round", "r01")
+            out["delta_vs_baseline"] = deltas
+            out["regressions_over_2x"] = sorted(
+                n for n, r in deltas.items() if r > 2.0)
+
     print(json.dumps(out))
     spark.stop()
 
