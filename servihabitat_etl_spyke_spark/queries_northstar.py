@@ -388,19 +388,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query("multimodal_meta", oracle="""
-SELECT doc_id, 'image/fake' AS media_type,
-       strlen(text) AS n_bytes,
-       md5(text) AS digest,
-       CAST(strlen(text) % 640 + 1 AS INT) AS width,
-       CAST(strlen(text) % 480 + 1 AS INT) AS height
-FROM documents ORDER BY doc_id
+-- Predicts the REAL BMP geometry analytically: render_doc_bmp writes a
+-- 24-bit BI_RGB image with w = strlen(text)%24+4, h = doc_id%16+4, rows
+-- padded to 4 bytes, 54-byte header. The Spark side parses the actual
+-- encoded bytes; matching proves the codec round-trips.
+WITH dims AS (
+  SELECT doc_id,
+         CAST(strlen(text) % 24 + 4 AS INT) AS width,
+         CAST(doc_id % 16 + 4 AS INT) AS height
+  FROM documents
+)
+SELECT doc_id, 'image/bmp' AS media_type,
+       CAST(54 + ((3 * width + 3) // 4) * 4 * height AS BIGINT) AS n_bytes,
+       width, height
+FROM dims ORDER BY doc_id
 """)
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column -> typed metadata via Arrow-batched mapInPandas
-    (decode step stubbed deterministically; plumbing is the real thing)."""
+    """Binary media column -> typed metadata via Arrow-batched mapInPandas.
+    The decode is REAL: blobs are valid 24-bit BMPs and width/height/n_bytes
+    come from parsing the encoded header (`multimodal.decode_bmp_meta`), not
+    from echoing the generator's inputs. The md5 digest column is dropped
+    here because DuckDB cannot hash the binary body; pytest asserts it."""
     docs = load_table(spark, sf_dir, "documents")
     blobs = MM.attach_binary(docs)
-    return MM.extract_media_meta(blobs).orderBy("doc_id")
+    return (MM.extract_media_meta(blobs)
+            .select("doc_id", "media_type", "n_bytes", "width", "height")
+            .orderBy("doc_id"))
 
 
 @query("multimodal_frames")  # 1->N pandas iterator; checked by pytest
@@ -413,15 +426,15 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(blobs).orderBy("doc_id", "frame_idx")
 
 
-@query("multimodal_embed_ann")  # stubbed encoder -> rows-only; pytest-checked
+@query("multimodal_embed_ann")  # stub encoder -> rows-only; pytest-checked
 def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal pipeline: binary blobs -> resize (stub) ->
-    feature-extract (stub encoder, md5-seeded) -> exact cosine top-3 over
-    the extracted embeddings. Proves the full decode->embed->search chain
-    is wired; each stub swaps for a real codec/encoder without touching the
-    Spark plumbing."""
+    """End-to-end multimodal pipeline: real BMP blobs -> REAL decode +
+    nearest-neighbor resize + re-encode -> feature-extract (stub encoder,
+    md5-seeded) -> exact cosine top-3 over the extracted embeddings. The
+    only remaining stub is the encoder; swapping it for a real vision model
+    batch call touches nothing in the Spark plumbing."""
     docs = load_table(spark, sf_dir, "documents")
-    blobs = MM.resize_stub(MM.attach_binary(docs), 64, 32)
+    blobs = MM.resize_images(MM.attach_binary(docs), 64, 32)
     feats = (MM.extract_features(blobs, dim=16)
              .withColumnRenamed("doc_id", "vec_id"))
     queries = feats.filter(F.col("vec_id") < 3)

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 from pyspark.sql import functions as F
 
 from servihabitat_etl_spyke_spark.catalog import load_table
@@ -93,8 +95,9 @@ def test_word_shingles_short_text(spark):
 
 
 def test_multimodal_frames_shape(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").limit(5)
-    blobs = MM.attach_binary(docs)
+    # byte-sampling runs over opaque blobs -> utf8 codec keeps raw text bytes
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(5)
+    blobs = MM.attach_binary(docs, codec="utf8")
     frames = MM.sample_frames(blobs, every_n_bytes=64, max_frames=8).collect()
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     by_doc = {}
@@ -108,13 +111,40 @@ def test_multimodal_frames_shape(spark, sf_dir):
             assert fr["byte_offset"] == fr["frame_idx"] * 64
 
 
-def test_multimodal_meta_digest_is_md5(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").limit(3)
+def test_multimodal_meta_real_bmp_decode(spark, sf_dir):
+    """extract_media_meta parses the REAL encoded BMP header: digest is the
+    md5 of the encoded bytes and width/height match a local re-render."""
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(3)
     out = MM.extract_media_meta(MM.attach_binary(docs)).collect()
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     for r in out:
-        assert r["digest"] == hashlib.md5(texts[r["doc_id"]].encode()).hexdigest()
-        assert r["n_bytes"] == len(texts[r["doc_id"]].encode())
+        bmp = MM.render_doc_bmp(r["doc_id"], texts[r["doc_id"]])
+        assert r["media_type"] == "image/bmp"
+        assert r["digest"] == hashlib.md5(bmp).hexdigest()
+        assert r["n_bytes"] == len(bmp)
+        assert (r["width"], r["height"]) == MM.decode_bmp_meta(bmp)
+
+
+def test_bmp_ppm_codec_roundtrip():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(13, 21, 3), dtype=np.uint8)
+    for enc, dec in ((MM.encode_bmp, MM.decode_bmp),
+                     (MM.encode_ppm, MM.decode_ppm)):
+        data = enc(px)
+        assert np.array_equal(dec(data), px)
+        assert MM.decode_image(data).shape == (13, 21, 3)
+    assert MM.decode_bmp_meta(MM.encode_bmp(px)) == (21, 13)
+    assert MM.decode_ppm_meta(MM.encode_ppm(px)) == (21, 13)
+
+
+def test_resize_pixels_identity_and_downsample():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    assert np.array_equal(MM.resize_pixels(px, 24, 16), px)  # identity exact
+    half = MM.resize_pixels(px, 12, 8)
+    assert half.shape == (8, 12, 3)
+    # pixel-center convention: out[0,0] samples src[floor(0.5*2)=1][1]
+    assert np.array_equal(half[0, 0], px[1, 1])
 
 
 def test_approx_distinct_relative_error(spark, sf_dir):
@@ -160,13 +190,16 @@ def test_kmeans_is_deterministic_and_converges(spark, sf_dir):
 
 
 def test_multimodal_resize_and_features_deterministic(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").limit(4)
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(4)
     blobs = MM.attach_binary(docs)
     r1 = {r["doc_id"]: (bytes(r["content"]), r["width"], r["height"])
-          for r in MM.resize_stub(blobs, 64, 32).collect()}
+          for r in MM.resize_images(blobs, 64, 32).collect()}
     r2 = {r["doc_id"]: (bytes(r["content"]), r["width"], r["height"])
-          for r in MM.resize_stub(blobs, 64, 32).collect()}
+          for r in MM.resize_images(blobs, 64, 32).collect()}
     assert r1 == r2 and all(w == 64 and h == 32 for _, w, h in r1.values())
+    # the resized payload is itself a valid BMP of the target geometry
+    for content, _, _ in r1.values():
+        assert MM.decode_bmp(content).shape == (32, 64, 3)
 
     f1 = {r["doc_id"]: r["embedding"] for r in
           MM.extract_features(blobs, dim=16).collect()}
@@ -175,10 +208,10 @@ def test_multimodal_resize_and_features_deterministic(spark, sf_dir):
 
 
 def test_multimodal_features_feed_similarity(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").limit(10)
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(10)
     feats = (MM.extract_features(MM.attach_binary(docs), dim=16)
              .withColumnRenamed("doc_id", "vec_id"))
-    queries = feats.limit(2)
+    queries = feats.orderBy("vec_id").limit(2)
     out = SIM.cosine_topk(feats, queries, k=3)
     assert out.count() > 0
     assert set(out.columns) == {"query_id", "neighbor_id", "rank"}
