@@ -60,6 +60,12 @@ HEADLINE = [
     "curate_decontaminate",
     "curate_pack_greedy",
     "text_lm_score",
+    # round-3 additions: passage dedup, boilerplate mining, classifier
+    # inference, semantic dedup (no r01 baseline — deltas appear from r03)
+    "curate_passage_dedup",
+    "text_boilerplate_ngrams",
+    "text_classifier_score",
+    "dedup_semantic",
 ]
 
 

@@ -187,3 +187,67 @@ def pack_greedy(docs: DataFrame, max_tokens: int = 512,
             .select(F.col(id_col), F.col(group_col),
                     ntok.alias("n_tokens"))
             .withColumn("bin", F.floor(before / max_tokens)))
+
+
+# -- passage-level exact dedup ------------------------------------------------
+
+
+def passage_dedup(docs: DataFrame, max_tokens: int = 64,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """C4-style passage-grain exact dedup, corpus-wide: split every doc
+    into non-overlapping ``max_tokens`` windows (:func:`chunk_tokens`) and
+    keep only the FIRST occurrence of each distinct window text — first =
+    lowest (doc id, chunk index), the deterministic canonical copy. C4
+    dedups at three-sentence spans; token windows are the same idea for
+    unpunctuated corpora.
+
+    Returns surviving (id, chunk_idx, n_tokens, chunk_digest) rows.
+
+    Scale: the chunk text is digested and DROPPED before the exchange, so
+    the one unavoidable shuffle (partition by digest to see all copies of
+    a passage together) carries 16-byte digests + ints, never document
+    bytes. At 100 TB the reassembly join (digest survivors back to chunk
+    text) stays co-partitioned on the digest it just shuffled on."""
+    chunks = chunk_tokens(docs, max_tokens=max_tokens, overlap=0,
+                          id_col=id_col, text_col=text_col)
+    slim = chunks.select(
+        F.col(id_col), "chunk_idx", "n_tokens",
+        F.md5("chunk").alias("chunk_digest"))
+    w = W.partitionBy("chunk_digest").orderBy(id_col, "chunk_idx")
+    return (slim
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn"))
+
+
+# -- corpus boilerplate mining ------------------------------------------------
+
+
+def boilerplate_ngrams(docs: DataFrame, n: int = 3,
+                       min_doc_frac: float = 0.02, limit: int = 100,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Mine corpus-wide boilerplate: word n-grams appearing in at least
+    ``min_doc_frac`` of all documents (headers, footers, licence blurbs,
+    nav text). The output list feeds a removal/penalty pass; the same
+    sweep doubles as a contamination detector against known eval strings.
+
+    Returns the top ``limit`` (shingle, doc_freq, doc_frac) by document
+    frequency (ties broken on the shingle for determinism).
+
+    Scale: per-doc DISTINCT shingles (dedup's zero-shuffle signature
+    machinery) -> explode -> one partial-aggregated count shuffle on the
+    shingle -> top-k via orderBy+limit (TakeOrdered on partial top-ks,
+    no global sort). The corpus-count side is a 1-row broadcast."""
+    from .dedup import shingle_table
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n)
+    total = docs.select(F.count(F.lit(1)).alias("_total"))
+    return (sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("doc_freq")
+                    >= F.ceil(F.col("_total") * F.lit(min_doc_frac)))
+            .select("shingle", "doc_freq",
+                    (F.col("doc_freq") / F.col("_total")).alias("doc_frac"))
+            .orderBy(F.desc("doc_freq"), "shingle")
+            .limit(limit))

@@ -529,3 +529,45 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             f"iterations ({changed} labels still changing)")
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+# -- semantic dedup (SemDeDup shape) ------------------------------------------
+
+
+def semantic_dedup(corpus: DataFrame, k: int = 8, threshold: float = 0.9,
+                   iters: int = 3, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    k-means cluster the embeddings, then inside each cluster drop every
+    vector whose cosine to a LOWER-id cluster-mate is >= threshold — the
+    lowest id is the kept canonical copy, so the rule is deterministic and
+    one representative always survives per near-dup set.
+
+    Returns (id, centroid_id, keep) for every non-zero-norm vector.
+
+    Scale: the pairwise scan is confined to clusters (equi-join on
+    centroid_id, never an all-pairs product), which is the whole point of
+    SemDeDup — at corpus scale k grows with n (n/k ~ thousands) so each
+    cluster's quadratic term stays bounded, and clusters compare in
+    parallel. Assignment broadcasts only the k x dim centroid matrix."""
+    from .similarity import dot, kmeans_fit, assign_to_centroids
+    cents = kmeans_fit(corpus, k=k, iters=iters,
+                       id_col=id_col, vec_col=vec_col)
+    units = _unit_vectors(corpus, id_col, vec_col)
+    assigned = (assign_to_centroids(corpus, cents, id_col=id_col,
+                                    vec_col=vec_col)
+                .select(id_col, "centroid_id")
+                .join(units, id_col))
+    a = assigned.select(F.col(id_col).alias("id_a"), "centroid_id",
+                        F.col("uvec").alias("ua"))
+    b = assigned.select(F.col(id_col).alias("id_b"), "centroid_id",
+                        F.col("uvec").alias("ub"))
+    drops = (a.join(b, ["centroid_id"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(dot(F.col("ua"), F.col("ub")) >= threshold)
+             .select(F.col("id_b").alias(id_col))
+             .distinct())
+    return (assigned
+            .join(drops.withColumn("_drop", F.lit(True)), id_col, "left")
+            .select(F.col(id_col), F.col("centroid_id"),
+                    F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")))

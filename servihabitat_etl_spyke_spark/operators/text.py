@@ -210,3 +210,46 @@ def lm_score(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
                    / F.count("*")) / 1000000000)
                  .alias("avg_logprob"),
                  F.count("*").alias("n_scored")))
+
+
+# -- hashed linear classifier (fastText-style inference) ----------------------
+
+
+def hashed_classifier_score(docs: DataFrame, buckets: int = 4096,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """FastText-shaped quality-classifier INFERENCE over a hashed
+    bag-of-words: token -> hash bucket -> weight, mean over the doc ->
+    logit -> keep/drop. This is the standard cheap model-based filter
+    (e.g. a CCNet/LLaMA-style "looks like reference text" scorer) run as
+    a pure expression tree — no UDF, no model server, whole-stage codegen.
+
+    The weight table here is a deterministic pseudo-model
+    (w[b] = (b % 1997) - 998, zero-mean over buckets) so an external
+    oracle can replicate inference bit-for-bit; a TRAINED model drops in
+    by replacing ``_weight`` with ``F.element_at(F.lit(weights), bucket+1)``
+    (a broadcast literal array, same plan shape) without touching
+    anything else. Weight sums stay in integers — fold-order-free, exact
+    in any engine; the logit is one int/int division at the end.
+
+    Returns (id, n_tokens, weight_sum, logit, keep).
+
+    Scale: row-local projection — no shuffle, no Python; the classifier
+    scan rides the same codegen stage as the read."""
+    toks = F.col("_toks")
+
+    def _weight(t):
+        from .dedup import _hash32
+        return (_hash32(t) % buckets) % 1997 - 998
+
+    wsum = F.aggregate(toks, F.lit(0).cast("long"),
+                       lambda acc, t: acc + _weight(t))
+    return (spread(docs, id_col)
+            .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+            .select(F.col(id_col),
+                    F.size(toks).alias("n_tokens"),
+                    wsum.alias("weight_sum"))
+            .withColumn("logit",
+                        F.col("weight_sum")
+                        / (F.col("n_tokens") * F.lit(998.0)))
+            .withColumn("keep", F.col("logit") > 0))

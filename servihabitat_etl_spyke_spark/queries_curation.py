@@ -337,3 +337,54 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.aggregate("qvec", F.lit(0).cast("long"),
                                  lambda acc, x: acc + x).alias("code_sum"))
             .orderBy("vec_id"))
+
+
+@query("curate_passage_dedup", oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s AS (SELECT doc_id, t,
+             greatest(CAST(ceil(len(t) / 64.0) AS BIGINT), 1) AS ns
+      FROM toks),
+c AS (SELECT doc_id, i AS chunk_idx,
+             len(list_slice(t, i * 64 + 1, i * 64 + 64)) AS n_tokens,
+             md5(array_to_string(list_slice(t, i * 64 + 1, i * 64 + 64), ' '))
+               AS chunk_digest
+      FROM s, UNNEST(range(0, ns)) AS u(i))
+SELECT doc_id, chunk_idx, n_tokens, chunk_digest
+FROM c
+QUALIFY row_number() OVER (PARTITION BY chunk_digest
+                           ORDER BY doc_id, chunk_idx) = 1
+ORDER BY doc_id, chunk_idx
+""")
+def curate_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style passage-grain exact dedup: non-overlapping 64-token windows,
+    first occurrence corpus-wide wins (C4 does this at three-sentence
+    spans). One digest-keyed shuffle; document bytes never cross the wire —
+    see operators/curation.py::passage_dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (C.passage_dedup(docs, max_tokens=64)
+            .orderBy("doc_id", "chunk_idx"))
+
+
+@query("text_boilerplate_ngrams", oracle="""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g3
+      FROM s),
+d AS (SELECT doc_id, unnest(g3) AS shingle FROM g),
+c AS (SELECT shingle, count(*) AS doc_freq FROM d GROUP BY shingle),
+tot AS (SELECT count(*) AS total FROM documents)
+SELECT shingle, doc_freq, doc_freq / CAST(total AS DOUBLE) AS doc_frac
+FROM c, tot
+WHERE doc_freq >= ceil(total * 0.02)
+ORDER BY doc_freq DESC, shingle LIMIT 100
+""")
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate mining: word 3-grams present in >= 2% of all
+    docs, top-100 by document frequency — the removal list for
+    header/footer/licence boilerplate and a contamination sweep in one
+    pass. Distinct-per-doc shingles are row-local; the only shuffle is the
+    partial-aggregated count on the shingle key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.boilerplate_ngrams(docs, n=3, min_doc_frac=0.02, limit=100)

@@ -439,3 +439,37 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumnRenamed("doc_id", "vec_id"))
     queries = feats.filter(F.col("vec_id") < 3)
     return SIM.cosine_topk(feats, queries, k=3)
+
+
+@query("text_classifier_score", oracle="""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (SELECT doc_id, len(t) AS n_tokens,
+             CAST(list_sum(list_transform(t, x ->
+               CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % 4096 AS BIGINT)
+                 % 1997 - 998)) AS BIGINT) AS weight_sum
+      FROM s)
+SELECT doc_id, n_tokens, weight_sum,
+       weight_sum / (n_tokens * 998.0) AS logit,
+       weight_sum > 0 AS keep
+FROM w ORDER BY doc_id
+""")
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-shaped quality-classifier inference as a pure expression
+    tree: hashed bag-of-words -> integer weight sum -> logit -> keep.
+    Integer folds keep the check engine-exact; the logit is one int/int
+    division (identical IEEE result in any engine). A trained weight
+    vector drops in as a broadcast array literal with the same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.hashed_classifier_score(docs).orderBy("doc_id")
+
+
+@query("dedup_semantic")  # k-means clusters -> rows-only; planted-dup pytest
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: embeddings clustered with distributed k-means, cosine
+    near-dups pruned WITHIN clusters only (lowest id survives). The
+    cluster assignment is not SQL-expressible, so the driver records a
+    rows-only check; exact semantics (planted duplicates dropped, one
+    survivor per dup set, zero-norm handling) are pytest-asserted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (D.semantic_dedup(emb, k=8, threshold=0.45, iters=3)
+            .orderBy("vec_id"))

@@ -212,3 +212,55 @@ def test_stateless_curation_ops_run_in_streaming(spark, sf_dir, tmp_path):
 
     got_rep = _run_stream(repetition_stats(stream), "cur_rep", tmp_path)
     assert got_rep.count() == batch.count()
+
+
+def test_passage_dedup_first_occurrence_wins(spark):
+    a = " ".join(f"a{i}" for i in range(64))
+    b = " ".join(f"b{i}" for i in range(64))
+    c = " ".join(f"c{i}" for i in range(64))
+    docs = _docs(spark, [(1, a + " " + b), (2, b + " " + c)])
+    out = C.passage_dedup(docs, max_tokens=64).collect()
+    kept = {(r["doc_id"], r["chunk_idx"]) for r in out}
+    # doc 2's first window repeats passage b from doc 1 -> dropped
+    assert kept == {(1, 0), (1, 1), (2, 1)}
+    assert all(r["n_tokens"] == 64 for r in out)
+
+
+def test_passage_dedup_short_doc_single_window(spark):
+    docs = _docs(spark, [(1, "tiny doc"), (2, "tiny doc")])
+    out = C.passage_dedup(docs, max_tokens=64).collect()
+    assert [(r["doc_id"], r["chunk_idx"]) for r in out] == [(1, 0)]
+
+
+def test_boilerplate_ngrams_finds_planted_footer(spark):
+    footer = "all rights reserved"
+    docs = _docs(spark, [(i, f"unique{i} body text then {footer}")
+                         for i in range(50)] + [(99, "totally different words")])
+    out = C.boilerplate_ngrams(docs, n=3, min_doc_frac=0.5, limit=10).collect()
+    shingles = {r["shingle"] for r in out}
+    assert footer in shingles
+    assert all(r["doc_freq"] >= 26 for r in out)        # ceil(51 * 0.5)
+    for r in out:
+        assert abs(r["doc_frac"] - r["doc_freq"] / 51.0) < 1e-12
+
+
+def test_hashed_classifier_matches_manual(spark):
+    import hashlib
+
+    from servihabitat_etl_spyke_spark.operators import text as TX
+
+    cases = [(1, "alpha beta gamma delta"), (2, "x"), (3, "zq zq zq")]
+    docs = _docs(spark, cases)
+    out = {r["doc_id"]: r for r in TX.hashed_classifier_score(docs).collect()}
+
+    def w(tok: str) -> int:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        return (h % 4096) % 1997 - 998
+
+    for did, text in cases:
+        toks = text.split(" ")
+        ws = sum(w(t) for t in toks)
+        r = out[did]
+        assert (r["weight_sum"], r["n_tokens"]) == (ws, len(toks))
+        assert r["keep"] == (ws > 0)
+        assert r["logit"] == ws / (len(toks) * 998.0)

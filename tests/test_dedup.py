@@ -109,3 +109,25 @@ def test_embedding_neardup_drops_zero_vectors(spark):
     pairs = {(r["id_a"], r["id_b"])
              for r in embedding_neardup(emb, threshold=0.45).collect()}
     assert pairs == {(3, 4)}
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    from servihabitat_etl_spyke_spark.operators.dedup import semantic_dedup
+
+    def onehot(i):
+        return [1.0 if j == i else 0.0 for j in range(8)]
+
+    rows = ([(i, onehot(i)) for i in range(6)]
+            + [(100, onehot(0)),                       # exact copy of vec 0
+               (101, [2.0 * x for x in onehot(1)]),    # scaled copy (cos=1)
+               (102, [0.0] * 8)])                      # zero norm
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, k=3, threshold=0.99, iters=2).collect()}
+    assert 102 not in out                   # zero vectors have no direction
+    assert out[100]["keep"] is False and out[0]["keep"] is True
+    assert out[101]["keep"] is False and out[1]["keep"] is True
+    assert sorted(v for v, r in out.items() if not r["keep"]) == [100, 101]
+    # identical direction -> identical cluster (the dup IS found in-cluster)
+    assert out[100]["centroid_id"] == out[0]["centroid_id"]
+    assert out[101]["centroid_id"] == out[1]["centroid_id"]

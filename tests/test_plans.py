@@ -204,6 +204,10 @@ _ALLOWED_HAZARDS = {
     "ann_ivf_kmeans_topk": {"bnlj"},
     "dedup_embedding": {"bnlj"},
     "multimodal_embed_ann": {"bnlj"},
+    # k-row centroid-matrix broadcast (k-means assignment cross join)
+    "dedup_semantic": {"bnlj"},
+    # corpus-count scalar (1 row) broadcast over the shingle counts
+    "text_boilerplate_ngrams": {"bnlj", "single_part"},
     # single-row global aggregates (final agg of partials — tiny by then)
     "q6_revenue_delta": {"single_part"},
     "q14_promo_ratio": {"single_part"},
