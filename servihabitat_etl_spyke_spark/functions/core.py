@@ -173,3 +173,28 @@ def path_prefixes(col: Column | str, sep: str = "/") -> Column:
 def sanitize_key(name: str) -> str:
     """F16: strip whitespace from column/model names at ingest."""
     return "".join(name.split())
+
+
+# -- timestamp → epoch micros (NTZ-safe) --------------------------------------
+
+def epoch_micros(df: DataFrame, col: Column | str) -> Column:
+    """Microseconds since the Unix epoch for a timestamp column/expression,
+    treating naive (TIMESTAMP_NTZ) wall-clock values as UTC.
+
+    Parquet written with ``isAdjustedToUTC=false`` loads as TIMESTAMP_NTZ,
+    which ``unix_micros`` rejects — and casting NTZ→TIMESTAMP would shift by
+    the (caller-controlled, unknown) session timezone. ``timestamp_diff``
+    against an NTZ epoch literal is pure wall-clock arithmetic, so the result
+    is session-timezone-independent and matches DuckDB ``epoch_us`` on the
+    same naive values. LTZ columns keep the exact ``unix_micros`` fast path.
+
+    ``df`` is only used to resolve the expression's data type (analysis-time,
+    no job); nested fields like ``window.start`` resolve fine.
+    """
+    from pyspark.sql.types import TimestampNTZType
+    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(df.select(c).schema[0].dataType, TimestampNTZType):
+        return F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c)
+    return F.unix_micros(c)

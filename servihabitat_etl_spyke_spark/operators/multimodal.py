@@ -339,3 +339,200 @@ def extract_features(blobs: DataFrame, dim: int = 16,
                                 "embedding": vecs})
 
     return blobs.mapInPandas(feats, schema=f"{id_col} long, embedding array<float>")
+
+
+# ---------------------------------------------------------------------------
+# Real audio codec: PCM WAV (RIFF little-endian, 16-bit)
+# ---------------------------------------------------------------------------
+
+_WAV_HEADER_SIZE = 44          # RIFF(12) + fmt(24) + data chunk header(8)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an (n_frames, channels) int16 array as canonical PCM WAV
+    (RIFF/WAVE, fmt chunk 16 bytes, audio_format=1, interleaved frames)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.dtype != np.int16:
+        raise ValueError(f"need int16 samples, got {samples.dtype}")
+    n_frames, channels = samples.shape
+    block_align = channels * 2
+    body = samples.astype("<i2").tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(body), b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate,
+                      sample_rate * block_align, block_align, 16)
+        + struct.pack("<4sI", b"data", len(body))
+        + body)
+
+
+def decode_wav_meta(data: bytes) -> dict:
+    """Header-only audio metadata: walks the RIFF chunk list (handling
+    non-canonical extra chunks) and reads the ``fmt `` fields plus the
+    ``data`` chunk SIZE — sample payload bytes are never touched, so a
+    metadata sweep over 100 TB of audio costs only header reads."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(data) and (fmt is None or data_size is None):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        if cid == b"fmt ":
+            audio_format, channels, sample_rate, _br, block_align, bits = \
+                struct.unpack_from("<HHIIHH", data, pos + 8)
+            if audio_format != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (format={audio_format}, bits={bits})")
+            fmt = (channels, sample_rate, block_align)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)          # chunks pad to even offsets
+    if fmt is None or data_size is None:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    channels, sample_rate, block_align = fmt
+    n_frames = data_size // block_align
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "n_frames": n_frames,
+        "duration_us": n_frames * 1_000_000 // sample_rate,
+    }
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Full decode to ((n_frames, channels) int16 array, sample_rate)."""
+    meta = decode_wav_meta(data)
+    pos = 12
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        if cid == b"data":
+            raw = np.frombuffer(data, dtype="<i2",
+                                count=meta["n_frames"] * meta["channels"],
+                                offset=pos + 8)
+            return (raw.reshape(meta["n_frames"], meta["channels"]).copy(),
+                    meta["sample_rate"])
+        pos += 8 + size + (size & 1)
+    raise ValueError("truncated WAV: missing data chunk")
+
+
+def render_doc_wav(doc_id: int, text: str) -> bytes:
+    """Deterministic REAL audio per document. Geometry an external oracle
+    replicates analytically:
+
+    - n_frames   = strlen(text) % 480 + 32
+    - channels   = doc_id % 2 + 1
+    - sample_rate = 8000 * (doc_id % 3 + 1)
+
+    Interleaved sample stream: s[i] = ((doc_id+1)*2654435761 + i*40503)
+    % 65536 - 32768 — pure 64-bit integer arithmetic (Knuth hash constant
+    + odd stride), so DuckDB can regenerate the exact waveform with
+    ``list_transform(range(n), ...)`` and verify features computed from the
+    DECODED bytes. The result is a valid WAV any player opens."""
+    n_frames = len(text) % 480 + 32
+    channels = doc_id % 2 + 1
+    sample_rate = 8000 * (doc_id % 3 + 1)
+    i = np.arange(n_frames * channels, dtype=np.int64)
+    stream = ((doc_id + 1) * 2654435761 + i * 40503) % 65536 - 32768
+    return encode_wav(stream.astype(np.int16).reshape(n_frames, channels),
+                      sample_rate)
+
+
+def attach_audio(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Audio-blob table from the documents fixture (deterministic stand-in
+    for ``spark.read.format('binaryFile')`` over a media lake)."""
+    docs = spread(docs, id_col)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "content": [render_doc_wav(int(i), t)
+                            for i, t in zip(pdf[id_col], pdf[text_col])],
+                "media_type": "audio/wav",
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        render, schema=f"{id_col} long, content binary, media_type string")
+
+
+def extract_audio_meta(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL header parse per audio blob (``decode_wav_meta`` — fmt + data
+    chunk sizes only, payload untouched)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_wav_meta(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "n_bytes": [len(bytes(c)) for c in pdf["content"]],
+                "channels": [m["channels"] for m in metas],
+                "sample_rate": [m["sample_rate"] for m in metas],
+                "n_frames": [m["n_frames"] for m in metas],
+                "duration_us": [m["duration_us"] for m in metas],
+            })
+
+    return blobs.mapInPandas(
+        decode, schema=(f"{id_col} long, n_bytes long, channels int, "
+                        "sample_rate int, n_frames long, duration_us long"))
+
+
+def audio_features(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Signal features from FULLY DECODED samples: peak amplitude, integer
+    sum of squares (exact), RMS (one int/int division + sqrt — identical
+    IEEE result in any engine), zero-crossing count over the interleaved
+    stream. Arrow-batched; one Python worker per partition."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    (id_col, "n_samples", "peak", "sum_sq", "rms",
+                     "zero_crossings")}
+            for did, content in zip(pdf[id_col], pdf["content"]):
+                samples, _sr = decode_wav(bytes(content))
+                s = samples.reshape(-1).astype(np.int64)
+                sum_sq = int((s * s).sum())
+                n = len(s)
+                nonzero = s[s != 0]           # sign() of 0 crosses nothing
+                zc = int((np.sign(nonzero[1:]) !=
+                          np.sign(nonzero[:-1])).sum()) if len(nonzero) else 0
+                rows[id_col].append(did)
+                rows["n_samples"].append(n)
+                rows["peak"].append(int(np.abs(s).max()) if n else 0)
+                rows["sum_sq"].append(sum_sq)
+                rows["rms"].append(float(np.sqrt(sum_sq / n)) if n else 0.0)
+                rows["zero_crossings"].append(zc)
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(
+        feats, schema=(f"{id_col} long, n_samples long, peak int, "
+                       "sum_sq long, rms double, zero_crossings long"))
+
+
+def sample_audio_windows(blobs: DataFrame, win: int = 64, hop: int = 32,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Windowed frame extraction (the audio twin of video frame sampling):
+    1 -> N rows per blob, one per hop-strided window of decoded frames,
+    with per-window RMS over channel 0. flatMap shape via the mapInPandas
+    iterator contract."""
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, rmss = [], [], [], []
+            for did, content in zip(pdf[id_col], pdf["content"]):
+                samples, _sr = decode_wav(bytes(content))
+                ch0 = samples[:, 0].astype(np.int64)
+                for wi in range((len(ch0) - win) // hop + 1 if
+                                len(ch0) >= win else 0):
+                    seg = ch0[wi * hop: wi * hop + win]
+                    ids.append(did)
+                    idxs.append(wi)
+                    starts.append(wi * hop)
+                    rmss.append(float(np.sqrt((seg * seg).sum() / win)))
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "window_idx": pd.Series(idxs, dtype="int32"),
+                                "start_frame": pd.Series(starts, dtype="int64"),
+                                "rms": pd.Series(rmss, dtype="float64")})
+
+    return blobs.mapInPandas(
+        windows, schema=(f"{id_col} long, window_idx int, start_frame long, "
+                         "rms double"))

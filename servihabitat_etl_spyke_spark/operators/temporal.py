@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.core import epoch_micros
+
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str, right_ts: str, right_cols: list[str],
@@ -93,13 +95,16 @@ def interval_join(left: DataFrame, right: DataFrame, on: list[str],
         raise ValueError("interval_join requires upper_sec > lower_sec")
     width_us = (upper_sec - lower_sec) * 1_000_000
     lo_us, up_us = lower_sec * 1_000_000, upper_sec * 1_000_000
-    lb = left.withColumn(
-        "__bin",
-        F.explode(F.sequence(
-            F.expr(f"(unix_micros({left_ts}) + {lo_us}) div {width_us}"),
-            F.expr(f"(unix_micros({left_ts}) + {up_us} - 1) div {width_us}"))))
-    rb = right.withColumn("__bin",
-                          F.expr(f"unix_micros({right_ts}) div {width_us}"))
+    lb = (left.withColumn("__us", epoch_micros(left, left_ts))
+          .withColumn(
+              "__bin",
+              F.explode(F.sequence(
+                  F.expr(f"(__us + {lo_us}) div {width_us}"),
+                  F.expr(f"(__us + {up_us} - 1) div {width_us}"))))
+          .drop("__us"))
+    rb = (right.withColumn("__us", epoch_micros(right, right_ts))
+          .withColumn("__bin", F.expr(f"__us div {width_us}"))
+          .drop("__us"))
     cond = ((F.col(right_ts) >= F.col(left_ts)
              + F.expr(f"INTERVAL {lower_sec} SECONDS"))
             & (F.col(right_ts) < F.col(left_ts)

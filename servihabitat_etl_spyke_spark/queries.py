@@ -832,12 +832,16 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute inactivity gap -> new session (lag +
     running sum of boundary flags). Batch twin of the streaming
     session_window operator."""
+    from .functions.core import epoch_micros
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # microsecond-exact gap (matches the oracle's INTERVAL comparison and
+    # survives TIMESTAMP_NTZ inputs, which reject cast-to-long)
+    us = epoch_micros(ev, "ts")
+    gap = us - F.lag(us).over(w)
     flagged = ev.select(
         "user_id", "ts", "event_id",
-        F.when(gap <= 1800, 0).otherwise(1).alias("new_session"))
+        F.when(gap <= 1_800_000_000, 0).otherwise(1).alias("new_session"))
     sessions = flagged.select(
         "user_id",
         F.sum("new_session").over(

@@ -441,6 +441,104 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(feats, queries, k=3)
 
 
+@query("multimodal_audio_meta", oracle="""
+-- Predicts the REAL WAV geometry analytically: render_doc_wav writes
+-- canonical PCM WAV (44-byte header) with n_frames = strlen(text)%480+32,
+-- channels = doc_id%2+1, sample_rate = 8000*(doc_id%3+1). The Spark side
+-- parses the actual RIFF chunks; matching proves the codec round-trips.
+WITH g AS (
+  SELECT doc_id,
+         strlen(text) % 480 + 32 AS n_frames,
+         CAST(doc_id % 2 + 1 AS INT) AS channels,
+         CAST(8000 * (doc_id % 3 + 1) AS INT) AS sample_rate
+  FROM documents
+)
+SELECT doc_id,
+       CAST(44 + n_frames * channels * 2 AS BIGINT) AS n_bytes,
+       channels, sample_rate,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_frames * 1000000 // sample_rate AS BIGINT) AS duration_us
+FROM g ORDER BY doc_id
+""")
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio blobs -> typed metadata. The decode is REAL: blobs are valid
+    PCM WAVs (stdlib ``wave`` opens them) and every output column comes
+    from walking the encoded RIFF chunk list (`multimodal.decode_wav_meta`),
+    never from echoing the generator's inputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = MM.attach_audio(docs)
+    return MM.extract_audio_meta(blobs).orderBy("doc_id")
+
+
+@query("multimodal_audio_features", oracle="""
+-- Regenerates the exact int16 waveform with pure integer arithmetic and
+-- recomputes the features the engine extracted from the DECODED bytes.
+-- sum_sq/peak/zero_crossings are exact integers; rms is one int/int
+-- division + sqrt (identical IEEE result in any engine).
+WITH g AS (
+  SELECT doc_id,
+         (strlen(text) % 480 + 32) * (doc_id % 2 + 1) AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, n,
+         list_transform(range(0, n), i ->
+           ((doc_id + 1) * 2654435761 + i * 40503) % 65536 - 32768) AS stream
+  FROM g
+), nz AS (
+  SELECT doc_id, n, stream,
+         list_filter(stream, x -> x <> 0) AS nzl
+  FROM s
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_max(list_transform(stream, x -> abs(x))) AS INT) AS peak,
+       CAST(list_sum(list_transform(stream, x -> x * x)) AS BIGINT) AS sum_sq,
+       sqrt(CAST(list_sum(list_transform(stream, x -> x * x)) AS BIGINT) / n)
+         AS rms,
+       CAST(COALESCE(list_sum(list_transform(range(2, len(nzl) + 1), i ->
+         CASE WHEN sign(nzl[i]) <> sign(nzl[i - 1]) THEN 1 ELSE 0 END)), 0)
+         AS BIGINT) AS zero_crossings
+FROM nz ORDER BY doc_id
+""")
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal features computed from FULLY DECODED samples (peak, exact
+    integer sum-of-squares, RMS, zero crossings). The oracle regenerates
+    the waveform analytically and must match bit-for-bit — proving the
+    encode -> RIFF bytes -> decode -> feature path loses nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = MM.attach_audio(docs)
+    return MM.audio_features(blobs).orderBy("doc_id")
+
+
+@query("multimodal_audio_windows", oracle="""
+-- Channel-0 frame j of the interleaved stream is sample j*channels, so the
+-- oracle addresses it directly without materializing the full stream.
+WITH g AS (
+  SELECT doc_id, strlen(text) % 480 + 32 AS nf, doc_id % 2 + 1 AS ch
+  FROM documents
+), w AS (
+  SELECT doc_id, nf, ch, unnest(range(0, (nf - 64) // 32 + 1)) AS wi
+  FROM g WHERE nf >= 64
+)
+SELECT doc_id, CAST(wi AS INT) AS window_idx,
+       CAST(wi * 32 AS BIGINT) AS start_frame,
+       sqrt(CAST(list_sum(list_transform(range(wi * 32, wi * 32 + 64), j ->
+         (((doc_id + 1) * 2654435761 + j * ch * 40503) % 65536 - 32768)
+         * (((doc_id + 1) * 2654435761 + j * ch * 40503) % 65536 - 32768)))
+         AS BIGINT) / 64) AS rms
+FROM w ORDER BY doc_id, window_idx
+""")
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio sampling: 1 -> N rows per blob (64-frame windows,
+    hop 32, per-window RMS over channel 0) — the audio twin of video
+    frame sampling, exercising the mapInPandas flatMap contract over real
+    decoded WAV frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = MM.attach_audio(docs)
+    return (MM.sample_audio_windows(blobs, win=64, hop=32)
+            .orderBy("doc_id", "window_idx"))
+
+
 @query("text_classifier_score", oracle="""
 WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 w AS (SELECT doc_id, len(t) AS n_tokens,

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import load_table
+from .functions.core import epoch_micros
 from .queries import query
 from .streaming import events as EV
 from .streaming import queues as Q
@@ -238,7 +239,7 @@ def queue_delayed_release(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        .cast("int"))).alias("release_at"))
     out = Q.drain_order(ev, "delayed", tiebreak_col="item_id")
     return (out.select("queue_id", "item_id",
-                       F.unix_micros("release_at").alias("release_us"),
+                       epoch_micros(out, "release_at").alias("release_us"),
                        "drain_pos")
             .orderBy("queue_id", "drain_pos"))
 
@@ -262,7 +263,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (JVM-side window assignment; same operator streams with a watermark)."""
     ev = load_table(spark, sf_dir, "events")
     out = WIN.sliding_counts(ev, "1 hour", "30 minutes")
-    return (out.select(F.unix_micros("window.start")
+    return (out.select(epoch_micros(out, "window.start")
                        .alias("window_start_us"), "event_type", "cnt")
             .orderBy("window_start_us", "event_type"))
 
@@ -292,8 +293,8 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = WIN.session_window_agg(ev, "30 minutes")
     return (out.select(
         "user_id",
-        F.unix_micros("session_window.start").alias("session_start_us"),
-        F.unix_micros("session_window.end").alias("session_end_us"),
+        epoch_micros(out, "session_window.start").alias("session_start_us"),
+        epoch_micros(out, "session_window.end").alias("session_end_us"),
         "n_events")
         .orderBy("user_id", "session_start_us"))
 

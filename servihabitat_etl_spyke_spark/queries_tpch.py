@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import load_table
+from .functions.core import epoch_micros
 from .operators.temporal import asof_join, interval_join
 from .queries import query, round2
 
@@ -503,7 +504,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     left_ts="ts", right_ts="cts", right_cols=["click_id"])
     return (out.select(
         "user_id", "purchase_id", "click_id",
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("cts_asof")))
+        (epoch_micros(out, "ts") - epoch_micros(out, "cts_asof"))
         .alias("gap_us"))
         .orderBy("purchase_id"))
 

@@ -45,6 +45,13 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if isinstance(schema["ts"].dataType, T.LongType):
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(stream.schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks/event-time require TIMESTAMP (LTZ); convert treating
+        # the naive wall clock as UTC (session-timezone-independent, and
+        # exactly the epoch_micros convention the batch twins use)
+        from ..functions.core import epoch_micros
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(epoch_micros(stream, "ts")))
     return stream
 
 

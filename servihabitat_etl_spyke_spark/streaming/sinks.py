@@ -32,9 +32,14 @@ def stream_keyed_upsert(stream: DataFrame, path: str, key: str,
     arbitrary (documented dropDuplicates fallback)."""
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         from pyspark.sql import functions as F
+
+        from ..functions.core import epoch_micros
         if order_col is not None:
-            batch = batch.withColumn(
-                "_ingest_order", F.col(order_col).cast("long"))
+            dt = batch.schema[order_col].dataType.typeName()
+            order = (epoch_micros(batch, order_col)
+                     if dt.startswith("timestamp")
+                     else F.col(order_col).cast("long"))
+            batch = batch.withColumn("_ingest_order", order)
         upsert_into_path(batch.sparkSession, batch, path, key=key)
 
     writer = (stream.writeStream

@@ -244,3 +244,59 @@ def test_quantize_codes_within_int8_range(spark, sf_dir):
                  F.array_min("qvec").alias("lo"))
          .agg(F.max("hi"), F.min("lo")).collect()[0])
     assert r[0] <= 127 and r[1] >= -127
+
+
+def test_wav_codec_roundtrip_and_stdlib_compat():
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32768, size=(200, 2), dtype=np.int16)
+    data = MM.encode_wav(samples, 16000)
+    meta = MM.decode_wav_meta(data)
+    assert meta == {"channels": 2, "sample_rate": 16000, "n_frames": 200,
+                    "duration_us": 200 * 1_000_000 // 16000}
+    decoded, sr = MM.decode_wav(data)
+    assert sr == 16000 and np.array_equal(decoded, samples)
+    # the bytes are a genuine WAV: Python's stdlib reader agrees
+    import io
+    import wave
+    w = wave.open(io.BytesIO(data))
+    assert (w.getnchannels(), w.getframerate(), w.getnframes(),
+            w.getsampwidth()) == (2, 16000, 200, 2)
+    assert w.readframes(200) == samples.astype("<i2").tobytes()
+    # chunk walker skips non-canonical extra chunks before fmt/data
+    extra = data[:12] + b"LIST\x04\x00\x00\x00abcd" + data[12:]
+    assert MM.decode_wav_meta(extra) == meta
+    d2, _ = MM.decode_wav(extra)
+    assert np.array_equal(d2, samples)
+
+
+def test_audio_features_match_decoded_samples(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(4)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = {r["doc_id"]: r
+           for r in MM.audio_features(MM.attach_audio(docs)).collect()}
+    for did, text in texts.items():
+        s, _sr = MM.decode_wav(MM.render_doc_wav(did, text))
+        flat = s.reshape(-1).astype(np.int64)
+        r = out[did]
+        assert r["n_samples"] == len(flat)
+        assert r["peak"] == int(np.abs(flat).max())
+        assert r["sum_sq"] == int((flat * flat).sum())
+        nz = flat[flat != 0]
+        assert r["zero_crossings"] == int(
+            (np.sign(nz[1:]) != np.sign(nz[:-1])).sum())
+
+
+def test_audio_windows_flatmap_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(6)
+    blobs = MM.attach_audio(docs)
+    rows = MM.sample_audio_windows(blobs, win=64, hop=32).collect()
+    metas = {r["doc_id"]: r for r in MM.extract_audio_meta(blobs).collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, m in metas.items():
+        expect = ((m["n_frames"] - 64) // 32 + 1) if m["n_frames"] >= 64 else 0
+        got = by_doc.get(did, [])
+        assert len(got) == expect
+        for w in got:
+            assert w["start_frame"] == w["window_idx"] * 32

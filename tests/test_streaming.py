@@ -79,8 +79,15 @@ def test_event_stream_source(spark, sf_dir, tmp_path):
     got = _run_stream(stream, "ev_all", tmp_path)
     batch = load_table(spark, sf_dir, "events")
     assert got.count() == batch.count()
-    # ts normalized identically to the batch reader
-    assert dict(got.dtypes)["ts"] == dict(batch.dtypes)["ts"] == "timestamp"
+    # stream ts is watermark-capable (LTZ — required by event-time ops);
+    # batch may stay NTZ, but both denote the same instants (wall-as-UTC)
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    from servihabitat_etl_spyke_spark.functions.core import epoch_micros
+    s_min, s_max = got.agg(F.min(epoch_micros(got, "ts")),
+                           F.max(epoch_micros(got, "ts"))).first()
+    b_min, b_max = batch.agg(F.min(epoch_micros(batch, "ts")),
+                             F.max(epoch_micros(batch, "ts"))).first()
+    assert (s_min, s_max) == (b_min, b_max)
 
 
 def test_stream_topic_subscription(spark, sf_dir, tmp_path):
