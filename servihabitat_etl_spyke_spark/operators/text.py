@@ -253,3 +253,58 @@ def hashed_classifier_score(docs: DataFrame, buckets: int = 4096,
                         F.col("weight_sum")
                         / (F.col("n_tokens") * F.lit(998.0)))
             .withColumn("keep", F.col("logit") > 0))
+
+
+# -- BM25 ranked retrieval ----------------------------------------------------
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BM25 top-k retrieval for one bag-of-terms query over a document
+    corpus — the classic inverted-index ranking (Robertson/Sparck Jones;
+    Lucene's idf variant ``ln((N - df + .5)/(df + .5) + 1)``), expressed
+    as a pure DataFrame pipeline:
+
+    1. tokens are filtered to the query terms ROW-LOCALLY (array filter
+       before explode) — at 100 TB nothing but query-term hits ever leaves
+       the scan, so the explode is proportional to matches, not corpus;
+    2. one (doc, term) aggregation builds the tf table (doc length rides
+       along, computed pre-explode — no second join against the corpus);
+    3. per-term document frequencies are a second tiny aggregation over
+       the tf table, broadcast back (vocabulary-sized);
+    4. corpus stats (N, total length) are a 1-row broadcast — exact
+       integer sums, so ``avgdl`` is one int/int division in any engine;
+    5. per-term BM25 partials are quantized to integer NANO units before
+       the per-doc sum (fold-order-free, bit-identical cross-engine — the
+       same discipline as ``lm_score``); top-k is orderBy + limit
+       (TakeOrdered — no single-partition exchange).
+    """
+    toks = tokens(F.col(text_col))
+    base = spread(docs, id_col).select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("dl"))
+    stats = base.agg(F.count("*").alias("_n"),
+                     F.sum("dl").alias("_sum_dl"))
+    hits = (base.select(
+                F.col(id_col), "dl",
+                F.explode(F.filter(F.col("_toks"),
+                                   lambda t: t.isin(*terms))).alias("tok"))
+            .groupBy(id_col, "tok")
+            .agg(F.count("*").alias("tf"), F.max("dl").alias("dl")))
+    dfreq = hits.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = (hits.join(F.broadcast(dfreq), "tok")
+              .join(F.broadcast(stats)))
+    avgdl = F.col("_sum_dl") / F.col("_n")
+    idf = F.log((F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    tfnorm = (F.col("tf") * (k1 + 1)
+              / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)))
+    nano = F.floor(idf * tfnorm * 1000000000 + F.lit(0.5)).cast("long")
+    return (scored
+            .groupBy(id_col)
+            .agg(F.sum(nano).alias("score_nano"),
+                 F.count("*").alias("n_terms_hit"))
+            .orderBy(F.col("score_nano").desc(), F.col(id_col))
+            .limit(k)
+            .select(id_col, "score_nano",
+                    (F.col("score_nano") / 1000000000).alias("score"),
+                    "n_terms_hit"))

@@ -561,6 +561,47 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.hashed_classifier_score(docs).orderBy("doc_id")
 
 
+@query("bm25_topk", oracle="""
+-- Mirrors the engine's arithmetic ORDER exactly (left-assoc * and /,
+-- Lucene idf, k1=1.2 b=0.75); per-term partials quantize to nano ints
+-- before the per-doc sum, so the comparison is fold-order-free.
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl FROM base
+), hits AS (
+  SELECT doc_id, dl,
+         unnest(list_filter(toks, t -> t IN ('table', 'hash', 'join'))) AS tok
+  FROM base
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl FROM hits GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT t.doc_id,
+         CAST(floor(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+              * (t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * t.dl
+                                             / (s.sum_dl / s.n))))
+              * 1000000000 + 0.5) AS BIGINT) AS nano
+  FROM tf t, dfreq d, stats s WHERE t.tok = d.tok
+)
+SELECT doc_id, CAST(sum(nano) AS BIGINT) AS score_nano,
+       CAST(sum(nano) AS BIGINT) / 1000000000 AS score,
+       count(*) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY score_nano DESC, doc_id LIMIT 10
+""")
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (inverted-index search over the corpus):
+    query-term hits filtered row-locally before the explode, tf/df built
+    in two aggregations, corpus stats a 1-row broadcast, top-k via
+    TakeOrdered. The oracle recomputes the identical ranking in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bm25_topk(docs, ["table", "hash", "join"], k=10)
+
+
 @query("dedup_semantic")  # k-means clusters -> rows-only; planted-dup pytest
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: embeddings clustered with distributed k-means, cosine
