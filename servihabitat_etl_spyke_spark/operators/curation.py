@@ -251,3 +251,92 @@ def boilerplate_ngrams(docs: DataFrame, n: int = 3,
                     (F.col("doc_freq") / F.col("_total")).alias("doc_frac"))
             .orderBy(F.desc("doc_freq"), "shingle")
             .limit(limit))
+
+
+# -- URL / domain hygiene ------------------------------------------------------
+
+#: tracking query params stripped by normalize_urls (RE2-safe alternation)
+TRACKING_PARAMS_RE = r"(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*"
+
+
+def synth_url(id_col: Column, source_col: Column, lang_col: Column) -> Column:
+    """Deterministic URL per document (the fixture has no url column; real
+    crawls carry one). Variety is arithmetic so oracles replicate it:
+    scheme/WWW/casing/tracking-params all vary by doc_id residues."""
+    host = F.when(id_col % 3 == 0, F.upper(source_col)).otherwise(source_col)
+    return F.concat(
+        F.when(id_col % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(id_col % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        host, F.lit(".example.com/docs/"), (id_col % 50).cast("string"),
+        F.lit("/page-"), id_col.cast("string"),
+        F.when(id_col % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="), id_col.cast("string"),
+        F.lit("&utm_source=feed"),
+        F.when(id_col % 7 == 0, F.lit("&gclid=xyz")).otherwise(F.lit("")),
+        F.lit("&ref="), lang_col, F.lit("#frag"))
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawl-style URL canonicalization, pure regexp built-ins (projection
+    only — zero shuffles, whole-stage codegen; the patterns avoid
+    lookaround so an RE2 engine runs them verbatim):
+
+    - fragment dropped;
+    - tracking params (``utm_*``/``gclid``/``fbclid``/``ref``) stripped,
+      separators repaired, param order otherwise preserved;
+    - scheme + host lowercased, leading ``www.`` dropped (path case kept);
+    - trailing path slash trimmed.
+
+    Adds ``url_norm`` and ``domain``; dedup/caps/blocklists key on them.
+    """
+    u = F.col(url_col)
+    no_frag = F.regexp_replace(u, r"#.*$", "")
+    base = F.regexp_extract(no_frag, r"^[^?]*", 0)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    q = F.regexp_replace(query, TRACKING_PARAMS_RE, "")
+    q = F.regexp_replace(q, r"&&+", "&")
+    q = F.regexp_replace(q, r"^&+", "")
+    q = F.regexp_replace(q, r"&+$", "")
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(base, r"^[A-Za-z]+://([^/]+)", 1))
+    domain = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(
+        F.regexp_extract(base, r"^[A-Za-z]+://[^/]+(/.*)?$", 1), r"/$", "")
+    url_norm = F.concat(
+        scheme, F.lit("://"), domain, path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")))
+    return df.withColumn("url_norm", url_norm).withColumn("domain", domain)
+
+
+def domain_filter(df: DataFrame, blocked: list[str] | DataFrame,
+                  domain_col: str = "domain") -> DataFrame:
+    """Drop rows whose domain is blocklisted. A literal list compiles to a
+    row-local NOT IN (zero shuffle); a DataFrame blocklist (the production
+    shape — blocklists are small) broadcasts into a left-anti hash join."""
+    if isinstance(blocked, DataFrame):
+        return df.join(F.broadcast(blocked.select(
+            F.col(blocked.columns[0]).alias(domain_col))),
+            on=domain_col, how="left_anti")
+    return df.filter(~F.col(domain_col).isin(blocked))
+
+
+def per_domain_cap(df: DataFrame, cap: int, domain_col: str = "domain",
+                   order_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``cap`` documents per domain (deterministic: lowest
+    ``order_col`` wins) — the standard anti-over-representation step in
+    crawl curation. One shuffle on the domain key; rank + filter prunes
+    before anything downstream, and AQE splits skewed domains."""
+    w = W.partitionBy(domain_col).orderBy(order_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn"))
+
+
+def domain_stats(df: DataFrame, domain_col: str = "domain",
+                 chars_col: str = "n_chars") -> DataFrame:
+    """Per-domain corpus profile: doc count, total/mean chars (mean as one
+    exact-int division). Single aggregation shuffle, domain-width output."""
+    return (df.groupBy(domain_col)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(chars_col).alias("total_chars"),
+                 (F.sum(chars_col) / F.count("*")).alias("mean_chars")))

@@ -388,3 +388,115 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated count on the shingle key."""
     docs = load_table(spark, sf_dir, "documents")
     return C.boilerplate_ngrams(docs, n=3, min_doc_frac=0.02, limit=100)
+
+
+# ---------------------------------------------------------------------------
+# URL / domain hygiene
+# ---------------------------------------------------------------------------
+
+#: SQL twin of operators.curation.synth_url (the fixture has no url column)
+_SYNTH_URL_SQL = """
+  CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||
+  CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END ||
+  CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
+  '.example.com/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+  '/page-' || CAST(doc_id AS VARCHAR) ||
+  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+  '?id=' || CAST(doc_id AS VARCHAR) || '&utm_source=feed' ||
+  CASE WHEN doc_id % 7 = 0 THEN '&gclid=xyz' ELSE '' END ||
+  '&ref=' || lang || '#frag'
+"""
+
+
+@query("curate_url_normalize", oracle=f"""
+-- Mirrors normalize_urls step by step (same RE2-safe patterns, 'g' flag =
+-- Spark's replace-all default): fragment off, tracking params out with
+-- separator repair, scheme+host lowered, www. dropped, trailing / trimmed.
+WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+s1 AS (SELECT doc_id, url,
+              regexp_replace(url, '#.*$', '', 'g') AS no_frag FROM u),
+s2 AS (SELECT *, regexp_extract(no_frag, '^[^?]*', 0) AS base,
+              regexp_extract(no_frag, '\\?(.*)$', 1) AS query FROM s1),
+s3 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(query,
+                '(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+              '&&+', '&', 'g'), '^&+', '', 'g'), '&+$', '', 'g') AS q
+       FROM s2),
+s4 AS (SELECT *,
+              lower(regexp_extract(base, '^([A-Za-z]+)://', 1)) AS scheme,
+              lower(regexp_extract(base, '^[A-Za-z]+://([^/]+)', 1)) AS host
+       FROM s3),
+s5 AS (SELECT *, regexp_replace(host, '^www\\.', '', 'g') AS domain,
+              regexp_replace(regexp_extract(base,
+                '^[A-Za-z]+://[^/]+(/.*)?$', 1), '/$', '', 'g') AS path
+       FROM s4)
+SELECT doc_id, url,
+       scheme || '://' || domain || path ||
+         CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url_norm,
+       domain
+FROM s5 ORDER BY doc_id
+""")
+def curate_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL canonicalization (pure regexp projection, zero shuffle):
+    fragment + tracking params stripped, scheme/host lowercased, www.
+    dropped, trailing slash trimmed. The url column is synthesized
+    deterministically (scheme/www/casing/params vary by doc_id residues)
+    so the oracle replays both the generator and the normalizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id", C.synth_url(F.col("doc_id"), F.col("source"),
+                              F.col("lang")).alias("url"))
+    return (C.normalize_urls(with_url)
+            .select("doc_id", "url", "url_norm", "domain")
+            .orderBy("doc_id"))
+
+
+@query("curate_domain_cap", oracle="""
+-- The oracle derives the domain analytically (lower(source) must survive
+-- the engine's full normalize chain) and replays blocklist + cap.
+WITH n AS (
+  SELECT doc_id, lower(source) || '.example.com' AS domain FROM documents
+), f AS (
+  SELECT * FROM n
+  WHERE domain NOT IN ('src3.example.com', 'src7.example.com')
+)
+SELECT doc_id, domain FROM f
+QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 40
+ORDER BY doc_id
+""")
+def curate_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-over-representation: normalize urls -> drop blocklisted
+    domains (row-local NOT IN) -> keep at most 40 docs per domain
+    (deterministic lowest-id winners; one shuffle on the domain key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id", C.synth_url(F.col("doc_id"), F.col("source"),
+                              F.col("lang")).alias("url"))
+    capped = C.per_domain_cap(
+        C.domain_filter(C.normalize_urls(with_url),
+                        ["src3.example.com", "src7.example.com"]),
+        cap=40)
+    return capped.select("doc_id", "domain").orderBy("doc_id")
+
+
+@query("curate_domain_stats", oracle="""
+WITH n AS (
+  SELECT doc_id, n_chars, lower(source) || '.example.com' AS domain
+  FROM documents
+)
+SELECT domain, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) / count(*) AS mean_chars
+FROM n GROUP BY domain ORDER BY domain
+""")
+def curate_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus profile over normalized urls: doc count, total
+    and mean chars (mean = one exact-int division). Single aggregation
+    shuffle; partial aggregation runs map-side before the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id", "n_chars",
+        C.synth_url(F.col("doc_id"), F.col("source"),
+                    F.col("lang")).alias("url"))
+    return (C.domain_stats(C.normalize_urls(with_url))
+            .orderBy("domain"))

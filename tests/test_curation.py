@@ -264,3 +264,39 @@ def test_hashed_classifier_matches_manual(spark):
         assert (r["weight_sum"], r["n_tokens"]) == (ws, len(toks))
         assert r["keep"] == (ws > 0)
         assert r["logit"] == ws / (len(toks) * 998.0)
+
+
+def test_normalize_urls_edge_cases(spark):
+    rows = [
+        (1, "https://WWW.Example.COM/a/b/?utm_source=x&id=3&fbclid=z#frag"),
+        (2, "http://site.org/path?utm_campaign=a&utm_medium=b"),
+        (3, "https://www.w.co/"),
+        (4, "http://X.Y/p?ref=abc&keep=1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in C.normalize_urls(df).collect()}
+    assert got[1]["url_norm"] == "https://example.com/a/b?id=3"
+    assert got[1]["domain"] == "example.com"
+    # every param tracking -> no '?' at all
+    assert got[2]["url_norm"] == "http://site.org/path"
+    # bare root: trailing slash trimmed, www dropped
+    assert got[3]["url_norm"] == "https://w.co"
+    # ref stripped, kept param preserved, host lowered
+    assert got[4]["url_norm"] == "http://x.y/p?keep=1"
+
+
+def test_domain_filter_and_cap(spark):
+    rows = [(i, f"d{i % 3}.com") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    kept = C.domain_filter(df, ["d0.com"]).collect()
+    assert all(r["domain"] != "d0.com" for r in kept) and len(kept) == 20
+    # DataFrame blocklist (broadcast anti-join path) agrees
+    bl = spark.createDataFrame([("d0.com",)], "domain string")
+    assert len(C.domain_filter(df, bl).collect()) == 20
+    capped = C.per_domain_cap(df, cap=4).collect()
+    assert len(capped) == 12
+    per = {}
+    for r in capped:
+        per.setdefault(r["domain"], []).append(r["doc_id"])
+    # lowest ids win deterministically
+    assert sorted(per["d1.com"]) == [1, 4, 7, 10]
