@@ -265,3 +265,34 @@ def test_event_store_append_preserves_prior_partitions(spark, sf_dir, tmp_path):
     write_event_store(half_b, path)      # append: must NOT wipe half_a
     got = read_event_store(spark, path, env="dev")
     assert got.count() == routed.count()
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream join produces exactly the batch
+    interval_join pairs (clicks in the 10 minutes before each error)."""
+    from servihabitat_etl_spyke_spark.operators.temporal import interval_join
+    from servihabitat_etl_spyke_spark.streaming.joins import (
+        stream_interval_join)
+
+    def sides(src):
+        errors = (src.filter(F.col("event_type") == "error")
+                  .select(F.col("event_id").alias("err_id"), "user_id",
+                          "ts"))
+        clicks = (src.filter(F.col("event_type") == "click")
+                  .select(F.col("event_id").alias("click_id"), "user_id",
+                          F.col("ts").alias("cts")))
+        return errors, clicks
+
+    s_err, s_clk = sides(read_event_stream(spark, sf_dir))
+    joined = stream_interval_join(s_err, s_clk, on=["user_id"],
+                                  left_ts="ts", right_ts="cts",
+                                  lower_sec=-600, upper_sec=0)
+    got = _run_stream(joined.select("err_id", "click_id"),
+                      "ev_ssjoin", tmp_path)
+    b_err, b_clk = sides(load_table(spark, sf_dir, "events"))
+    batch = interval_join(b_err, b_clk, on=["user_id"], left_ts="ts",
+                          right_ts="cts", lower_sec=-600, upper_sec=0)
+    g = sorted((r["err_id"], r["click_id"]) for r in got.collect())
+    b = sorted((r["err_id"], r["click_id"])
+               for r in batch.select("err_id", "click_id").collect())
+    assert g == b and len(g) > 0
