@@ -66,6 +66,11 @@ HEADLINE = [
     "text_boilerplate_ngrams",
     "text_classifier_score",
     "dedup_semantic",
+    # round-2 continuation additions: BM25 retrieval, URL hygiene, real
+    # WAV audio decode+features (no earlier baseline — deltas from r03)
+    "bm25_topk",
+    "curate_domain_cap",
+    "multimodal_audio_features",
 ]
 
 

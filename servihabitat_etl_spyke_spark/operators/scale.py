@@ -137,3 +137,55 @@ def global_row_numbers(df: DataFrame, order_col: str,
             .withColumn(out_col,
                         (F.row_number().over(w) + F.col("_off")))
             .drop("_b", "_off"))
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton/Z-order interleaved key for two non-negative int columns:
+    bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1.
+
+    Sorting/range-partitioning a table by this key clusters BOTH dimensions
+    simultaneously, so per-file min/max stats stay tight on each column and
+    a predicate on either dimension prunes files — the standard multi-column
+    data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER), built here from
+    pure integer expressions (shift/mask/sum — codegen'd, zero shuffle to
+    compute; one range exchange to lay out).
+    """
+    from functools import reduce
+    ca = a.cast("long")
+    cb = b.cast("long")
+    terms = [
+        F.shiftleft(F.shiftright(ca, i).bitwiseAND(1), i * 2)
+        + F.shiftleft(F.shiftright(cb, i).bitwiseAND(1), i * 2 + 1)
+        for i in range(bits)]
+    return reduce(lambda x, y: x + y, terms)
+
+
+def zorder_layout(df: DataFrame, col_a: str, col_b: str,
+                  n_partitions: int | None = None,
+                  bits: int = 16) -> DataFrame:
+    """Cluster ``df`` for two-dimensional data skipping: range-partition +
+    sort by the interleaved :func:`zorder_key`. Write the result with
+    ``df.write`` and both columns' per-file min/max ranges shrink by
+    ~sqrt(n_files) versus sorting on either column alone."""
+    zk = zorder_key(F.col(col_a), F.col(col_b), bits=bits).alias("_zkey")
+    out = df.withColumn("_zkey", zk)
+    if n_partitions:
+        out = out.repartitionByRange(n_partitions, "_zkey")
+    else:
+        out = out.repartitionByRange("_zkey")
+    return out.sortWithinPartitions("_zkey").drop("_zkey")
+
+
+def compact_to_target(df: DataFrame, path: str, target_mb: int = 128,
+                      fmt: str = "parquet") -> int:
+    """Small-files compaction: rewrite ``df`` into files of roughly
+    ``target_mb`` each (the 100 TB hygiene op that keeps scan parallelism
+    aligned with ``maxPartitionBytes`` instead of drowning the driver in
+    footer reads). File count comes from the Catalyst size estimate —
+    driver-side metadata only, no extra pass over the data; AQE-coalesced
+    plans then write one file per partition. Returns the file count."""
+    est_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n = max(1, int((int(est_bytes) + target_mb * 1024 * 1024 - 1)
+                   // (target_mb * 1024 * 1024)))
+    df.repartition(n).write.mode("overwrite").format(fmt).save(path)
+    return n

@@ -390,3 +390,29 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  pct.getItem(1).alias("p95"),
                  pct.getItem(2).alias("p99"))
             .orderBy("l_returnflag"))
+
+
+@query("scale_zorder_key", oracle="""
+-- Same bit interleave: bit i of user lane -> position 2i, event lane ->
+-- 2i+1 (DuckDB list_sum returns HUGEINT; cast back to BIGINT).
+SELECT event_id, user_id,
+       CAST(list_sum(list_transform(range(0, 16), i ->
+         (((user_id % 1024) >> CAST(i AS INT)) & 1) * (1::BIGINT << CAST(2 * i AS INT))
+         + (((event_id % 1024) >> CAST(i AS INT)) & 1) * (1::BIGINT << CAST(2 * i + 1 AS INT))))
+         AS BIGINT) AS zkey
+FROM events ORDER BY event_id
+""")
+def scale_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order interleaved sort key over two dimensions — the
+    multi-column data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER
+    analog) as pure integer shift/mask expressions. zorder_layout()
+    range-partitions + sorts on this key so per-file min/max stats stay
+    tight on BOTH columns; tests/test_scale.py measures the clustering
+    win against a single-column sort."""
+    from .operators.scale import zorder_key
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.select(
+        "event_id", "user_id",
+        zorder_key(F.col("user_id") % 1024, F.col("event_id") % 1024,
+                   bits=16).alias("zkey"))
+        .orderBy("event_id"))

@@ -171,32 +171,38 @@ def state_machine_entry_events(events: DataFrame, machine: StateMachine,
     entry).
 
     Plan shape: single groupBy shuffle; the trajectory is an ``aggregate``
-    fold accumulating an array of visited states (JVM codegen, no Python).
-    The array append makes a key's fold O(n_events²) in copies — fine for
-    machine-instance event counts (tens..thousands); for pathological keys
-    feed through operators.scale.salted_group_agg-style splitting first.
+    fold (JVM codegen, no Python) whose accumulator is (current state,
+    entries-so-far) — the array only grows on state CHANGES, so a key's
+    fold copies O(n_events · n_changes) elements rather than the
+    O(n_events²) of accumulating every visited state. For pathological
+    keys feed through operators.scale.salted_group_agg-style splitting
+    first.
     """
     ordered = F.array_sort(F.collect_list(
         F.struct("ts", "event_id", F.col(event_col).alias("ev"))))
     grouped = events.groupBy(key_col).agg(ordered.alias("evs"))
 
-    # states[0] = initial; states[i] = state after consuming event i
-    states = F.aggregate(
-        F.col("evs"), F.array(F.lit(machine.initial)),
-        lambda acc, e: F.concat(acc, F.array(
-            machine.transition_column(F.element_at(acc, -1), e["ev"]))))
-    n = F.size(F.col("evs"))
-    steps = F.arrays_zip(
-        F.slice(states, 1, n).alias("prev"),
-        F.slice(states, 2, n).alias("cur"),
-        F.col("evs").alias("e"))
-    changed = F.filter(steps, lambda s: s["prev"] != s["cur"])
+    # fold: acc.s = current state, acc.es = entry rows emitted so far
+    def _step(acc, e):
+        nxt = machine.transition_column(acc["s"], e["ev"])
+        return F.struct(
+            nxt.alias("s"),
+            F.when(nxt != acc["s"],
+                   F.concat(acc["es"], F.array(F.struct(
+                       e["event_id"].alias("event_id"),
+                       nxt.alias("state")))))
+            .otherwise(acc["es"]).alias("es"))
+
+    empty = F.array().cast("array<struct<event_id: bigint, state: string>>")
+    folded = F.aggregate(
+        F.col("evs"),
+        F.struct(F.lit(machine.initial).alias("s"), empty.alias("es")),
+        _step)
     entries = F.concat(
         # spawn: the initial state's entry action (event_id NULL)
         F.array(F.struct(F.lit(None).cast("bigint").alias("event_id"),
                          F.lit(machine.initial).alias("state"))),
-        F.transform(changed, lambda s: F.struct(
-            s["e"]["event_id"].alias("event_id"), s["cur"].alias("state"))))
+        folded["es"])
 
     out = grouped.select(key_col, F.posexplode(entries).alias("pos", "entry"))
     return out.select(

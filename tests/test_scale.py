@@ -125,3 +125,46 @@ def test_global_row_numbers_keeps_null_order_keys(spark):
     assert len(out) == 4
     rn = {(r["k"], r["t"]): r["rn"] for r in out}
     assert rn == {(None, 1): 1, (None, 3): 2, (2, 4): 3, (5, 2): 4}
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """Z-order layout keeps per-partition min/max tight on BOTH columns;
+    a single-column sort leaves the other column's range at full width."""
+    from servihabitat_etl_spyke_spark.operators.scale import zorder_layout
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    def mean_spans(laid):
+        stats = (laid.withColumn("pid", F.spark_partition_id())
+                 .groupBy("pid")
+                 .agg((F.max("x") - F.min("x")).alias("sx"),
+                      (F.max("y") - F.min("y")).alias("sy"))
+                 .agg(F.avg("sx"), F.avg("sy")).first())
+        return stats[0], stats[1]
+
+    zx, zy = mean_spans(zorder_layout(df, "x", "y", n_partitions=16, bits=6))
+    nx, ny = mean_spans(df.repartitionByRange(16, "x")
+                        .sortWithinPartitions("x"))
+    # x-only sort: x clusters (span ~4/partition) but y stays full-width 63
+    assert ny > 55
+    # z-order: BOTH dims stay tight (ideal 16x16 tiles -> span 15; allow
+    # slack for repartitionByRange's sampled boundaries)
+    assert zx < 28 and zy < 28
+
+
+def test_compact_to_target_writes_expected_file_count(spark, tmp_path):
+    from servihabitat_etl_spyke_spark.operators.scale import compact_to_target
+    # compaction reads files (that's the op): many tiny input files in,
+    # few target-sized files out; Catalyst's size estimate is the real
+    # on-disk byte count for a file scan
+    (spark.range(200_000)
+     .select(F.col("id"), F.md5(F.col("id").cast("string")).alias("payload"))
+     .repartition(64)
+     .write.parquet(str(tmp_path / "tiny_files")))
+    df = spark.read.parquet(str(tmp_path / "tiny_files"))
+    n = compact_to_target(df, str(tmp_path / "compacted"), target_mb=4)
+    assert 2 <= n < 64
+    import glob
+    files = glob.glob(str(tmp_path / "compacted" / "part-*.parquet"))
+    assert len(files) == n
+    assert spark.read.parquet(str(tmp_path / "compacted")).count() == 200_000
