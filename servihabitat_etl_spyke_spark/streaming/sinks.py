@@ -61,3 +61,53 @@ def stream_dedup(stream: DataFrame, keys: list[str], *,
     key set.) The batch twin is ``dropDuplicates(keys)``."""
     return (stream.withWatermark(event_time_col, delay)
             .dropDuplicatesWithinWatermark(keys))
+
+
+def stream_rollup_upsert(stream: DataFrame, path: str, checkpoint: str, *,
+                         window_duration: str = "1 hour",
+                         event_time_col: str = "ts",
+                         group_col: str = "event_type",
+                         value_col: str = "value",
+                         available_now: bool = True):
+    """Continuous-aggregate maintenance (the hypertable/materialized-rollup
+    shape): each micro-batch is aggregated to per-(window, group) partial
+    counts/sums, then MERGED into the stored rollup by summing with the
+    existing row — incremental work is O(batch), never a recompute of the
+    full history. count and sum are mergeable; avg derives as sum/count at
+    read time (the standard partial-aggregate discipline; percentiles would
+    store a mergeable sketch the same way).
+
+    At scale the store is a transactional table and the merge is one
+    ``MERGE INTO``; the parquet read-union-overwrite here is the local
+    emulation, same as ``upsert_into_path``."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def apply_batch(batch: DataFrame, _bid: int) -> None:
+        spark = batch.sparkSession
+        part = (batch
+                .groupBy(F.window(event_time_col, window_duration)
+                         .alias("_w"), group_col)
+                .agg(F.count("*").alias("cnt"),
+                     F.sum(value_col).alias("sum_value"))
+                .select(F.col("_w.start").alias("win_start"), group_col,
+                        "cnt", "sum_value"))
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            merged = (existing.unionByName(part)
+                      .groupBy("win_start", group_col)
+                      .agg(F.sum("cnt").alias("cnt"),
+                           F.sum("sum_value").alias("sum_value")))
+            tmp = path.rstrip("/") + "._tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        else:
+            part.write.mode("overwrite").parquet(path)
+
+    writer = (stream.writeStream
+              .foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -296,3 +296,38 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     b = sorted((r["err_id"], r["click_id"])
                for r in batch.select("err_id", "click_id").collect())
     assert g == b and len(g) > 0
+
+
+def test_stream_rollup_upsert_matches_batch(spark, sf_dir, tmp_path):
+    """Incrementally maintained rollup equals the one-shot batch rollup
+    (counts and sums merge across micro-batches)."""
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        stream_rollup_upsert)
+    stream = read_event_stream(spark, sf_dir)
+    q = stream_rollup_upsert(stream, str(tmp_path / "rollup"),
+                             str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "rollup"))
+    batch = (load_table(spark, sf_dir, "events")
+             .groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour")
+                      .alias("_w"), "event_type")
+             .agg(F.count("*").alias("cnt"),
+                  F.sum("value").alias("sum_value")))
+    g = {(r["win_start"], r["event_type"]): (r["cnt"], round(r["sum_value"], 6))
+         for r in got.collect()}
+    b = {(r["_w"]["start"], r["event_type"]): (r["cnt"], round(r["sum_value"], 6))
+         for r in batch.collect()}
+    assert len(g) == len(b) > 0
+    assert set(g) == set(b)
+    for k in g:
+        assert g[k][0] == b[k][0]
+        assert abs(g[k][1] - b[k][1]) < 1e-6
+    # second pass with a fresh checkpoint replays the source into the SAME
+    # store: the merge path must sum with existing rows (counts double)
+    q2 = stream_rollup_upsert(read_event_stream(spark, sf_dir),
+                              str(tmp_path / "rollup"),
+                              str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    got2 = {(r["win_start"], r["event_type"]): r["cnt"]
+            for r in spark.read.parquet(str(tmp_path / "rollup")).collect()}
+    assert got2 == {k: 2 * cnt for k, (cnt, _s) in g.items()}
