@@ -426,13 +426,14 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(blobs).orderBy("doc_id", "frame_idx")
 
 
-@query("multimodal_embed_ann")  # stub encoder -> rows-only; pytest-checked
+@query("multimodal_embed_ann")  # float pipeline -> rows-only; pytest-checked
 def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: real BMP blobs -> REAL decode +
-    nearest-neighbor resize + re-encode -> feature-extract (stub encoder,
-    md5-seeded) -> exact cosine top-3 over the extracted embeddings. The
-    only remaining stub is the encoder; swapping it for a real vision model
-    batch call touches nothing in the Spark plumbing."""
+    nearest-neighbor resize + re-encode -> REAL pixel-statistics features
+    (color moments + gradient energy + luminance histogram computed from
+    the decoded arrays) -> exact cosine top-3 over the extracted
+    embeddings. A learned vision encoder drops in by replacing
+    ``image_feature_vector`` only; the Spark plumbing is identical."""
     docs = load_table(spark, sf_dir, "documents")
     blobs = MM.resize_images(MM.attach_binary(docs), 64, 32)
     feats = (MM.extract_features(blobs, dim=16)

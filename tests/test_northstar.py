@@ -300,3 +300,26 @@ def test_audio_windows_flatmap_counts(spark, sf_dir):
         assert len(got) == expect
         for w in got:
             assert w["start_frame"] == w["window_idx"] * 32
+
+
+def test_image_feature_vector_real_statistics():
+    """Features come from the DECODED pixels: a solid mid-gray image has
+    exact known moments, zero variance, zero gradient energy, and a
+    single-bin luminance histogram."""
+    px = np.full((8, 8, 3), 128, dtype=np.uint8)
+    v = MM.image_feature_vector(px, dim=16)
+    for c in range(3):
+        assert abs(v[c] - (128 / 127.5 - 1.0)) < 1e-12   # channel means
+        assert abs(v[3 + c] - (-1.0)) < 1e-12            # zero stds
+    assert v[6] == -1.0 and v[7] == -1.0                 # no gradients
+    hist = v[8:16]
+    assert abs(hist[4] - 1.0) < 1e-12                    # 128 -> bin 4
+    assert all(abs(h + 1.0) < 1e-12 for h in hist[:4] + hist[5:])
+    # a half black / half white image has maximal contrast features
+    px2 = np.zeros((8, 8, 3), dtype=np.uint8)
+    px2[:, 4:] = 255
+    v2 = MM.image_feature_vector(px2, dim=16)
+    assert v2[3] > v[3] and v2[6] > v[6]                 # std + dx energy up
+    # encoded-roundtrip equals direct computation
+    assert MM.image_feature_vector(
+        MM.decode_bmp(MM.encode_bmp(px2)), 16) == v2
