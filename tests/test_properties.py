@@ -173,3 +173,82 @@ def test_packing_bins_are_contiguous_and_bounded(lens, cap):
     for b, tot in totals.items():
         last = max(r["n_tokens"] for r in rows if r["bin"] == b)
         assert tot < cap + last + 1
+
+
+# -- multimodal codecs ---------------------------------------------------------
+
+@given(
+    h=st.integers(1, 12), w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_image_codecs_roundtrip_any_shape(h, w, seed):
+    import numpy as np
+
+    from servihabitat_etl_spyke_spark.operators import multimodal as MM
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(MM.decode_bmp(MM.encode_bmp(px)), px)
+    assert np.array_equal(MM.decode_ppm(MM.encode_ppm(px)), px)
+    assert MM.decode_bmp_meta(MM.encode_bmp(px)) == (w, h)
+
+
+@given(
+    n=st.integers(1, 64), ch=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_wav_codec_roundtrip_any_shape(n, ch, rate, seed):
+    import numpy as np
+
+    from servihabitat_etl_spyke_spark.operators import multimodal as MM
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+    data = MM.encode_wav(s, rate)
+    out, out_rate = MM.decode_wav(data)
+    assert out_rate == rate and np.array_equal(out, s)
+    meta = MM.decode_wav_meta(data)
+    assert (meta["n_frames"], meta["channels"]) == (n, ch)
+
+
+# -- URL normalization ---------------------------------------------------------
+
+_seg = st.text(alphabet="abcXYZ09", min_size=1, max_size=6)
+
+
+@given(
+    scheme=st.sampled_from(["http", "https", "HTTP"]),
+    www=st.booleans(), host=_seg, path=st.lists(_seg, max_size=3),
+    params=st.lists(st.tuples(
+        st.sampled_from(["id", "q", "utm_source", "utm_campaign", "ref",
+                         "gclid", "keep"]), _seg), max_size=4),
+    frag=st.one_of(st.none(), _seg),
+    trailing=st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_normalize_urls_idempotent_and_tracking_free(
+        scheme, www, host, path, params, frag, trailing):
+    """normalize(normalize(u)) == normalize(u); no tracking params, no
+    fragment, no www., lowercase scheme+domain in the output."""
+    from pyspark.sql import functions as F
+
+    from servihabitat_etl_spyke_spark.operators.curation import normalize_urls
+    url = f"{scheme}://{'www.' if www else ''}{host}.test"
+    if path:
+        url += "/" + "/".join(path)
+    if trailing:
+        url += "/"
+    if params:
+        url += "?" + "&".join(f"{k}={v}" for k, v in params)
+    if frag is not None:
+        url += "#" + frag
+    spark = get_spark()
+    df = spark.createDataFrame([(url,)], "url string")
+    once = normalize_urls(df).select(F.col("url_norm").alias("url"))
+    r1 = once.collect()[0]["url"]
+    r2 = normalize_urls(once).collect()[0]["url_norm"]
+    assert r1 == r2                                   # idempotent
+    assert "#" not in r1 and "www." not in r1
+    for bad in ("utm_", "gclid=", "fbclid=", "ref="):
+        assert bad not in r1
+    assert r1.split("://")[0] == scheme.lower()
+    host_out = r1.split("://")[1].split("/")[0].split("?")[0]
+    assert host_out == host.lower() + ".test"
