@@ -416,13 +416,26 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-@query("multimodal_frames")  # 1->N pandas iterator; checked by pytest
+@query("multimodal_frames", oracle="""
+-- Byte-grain sampling over the utf8 blobs is analytically replayable:
+-- frame fi samples the byte at offset fi*64 (ASCII corpus -> ascii() is
+-- the byte value), up to min(8, floor(len/64)) frames per doc.
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, least(8, strlen(text) // 64))) AS fi
+  FROM documents
+)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       CAST(fi * 64 AS BIGINT) AS byte_offset,
+       ascii(substr(text, CAST(fi * 64 + 1 AS INT), 1)) AS sample_value
+FROM f ORDER BY doc_id, frame_idx
+""")
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame/sample extraction: N rows out per blob in (video/audio shape).
-    Deterministic stub sampling; rows-only driver check, exact assertions
-    in pytest."""
+    """Frame/sample extraction: N rows out per blob in (video/audio
+    shape) via the mapInPandas flatMap contract. Runs over the opaque
+    utf8-bytes blobs so the oracle can replay the sampled byte values."""
     docs = load_table(spark, sf_dir, "documents")
-    blobs = MM.attach_binary(docs)
+    blobs = MM.attach_binary(docs, codec="utf8")
     return MM.sample_frames(blobs).orderBy("doc_id", "frame_idx")
 
 
