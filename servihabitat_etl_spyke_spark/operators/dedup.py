@@ -574,3 +574,131 @@ def semantic_dedup(corpus: DataFrame, k: int = 8, threshold: float = 0.9,
             .join(drops.withColumn("_drop", F.lit(True)), id_col, "left")
             .select(F.col(id_col), F.col("centroid_id"),
                     F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")))
+
+
+# -- content-defined chunking (rolling-hash boundaries) -----------------------
+
+#: Gear table: one deterministic 64-bit constant per byte value (md5-derived,
+#: so any engine/runtime regenerates it identically)
+def _gear_table():
+    import hashlib as _h
+
+    import numpy as _np
+    vals = [int.from_bytes(_h.md5(bytes([b])).digest()[:8], "big")
+            for b in range(256)]
+    return _np.array(vals, dtype=_np.uint64)
+
+
+_GEAR = None
+_CDC_WINDOW = 64
+
+
+def gear_hashes(data) -> "object":
+    """Gear rolling hash at every byte position: ``H_i = (H_{i-1} << 1) +
+    gear[b_i] (mod 2^64)`` — equivalently a 64-byte windowed dot product
+    with powers of two, which is how it vectorizes: numpy uint64 wraps mod
+    2^64 natively, so the whole blob hashes in one sliding-window
+    multiply-add, no Python loop over bytes."""
+    global _GEAR
+    import numpy as np
+    if _GEAR is None:
+        _GEAR = _gear_table()
+    g = _GEAR[np.frombuffer(data, dtype=np.uint8)]
+    if len(g) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    pad = np.zeros(_CDC_WINDOW - 1, dtype=np.uint64)
+    gp = np.concatenate([pad, g])
+    win = np.lib.stride_tricks.sliding_window_view(gp, _CDC_WINDOW)
+    pow2 = (np.uint64(1) << np.arange(_CDC_WINDOW - 1, -1, -1,
+                                      dtype=np.uint64))
+    return (win * pow2).sum(axis=1, dtype=np.uint64)
+
+
+def cdc_boundaries(data: bytes, min_size: int = 128, avg_size: int = 512,
+                   max_size: int = 2048) -> list[int]:
+    """Content-defined chunk boundaries (FastCDC-style gear hashing):
+    a boundary falls where the rolling hash has ``log2(avg_size)`` low
+    zero bits, subject to min/max bounds. Because boundaries depend only
+    on local CONTENT, inserting bytes early in a stream shifts offsets but
+    re-synchronizes the remaining boundaries — the property that makes
+    chunk-grain dedup survive edits (rsync/LBFS/backup dedup, and crawl
+    re-snapshots at corpus scale)."""
+    import numpy as np
+    n = len(data)
+    if n == 0:
+        return []
+    mask = np.uint64(avg_size - 1)
+    H = gear_hashes(data)
+    hits = np.flatnonzero((H & mask) == 0) + 1   # boundary AFTER byte i
+    out, last = [], 0
+    for h in hits:
+        if h - last < min_size:
+            continue
+        while h - last > max_size:               # forced max-size cuts
+            last += max_size
+            out.append(last)
+        if h - last >= min_size:
+            out.append(int(h))
+            last = int(h)
+    while n - last > max_size:
+        last += max_size
+        out.append(last)
+    if last < n:
+        out.append(n)
+    return out
+
+
+def cdc_chunk_table(blobs: DataFrame, min_size: int = 128,
+                    avg_size: int = 512, max_size: int = 2048,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Chunk every blob at content-defined boundaries: one row per chunk
+    with (offset, length, md5 digest). 1 -> N via the mapInPandas iterator
+    contract; hashing is the vectorized gear sweep, so the Python worker
+    does numpy passes, not per-byte loops.
+
+    Downstream, exact chunk-grain dedup is digest-keyed ``groupBy`` — the
+    shuffle carries (digest, id, offset) triples, never content bytes
+    (same discipline as passage_dedup)."""
+    import hashlib as _h
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    def chunks(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, digs = [], [], [], [], []
+            for did, content in zip(pdf[id_col], pdf["content"]):
+                raw = bytes(content)
+                prev = 0
+                for ci, b in enumerate(cdc_boundaries(
+                        raw, min_size, avg_size, max_size)):
+                    ids.append(did)
+                    idxs.append(ci)
+                    offs.append(prev)
+                    lens.append(b - prev)
+                    digs.append(_h.md5(raw[prev:b]).hexdigest())
+                    prev = b
+            yield _pd.DataFrame({
+                id_col: _pd.Series(ids, dtype="int64"),
+                "chunk_idx": _pd.Series(idxs, dtype="int32"),
+                "offset": _pd.Series(offs, dtype="int64"),
+                "length": _pd.Series(lens, dtype="int64"),
+                "digest": _pd.Series(digs, dtype="object"),
+            })
+
+    return blobs.mapInPandas(
+        chunks, schema=(f"{id_col} long, chunk_idx int, offset long, "
+                        "length long, digest string"))
+
+
+def cdc_dedup_stats(blobs: DataFrame, id_col: str = "doc_id",
+                    **chunk_kw) -> DataFrame:
+    """Corpus-level chunk-dedup accounting: for each distinct chunk digest,
+    how many copies exist and how many bytes dedup saves (copies-1 ×
+    length). The single shuffle is digest-keyed and carries no content."""
+    t = cdc_chunk_table(blobs, id_col=id_col, **chunk_kw)
+    return (t.groupBy("digest")
+            .agg(F.count("*").alias("copies"),
+                 F.max("length").alias("length"),
+                 ((F.count("*") - 1) * F.max("length")).alias("bytes_saved"))
+            .filter(F.col("copies") > 1))

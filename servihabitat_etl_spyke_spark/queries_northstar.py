@@ -626,3 +626,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (D.semantic_dedup(emb, k=8, threshold=0.45, iters=3)
             .orderBy("vec_id"))
+
+
+@query("dedup_cdc_chunks")  # rolling-hash boundaries -> rows-only; pytest
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC-style gear rolling hash) over the
+    document byte streams: boundaries fall where content says, so edited /
+    re-crawled blobs re-synchronize and chunk-grain dedup survives
+    insertions (the rsync/LBFS property — pytest proves boundary resync
+    and tiling; the hash recurrence is not SQL-expressible, so the driver
+    records rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = MM.attach_binary(docs, codec="utf8")
+    return (D.cdc_chunk_table(blobs, min_size=64, avg_size=256,
+                              max_size=1024)
+            .orderBy("doc_id", "chunk_idx"))

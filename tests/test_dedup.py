@@ -131,3 +131,72 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
     # identical direction -> identical cluster (the dup IS found in-cluster)
     assert out[100]["centroid_id"] == out[0]["centroid_id"]
     assert out[101]["centroid_id"] == out[1]["centroid_id"]
+
+
+def test_cdc_boundaries_tile_and_respect_bounds():
+    import numpy as np
+
+    from servihabitat_etl_spyke_spark.operators.dedup import cdc_boundaries
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 256, 50_000, dtype=np.uint8).tobytes()
+    bounds = cdc_boundaries(data, min_size=128, avg_size=512, max_size=2048)
+    assert bounds[-1] == len(data)
+    prev = 0
+    for i, b in enumerate(bounds):
+        size = b - prev
+        assert size <= 2048
+        if i < len(bounds) - 1:          # final chunk may be short
+            assert size >= 128
+        prev = b
+    # empty and tiny inputs
+    assert cdc_boundaries(b"") == []
+    assert cdc_boundaries(b"xy") == [2]
+
+
+def test_cdc_resynchronizes_after_insertion():
+    """THE content-defined property: prepending bytes shifts offsets but
+    the remaining chunk CONTENT (digests) re-synchronizes — fixed-size
+    chunking would lose every chunk after the edit point."""
+    import hashlib
+
+    import numpy as np
+
+    from servihabitat_etl_spyke_spark.operators.dedup import cdc_boundaries
+
+    def digests(raw):
+        bs = cdc_boundaries(raw)
+        return [hashlib.md5(raw[i:j]).hexdigest()
+                for i, j in zip([0] + bs[:-1], bs)]
+
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 256, 20_000, dtype=np.uint8).tobytes()
+    edited = b"inserted-preamble!" + base
+    d0, d1 = set(digests(base)), set(digests(edited))
+    assert len(d0 & d1) >= len(d0) - 2   # only the first chunk(s) differ
+
+
+def test_cdc_chunk_table_and_dedup_stats(spark):
+    from pyspark.sql import functions as F
+
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        cdc_chunk_table, cdc_dedup_stats)
+    text = "tok " * 2000
+    rows = [(1, text + "alpha"), (2, text + "beta"), (3, "tiny")]
+    blobs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.encode("text", "utf-8").alias("content"))
+    t = cdc_chunk_table(blobs, min_size=64, avg_size=256, max_size=1024)
+    rows_out = t.collect()
+    per_doc = {}
+    for r in rows_out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for did, chunks in per_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        # chunks tile the blob exactly
+        assert chunks[0]["offset"] == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert a["offset"] + a["length"] == b["offset"]
+    # docs 1 and 2 share identical leading content -> shared digests and
+    # real bytes_saved in the corpus accounting
+    stats = cdc_dedup_stats(blobs, min_size=64, avg_size=256,
+                            max_size=1024).collect()
+    assert any(s["copies"] >= 2 and s["bytes_saved"] > 0 for s in stats)
