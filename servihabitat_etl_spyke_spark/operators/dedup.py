@@ -103,13 +103,31 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
                   id_col: str = "doc_id", text_col: str = "text",
-                  n: int = 3) -> DataFrame:
+                  n: int = 3,
+                  max_shingle_doc_frac: float | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing >=1 shingle,
     filtered to >= threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
 
     Inverted-index join: |pairs| is bounded by shingle co-occurrence, never
-    materializing the n^2 cross product."""
+    materializing the n^2 cross product.
+
+    ``max_shingle_doc_frac`` is the stop-shingle guard for corpora with
+    boilerplate: a shingle occurring in more than that fraction of docs
+    (headers, licences) would alone generate O(n²) candidate pairs — the
+    quadratic blowup AQE can split but not shrink. Setting e.g. 0.1 drops
+    such shingles from every doc's set BEFORE the join (one extra
+    shingle-keyed count + a broadcast anti-join; Jaccard denominators use
+    the filtered sets — standard stop-shingle semantics). Off by default
+    so the exact-oracle queries keep textbook Jaccard."""
     sh = shingle_table(docs, id_col, text_col, n).alias("s")
+    if max_shingle_doc_frac is not None:
+        total = docs.agg(F.count("*").alias("_n"))
+        hot = (sh.groupBy("shingle")
+               .agg(F.count("*").alias("_df"))
+               .join(F.broadcast(total))
+               .filter(F.col("_df") > F.col("_n") * max_shingle_doc_frac)
+               .select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").alias("s")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -200,3 +200,23 @@ def test_cdc_chunk_table_and_dedup_stats(spark):
     stats = cdc_dedup_stats(blobs, min_size=64, avg_size=256,
                             max_size=1024).collect()
     assert any(s["copies"] >= 2 and s["bytes_saved"] > 0 for s in stats)
+
+
+def test_stop_shingle_cap_prevents_quadratic_boilerplate_pairs(spark):
+    """A boilerplate shingle shared by EVERY doc makes each pair share >=1
+    shingle (candidate blowup O(n^2)); the stop-shingle cap drops it before
+    the join, leaving only genuinely similar pairs."""
+    from servihabitat_etl_spyke_spark.operators.dedup import jaccard_pairs
+    boiler = "same old footer text"
+    rows = [(i, f"unique{i} words here {i} " * 3 + boiler) for i in range(10)]
+    # two planted real near-dups
+    rows.append((100, "alpha beta gamma delta epsilon zeta " + boiler))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta " + boiler))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = jaccard_pairs(docs, threshold=0.05).count()
+    capped = jaccard_pairs(docs, threshold=0.05,
+                           max_shingle_doc_frac=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert len(got) < uncapped        # boilerplate-only pairs are gone
+    assert all(a >= 100 for a, _ in got)  # only the planted pair family
