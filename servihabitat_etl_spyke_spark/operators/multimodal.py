@@ -578,3 +578,152 @@ def sample_audio_windows(blobs: DataFrame, win: int = 64, hop: int = 32,
     return blobs.mapInPandas(
         windows, schema=(f"{id_col} long, window_idx int, start_frame long, "
                          "rms double"))
+
+
+# ---------------------------------------------------------------------------
+# Real video container: BMV (indexed sequence of BMP frames)
+# ---------------------------------------------------------------------------
+
+#: magic(4) + n_frames(4) + fps(4), then n_frames x u64 absolute offsets
+_BMV_MAGIC = b"BMV1"
+
+
+def encode_bmv(frames: list[bytes], fps: int) -> bytes:
+    """Encode a frame sequence as a BMV container: magic, frame count,
+    fps, an absolute-offset index, then the BMP payloads back to back.
+    (A deliberately simple but REAL container — random access to frame i
+    is one index lookup, exactly the property frame-sampling needs.)"""
+    header_size = 12 + 8 * len(frames)
+    offsets, pos = [], header_size
+    for f in frames:
+        offsets.append(pos)
+        pos += len(f)
+    return (struct.pack("<4sII", _BMV_MAGIC, len(frames), fps)
+            + struct.pack(f"<{len(frames)}Q", *offsets)
+            + b"".join(frames))
+
+
+def decode_bmv_meta(data: bytes) -> dict:
+    """Header-only video metadata: container index + the FIRST frame's BMP
+    header (26 bytes at its offset) — never the pixel payloads."""
+    magic, n_frames, fps = struct.unpack_from("<4sII", data, 0)
+    if magic != _BMV_MAGIC:
+        raise ValueError("not a BMV container")
+    offsets = struct.unpack_from(f"<{n_frames}Q", data, 12)
+    w, h = decode_bmp_meta(data[offsets[0]:offsets[0] + 64]) if n_frames \
+        else (0, 0)
+    return {"n_frames": n_frames, "fps": fps, "width": w, "height": h}
+
+
+def decode_bmv_frame(data: bytes, i: int) -> np.ndarray:
+    """Random-access decode of frame i to an (h, w, 3) RGB array."""
+    magic, n_frames, _fps = struct.unpack_from("<4sII", data, 0)
+    if magic != _BMV_MAGIC:
+        raise ValueError("not a BMV container")
+    if not 0 <= i < n_frames:
+        raise IndexError(f"frame {i} of {n_frames}")
+    offsets = list(struct.unpack_from(f"<{n_frames}Q", data, 12))
+    end = offsets[i + 1] if i + 1 < n_frames else len(data)
+    return decode_bmp(data[offsets[i]:end])
+
+
+def _keystream_px(seed_text: str, w: int, h: int) -> np.ndarray:
+    need = h * w * 3
+    seed = hashlib.md5(seed_text.encode("utf-8")).digest()
+    reps = need // len(seed) + 1
+    return np.frombuffer((seed * reps)[:need],
+                         dtype=np.uint8).reshape(h, w, 3)
+
+
+def render_doc_bmv(doc_id: int, text: str) -> bytes:
+    """Deterministic REAL video per document: n_frames = doc_id % 4 + 2,
+    fps = doc_id % 3 + 5, every frame a valid BMP with the same geometry
+    as :func:`render_doc_bmp` (w = len(text) % 24 + 4, h = doc_id % 16
+    + 4); frame i's pixels come from the md5 keystream of ``text#i``."""
+    n_frames = doc_id % 4 + 2
+    fps = doc_id % 3 + 5
+    w = len(text) % 24 + 4
+    h = (doc_id % 16) + 4
+    frames = [encode_bmp(_keystream_px(f"{text}#{i}", w, h))
+              for i in range(n_frames)]
+    return encode_bmv(frames, fps)
+
+
+def attach_video(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Video-blob table from the documents fixture."""
+    docs = spread(docs, id_col)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "content": [render_doc_bmv(int(i), t)
+                            for i, t in zip(pdf[id_col], pdf[text_col])],
+                "media_type": "video/x-bmv",
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        render, schema=f"{id_col} long, content binary, media_type string")
+
+
+def extract_video_meta(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL header parse per video blob (container index + first-frame BMP
+    header; payload untouched)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_bmv_meta(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "n_bytes": [len(bytes(c)) for c in pdf["content"]],
+                "n_frames": [m["n_frames"] for m in metas],
+                "fps": [m["fps"] for m in metas],
+                "width": [m["width"] for m in metas],
+                "height": [m["height"] for m in metas],
+            })
+
+    return blobs.mapInPandas(
+        decode, schema=(f"{id_col} long, n_bytes long, n_frames int, "
+                        "fps int, width int, height int"))
+
+
+def sample_video_frames(blobs: DataFrame, every_n: int = 1,
+                        max_frames: int = 8,
+                        id_col: str = "doc_id") -> DataFrame:
+    """REAL frame sampling: random-access every_n-th frame via the
+    container index, FULL BMP decode per sampled frame, one output row
+    per frame with its timestamp and decoded stats (1 -> N flatMap)."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (id_col, "frame_idx", "t_millis",
+                                    "width", "height", "mean_lum_milli")}
+            for did, content in zip(pdf[id_col], pdf["content"]):
+                raw = bytes(content)
+                meta = decode_bmv_meta(raw)
+                picks = range(0, meta["n_frames"], every_n)
+                for fi in list(picks)[:max_frames]:
+                    px = decode_bmv_frame(raw, fi)
+                    rows[id_col].append(did)
+                    rows["frame_idx"].append(fi)
+                    rows["t_millis"].append(fi * 1000 // meta["fps"])
+                    rows["width"].append(px.shape[1])
+                    rows["height"].append(px.shape[0])
+                    # integer luminance: engine-exact (sum of ints, // size)
+                    rows["mean_lum_milli"].append(
+                        int(px.astype(np.int64).sum()) * 1000
+                        // (px.size))
+            yield pd.DataFrame({
+                id_col: pd.Series(rows[id_col], dtype="int64"),
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "t_millis": pd.Series(rows["t_millis"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "mean_lum_milli": pd.Series(rows["mean_lum_milli"],
+                                            dtype="int64"),
+            })
+
+    return blobs.mapInPandas(
+        frames, schema=(f"{id_col} long, frame_idx int, t_millis long, "
+                        "width int, height int, mean_lum_milli long"))

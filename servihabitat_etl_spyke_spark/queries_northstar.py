@@ -641,3 +641,77 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (D.cdc_chunk_table(blobs, min_size=64, avg_size=256,
                               max_size=1024)
             .orderBy("doc_id", "chunk_idx"))
+
+
+@query("multimodal_video_meta", oracle="""
+-- Predicts the REAL container geometry: 12-byte header + 8-byte offset
+-- index per frame + n_frames identical BMPs (54-byte header, 4-byte row
+-- padding). Spark parses the actual encoded bytes.
+WITH g AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 + 2 AS INT) AS n_frames,
+         CAST(doc_id % 3 + 5 AS INT) AS fps,
+         CAST(strlen(text) % 24 + 4 AS INT) AS width,
+         CAST(doc_id % 16 + 4 AS INT) AS height
+  FROM documents
+)
+SELECT doc_id,
+       CAST(12 + 8 * n_frames
+            + n_frames * (54 + ((3 * width + 3) // 4) * 4 * height)
+            AS BIGINT) AS n_bytes,
+       n_frames, fps, width, height
+FROM g ORDER BY doc_id
+""")
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video blobs (BMV container: indexed BMP frame sequence) -> typed
+    metadata via REAL header parsing — container index plus the first
+    frame's BMP header; frame payloads untouched."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.extract_video_meta(MM.attach_video(docs)).orderBy("doc_id")
+
+
+@query("multimodal_video_frames", oracle="""
+-- Every sampled frame is FULLY DECODED on the Spark side; the oracle
+-- recomputes each frame's exact pixel sum from the md5 keystream of
+-- 'text#i' (16-byte digest tiled over w*h*3 bytes), so a hash match
+-- proves random access + full decode through the container.
+WITH g AS (
+  SELECT doc_id, text,
+         doc_id % 4 + 2 AS n_frames,
+         doc_id % 3 + 5 AS fps,
+         strlen(text) % 24 + 4 AS w,
+         doc_id % 16 + 4 AS h
+  FROM documents
+), f AS (
+  SELECT doc_id, fps, w, h, w * h * 3 AS need,
+         unnest(range(0, n_frames, 2)) AS fi, text
+  FROM g
+), d AS (
+  SELECT doc_id, fi, fps, w, h, need,
+         md5(text || '#' || CAST(fi AS VARCHAR)) AS hex
+  FROM f
+), s AS (
+  SELECT *,
+         CAST(list_sum(list_transform(range(0, 16), j ->
+           ('0x' || substr(hex, CAST(2 * j + 1 AS INT), 2))::INT))
+           AS BIGINT) AS sum16,
+         CAST(COALESCE(list_sum(list_transform(range(0, need % 16), j ->
+           ('0x' || substr(hex, CAST(2 * j + 1 AS INT), 2))::INT)), 0)
+           AS BIGINT) AS prefix
+  FROM d
+)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       CAST(fi * 1000 // fps AS BIGINT) AS t_millis,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(((need // 16) * sum16 + prefix) * 1000 // need AS BIGINT)
+         AS mean_lum_milli
+FROM s ORDER BY doc_id, frame_idx
+""")
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: every 2nd frame random-accessed via the
+    container index and fully decoded; per-frame timestamp + decoded
+    dimensions + exact integer mean luminance (sum of decoded bytes —
+    engine-exact, so the oracle checks the pixels, not just the index)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (MM.sample_video_frames(MM.attach_video(docs), every_n=2)
+            .orderBy("doc_id", "frame_idx"))

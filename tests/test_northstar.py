@@ -323,3 +323,38 @@ def test_image_feature_vector_real_statistics():
     # encoded-roundtrip equals direct computation
     assert MM.image_feature_vector(
         MM.decode_bmp(MM.encode_bmp(px2)), 16) == v2
+
+
+def test_bmv_container_roundtrip_and_random_access():
+    rng = np.random.default_rng(21)
+    frames_px = [rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+                 for _ in range(4)]
+    data = MM.encode_bmv([MM.encode_bmp(p) for p in frames_px], fps=7)
+    meta = MM.decode_bmv_meta(data)
+    assert meta == {"n_frames": 4, "fps": 7, "width": 13, "height": 9}
+    for i, px in enumerate(frames_px):
+        assert np.array_equal(MM.decode_bmv_frame(data, i), px)
+    import pytest
+    with pytest.raises(IndexError):
+        MM.decode_bmv_frame(data, 4)
+    with pytest.raises(ValueError):
+        MM.decode_bmv_meta(b"nope" + data)
+
+
+def test_video_frame_sampling_matches_local_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(4)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = MM.sample_video_frames(MM.attach_video(docs), every_n=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, text in texts.items():
+        blob = MM.render_doc_bmv(did, text)
+        meta = MM.decode_bmv_meta(blob)
+        rows = sorted(by_doc[did], key=lambda r: r["frame_idx"])
+        assert len(rows) == meta["n_frames"]
+        for r in rows:
+            px = MM.decode_bmv_frame(blob, r["frame_idx"])
+            assert (r["width"], r["height"]) == (px.shape[1], px.shape[0])
+            assert r["mean_lum_milli"] == \
+                int(px.astype(np.int64).sum()) * 1000 // px.size
