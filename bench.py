@@ -71,6 +71,10 @@ HEADLINE = [
     "bm25_topk",
     "curate_domain_cap",
     "multimodal_audio_features",
+    # round-2 continuation: kNN graph, temperature mixing, BPE pair step
+    "ann_knn_graph",
+    "curate_temperature_mix",
+    "text_bpe_pair_counts",
 ]
 
 

@@ -340,3 +340,47 @@ def domain_stats(df: DataFrame, domain_col: str = "domain",
             .agg(F.count("*").alias("n_docs"),
                  F.sum(chars_col).alias("total_chars"),
                  (F.sum(chars_col) / F.count("*")).alias("mean_chars")))
+
+
+# -- temperature-weighted mixture sampling ------------------------------------
+
+
+def temperature_mix(df: DataFrame, target_rows: int, strata_col: str,
+                    key_col: str, alpha: float = 0.5) -> DataFrame:
+    """Temperature-scaled mixture sampling — the multilingual/data-mix
+    recipe: stratum d receives sampling mass proportional to n_d^alpha
+    (alpha < 1 upweights small strata; alpha = 1 is natural proportions),
+    scaled so the EXPECTED total kept is ~= ``target_rows``. Per-stratum
+    keep rate::
+
+        rate_d = min(1, target_rows * n_d^alpha / (sum_e n_e^alpha) / n_d)
+
+    Shape: one tiny aggregation (|strata| rows) -> weight table broadcast
+    back onto the corpus -> the same deterministic md5-hash keep decision
+    as :func:`stratified_sample`. The corpus itself is scanned once and
+    never shuffled; re-runs keep the SAME rows.
+
+    Engine-portable determinism: weights are quantized to integers
+    (floor(n^alpha * 1e6)) BEFORE the cross-stratum sum, so the total is
+    an exact integer — float sums over strata would be addition-order
+    dependent and could disagree across engines by an ulp right at a
+    threshold boundary. alpha = 0.5 uses sqrt (IEEE correctly rounded,
+    bit-identical everywhere); other alphas use pow (1-ulp engine
+    variance possible, quantization makes a flip astronomically rare)."""
+    root = (F.sqrt(F.col("_n")) if alpha == 0.5
+            else F.pow(F.col("_n"), F.lit(float(alpha))))
+    weights = (df.groupBy(strata_col)
+               .agg(F.count("*").alias("_n"))
+               .withColumn("_wq", F.floor(root * 1e6).cast("long")))
+    total = weights.agg(F.sum("_wq").alias("_tw"))
+    rates = (weights.crossJoin(F.broadcast(total))
+             .select(strata_col,
+                     F.least(F.lit(1.0),
+                             F.lit(float(target_rows)) * F.col("_wq")
+                             / F.col("_tw") / F.col("_n")).alias("_rate")))
+    thresh = F.floor(F.col("_rate") * 10000 + F.lit(0.5)).cast("long")
+    return (df.join(F.broadcast(rates.select(strata_col,
+                                             thresh.alias("_thresh"))),
+                    strata_col)
+            .filter(_unit_uniform(F.col(key_col)) < F.col("_thresh"))
+            .drop("_thresh"))

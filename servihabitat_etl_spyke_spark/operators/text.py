@@ -308,3 +308,31 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
             .select(id_col, "score_nano",
                     (F.col("score_nano") / 1000000000).alias("score"),
                     "n_terms_hit"))
+
+
+# -- BPE merge-step pair counting ---------------------------------------------
+
+
+def pair_counts(docs: DataFrame, top: int = 32,
+                text_col: str = "text") -> DataFrame:
+    """One merge step of BPE-style tokenizer training, corpus-wide: count
+    every ADJACENT token pair and return the ``top`` most frequent
+    (count desc, pair asc) — the statistic a distributed BPE trainer
+    recomputes per merge iteration (Sennrich et al. 2016; at corpus scale
+    the pair histogram is exactly this groupBy).
+
+    Shape: the per-doc pair list is ROW-LOCAL (two slices zipped — no
+    self-join on position), then explode -> count. Partial aggregation
+    combines map-side, so the shuffle carries one row per DISTINCT pair
+    per task, not per occurrence; the top-N is orderBy+limit
+    (TakeOrdered, no single-partition exchange)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(F.slice(toks, 1, n - 1),
+                   F.slice(toks, 2, n - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b)))
+    return (docs.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair").agg(F.count("*").alias("n_pairs"))
+            .orderBy(F.col("n_pairs").desc(), "pair")
+            .limit(top))

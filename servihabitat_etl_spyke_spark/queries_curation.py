@@ -500,3 +500,38 @@ def curate_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lang")).alias("url"))
     return (C.domain_stats(C.normalize_urls(with_url))
             .orderBy("domain"))
+
+
+@query("curate_temperature_mix", oracle="""
+WITH w AS (
+  SELECT lang, count(*) AS n,
+         CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS wq
+  FROM documents GROUP BY lang
+), t AS (SELECT sum(wq) AS tw FROM w),
+r AS (
+  SELECT lang,
+         CAST(floor(least(1.0, 250.0 * wq / tw / n) * 10000 + 0.5)
+              AS BIGINT) AS thresh
+  FROM w, t
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN r USING (lang)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      % 10000 < r.thresh
+ORDER BY d.doc_id
+""")
+def curate_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (alpha = 0.5): per-language
+    sampling mass proportional to sqrt(n_lang), scaled to an expected 250
+    kept docs — the data-mix recipe that upweights low-resource languages
+    instead of sampling natural proportions.
+
+    The rate table is a |langs|-row aggregate broadcast back onto the
+    corpus; the keep decision is the same deterministic md5 hash as
+    curate_stratified_sample. Weights are integer-quantized BEFORE the
+    cross-language sum so thresholds are bit-identical in any engine
+    (sqrt is IEEE correctly-rounded; no order-dependent float sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = C.temperature_mix(docs, target_rows=250, strata_col="lang",
+                            key_col="doc_id", alpha=0.5)
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")

@@ -294,6 +294,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_ivf_topk(emb, queries, k=10, n_probe=2)
 
 
+@query("ann_knn_graph", oracle="""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS s
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+""")
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN GRAPH: top-5 cosine neighbors for EVERY vector (queries ==
+    corpus) — the substrate for kNN-graph dedup clustering and SemDeDup
+    pruning. Blocked GEMM against the broadcast-normalized corpus matrix;
+    each partition emits its own rows' top-k with no second shuffle. The
+    oracle replays the full n^2 ranking in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_graph(emb, k=5)
+
+
+@query("ann_knn_graph_ivf")  # approximate -> rows-only; recall in pytest
+def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-pruned kNN graph (the beyond-closure-size scale path):
+    k-means cells, each vector scores only its 2 nearest cells' members.
+    Approximate by construction — recall vs the exact graph asserted in
+    tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2, iters=3)
+
+
 @query("ann_ivf_kmeans_topk")  # approximate -> rows-only; recall in pytest
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a TRAINED coarse codebook: distributed Lloyd's k-means
@@ -614,6 +649,26 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered. The oracle recomputes the identical ranking in SQL."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.bm25_topk(docs, ["table", "hash", "join"], k=10)
+
+
+@query("text_bpe_pair_counts", oracle="""
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS pair
+  FROM toks WHERE len(t) >= 2
+)
+SELECT pair, count(*) AS n_pairs FROM pairs
+GROUP BY pair ORDER BY n_pairs DESC, pair LIMIT 32
+""")
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge step: corpus-wide adjacent-token-pair
+    histogram, top-32 (count desc, pair asc) — what a tokenizer trainer
+    recomputes every merge iteration. Row-local pair construction (two
+    slices zipped, no positional self-join), map-side partial counts,
+    TakeOrdered top-N."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.pair_counts(docs, top=32)
 
 
 @query("dedup_semantic")  # k-means clusters -> rows-only; planted-dup pytest

@@ -300,3 +300,59 @@ def test_domain_filter_and_cap(spark):
         per.setdefault(r["domain"], []).append(r["doc_id"])
     # lowest ids win deterministically
     assert sorted(per["d1.com"]) == [1, 4, 7, 10]
+
+
+def test_temperature_mix_upweights_small_strata(spark):
+    # 900 'big' rows vs 100 'small': natural sampling keeps 9:1, sqrt
+    # temperature keeps 3:1 in expectation — verify both the totals and
+    # the direction of the rebalance
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    kept = C.temperature_mix(df, target_rows=200, strata_col="s",
+                             key_col="doc_id", alpha=0.5).collect()
+    n_big = sum(1 for r in kept if r["s"] == "big")
+    n_small = sum(1 for r in kept if r["s"] == "small")
+    # expected: mass ratio sqrt(900):sqrt(100) = 3:1 -> 150 big, 50 small
+    assert 100 <= n_big <= 200, n_big
+    assert 25 <= n_small <= 75, n_small
+    # the rebalance really happened: small stratum keeps a ~4.5x higher
+    # RATE than big (sqrt(900)/900 vs sqrt(100)/100 = 1:3 vs 1:10)
+    assert n_small / 100 > n_big / 900
+
+
+def test_temperature_mix_deterministic_and_alpha1_is_uniform(spark):
+    rows = [(i, f"s{i % 4}") for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    a = {r["doc_id"] for r in C.temperature_mix(
+        df, 100, "s", "doc_id", alpha=0.5).collect()}
+    b = {r["doc_id"] for r in C.temperature_mix(
+        df, 100, "s", "doc_id", alpha=0.5).collect()}
+    assert a == b  # same rows every run — hash, not rand()
+    # alpha=1: rate is target/total for EVERY stratum (natural mix)
+    u = C.temperature_mix(df, 400, "s", "doc_id", alpha=1.0)
+    per = {r[0]: r[1] for r in
+           u.groupBy("s").count().collect()}
+    for s, n in per.items():
+        assert 60 <= n <= 140, (s, n)  # 100 expected per stratum
+
+
+def test_temperature_mix_caps_rate_at_one(spark):
+    # a tiny stratum whose fair share exceeds its population must keep
+    # ALL its rows (rate clamps to 1), never oversample
+    rows = [(i, "big") for i in range(990)] + [
+        (1000 + i, "tiny") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    kept = C.temperature_mix(df, target_rows=500, strata_col="s",
+                             key_col="doc_id", alpha=0.5)
+    n_tiny = kept.filter(F.col("s") == "tiny").count()
+    assert n_tiny == 10
+
+
+def test_bpe_pair_counts_manual(spark):
+    from servihabitat_etl_spyke_spark.operators import text as TX
+    rows = [(1, "a b a b c"), (2, "a b"), (3, "x"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["pair"], r["n_pairs"]) for r in
+           TX.pair_counts(df, top=10).collect()]
+    # doc1 pairs: 'a b','b a','a b','b c'; doc2: 'a b'; doc3/4: none
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1)]

@@ -66,6 +66,29 @@ def test_ivf_ann_recall(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.3, recalls
 
 
+def test_knn_graph_matches_window_exact(spark, sf_dir):
+    """The blocked-GEMM kNN graph must equal the expression-based exact
+    scorer run with queries == corpus (same ranks, same tiebreaks)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200)
+    graph = SIM.knn_graph(emb, k=5)
+    ref = SIM.cosine_topk(emb, emb, k=5)
+    assert sorted(map(tuple, graph.collect())) == sorted(
+        map(tuple, ref.collect()))
+
+
+def test_knn_graph_ivf_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _topk_sets(SIM.knn_graph(emb, k=5))
+    approx = _topk_sets(SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2,
+                                          iters=3))
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+               for q in exact]
+    # probing half the cells on near-random vectors: demand a solid
+    # majority of true neighbors found on average
+    assert sum(recalls) / len(recalls) >= 0.5, sum(recalls) / len(recalls)
+
+
 def test_minhash_lsh_finds_planted_dup(spark):
     # two near-identical docs + unrelated ones: the planted pair MUST bucket
     # together (identical docs share every band)
