@@ -75,6 +75,7 @@ HEADLINE = [
     "ann_knn_graph",
     "curate_temperature_mix",
     "text_bpe_pair_counts",
+    "text_phrase_search",
 ]
 
 

@@ -310,6 +310,60 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
                     "n_terms_hit"))
 
 
+# -- positional inverted index + phrase search --------------------------------
+
+
+def inverted_index(docs: DataFrame, terms: list[str] | None = None,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Positional posting lists — (term, doc_id, positions) with positions
+    sorted ascending — the materialized index a search system builds once
+    and queries many times. With ``terms`` given, tokens are filtered
+    ROW-LOCALLY (inside the array, before the explode), so at 100 TB only
+    query-term hits ever leave the scan; without it this is the full index
+    build whose output is the posting-list table you'd write partitioned
+    by term.
+
+    One explode + one (term, doc) aggregation; partial aggregation
+    combines map-side."""
+    toks = tokens(F.col(text_col))
+    idxed = F.transform(toks, lambda t, i: F.struct(i.alias("pos"),
+                                                   t.alias("term")))
+    if terms is not None:
+        idxed = F.filter(idxed, lambda s: s["term"].isin(*terms))
+    return (docs.select(F.col(id_col), F.explode(idxed).alias("s"))
+            .select(F.col(id_col), F.col("s.term").alias("term"),
+                    F.col("s.pos").alias("pos"))
+            .groupBy("term", id_col)
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions")))
+
+
+def phrase_search(docs: DataFrame, phrase: str, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact phrase search over the positional index: docs containing the
+    token sequence ``phrase``, with the occurrence count — the posting-
+    list-intersection query shape (Lucene PhraseQuery).
+
+    Term j's postings are normalized to candidate START positions
+    (pos - j) and equi-joined on (doc, start); k-1 joins over
+    query-term-hit-sized inputs, never over the corpus. A doc matches
+    once per position where all k terms line up consecutively."""
+    terms = phrase.split(" ")
+    if not terms:
+        raise ValueError("empty phrase")
+    idx = inverted_index(docs, sorted(set(terms)), id_col, text_col)
+    cur = (idx.filter(F.col("term") == terms[0])
+           .select(F.col(id_col), F.explode("positions").alias("start")))
+    for j, t in enumerate(terms[1:], start=1):
+        nxt = (idx.filter(F.col("term") == t)
+               .select(F.col(id_col), F.explode("positions").alias("_p"))
+               .select(F.col(id_col), (F.col("_p") - j).alias("start")))
+        cur = cur.join(nxt, [id_col, "start"])
+    return (cur.groupBy(id_col)
+            .agg(F.count("*").alias("n_matches"))
+            .orderBy(id_col))
+
+
 # -- BPE merge-step pair counting ---------------------------------------------
 
 

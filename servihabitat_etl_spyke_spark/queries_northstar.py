@@ -651,6 +651,28 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bm25_topk(docs, ["table", "hash", "join"], k=10)
 
 
+@query("text_phrase_search", oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(t) - 1),
+             i -> t[i] = 'table' AND t[i + 1] = 'key'
+                  AND t[i + 2] = 'filter')) AS n_matches
+  FROM toks WHERE len(t) >= 3
+)
+SELECT doc_id, n_matches FROM m WHERE n_matches > 0 ORDER BY doc_id
+""")
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('table key filter') via positional posting
+    lists: query-term tokens filtered inside the array before the explode
+    (only hits leave the scan), postings normalized to candidate start
+    positions, k-1 equi-joins on (doc, start) — the Lucene PhraseQuery
+    shape as a dataflow. The oracle slides a window over the token lists
+    analytically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.phrase_search(docs, "table key filter")
+
+
 @query("text_bpe_pair_counts", oracle="""
 WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
 pairs AS (

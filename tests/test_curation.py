@@ -356,3 +356,30 @@ def test_bpe_pair_counts_manual(spark):
            TX.pair_counts(df, top=10).collect()]
     # doc1 pairs: 'a b','b a','a b','b c'; doc2: 'a b'; doc3/4: none
     assert got == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_phrase_search_counts_occurrences(spark):
+    from servihabitat_etl_spyke_spark.operators import text as TX
+    rows = [
+        (1, "a b c a b c"),   # 'a b c' twice
+        (2, "a b x c"),       # broken phrase -> no match
+        (3, "c a b c"),       # once
+        (4, "a a b c"),       # once (offset start)
+        (5, "b c a"),         # wrapped, not consecutive full phrase
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_matches"] for r in
+           TX.phrase_search(df, "a b c").collect()}
+    assert got == {1: 2, 3: 1, 4: 1}
+    # single-term phrase degenerates to term occurrence counts
+    one = {r["doc_id"]: r["n_matches"] for r in
+           TX.phrase_search(df, "a").collect()}
+    assert one == {1: 2, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_inverted_index_positions_sorted(spark):
+    from servihabitat_etl_spyke_spark.operators import text as TX
+    df = spark.createDataFrame([(1, "z y z y z")], "doc_id long, text string")
+    idx = {r["term"]: r["positions"] for r in
+           TX.inverted_index(df).collect()}
+    assert idx == {"z": [0, 2, 4], "y": [1, 3]}
