@@ -76,6 +76,7 @@ HEADLINE = [
     "curate_temperature_mix",
     "text_bpe_pair_counts",
     "text_phrase_search",
+    "text_bigram_lm_score",
 ]
 
 

@@ -212,6 +212,92 @@ def lm_score(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
                  F.count("*").alias("n_scored")))
 
 
+def bigram_lm(train: DataFrame, alpha: float = 0.4,
+              text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """Bigram language model with stupid backoff (Brants et al. 2007 —
+    the distributed-LM recipe built for exactly this kind of map-reduce
+    shape). Returns two model tables with PRE-QUANTIZED nano log-probs:
+
+    - bigram table (w1, w2, lnp_nano):   ln(c(w1,w2) / c(w1))
+    - backoff table (w, lnp_nano):       ln(alpha * c(w) / total)
+
+    Quantizing at model-build time means scoring is pure integer
+    arithmetic — fold-order-free, bit-identical in any engine.
+
+    Shape: pairs explode once -> (w1,w2) count; unigram counts ride the
+    same exploded pass; c(w1) joins onto the bigram counts vocabulary-
+    side (never corpus-side). Two aggregation shuffles, both vocabulary-
+    width."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pair_structs = F.when(n < 2, F.array().cast(
+        "array<struct<w1:string,w2:string>>")).otherwise(
+        F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+    big = (train.select(F.explode(pair_structs).alias("p"))
+           .select("p.w1", "p.w2")
+           .groupBy("w1", "w2").agg(F.count("*").alias("_c12")))
+    uni = (train.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("_c"))
+           .persist())
+    uni.count()
+    total = uni.agg(F.sum("_c").alias("_t"))
+    nano = lambda x: F.floor(x * 1000000000 + F.lit(0.5)).cast("long")
+    bigrams = (big.join(uni.withColumnRenamed("w", "w1"), "w1")
+               .select("w1", "w2",
+                       nano(F.log(F.col("_c12") / F.col("_c")))
+                       .alias("lnp_nano")))
+    backoff = (uni.join(F.broadcast(total))
+               .select("w",
+                       nano(F.log(F.lit(alpha) * F.col("_c") / F.col("_t")))
+                       .alias("lnp_nano")))
+    return bigrams, backoff
+
+
+def bigram_score(docs: DataFrame, bigrams: DataFrame, backoff: DataFrame,
+                 floor_logprob: float = -30.0, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-doc mean bigram log-prob under a :func:`bigram_lm` model — the
+    sharper perplexity proxy (unigram models can't see scrambled word
+    order; a bigram model scores it like the gibberish it is).
+
+    Per adjacent pair (w1, w2): the bigram log-prob if the model saw the
+    pair, else the backoff unigram mass for w2, else a fixed OOV floor.
+    Docs with fewer than 2 tokens have no scorable transition and are
+    not emitted (mirror the filter in any oracle).
+
+    Scale: docs explode once into pairs; both model joins are plain
+    equi-joins — Catalyst broadcasts them while the model fits and
+    falls back to shuffle hash joins beyond that (a web-scale bigram
+    table outgrows broadcast; the plan survives either way). The only
+    guaranteed shuffle is the final per-doc aggregation; sums are
+    integer nanos (fold-order-free)."""
+    floor_nano = int(floor_logprob * 1000000000)
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pair_structs = F.zip_with(F.slice(toks, 1, n - 1),
+                              F.slice(toks, 2, n - 1),
+                              lambda a, b: F.struct(a.alias("w1"),
+                                                    b.alias("w2")))
+    pairs = (spread(docs, id_col)
+             .filter(n >= 2)
+             .select(F.col(id_col), F.explode(pair_structs).alias("p"))
+             .select(F.col(id_col), "p.w1", "p.w2"))
+    scored = (pairs
+              .join(bigrams.withColumnRenamed("lnp_nano", "_bi"),
+                    ["w1", "w2"], "left")
+              .join(backoff.select(F.col("w").alias("w2"),
+                                   F.col("lnp_nano").alias("_bo")),
+                    "w2", "left")
+              .select(F.col(id_col),
+                      F.coalesce("_bi", "_bo", F.lit(floor_nano))
+                      .alias("_nano")))
+    return (scored.groupBy(id_col)
+            .agg(((F.sum("_nano") / F.count("*")) / 1000000000)
+                 .alias("avg_logprob"),
+                 F.count("*").alias("n_scored")))
+
+
 # -- hashed linear classifier (fastText-style inference) ----------------------
 
 

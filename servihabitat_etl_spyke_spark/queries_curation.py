@@ -212,6 +212,60 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+@query("text_bigram_lm_score", oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tr AS (SELECT * FROM toks WHERE doc_id % 3 <> 0),
+uni AS (SELECT w, count(*) AS c
+        FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+tot AS (SELECT sum(c) AS tt FROM uni),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM (
+         SELECT t[i] AS w1, t[i + 1] AS w2
+         FROM tr, UNNEST(range(1, len(t))) AS u(i)) GROUP BY w1, w2),
+bim AS (SELECT w1, w2,
+               CAST(floor(ln(c12 / CAST(c AS DOUBLE)) * 1000000000 + 0.5)
+                    AS BIGINT) AS lnp
+        FROM bi JOIN uni ON bi.w1 = uni.w),
+bom AS (SELECT w,
+               CAST(floor(ln(0.4 * c / CAST(tt AS DOUBLE)) * 1000000000
+                          + 0.5) AS BIGINT) AS lnp
+        FROM uni, tot),
+pairs AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM toks, UNNEST(range(1, len(t))) AS u(i)
+          WHERE len(t) >= 2),
+sc AS (SELECT p.doc_id,
+              COALESCE(bm.lnp, bo.lnp, -30000000000) AS nano
+       FROM pairs p
+       LEFT JOIN bim bm ON p.w1 = bm.w1 AND p.w2 = bm.w2
+       LEFT JOIN bom bo ON p.w2 = bo.w)
+SELECT doc_id,
+       floor(((CAST(sum(nano) AS BIGINT) / count(*)) / 1000000000)
+             * 1000000 + 0.5) / 1000000 AS avg_logprob,
+       count(*) AS n_scored
+FROM sc GROUP BY doc_id ORDER BY doc_id
+""")
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM with stupid backoff (Brants et al. 2007), trained on the
+    2/3 split (doc_id % 3 != 0) and scoring the WHOLE corpus — held-out
+    docs exercise the backoff and OOV-floor paths, which scoring the
+    training set alone never would. Sharper than the unigram proxy:
+    scrambled word order scores as the gibberish it is.
+
+    Model log-probs are nano-quantized at BUILD time, so scoring is two
+    equi-joins + an integer per-doc aggregation (fold-order-free,
+    bit-identical across engines)."""
+    from .operators.text import bigram_lm, bigram_score
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    bigrams, backoff = bigram_lm(train, alpha=0.4)
+    out = bigram_score(docs, bigrams, backoff, floor_logprob=-30.0)
+    return (out.select(
+        "doc_id",
+        (F.floor(F.col("avg_logprob") * 1000000 + F.lit(0.5)) / 1000000)
+        .alias("avg_logprob"),
+        "n_scored")
+        .orderBy("doc_id"))
+
+
 @query("corpus_profile", oracle="""
 WITH d AS (SELECT lang, n_chars, string_split(text, ' ') AS t
            FROM documents),

@@ -383,3 +383,27 @@ def test_inverted_index_positions_sorted(spark):
     idx = {r["term"]: r["positions"] for r in
            TX.inverted_index(df).collect()}
     assert idx == {"z": [0, 2, 4], "y": [1, 3]}
+
+
+def test_bigram_lm_penalizes_scrambled_order(spark):
+    from servihabitat_etl_spyke_spark.operators.text import (
+        bigram_lm, bigram_score, lm_score, unigram_lm)
+    # train corpus with strong bigram structure
+    train_rows = [(i, "the cat sat on the mat") for i in range(10)]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    bigrams, backoff = bigram_lm(train)
+    probe = spark.createDataFrame(
+        [(100, "the cat sat on the mat"),      # fluent
+         (101, "mat the on sat cat the"),      # same bag, scrambled
+         (102, "zz qq ww ee rr tt")],          # full OOV -> floor
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_logprob"] for r in
+           bigram_score(probe, bigrams, backoff).collect()}
+    assert got[100] > got[101] > got[102]
+    # the unigram proxy CANNOT separate fluent from scrambled (same bag)
+    uni = unigram_lm(train)
+    ug = {r["doc_id"]: r["avg_logprob"] for r in
+          lm_score(probe, uni).collect()}
+    assert abs(ug[100] - ug[101]) < 1e-9
+    # scrambled doc hits the backoff path, not the floor
+    assert got[101] > -30.0
