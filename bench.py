@@ -77,6 +77,8 @@ HEADLINE = [
     "text_bpe_pair_counts",
     "text_phrase_search",
     "text_bigram_lm_score",
+    "dedup_canonical",
+    "curate_shard_assign",
 ]
 
 

@@ -342,6 +342,34 @@ def domain_stats(df: DataFrame, domain_col: str = "domain",
                  (F.sum(chars_col) / F.count("*")).alias("mean_chars")))
 
 
+# -- training-shard assignment ------------------------------------------------
+
+
+def shard_assignment(df: DataFrame, n_shards: int, key_col: str,
+                     token_col: str) -> DataFrame:
+    """Deterministic global shuffle + shard layout — the last step before
+    writing training shards: shard_id = md5-hash(key) % n_shards (uniform
+    spread regardless of key clustering), within-shard order =
+    (hash, key) so document order is decorrelated from crawl/ingest order
+    (the "shuffle the corpus" requirement), and a re-run lays out
+    byte-identical shards (no rand()).
+
+    Adds shard_id, shard_pos (1-based within shard) and cum_tokens (the
+    within-shard token prefix sum — what a pack-boundary planner reads).
+    ONE shuffle: the window on shard_id; at 100 TB this is
+    ``repartition(n_shards, shard_id) + sortWithinPartitions`` feeding the
+    writer directly."""
+    from .dedup import _hash32
+    h = _hash32(F.col(key_col).cast("string"))
+    w = (W.partitionBy("shard_id").orderBy("_h", key_col))
+    return (df.withColumn("_h", h)
+            .withColumn("shard_id", (F.col("_h") % n_shards).cast("int"))
+            .withColumn("shard_pos", F.row_number().over(w))
+            .withColumn("cum_tokens",
+                        F.sum(token_col).over(w).cast("long"))
+            .drop("_h"))
+
+
 # -- temperature-weighted mixture sampling ------------------------------------
 
 

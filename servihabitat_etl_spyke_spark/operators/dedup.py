@@ -549,6 +549,37 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          F.col("label").alias("cluster_id"))
 
 
+def canonical_selection(docs: DataFrame, clusters: DataFrame,
+                        score_col: str = "n_chars",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster,
+    keep the doc with the BEST score (desc, id asc tiebreak) — the step
+    after clustering where a dedup pipeline decides which copy survives.
+    Picking by quality instead of by lowest id keeps the longest /
+    cleanest variant of each duplicated page.
+
+    ``clusters`` is :func:`connected_components` output; docs absent from
+    it (singletons) are their own cluster and their own canonical. One
+    left join + one window on cluster_id (clusters are small groups, so
+    the window shuffle is well-distributed).
+
+    Returns (id, cluster_id, canonical_id, is_canonical)."""
+    from pyspark.sql.window import Window as W
+    joined = (docs.join(clusters.withColumnRenamed("doc_id", id_col),
+                        id_col, "left")
+              .select(F.col(id_col),
+                      F.coalesce("cluster_id", F.col(id_col))
+                      .alias("cluster_id"),
+                      F.col(score_col)))
+    w = W.partitionBy("cluster_id").orderBy(F.col(score_col).desc(),
+                                            F.col(id_col))
+    return (joined.select(
+        F.col(id_col), "cluster_id",
+        F.first(id_col).over(w).alias("canonical_id"))
+        .withColumn("is_canonical",
+                    F.col(id_col) == F.col("canonical_id")))
+
+
 # -- semantic dedup (SemDeDup shape) ------------------------------------------
 
 

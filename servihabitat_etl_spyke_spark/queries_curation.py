@@ -556,6 +556,38 @@ def curate_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("domain"))
 
 
+@query("curate_shard_assign", oracle="""
+WITH b AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT
+           AS h0
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens, h0, CAST(h0 % 8 AS INT) AS shard_id FROM b
+)
+SELECT doc_id, n_tokens, shard_id,
+       row_number() OVER (PARTITION BY shard_id ORDER BY h0, doc_id)
+         AS shard_pos,
+       CAST(sum(n_tokens) OVER (PARTITION BY shard_id
+                                ORDER BY h0, doc_id) AS BIGINT)
+         AS cum_tokens
+FROM s ORDER BY doc_id
+""")
+def curate_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard layout: md5-hash shard assignment (8 shards),
+    hash-ordered within-shard positions (the corpus shuffle), and the
+    within-shard token prefix sum a pack-boundary planner consumes.
+    Deterministic — a re-run lays out byte-identical shards. One window
+    shuffle on shard_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    return (C.shard_assignment(base, n_shards=8, key_col="doc_id",
+                               token_col="n_tokens")
+            .orderBy("doc_id"))
+
+
 @query("curate_temperature_mix", oracle="""
 WITH w AS (
   SELECT lang, count(*) AS n,

@@ -209,6 +209,54 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs).orderBy("doc_id")
 
 
+def _canonical_oracle() -> str:
+    """Cluster oracle extended with quality-aware canonical selection:
+    singletons are their own cluster, the longest doc (id tiebreak) wins."""
+    pairs = _minhash_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+  WHERE e.v <> r.u
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         FROM reach GROUP BY u),
+j AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id))
+SELECT doc_id, cluster_id,
+       first_value(doc_id) OVER (PARTITION BY cluster_id
+                                 ORDER BY n_chars DESC, doc_id)
+         AS canonical_id,
+       doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+                                          ORDER BY n_chars DESC, doc_id)
+         AS is_canonical
+FROM j ORDER BY doc_id
+"""
+
+
+@query("dedup_canonical", oracle=_canonical_oracle())
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection over the near-dup clusters: every
+    doc tagged with its cluster, the cluster's canonical doc (longest
+    n_chars, id tiebreak — keep the fullest copy, not the lowest id), and
+    whether it survives dedup. Composes minhash-LSH pairs -> connected
+    components -> one window per cluster; the oracle replays the whole
+    chain including the recursive-CTE components."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_neardup(docs, threshold=0.5)
+    clusters = D.connected_components(pairs)
+    return (D.canonical_selection(docs, clusters, score_col="n_chars")
+            .orderBy("doc_id"))
+
+
 @query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 32-bit SimHash fingerprints (bit-vote aggregation)."""

@@ -407,3 +407,29 @@ def test_bigram_lm_penalizes_scrambled_order(spark):
     assert abs(ug[100] - ug[101]) < 1e-9
     # scrambled doc hits the backoff path, not the floor
     assert got[101] > -30.0
+
+
+def test_shard_assignment_layout_properties(spark):
+    rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = C.shard_assignment(df, n_shards=4, key_col="doc_id",
+                             token_col="n_tokens").collect()
+    assert len(out) == 200                      # nothing dropped
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard_id"] < 4
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    # every shard populated, positions contiguous from 1, prefix sums exact
+    assert set(by_shard) == {0, 1, 2, 3}
+    for rows_ in by_shard.values():
+        rows_.sort(key=lambda r: r["shard_pos"])
+        assert [r["shard_pos"] for r in rows_] == list(
+            range(1, len(rows_) + 1))
+        run = 0
+        for r in rows_:
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run
+    # deterministic: identical layout on a second run
+    again = C.shard_assignment(df, n_shards=4, key_col="doc_id",
+                               token_col="n_tokens").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

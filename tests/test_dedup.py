@@ -220,3 +220,23 @@ def test_stop_shingle_cap_prevents_quadratic_boilerplate_pairs(spark):
     assert (100, 101) in got
     assert len(got) < uncapped        # boilerplate-only pairs are gone
     assert all(a >= 100 for a, _ in got)  # only the planted pair family
+
+
+def test_canonical_selection_prefers_score_then_id(spark):
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        canonical_selection)
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id long, n_chars long")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long")
+    got = {r["doc_id"]: (r["cluster_id"], r["canonical_id"],
+                         r["is_canonical"]) for r in
+           canonical_selection(docs, clusters).collect()}
+    # cluster 1: doc 2 wins (n_chars 30, lower id than doc 3)
+    assert got[1] == (1, 2, False)
+    assert got[2] == (1, 2, True)
+    assert got[3] == (1, 2, False)
+    # singletons are their own canonical
+    assert got[4] == (4, 4, True)
+    assert got[9] == (9, 9, True)
