@@ -79,6 +79,8 @@ HEADLINE = [
     "text_bigram_lm_score",
     "dedup_canonical",
     "curate_shard_assign",
+    "agg_pivot",
+    "window_distribution",
 ]
 
 

@@ -416,3 +416,80 @@ def scale_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_key(F.col("user_id") % 1024, F.col("event_id") % 1024,
                    bits=16).alias("zkey"))
         .orderBy("event_id"))
+
+
+@query("agg_pivot", oracle="""
+SELECT source,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+FROM documents GROUP BY source ORDER BY source
+""")
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-source doc counts spread across one
+    column per language. Pivot values are EXPLICIT — without them Spark
+    runs an extra distinct-scan job to discover the columns, and the
+    output schema becomes data-dependent (a schema-drift hazard at
+    scale). One aggregation shuffle; Catalyst compiles the pivot to the
+    same conditional-sum expressions the oracle spells out."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    out = (docs.groupBy("source").pivot("lang", langs).count()
+           .na.fill(0, langs))
+    return out.select("source",
+                      *[F.col(c).alias(c) for c in langs]).orderBy("source")
+
+
+@query("agg_unpivot", oracle="""
+WITH wide AS (
+  SELECT source,
+         CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+         CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+         CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+         CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+  FROM documents GROUP BY source
+)
+SELECT source, lang, n_docs
+FROM wide UNPIVOT (n_docs FOR lang IN (de, en, es, fr, zh))
+ORDER BY source, lang
+""")
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long): the inverse reshape via the built-in
+    ``unpivot`` (STACK expression — row-local, zero extra shuffle beyond
+    the pivot's aggregation). Round-trips the pivot above, zero-count
+    cells included."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    wide = (docs.groupBy("source").pivot("lang", langs).count()
+            .na.fill(0, langs))
+    return (wide.unpivot("source", langs, "lang", "n_docs")
+            .orderBy("source", "lang"))
+
+
+@query("window_distribution", oracle="""
+SELECT doc_id, lang,
+       ntile(4) OVER w AS quartile,
+       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+ORDER BY doc_id
+""")
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per language over doc length:
+    ntile quartiles, percent_rank, cume_dist — the ranking family beyond
+    row_number. The window order includes doc_id so ntile's row split is
+    deterministic (ntile on a tied order is engine-arbitrary); the float
+    ranks are 1e-6-quantized for engine-stable hashing."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    return (docs.select(
+        "doc_id", "lang",
+        F.ntile(4).over(w).alias("quartile"),
+        q6(F.percent_rank().over(w)).alias("pct_rank"),
+        q6(F.cume_dist().over(w)).alias("cume"))
+        .orderBy("doc_id"))

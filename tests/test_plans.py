@@ -196,6 +196,8 @@ _ALLOWED_HAZARDS = {
     "q11_important_parts": {"bnlj", "single_part"},
     "q22_dormant_customers": {"bnlj", "single_part"},
     "text_lm_score": {"bnlj", "single_part"},
+    # corpus-total scalar (1 row) broadcast into the backoff model build
+    "text_bigram_lm_score": {"bnlj", "single_part"},
     "ephemeral_split": {"bnlj", "single_part"},
     # exact brute-force similarity baselines (documented O(n^2); the LSH /
     # IVF variants are the scale path) + tiny centroid cross joins
