@@ -202,3 +202,32 @@ def runtime_model_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     }, data=stats)
     return eng.sql(
         "SELECT priority, n_orders, revenue FROM order_stats ORDER BY priority")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-versioned storage (time travel / reproducible dataset versions)
+# ---------------------------------------------------------------------------
+
+@query("snapshot_time_travel", oracle="""
+SELECT event_id, event_type FROM events
+WHERE event_id < 1000 ORDER BY event_id
+""")
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible dataset versions: three commits land (two appends,
+    one overwrite), then the query TIME-TRAVELS back to snapshot 1 —
+    whose read must be byte-identical to the first commit no matter what
+    landed later (the oracle is simply that first slice). Data files are
+    immutable; the manifest maps snapshot id -> visible directories, so
+    old training runs stay exactly reproducible."""
+    import tempfile
+
+    from .catalog import load_table
+    from .sources.snapshots import SnapshotStore
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    st = SnapshotStore(tempfile.mkdtemp(prefix="snapshot_tt_"))
+    st.commit(ev.filter(F.col("event_id") < 1000))
+    st.commit(ev.filter((F.col("event_id") >= 1000)
+                        & (F.col("event_id") < 2000)))
+    st.commit(ev.filter(F.col("event_id") >= 5000), mode="overwrite")
+    return st.read(spark, snapshot=1).orderBy("event_id")

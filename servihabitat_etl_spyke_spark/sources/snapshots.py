@@ -1,0 +1,122 @@
+"""Snapshot-versioned table storage: commit / time travel / incremental
+reads over plain parquet — the reproducibility layer a training pipeline
+needs ("train on EXACTLY the corpus snapshot the last run saw", "give me
+only what landed since my last consumption point").
+
+The mini-Iceberg shape: data files are immutable (each commit writes its
+own directory, nothing is ever rewritten in place), and a tiny JSON
+manifest maps snapshot id -> the LIST of data directories visible in that
+snapshot. Reads plan from the manifest, never from directory listing:
+
+- append commit:    new snapshot = previous dirs + the new dir
+- overwrite commit: new snapshot = just the new dir (old files REMAIN on
+  disk, so every earlier snapshot still reads byte-identically)
+- time travel:      read(snapshot=k) unions exactly snapshot k's dirs
+- incremental:      read_incremental(since=k) unions only dirs added
+  after k — the consumption pattern for downstream jobs that checkpoint
+  a snapshot id instead of re-scanning the corpus
+
+Scale: the manifest is O(commits) driver-side JSON (Iceberg holds the
+same information in avro manifests); the data path is ordinary
+multi-directory parquet scans, so partition pruning / predicate pushdown
+work unchanged. No timestamps or randomness anywhere — snapshot ids are
+a dense integer sequence and re-runs are bit-reproducible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_snapshots.json"
+
+
+class SnapshotStore:
+    """Versioned parquet table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def _load(self) -> list[dict]:
+        if not os.path.exists(self._manifest_path()):
+            return []
+        with open(self._manifest_path()) as fh:
+            return json.load(fh)
+
+    def _store(self, snapshots: list[dict]) -> None:
+        # write-then-rename so a crashed commit never leaves a torn
+        # manifest (readers see the old snapshot list until the rename)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(snapshots, fh, indent=1)
+        os.replace(tmp, self._manifest_path())
+
+    def snapshots(self) -> list[dict]:
+        """[{id, mode, dirs}] — the full history, oldest first."""
+        return self._load()
+
+    def latest_id(self) -> int | None:
+        snaps = self._load()
+        return snaps[-1]["id"] if snaps else None
+
+    # -- commits -------------------------------------------------------------
+
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write ``df`` as a new immutable data directory and register the
+        next snapshot. ``mode='append'`` extends the previous snapshot's
+        file set; ``'overwrite'`` starts a fresh one (earlier snapshots
+        keep reading their own files)."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown commit mode: {mode}")
+        snaps = self._load()
+        sid = (snaps[-1]["id"] + 1) if snaps else 1
+        data_dir = os.path.join(self.path, f"commit-{sid:06d}")
+        df.write.mode("error").parquet(data_dir)
+        prev = snaps[-1]["dirs"] if (snaps and mode == "append") else []
+        snaps.append({"id": sid, "mode": mode,
+                      "dirs": prev + [f"commit-{sid:06d}"]})
+        self._store(snaps)
+        return sid
+
+    # -- reads ---------------------------------------------------------------
+
+    def _dirs_for(self, snapshot: int | None) -> list[str]:
+        snaps = self._load()
+        if not snaps:
+            raise ValueError(f"snapshot store at {self.path} is empty")
+        if snapshot is None:
+            return snaps[-1]["dirs"]
+        for s in snaps:
+            if s["id"] == snapshot:
+                return s["dirs"]
+        raise ValueError(f"no snapshot {snapshot} in {self.path} "
+                         f"(have {[s['id'] for s in snaps]})")
+
+    def read(self, spark: SparkSession,
+             snapshot: int | None = None) -> DataFrame:
+        """The table as of ``snapshot`` (default: latest)."""
+        dirs = self._dirs_for(snapshot)
+        return spark.read.parquet(*[os.path.join(self.path, d)
+                                    for d in dirs])
+
+    def read_incremental(self, spark: SparkSession,
+                         since: int) -> DataFrame:
+        """Only the data ADDED after snapshot ``since`` (empty-safe: a
+        fully-caught-up consumer gets an empty frame with the right
+        schema). Overwrite commits count as additions — the consumer
+        sees the replacement data."""
+        base = set(self._dirs_for(since))
+        latest = self._dirs_for(None)
+        new = [d for d in latest if d not in base]
+        if not new:
+            return self.read(spark).limit(0)
+        return spark.read.parquet(*[os.path.join(self.path, d)
+                                    for d in new])

@@ -75,3 +75,56 @@ def test_init_table_idempotent(spark, tmp_path):
                               "id int, v string")
     assert seeded1 is True and seeded2 is False
     assert df2.count() == 1 and df2.first().v == "a"
+
+
+# -- snapshot store (time travel / incremental reads) -------------------------
+
+
+def _snap_store(tmp_path):
+    from servihabitat_etl_spyke_spark.sources.snapshots import SnapshotStore
+    return SnapshotStore(str(tmp_path / "snap"))
+
+
+def test_snapshot_append_and_time_travel(spark, tmp_path):
+    st = _snap_store(tmp_path)
+    s1 = st.commit(spark.range(0, 10).withColumnRenamed("id", "k"))
+    s2 = st.commit(spark.range(10, 25).withColumnRenamed("id", "k"))
+    assert (s1, s2) == (1, 2)
+    assert st.read(spark, snapshot=1).count() == 10
+    assert st.read(spark, snapshot=2).count() == 25
+    assert st.read(spark).count() == 25          # default = latest
+
+
+def test_snapshot_overwrite_preserves_history(spark, tmp_path):
+    st = _snap_store(tmp_path)
+    st.commit(spark.range(0, 10).withColumnRenamed("id", "k"))
+    st.commit(spark.range(100, 103).withColumnRenamed("id", "k"),
+              mode="overwrite")
+    # the overwrite snapshot sees ONLY its own data
+    assert sorted(r["k"] for r in st.read(spark).collect()) == [100, 101, 102]
+    # ...and snapshot 1 still reads byte-identically (files never deleted)
+    assert st.read(spark, snapshot=1).count() == 10
+
+
+def test_snapshot_incremental_consumption(spark, tmp_path):
+    st = _snap_store(tmp_path)
+    st.commit(spark.range(0, 10).withColumnRenamed("id", "k"))
+    st.commit(spark.range(10, 30).withColumnRenamed("id", "k"))
+    st.commit(spark.range(30, 35).withColumnRenamed("id", "k"))
+    inc = st.read_incremental(spark, since=1)
+    assert sorted(r["k"] for r in inc.collect()) == list(range(10, 35))
+    # caught-up consumer: empty frame, schema intact
+    done = st.read_incremental(spark, since=3)
+    assert done.count() == 0 and done.columns == ["k"]
+
+
+def test_snapshot_errors(spark, tmp_path):
+    import pytest as _pt
+    st = _snap_store(tmp_path)
+    with _pt.raises(ValueError):
+        st.read(spark)                            # empty store
+    st.commit(spark.range(3).withColumnRenamed("id", "k"))
+    with _pt.raises(ValueError):
+        st.read(spark, snapshot=99)               # unknown snapshot
+    with _pt.raises(ValueError):
+        st.commit(spark.range(3), mode="merge")   # unknown mode
