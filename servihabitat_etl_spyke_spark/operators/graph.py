@@ -1,0 +1,72 @@
+"""Iterative graph algorithms over pair/edge tables (the family next to
+``dedup.connected_components``): PageRank power iteration and degree
+statistics. Used in curation for centrality-weighted canonical selection
+and domain-authority scoring — a page linked (or near-duplicated) by many
+others is usually the version worth keeping.
+
+Scale shape: one edge-keyed join + one destination-keyed aggregation per
+iteration (the standard Pregel-without-Pregel dataflow); lineage is
+truncated per round with localCheckpoint so the plan stays flat. Dangling
+vertices (no out-edges) redistribute their mass globally, as the original
+formulation requires — skipping that loses rank mass and the vector stops
+summing to 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def degrees(edges: DataFrame, id_a: str = "id_a",
+            id_b: str = "id_b") -> DataFrame:
+    """(vertex, degree) over the undirected view of an edge list."""
+    both = (edges.select(F.col(id_a).alias("v"))
+            .union(edges.select(F.col(id_b).alias("v"))))
+    return both.groupBy("v").agg(F.count("*").alias("degree"))
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 10,
+             id_a: str = "id_a", id_b: str = "id_b",
+             directed: bool = False) -> DataFrame:
+    """PageRank by power iteration. Returns (v, rank); ranks sum to 1.
+
+    ``directed=False`` (the near-dup/kNN-graph case) mirrors every edge.
+    Per iteration: contributions = rank/out_degree flowing along edges
+    (join on source, aggregate on destination), plus the damped teleport
+    term and the dangling-mass redistribution. Vertices with no in-edges
+    keep the floor rank. Floating-point sums ARE fold-order dependent
+    across partitionings (quantize downstream outputs; tests compare
+    against a local power iteration with tolerance)."""
+    e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if not directed:
+        e = e.union(edges.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+    e = e.distinct().repartition("src").localCheckpoint()
+
+    verts = (e.select(F.col("src").alias("v"))
+             .union(e.select(F.col("dst").alias("v")))
+             .distinct().localCheckpoint())
+    n = verts.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+
+    ranks = verts.select("v", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contribs = (e.join(ranks.withColumnRenamed("v", "src"), "src")
+                    .join(out_deg, "src")
+                    .select("dst",
+                            (F.col("rank") / F.col("_deg")).alias("_c"))
+                    .groupBy("dst").agg(F.sum("_c").alias("_in")))
+        # dangling vertices have no out-edges: their whole rank teleports
+        dangling = (ranks.join(out_deg.withColumnRenamed("src", "v"),
+                               "v", "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+                    .first()["_dm"])
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (verts.join(contribs.withColumnRenamed("dst", "v"),
+                            "v", "left")
+                 .select("v",
+                         (F.lit(base)
+                          + F.lit(damping)
+                          * F.coalesce("_in", F.lit(0.0))).alias("rank"))
+                 .localCheckpoint())
+    return ranks

@@ -377,6 +377,27 @@ def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2, iters=3)
 
 
+@query("graph_pagerank_knn")  # float power iteration -> rows-only; pytest
+def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the kNN graph: PageRank on the top-5-neighbor
+    edges — the 'which documents sit at the center of a near-dup / topic
+    neighborhood' signal used for centrality-weighted canonical
+    selection. Iterative join+aggregate dataflow (localCheckpoint-
+    truncated); float sums are fold-order dependent, so the driver
+    records rows-only and pytest verifies against a local dense power
+    iteration."""
+    from .operators.graph import pagerank
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = SIM.knn_graph(emb, k=5).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    ranks = pagerank(edges, damping=0.85, iters=8)
+    return (ranks.select(
+        F.col("v").alias("vec_id"),
+        (F.floor(F.col("rank") * 1000000000 + F.lit(0.5)) / 1000000000)
+        .alias("rank_q"))
+        .orderBy("vec_id"))
+
+
 @query("ann_ivf_kmeans_topk")  # approximate -> rows-only; recall in pytest
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a TRAINED coarse codebook: distributed Lloyd's k-means

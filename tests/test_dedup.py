@@ -240,3 +240,40 @@ def test_canonical_selection_prefers_score_then_id(spark):
     # singletons are their own canonical
     assert got[4] == (4, 4, True)
     assert got[9] == (9, 9, True)
+
+
+def test_pagerank_matches_local_power_iteration(spark):
+    import numpy as np
+    from servihabitat_etl_spyke_spark.operators.graph import pagerank
+    # star (0 hub) + chain + a dangling-ish leaf, undirected
+    pairs = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["v"]: r["rank"] for r in
+           pagerank(edges, damping=0.85, iters=20).collect()}
+    # local dense power iteration, identical formulation
+    nodes = sorted({v for p in pairs for v in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in pairs:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        contrib = adj.T @ (r / deg)
+        r = (1 - 0.85) / n + 0.85 * contrib   # no dangling: all deg > 0
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the hub out-ranks every leaf
+    assert got[0] == max(got.values())
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    from servihabitat_etl_spyke_spark.operators.graph import pagerank
+    # directed chain 1 -> 2 -> 3: vertex 3 is dangling
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r["v"]: r["rank"] for r in
+           pagerank(edges, damping=0.85, iters=30, directed=True).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9   # no rank mass lost
+    assert got[3] > got[2] > got[1]              # rank flows downstream
