@@ -493,3 +493,40 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.percent_rank().over(w)).alias("pct_rank"),
         q6(F.cume_dist().over(w)).alias("cume"))
         .orderBy("doc_id"))
+
+
+@query("scale_bucketed_join", oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-layout co-located join, driver-visible: both sides are
+    persisted bucketBy(8)+sortBy on the join key, then joined through the
+    bucketed tables — the layout that makes repeated big-big joins plan
+    with ZERO Exchange (asserted with broadcast disabled in
+    tests/test_scale.py::test_bucketed_join_has_no_exchange; at this SF
+    the optimizer may still choose broadcast, which is also shuffle-free).
+    The timing deliberately INCLUDES the one-time layout build — that is
+    the real cost a pipeline amortizes across every later join."""
+    import tempfile
+    import uuid
+
+    from .operators.scale import write_bucketed
+
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    write_bucketed(orders, f"b_orders_{run}", f"{base}/o", "o_orderkey")
+    write_bucketed(li, f"b_lineitem_{run}", f"{base}/l", "o_orderkey")
+    return (spark.table(f"b_lineitem_{run}")
+            .join(spark.table(f"b_orders_{run}"), "o_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum("l_quantity").cast("long").alias("sum_qty"))
+            .orderBy("o_orderpriority"))
