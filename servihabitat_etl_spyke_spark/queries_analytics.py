@@ -530,3 +530,40 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_lines"),
                  F.sum("l_quantity").cast("long").alias("sum_qty"))
             .orderBy("o_orderpriority"))
+
+
+def _profile_oracle() -> str:
+    cols = [("o_custkey", "long", "num"), ("o_orderkey", "long", "num"),
+            ("o_orderpriority", "string", "str"),
+            ("o_orderstatus", "string", "str"),
+            ("o_totalprice", "double", "num")]
+    parts = []
+    for name, dtype, kind in cols:
+        mn = (f"CAST(min({name}) AS DOUBLE)" if kind == "num"
+              else "CAST(NULL AS DOUBLE)")
+        mx = (f"CAST(max({name}) AS DOUBLE)" if kind == "num"
+              else "CAST(NULL AS DOUBLE)")
+        mns = f"min({name})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        mxs = f"max({name})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        parts.append(f"""SELECT '{name}' AS col_name, '{dtype}' AS dtype,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) - count({name}) AS BIGINT) AS n_nulls,
+  CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+  {mn} AS min_num, {mx} AS max_num, {mns} AS min_str, {mxs} AS max_str
+FROM orders""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+@query("profile_columns", oracle=_profile_oracle())
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table in ONE aggregation over
+    one scan: per-column null counts, exact distinct cardinality (Expand-
+    planned — approx=True collapses it to HLL for very wide tables at
+    full scale), and typed min/max. The single aggregated row is driver-
+    reshaped long (O(#columns) — it IS the profile)."""
+    from .operators.profile import profile_table
+    orders = load_table(spark, sf_dir, "orders")
+    return (profile_table(orders,
+                          ["o_orderkey", "o_custkey", "o_orderstatus",
+                           "o_totalprice", "o_orderpriority"])
+            .orderBy("col_name"))

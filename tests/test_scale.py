@@ -168,3 +168,28 @@ def test_compact_to_target_writes_expected_file_count(spark, tmp_path):
     files = glob.glob(str(tmp_path / "compacted" / "part-*.parquet"))
     assert len(files) == n
     assert spark.read.parquet(str(tmp_path / "compacted")).count() == 200_000
+
+
+def test_profile_table_nulls_and_types(spark):
+    from servihabitat_etl_spyke_spark.operators.profile import profile_table
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None), (2, "b", 2.5), (None, "a", 0.5)],
+        "k long, s string, x double")
+    got = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_nulls"] == 1
+    assert got["k"]["n_distinct"] == 2
+    assert got["k"]["min_num"] == 1.0 and got["k"]["max_num"] == 2.0
+    assert got["k"]["min_str"] is None
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_str"] == "a" and got["s"]["max_str"] == "b"
+    assert got["s"]["min_num"] is None
+    assert got["x"]["min_num"] == 0.5 and got["x"]["max_num"] == 2.5
+    # approx path: same shape, HLL cardinalities within sketch error
+    ap = {r["col_name"]: r for r in
+          profile_table(df, approx=True).collect()}
+    assert ap["k"]["n_distinct"] in (1, 2, 3)
+    # column subset + unknown column guard
+    import pytest as _pt
+    assert [r["col_name"] for r in profile_table(df, ["x"]).collect()] == ["x"]
+    with _pt.raises(ValueError):
+        profile_table(df, ["nope"])
