@@ -396,6 +396,104 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
                     "n_terms_hit"))
 
 
+# -- BPE tokenizer: sample-trained, corpus-applied ----------------------------
+
+
+def train_bpe(texts: list[str], n_merges: int = 32) -> list[tuple[str, str]]:
+    """Classic BPE merge-list training (Sennrich et al. 2016) on a LOCAL
+    sample — the production pattern: the tokenizer is trained once on a
+    driver-sized sample, then applied to the full corpus distributed
+    (:func:`apply_bpe`). Words split to characters + terminal '</w>';
+    each round merges the most frequent adjacent symbol pair (count desc,
+    pair asc tiebreak — fully deterministic). Returns the ordered merge
+    list, which IS the tokenizer."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[tuple(list(w) + ["</w>"])] += 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, cnt in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = Counter()
+        for sym, cnt in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if (i + 1 < len(sym)
+                        and (sym[i], sym[i + 1]) == best):
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            merged[tuple(out)] += cnt
+        words = merged
+    return merges
+
+
+def bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply an ordered merge list to one word (greedy, in merge-priority
+    order — the standard BPE inference)."""
+    sym = list(word) + ["</w>"]
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]],
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distributed BPE tokenization under a trained merge list: per doc,
+    the real subword count and a digest of the token stream (narrow
+    output; the stream itself would be the corpus again). Arrow-batched
+    ``mapInPandas``; the merge list rides the task closure (a tokenizer
+    is kilobytes). Per-word encodings are memoized per batch — natural
+    text repeats words heavily."""
+    import hashlib
+
+    import pandas as pd
+
+    def encode(batches):
+        for pdf in batches:
+            cache: dict[str, list[str]] = {}
+            ids, counts, digests = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list[str] = []
+                for w in (text or "").split(" "):
+                    if not w:
+                        continue
+                    if w not in cache:
+                        cache[w] = bpe_encode(w, merges)
+                    toks.extend(cache[w])
+                ids.append(did)
+                counts.append(len(toks))
+                digests.append(hashlib.md5(
+                    "\x1f".join(toks).encode()).hexdigest())
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "n_subwords": pd.Series(counts,
+                                                        dtype="int64"),
+                                "token_digest": digests})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        encode, schema=f"{id_col} long, n_subwords long, token_digest string")
+
+
 # -- positional inverted index + phrase search --------------------------------
 
 

@@ -742,6 +742,25 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.phrase_search(docs, "table key filter")
 
 
+@query("text_bpe_tokenize")  # iterative merges -> rows-only; pytest-proven
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BPE: the merge list trains on a driver-sized sample
+    (every 10th doc, deterministic order — the production
+    train-on-sample / apply-at-scale split), then tokenizes the WHOLE
+    corpus distributed (Arrow batches, per-batch word memoization).
+    Output per doc: real subword count + token-stream digest. Merge
+    application is iterative string rewriting — not SQL-expressible, so
+    the driver records rows-only; tests pin the classic
+    low/lower/lowest merge behavior and digest determinism."""
+    sample = [r["text"] for r in
+              load_table(spark, sf_dir, "documents")
+              .filter(F.col("doc_id") % 10 == 0)
+              .select("doc_id", "text").orderBy("doc_id").collect()]
+    merges = TX.train_bpe(sample, n_merges=16)
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.apply_bpe(docs, merges).orderBy("doc_id")
+
+
 @query("text_bpe_pair_counts", oracle="""
 WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
 pairs AS (

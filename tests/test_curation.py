@@ -433,3 +433,33 @@ def test_shard_assignment_layout_properties(spark):
     again = C.shard_assignment(df, n_shards=4, key_col="doc_id",
                                token_col="n_tokens").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_bpe_train_and_encode_classic_example(spark):
+    from servihabitat_etl_spyke_spark.operators.text import (
+        apply_bpe, bpe_encode, train_bpe)
+    corpus = ["low low low low low lower lower newest newest newest "
+              "newest newest newest widest widest widest"]
+    merges = train_bpe(corpus, n_merges=10)
+    # 'newest' (freq 6) drives the first merges: e+s, es+t, est+</w>
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "</w>")
+    # after enough merges the frequent words become single symbols
+    assert bpe_encode("newest", merges) == ["newest</w>"]
+    assert bpe_encode("low", merges) == ["low</w>"]
+    # unseen word falls back to smaller pieces, never fails
+    pieces = bpe_encode("lowest", merges)
+    assert "".join(pieces) == "lowest</w>" and len(pieces) >= 2
+    # distributed application agrees with local encoding
+    df = spark.createDataFrame(
+        [(1, "low lower newest"), (2, "")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in apply_bpe(df, merges).collect()}
+    local = sum((bpe_encode(w, merges)
+                 for w in "low lower newest".split()), [])
+    assert got[1]["n_subwords"] == len(local)
+    assert got[2]["n_subwords"] == 0
+    # determinism: same digest on a re-run
+    again = {r["doc_id"]: r["token_digest"]
+             for r in apply_bpe(df, merges).collect()}
+    assert again[1] == got[1]["token_digest"]
