@@ -252,3 +252,35 @@ def test_normalize_urls_idempotent_and_tracking_free(
     assert r1.split("://")[0] == scheme.lower()
     host_out = r1.split("://")[1].split("/")[0].split("?")[0]
     assert host_out == host.lower() + ".test"
+
+
+# -- BPE tokenizer (pure-Python train/encode layer) ---------------------------
+
+_bpe_word = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll",), max_codepoint=127),
+    min_size=1, max_size=10)
+
+
+@given(texts=st.lists(st.lists(_bpe_word, min_size=1, max_size=6)
+                      .map(" ".join), min_size=1, max_size=5),
+       probe=_bpe_word,
+       n_merges=st.integers(min_value=0, max_value=20))
+@settings(max_examples=40, deadline=None)
+def test_bpe_encode_lossless_for_any_merge_list(texts, probe, n_merges):
+    """Merges only concatenate adjacent symbols, so decoding is always
+    the identity: joining the pieces reconstructs word + '</w>' for ANY
+    trained merge list and ANY word — seen or unseen."""
+    from servihabitat_etl_spyke_spark.operators.text import (
+        bpe_encode, train_bpe)
+    merges = train_bpe(texts, n_merges=n_merges)
+    assert "".join(bpe_encode(probe, merges)) == probe + "</w>"
+
+
+@given(texts=st.lists(st.lists(_bpe_word, min_size=1, max_size=5)
+                      .map(" ".join), min_size=1, max_size=5))
+@settings(max_examples=25, deadline=None)
+def test_bpe_training_is_order_free(texts):
+    """The merge list depends on word COUNTS, not document order — a
+    re-shuffled corpus trains the identical tokenizer."""
+    from servihabitat_etl_spyke_spark.operators.text import train_bpe
+    assert train_bpe(texts, 12) == train_bpe(list(reversed(texts)), 12)
