@@ -580,6 +580,70 @@ def sample_audio_windows(blobs: DataFrame, win: int = 64, hop: int = 32,
                          "rms double"))
 
 
+def audio_fingerprint(blobs: DataFrame, win: int = 64, hop: int = 32,
+                      bands: int = 9,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Acoustic fingerprints (Haitsma-Kalker 2002 shape): per hop-strided
+    window, an rfft magnitude spectrum is folded into ``bands`` energy
+    bands, and each frame emits bands-1 bits — bit b set iff the
+    band-energy DELTA (across adjacent bands AND adjacent frames)
+
+        (E[b,t] - E[b+1,t]) - (E[b,t-1] - E[b+1,t-1]) > 0
+
+    — the sign pattern that survives volume changes and mild noise, which
+    is what makes it a dedup key for re-encoded audio. Output per blob:
+    frame count, the packed bit-matrix digest (the join key for exact
+    fingerprint dedup), and the first frame's bits (a debuggable probe).
+
+    Real DSP (numpy rfft over fully decoded samples), Arrow-batched; at
+    100 TB this is a pure map stage and the digests feed the standard
+    hash-groupBy dedup."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfr, digs, firsts = [], [], [], []
+            for did, content in zip(pdf[id_col], pdf["content"]):
+                samples, _sr = decode_wav(bytes(content))
+                ch0 = samples[:, 0].astype(np.float64)
+                n_frames = ((len(ch0) - win) // hop + 1
+                            if len(ch0) >= win else 0)
+                bits_rows = []
+                prev = None
+                for t in range(n_frames):
+                    seg = ch0[t * hop: t * hop + win]
+                    mag = np.abs(np.fft.rfft(seg))          # win//2+1 bins
+                    # fold bins into equal-ish bands (skip DC bin)
+                    bounds = np.linspace(1, len(mag), bands + 1).astype(int)
+                    e = np.array([
+                        (mag[bounds[b]:bounds[b + 1]] ** 2).sum()
+                        for b in range(bands)])
+                    if prev is not None:
+                        d = (e[:-1] - e[1:]) - (prev[:-1] - prev[1:])
+                        bits_rows.append((d > 0).astype(np.uint8))
+                    prev = e
+                ids.append(did)
+                nfr.append(len(bits_rows))
+                if bits_rows:
+                    mat = np.stack(bits_rows)
+                    digs.append(hashlib.md5(
+                        np.packbits(mat).tobytes()).hexdigest())
+                    firsts.append(int(
+                        (mat[0] * (1 << np.arange(bands - 1))).sum()))
+                else:
+                    digs.append(None)
+                    firsts.append(None)
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "n_fp_frames": pd.Series(nfr, dtype="int64"),
+                "fp_digest": digs,
+                "fp_first": pd.Series(firsts, dtype="object"),
+            })
+
+    return blobs.mapInPandas(
+        fp, schema=(f"{id_col} long, n_fp_frames long, fp_digest string, "
+                    "fp_first long"))
+
+
 # ---------------------------------------------------------------------------
 # Real video container: BMV (indexed sequence of BMP frames)
 # ---------------------------------------------------------------------------

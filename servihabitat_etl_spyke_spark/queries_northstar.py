@@ -628,6 +628,19 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_features(blobs).orderBy("doc_id")
 
 
+@query("multimodal_audio_fingerprint")  # FFT float path -> rows-only; pytest
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic fingerprints over the decoded waveforms (Haitsma-Kalker
+    band-energy-delta bits): per blob the packed-bit digest that serves
+    as the dedup key for re-encoded audio, plus frame count and the first
+    frame's bits. rfft is a float transform (not SQL-expressible), so the
+    driver records rows-only; pytest proves volume invariance,
+    discrimination, and determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = MM.attach_audio(docs)
+    return MM.audio_fingerprint(blobs).orderBy("doc_id")
+
+
 @query("multimodal_audio_windows", oracle="""
 -- Channel-0 frame j of the interleaved stream is sample j*channels, so the
 -- oracle addresses it directly without materializing the full stream.

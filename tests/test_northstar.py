@@ -381,3 +381,30 @@ def test_video_frame_sampling_matches_local_decode(spark, sf_dir):
             assert (r["width"], r["height"]) == (px.shape[1], px.shape[0])
             assert r["mean_lum_milli"] == \
                 int(px.astype(np.int64).sum()) * 1000 // px.size
+
+
+def test_audio_fingerprint_volume_invariant_and_discriminative(spark):
+    import numpy as np
+    from servihabitat_etl_spyke_spark.operators.multimodal import (
+        audio_fingerprint, encode_wav)
+    rng_a = ((np.arange(4000) * 40503 + 17) % 65536 - 32768).astype(np.int16)
+    # same signal at half volume: band-energy DELTAS keep their signs
+    half = (rng_a.astype(np.int32) // 2).astype(np.int16)
+    other = ((np.arange(4000) * 25173 + 9) % 65536 - 32768).astype(np.int16)
+    blobs = spark.createDataFrame(
+        [(1, bytearray(encode_wav(rng_a.reshape(-1, 1), 8000))),
+         (2, bytearray(encode_wav(half.reshape(-1, 1), 8000))),
+         (3, bytearray(encode_wav(other.reshape(-1, 1), 8000))),
+         (4, bytearray(encode_wav(rng_a[:16].reshape(-1, 1), 8000)))],
+        "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in audio_fingerprint(blobs).collect()}
+    # volume scaling preserves the full fingerprint bit-for-bit
+    assert got[1]["fp_digest"] == got[2]["fp_digest"]
+    # a different signal fingerprints differently
+    assert got[3]["fp_digest"] != got[1]["fp_digest"]
+    # too short for one window: empty fingerprint, explicit nulls
+    assert got[4]["n_fp_frames"] == 0 and got[4]["fp_digest"] is None
+    # determinism across runs
+    again = {r["doc_id"]: r["fp_digest"]
+             for r in audio_fingerprint(blobs).collect()}
+    assert again[1] == got[1]["fp_digest"]
