@@ -81,6 +81,8 @@ HEADLINE = [
     "curate_shard_assign",
     "agg_pivot",
     "window_distribution",
+    "multimodal_image_dhash",
+    "profile_columns",
 ]
 
 

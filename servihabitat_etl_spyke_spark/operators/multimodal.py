@@ -314,6 +314,47 @@ def resize_images(blobs: DataFrame, target_w: int = 224, target_h: int = 224,
         resize, schema=f"{id_col} long, content binary, width int, height int")
 
 
+def dhash_bits(px: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
+    """Difference hash (dHash) of a decoded image: grayscale, resize to
+    (hash_w+1) x hash_h with the codec's own pixel-center resampler, then
+    one bit per cell — left pixel brighter than its right neighbor. The
+    standard perceptual near-dup key: stable under resize and mild
+    recompression, 64 bits by default, Hamming distance = visual
+    distance."""
+    gray = px.astype(np.int64).sum(axis=2)          # 3x luminance, monotone
+    g = gray[:, :, None].repeat(3, axis=2)          # reuse the rgb resampler
+    small = resize_pixels(g, hash_w + 1, hash_h)[:, :, 0]
+    bits = (small[:, :-1] > small[:, 1:]).astype(np.uint64).reshape(-1)
+    return int((bits << np.arange(bits.size, dtype=np.uint64)).sum())
+
+
+def image_dhash(blobs: DataFrame, hash_w: int = 8, hash_h: int = 8,
+                id_col: str = "doc_id") -> DataFrame:
+    """Perceptual image hashing over decoded pixels (dHash, 64-bit):
+    (id, dhash, width, height). Exact-dup via groupBy on the hash;
+    near-dup via Hamming distance (``bit_count(a ^ b)`` — a JVM built-in)
+    on LSH-banded hash prefixes, the same banding machinery as MinHash.
+    Pure map stage over the blob scan."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, hts = [], [], [], []
+            for did, content in zip(pdf[id_col], pdf["content"]):
+                px = decode_image(bytes(content))
+                ids.append(did)
+                hs.append(dhash_bits(px, hash_w, hash_h))
+                hts.append(px.shape[0])
+                ws.append(px.shape[1])
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "dhash": pd.Series(hs, dtype="uint64")
+                                .astype("int64"),
+                                "width": pd.Series(ws, dtype="int32"),
+                                "height": pd.Series(hts, dtype="int32")})
+
+    return blobs.mapInPandas(
+        hashes, schema=f"{id_col} long, dhash long, width int, height int")
+
+
 def image_feature_vector(px: np.ndarray, dim: int = 16) -> list[float]:
     """REAL hand-crafted image descriptor from decoded pixels (the
     classical pre-CNN shape — color moments + gradient energy + a coarse

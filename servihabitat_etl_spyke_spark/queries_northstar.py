@@ -628,6 +628,69 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_features(blobs).orderBy("doc_id")
 
 
+@query("multimodal_image_dhash", oracle="""
+-- Full analytic replay of decode -> grayscale -> pixel-center resample
+-- -> dHash: render_doc_bmp's pixels are the md5(text) keystream (byte k
+-- = hex pair k%16 of the digest), so every sampled gray value — and
+-- therefore every comparison bit — is recomputable in SQL. The 64-bit
+-- hash is checked as two 32-bit halves (bit 63 would wrap BIGINT).
+WITH g AS (
+  SELECT doc_id, md5(text) AS hx,
+         strlen(text) % 24 + 4 AS w,
+         doc_id % 16 + 4 AS h
+  FROM documents
+), bits AS (
+  SELECT doc_id, w, h, hx,
+    list_transform(range(0, 64), b -> (
+      CASE WHEN (
+        -- gray(sr, sc) with sr = floor(((b//8)+0.5)*h/8), sc likewise
+        ('0x' || substr(hx, (((least(CAST(floor(((b // 8) + 0.5) * h / 8) AS BIGINT), h - 1) * w
+             + least(CAST(floor(((b % 8) + 0.5) * w / 9) AS BIGINT), w - 1)) * 3 + 0) % 16) * 2 + 1, 2))::INT
+      + ('0x' || substr(hx, (((least(CAST(floor(((b // 8) + 0.5) * h / 8) AS BIGINT), h - 1) * w
+             + least(CAST(floor(((b % 8) + 0.5) * w / 9) AS BIGINT), w - 1)) * 3 + 1) % 16) * 2 + 1, 2))::INT
+      + ('0x' || substr(hx, (((least(CAST(floor(((b // 8) + 0.5) * h / 8) AS BIGINT), h - 1) * w
+             + least(CAST(floor(((b % 8) + 0.5) * w / 9) AS BIGINT), w - 1)) * 3 + 2) % 16) * 2 + 1, 2))::INT
+      ) > (
+        ('0x' || substr(hx, (((least(CAST(floor(((b // 8) + 0.5) * h / 8) AS BIGINT), h - 1) * w
+             + least(CAST(floor(((b % 8) + 1 + 0.5) * w / 9) AS BIGINT), w - 1)) * 3 + 0) % 16) * 2 + 1, 2))::INT
+      + ('0x' || substr(hx, (((least(CAST(floor(((b // 8) + 0.5) * h / 8) AS BIGINT), h - 1) * w
+             + least(CAST(floor(((b % 8) + 1 + 0.5) * w / 9) AS BIGINT), w - 1)) * 3 + 1) % 16) * 2 + 1, 2))::INT
+      + ('0x' || substr(hx, (((least(CAST(floor(((b // 8) + 0.5) * h / 8) AS BIGINT), h - 1) * w
+             + least(CAST(floor(((b % 8) + 1 + 0.5) * w / 9) AS BIGINT), w - 1)) * 3 + 2) % 16) * 2 + 1, 2))::INT
+      ) THEN 1::BIGINT ELSE 0::BIGINT END)) AS bl
+  FROM g
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(1, 33),
+            i -> bl[i] * (1::BIGINT << CAST(i - 1 AS INT)))) AS BIGINT)
+         AS dhash_lo,
+       CAST(list_sum(list_transform(range(33, 65),
+            i -> bl[i] * (1::BIGINT << CAST(i - 33 AS INT)))) AS BIGINT)
+         AS dhash_hi,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height
+FROM bits ORDER BY doc_id
+""")
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashes over REAL decoded BMPs: dHash = sign bits
+    of adjacent-cell luminance differences on a pixel-center-resampled
+    9x8 grid — the visual near-dup key (Hamming distance = visual
+    distance; exact dups groupBy the hash, near-dups go through the same
+    LSH banding as MinHash). The oracle recomputes every sampled gray
+    value from the md5 pixel keystream, proving decode + resample + hash
+    end-to-end. Emitted as two 32-bit halves (bit 63 would wrap the
+    signed hash column)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = MM.attach_binary(docs)
+    hashed = MM.image_dhash(blobs)
+    return (hashed.select(
+        "doc_id",
+        F.col("dhash").bitwiseAND(F.lit(0xFFFFFFFF)).alias("dhash_lo"),
+        F.shiftrightunsigned(F.col("dhash"), 32)
+        .bitwiseAND(F.lit(0xFFFFFFFF)).alias("dhash_hi"),
+        "width", "height")
+        .orderBy("doc_id"))
+
+
 @query("multimodal_audio_fingerprint")  # FFT float path -> rows-only; pytest
 def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic fingerprints over the decoded waveforms (Haitsma-Kalker

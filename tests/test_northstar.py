@@ -408,3 +408,28 @@ def test_audio_fingerprint_volume_invariant_and_discriminative(spark):
     again = {r["doc_id"]: r["fp_digest"]
              for r in audio_fingerprint(blobs).collect()}
     assert again[1] == got[1]["fp_digest"]
+
+
+def test_image_dhash_invariances(spark):
+    import numpy as np
+    from servihabitat_etl_spyke_spark.operators.multimodal import (
+        dhash_bits, encode_bmp, image_dhash)
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 120, size=(32, 48, 3), dtype=np.uint8)
+    # global brightness scaling is monotone -> identical hash
+    assert dhash_bits(px) == dhash_bits(px * 2)
+    # exact nearest-neighbor 2x upscale -> identical hash (same pixel
+    # centers resolve to the duplicated source pixels)
+    up = px.repeat(2, axis=0).repeat(2, axis=1)
+    assert dhash_bits(px) == dhash_bits(up)
+    # a different image hashes differently
+    other = rng.integers(0, 120, size=(32, 48, 3), dtype=np.uint8)
+    assert dhash_bits(px) != dhash_bits(other)
+    # distributed path agrees with the local function
+    blobs = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(px))), (2, bytearray(encode_bmp(other)))],
+        "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in image_dhash(blobs).collect()}
+    # int64 view of the same 64 bits (wraps only if the top bit is set)
+    assert got[1]["dhash"] == np.uint64(dhash_bits(px)).astype(np.int64)
+    assert (got[1]["width"], got[1]["height"]) == (48, 32)
