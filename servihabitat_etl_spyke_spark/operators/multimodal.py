@@ -832,3 +832,46 @@ def sample_video_frames(blobs: DataFrame, every_n: int = 1,
     return blobs.mapInPandas(
         frames, schema=(f"{id_col} long, frame_idx int, t_millis long, "
                         "width int, height int, mean_lum_milli long"))
+
+
+def detect_scene_changes(blobs: DataFrame, threshold_milli: int = 30000,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Scene-cut detection over decoded video: every frame's exact
+    integer mean luminance (milli-units), one row per consecutive-frame
+    transition with the delta and a cut flag where |delta| >=
+    ``threshold_milli`` — the shot-boundary primitive a video curation
+    pipeline runs before per-shot sampling (keep one keyframe per shot,
+    drop static spans).
+
+    Sequential full decode per blob (cuts need every transition, unlike
+    strided sampling); integer arithmetic end to end, so an analytic
+    oracle can replay every delta. Pure map stage — blobs never
+    shuffle."""
+
+    def scenes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fis, deltas, cuts = [], [], [], []
+            for did, content in zip(pdf[id_col], pdf["content"]):
+                raw = bytes(content)
+                n = decode_bmv_meta(raw)["n_frames"]
+                prev = None
+                for fi in range(n):
+                    px = decode_bmv_frame(raw, fi)
+                    mean = int(px.astype(np.int64).sum()) * 1000 // px.size
+                    if prev is not None:
+                        d = mean - prev
+                        ids.append(did)
+                        fis.append(fi)
+                        deltas.append(d)
+                        cuts.append(abs(d) >= threshold_milli)
+                    prev = mean
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(fis, dtype="int32"),
+                "delta_milli": pd.Series(deltas, dtype="int64"),
+                "is_cut": pd.Series(cuts, dtype="bool"),
+            })
+
+    return blobs.mapInPandas(
+        scenes, schema=(f"{id_col} long, frame_idx int, delta_milli long, "
+                        "is_cut boolean"))

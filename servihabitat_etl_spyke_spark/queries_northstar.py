@@ -628,6 +628,55 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_features(blobs).orderBy("doc_id")
 
 
+@query("multimodal_video_scenes", oracle="""
+-- Replays every frame's exact mean luminance from the md5 keystream of
+-- 'text#i' (digest tiled over w*h*3 bytes) and lags it per doc: a hash
+-- match proves sequential full decode + the transition arithmetic.
+WITH g AS (
+  SELECT doc_id, text,
+         doc_id % 4 + 2 AS n_frames,
+         strlen(text) % 24 + 4 AS w,
+         doc_id % 16 + 4 AS h
+  FROM documents
+), f AS (
+  SELECT doc_id, w * h * 3 AS need,
+         unnest(range(0, n_frames)) AS fi, text
+  FROM g
+), d AS (
+  SELECT doc_id, fi, need,
+         md5(text || '#' || CAST(fi AS VARCHAR)) AS hex
+  FROM f
+), s AS (
+  SELECT doc_id, fi,
+         CAST((((need // 16) * list_sum(list_transform(range(0, 16), j ->
+             ('0x' || substr(hex, CAST(2 * j + 1 AS INT), 2))::INT))
+           + COALESCE(list_sum(list_transform(range(0, need % 16), j ->
+             ('0x' || substr(hex, CAST(2 * j + 1 AS INT), 2))::INT)), 0))
+           * 1000) // need AS BIGINT) AS mean_milli
+  FROM d
+), t AS (
+  SELECT doc_id, fi AS frame_idx,
+         mean_milli - lag(mean_milli) OVER (PARTITION BY doc_id
+                                            ORDER BY fi) AS delta_milli
+  FROM s
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       delta_milli, abs(delta_milli) >= 30000 AS is_cut
+FROM t WHERE delta_milli IS NOT NULL
+ORDER BY doc_id, frame_idx
+""")
+def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL decoded video: per consecutive
+    frame pair the exact integer mean-luminance delta, flagged as a cut
+    at >= 30 luminance units — the primitive video curation runs before
+    per-shot keyframe sampling. The oracle recomputes every frame's
+    luminance analytically, proving sequential decode end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (MM.detect_scene_changes(MM.attach_video(docs),
+                                    threshold_milli=30000)
+            .orderBy("doc_id", "frame_idx"))
+
+
 @query("multimodal_image_dhash", oracle="""
 -- Full analytic replay of decode -> grayscale -> pixel-center resample
 -- -> dHash: render_doc_bmp's pixels are the md5(text) keystream (byte k

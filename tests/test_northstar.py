@@ -433,3 +433,23 @@ def test_image_dhash_invariances(spark):
     # int64 view of the same 64 bits (wraps only if the top bit is set)
     assert got[1]["dhash"] == np.uint64(dhash_bits(px)).astype(np.int64)
     assert (got[1]["width"], got[1]["height"]) == (48, 32)
+
+
+def test_scene_detection_flags_planted_cut(spark):
+    import numpy as np
+    from servihabitat_etl_spyke_spark.operators.multimodal import (
+        detect_scene_changes, encode_bmp, encode_bmv)
+    dark = np.zeros((8, 8, 3), dtype=np.uint8)
+    dark2 = np.full((8, 8, 3), 2, dtype=np.uint8)
+    bright = np.full((8, 8, 3), 200, dtype=np.uint8)
+    vid = encode_bmv([encode_bmp(p) for p in (dark, dark2, bright, bright)],
+                     fps=5)
+    blobs = spark.createDataFrame([(1, bytearray(vid))],
+                                  "doc_id long, content binary")
+    rows = {r["frame_idx"]: r for r in
+            detect_scene_changes(blobs, threshold_milli=30000).collect()}
+    assert len(rows) == 3                       # n_frames - 1 transitions
+    assert not rows[1]["is_cut"]                # dark -> dark2: tiny delta
+    assert rows[2]["is_cut"]                    # dark2 -> bright: the cut
+    assert rows[2]["delta_milli"] == (200 - 2) * 1000
+    assert not rows[3]["is_cut"]                # bright -> bright: zero
