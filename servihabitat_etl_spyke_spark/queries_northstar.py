@@ -9,6 +9,7 @@ signatures and the hash-match is exact, not approximate.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
 
 from .catalog import load_table
 from .operators import dedup as D
@@ -375,6 +376,55 @@ def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2, iters=3)
+
+
+@query("ann_hard_negatives", oracle="""
+-- Two-stage semantics mirrored exactly: top-10 cosine neighbors first,
+-- THEN near-dups (cos >= 0.45) removed, THEN re-rank and keep 3 — the
+-- contrastive-training negative miner ("similar but not the same doc").
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS s
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored
+), kept AS (
+  SELECT query_id, neighbor_id, s FROM ranked
+  WHERE rank <= 10 AND s < 0.45
+), rer AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id) AS neg_rank
+  FROM kept
+)
+SELECT query_id, neighbor_id, neg_rank FROM rer
+WHERE neg_rank <= 3 ORDER BY query_id, neg_rank
+""")
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the 3
+    most-similar vectors that are NOT near-duplicates — composed from the
+    exact kNN graph (top-10) minus the embedding near-dup pairs
+    (cos >= 0.45, both orientations), re-ranked. One anti-join between
+    two already-scale-shaped intermediates; at corpus scale both sides
+    come from their LSH/IVF variants with the same composition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = SIM.knn_graph(emb, k=10)
+    dups = D.embedding_neardup(emb, threshold=0.45)
+    sym = dups.union(dups.select(F.col("id_b").alias("id_a"),
+                                 F.col("id_a").alias("id_b")))
+    kept = graph.join(
+        sym.select(F.col("id_a").alias("query_id"),
+                   F.col("id_b").alias("neighbor_id")),
+        ["query_id", "neighbor_id"], "left_anti")
+    w = W.partitionBy("query_id").orderBy("rank")
+    return (kept.select("query_id", "neighbor_id",
+                        F.row_number().over(w).alias("neg_rank"))
+            .filter(F.col("neg_rank") <= 3)
+            .orderBy("query_id", "neg_rank"))
 
 
 @query("graph_pagerank_knn")  # float power iteration -> rows-only; pytest
