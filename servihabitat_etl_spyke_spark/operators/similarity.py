@@ -369,6 +369,81 @@ def dequantize(qvec: Column, scale: Column) -> Column:
     return F.transform(qvec, lambda v: v.cast("double") * scale)
 
 
+# -- distributed PCA (embedding reduction / whitening) -------------------------
+
+
+def pca_fit(corpus: DataFrame, k: int = 8,
+            vec_col: str = "embedding") -> dict:
+    """Distributed PCA: the mean vector and scatter matrix accumulate as
+    PARTIAL per-partition numpy Gramians inside ``mapInPandas`` (each
+    partition emits one flattened dim x dim matrix + count + sum — model-
+    sized rows, like k-means), summed in one tiny aggregation; only the
+    dim x dim scatter reaches the driver for the eigendecomposition.
+    The corpus is scanned once and never shuffled.
+
+    Returns {mean: (dim,), components: (k, dim), explained: (k,)} with
+    components in descending-eigenvalue order, deterministic sign
+    (largest-|coord| entry made positive — eigenvectors are otherwise
+    sign-ambiguous across LAPACK builds)."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            yield pd.DataFrame({
+                "n": [len(X)],
+                "s": [X.sum(axis=0).tolist()],
+                "g": [(X.T @ X).reshape(-1).tolist()],
+            })
+
+    rows = corpus.select(vec_col).mapInPandas(
+        partials, schema="n long, s array<double>, g array<double>").collect()
+    n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError("pca_fit: need at least 2 vectors")
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.array(r["g"]) for r in rows], axis=0)
+    dim = len(s)
+    mean = s / n
+    # scatter -> covariance: E[xx^T] - mu mu^T (ddof 0)
+    cov = g.reshape(dim, dim) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T                   # (k, dim)
+    for i in range(len(comps)):                 # deterministic sign
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    return {"mean": mean.tolist(), "components": comps.tolist(),
+            "explained": evals[order].tolist()}
+
+
+def pca_project(corpus: DataFrame, model: dict, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                out_col: str = "pca") -> DataFrame:
+    """Row-local projection onto a fitted PCA basis: (x - mean) @ C^T per
+    Arrow batch in one GEMM (the model rides the closure — k x dim
+    floats). Zero shuffle; the reduced vectors feed the same ANN / dedup
+    operators with a k/dim cost cut."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    C = np.asarray(model["components"], dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def _proj(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        Y = (X - mean) @ C.T
+        return pd.Series([row.tolist() for row in Y])
+
+    return corpus.select(F.col(id_col), _proj(F.col(vec_col)).alias(out_col))
+
+
 # -- kNN graph (every vector's top-k neighbors) --------------------------------
 
 

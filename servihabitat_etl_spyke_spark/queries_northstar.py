@@ -427,6 +427,26 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "neg_rank"))
 
 
+@query("embed_pca")  # eigendecomposition -> rows-only; pytest-verified
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA reduction of the embedding table: per-partition
+    numpy Gramian partials -> one model-sized aggregation -> driver
+    eigendecomposition -> row-local projection GEMM. Output: the first
+    two principal coordinates per vector (1e-6-quantized scalars — never
+    an array column in a checked result). Float eigensolve -> rows-only;
+    pytest proves moment equality with local numpy, orthonormality, and
+    projection agreement."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = SIM.pca_fit(emb, k=8)
+    proj = SIM.pca_project(emb, model)
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    return (proj.select(
+        "vec_id",
+        q6(F.element_at("pca", 1)).alias("pc1_q"),
+        q6(F.element_at("pca", 2)).alias("pc2_q"))
+        .orderBy("vec_id"))
+
+
 @query("graph_pagerank_knn")  # float power iteration -> rows-only; pytest
 def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centrality over the kNN graph: PageRank on the top-5-neighbor

@@ -453,3 +453,32 @@ def test_scene_detection_flags_planted_cut(spark):
     assert rows[2]["is_cut"]                    # dark2 -> bright: the cut
     assert rows[2]["delta_milli"] == (200 - 2) * 1000
     assert not rows[3]["is_cut"]                # bright -> bright: zero
+
+
+def test_pca_matches_local_and_preserves_neighbors(spark, sf_dir):
+    import numpy as np
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = SIM.pca_fit(emb, k=8)
+    X = np.array([r["embedding"] for r in
+                  emb.select("embedding").orderBy("vec_id").collect()],
+                 dtype=np.float64)
+    # distributed moments == local moments (associative integer-free sums
+    # agree to float tolerance)
+    assert np.allclose(model["mean"], X.mean(axis=0), atol=1e-9)
+    cov = np.cov(X, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:8]
+    assert np.allclose(sorted(model["explained"], reverse=True), evals,
+                       rtol=1e-8)
+    # components are orthonormal and variance-ordered
+    C = np.array(model["components"])
+    assert np.allclose(C @ C.T, np.eye(8), atol=1e-9)
+    assert all(a >= b - 1e-12 for a, b in
+               zip(model["explained"], model["explained"][1:]))
+    # projection agrees with local arithmetic
+    proj = SIM.pca_project(emb, model)
+    got = {r["vec_id"]: np.array(r["pca"]) for r in proj.collect()}
+    ids = [r["vec_id"] for r in
+           emb.select("vec_id").orderBy("vec_id").collect()]
+    local = (X - np.array(model["mean"])) @ C.T
+    for i, vid in enumerate(ids[:25]):
+        assert np.allclose(got[vid], local[i], atol=1e-9)
