@@ -83,6 +83,9 @@ HEADLINE = [
     "window_distribution",
     "multimodal_image_dhash",
     "profile_columns",
+    "multimodal_video_scenes",
+    "ann_hard_negatives",
+    "embed_pca",
 ]
 
 
