@@ -355,6 +355,42 @@ def image_dhash(blobs: DataFrame, hash_w: int = 8, hash_h: int = 8,
         hashes, schema=f"{id_col} long, dhash long, width int, height int")
 
 
+def dhash_neardup(hashes: DataFrame, max_hamming: int = 6,
+                  bands: int = 4, id_col: str = "doc_id",
+                  hash_col: str = "dhash") -> DataFrame:
+    """Visual near-dup pairs from dHash values: band the 64 bits into
+    ``bands`` contiguous 16-bit keys (two images within Hamming distance
+    ``max_hamming`` < bands must agree EXACTLY on at least one band —
+    pigeonhole), candidate-join per band, then verify
+    ``bit_count(a XOR b) <= max_hamming``. The same bucket-join-then-
+    verify shape as MinHash-LSH, entirely in JVM integer expressions —
+    no all-pairs compare, no Python in the hot path."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.select(F.col(id_col).alias("_id"),
+                      F.col(hash_col).alias("_h"))
+    banded = h.select(
+        "_id", "_h",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned(F.col("_h"), b * width)
+                     .bitwiseAND(F.lit(mask)).alias("key"))
+            for b in range(bands)])).alias("bk")) \
+        .select("_id", "_h", "bk.band", "bk.key")
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_h").alias("ha"),
+                      "band", "key")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_h").alias("hb"),
+                      "band", "key")
+    return (a.join(b, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                    <= max_hamming)
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                    .alias("hamming"))
+            .distinct())
+
+
 def image_feature_vector(px: np.ndarray, dim: int = 16) -> list[float]:
     """REAL hand-crafted image descriptor from decoded pixels (the
     classical pre-CNN shape — color moments + gradient energy + a coarse

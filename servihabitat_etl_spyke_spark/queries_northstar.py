@@ -747,12 +747,14 @@ def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "frame_idx"))
 
 
-@query("multimodal_image_dhash", oracle="""
--- Full analytic replay of decode -> grayscale -> pixel-center resample
--- -> dHash: render_doc_bmp's pixels are the md5(text) keystream (byte k
--- = hex pair k%16 of the digest), so every sampled gray value — and
--- therefore every comparison bit — is recomputable in SQL. The 64-bit
--- hash is checked as two 32-bit halves (bit 63 would wrap BIGINT).
+def _dhash_halves_cte() -> str:
+    """Shared analytic dHash replay: render_doc_bmp's pixels are the
+    md5(text) keystream (byte k = hex pair k%16 of the digest), so every
+    sampled gray value — and therefore every comparison bit — is
+    recomputable in SQL. Ends with CTE ``dh(doc_id, dhash_lo, dhash_hi,
+    w, h)`` — the 64-bit hash as two 32-bit halves (bit 63 would wrap
+    BIGINT)."""
+    return """
 WITH g AS (
   SELECT doc_id, md5(text) AS hx,
          strlen(text) % 24 + 4 AS w,
@@ -778,16 +780,23 @@ WITH g AS (
              + least(CAST(floor(((b % 8) + 1 + 0.5) * w / 9) AS BIGINT), w - 1)) * 3 + 2) % 16) * 2 + 1, 2))::INT
       ) THEN 1::BIGINT ELSE 0::BIGINT END)) AS bl
   FROM g
-)
-SELECT doc_id,
-       CAST(list_sum(list_transform(range(1, 33),
-            i -> bl[i] * (1::BIGINT << CAST(i - 1 AS INT)))) AS BIGINT)
-         AS dhash_lo,
-       CAST(list_sum(list_transform(range(33, 65),
-            i -> bl[i] * (1::BIGINT << CAST(i - 33 AS INT)))) AS BIGINT)
-         AS dhash_hi,
+), dh AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 33),
+              i -> bl[i] * (1::BIGINT << CAST(i - 1 AS INT)))) AS BIGINT)
+           AS dhash_lo,
+         CAST(list_sum(list_transform(range(33, 65),
+              i -> bl[i] * (1::BIGINT << CAST(i - 33 AS INT)))) AS BIGINT)
+           AS dhash_hi,
+         w, h
+  FROM bits
+)"""
+
+
+@query("multimodal_image_dhash", oracle=_dhash_halves_cte() + """
+SELECT doc_id, dhash_lo, dhash_hi,
        CAST(w AS INT) AS width, CAST(h AS INT) AS height
-FROM bits ORDER BY doc_id
+FROM dh ORDER BY doc_id
 """)
 def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image hashes over REAL decoded BMPs: dHash = sign bits
@@ -808,6 +817,29 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .bitwiseAND(F.lit(0xFFFFFFFF)).alias("dhash_hi"),
         "width", "height")
         .orderBy("doc_id"))
+
+
+@query("multimodal_image_neardup", oracle=_dhash_halves_cte() + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.dhash_lo, b.dhash_lo))
+       + bit_count(xor(a.dhash_hi, b.dhash_hi)) AS hamming
+FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash_lo, b.dhash_lo))
+      + bit_count(xor(a.dhash_hi, b.dhash_hi)) <= 3
+ORDER BY id_a, id_b
+""")
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup pairs: dHash banded into four 16-bit LSH keys,
+    candidate pairs from band-equality joins, Hamming verification via
+    bit_count(XOR). max_hamming=3 < bands=4, so by pigeonhole a
+    qualifying pair ALWAYS agrees on a full band — the banded join is
+    EXACT here, and the oracle verifies it against the all-pairs compare
+    (on the analytically recomputed hashes). Same bucket-then-verify
+    shape as MinHash-LSH, pure JVM integer expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = MM.image_dhash(MM.attach_binary(docs))
+    return (MM.dhash_neardup(hashed, max_hamming=3, bands=4)
+            .orderBy("id_a", "id_b"))
 
 
 @query("multimodal_audio_fingerprint")  # FFT float path -> rows-only; pytest

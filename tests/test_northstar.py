@@ -482,3 +482,29 @@ def test_pca_matches_local_and_preserves_neighbors(spark, sf_dir):
     local = (X - np.array(model["mean"])) @ C.T
     for i, vid in enumerate(ids[:25]):
         assert np.allclose(got[vid], local[i], atol=1e-9)
+
+
+def test_dhash_neardup_pigeonhole_exact(spark):
+    from servihabitat_etl_spyke_spark.operators.multimodal import (
+        dhash_neardup)
+    base = 0x0123456789ABCDEF
+    rows = [
+        (1, base),
+        (2, base ^ 0b111),            # hamming 3, all in band 0 -> found
+        (3, base ^ (1 << 0) ^ (1 << 20) ^ (1 << 40)),  # spread over 3
+                                      # bands, hamming 3 -> band 3 clean
+        (4, base ^ 0xF),              # hamming 4 -> beyond threshold
+        (5, ~base & 0xFFFFFFFFFFFFFFFF - 2**63 if False else base ^ -1),
+    ]
+    # row 5: full complement (hamming 64)
+    df = spark.createDataFrame(
+        [(i, h if h < 2**63 else h - 2**64) for i, h in rows],
+        "doc_id long, dhash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           dhash_neardup(df, max_hamming=3, bands=4).collect()}
+    assert got[(1, 2)] == 3
+    assert got[(1, 3)] == 3          # spread bits still caught (pigeonhole)
+    assert (1, 4) not in got         # hamming 4 excluded
+    assert (1, 5) not in got
+    assert (2, 3) not in got         # hamming 6: beyond threshold
+    assert got[(2, 4)] == 1          # near-identical variants pair up too
