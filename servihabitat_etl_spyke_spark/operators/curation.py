@@ -342,6 +342,29 @@ def domain_stats(df: DataFrame, domain_col: str = "domain",
                  (F.sum(chars_col) / F.count("*")).alias("mean_chars")))
 
 
+# -- group-aware dataset splitting --------------------------------------------
+
+
+def grouped_split(df: DataFrame, group_col: str,
+                  val_bp: int = 500, test_bp: int = 500) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is decided by a
+    deterministic hash of the GROUP (domain, source site, author…), so
+    every document of a group lands in the same split — near-duplicate
+    pages from one site can never straddle train and eval, which is the
+    leakage a doc-level random split silently creates. Basis-point sizes
+    (default 500/500 = 5%/5%/90%).
+
+    Pure projection (hash + two comparisons), no shuffle, reproducible;
+    the same group maps to the same split in every run and engine."""
+    from .dedup import _hash32
+    u = _hash32(F.col(group_col).cast("string")) % 10000
+    return df.withColumn(
+        "split",
+        F.when(u < val_bp, F.lit("val"))
+         .when(u < val_bp + test_bp, F.lit("test"))
+         .otherwise(F.lit("train")))
+
+
 # -- training-shard assignment ------------------------------------------------
 
 

@@ -556,6 +556,26 @@ def curate_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("domain"))
 
 
+@query("curate_grouped_split", oracle="""
+SELECT doc_id, source,
+       CASE WHEN ('0x' || substr(md5(source), 1, 8))::UBIGINT % 10000 < 500
+            THEN 'val'
+            WHEN ('0x' || substr(md5(source), 1, 8))::UBIGINT % 10000 < 1000
+            THEN 'test'
+            ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
+""")
+def curate_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe dataset split: assignment hashes the SOURCE (site),
+    so all documents of a source share a split — near-dups within a site
+    cannot straddle train and eval. Pure projection, deterministic, no
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (C.grouped_split(docs, "source")
+            .select("doc_id", "source", "split")
+            .orderBy("doc_id"))
+
+
 @query("curate_shard_assign", oracle="""
 WITH b AS (
   SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

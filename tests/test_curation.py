@@ -463,3 +463,23 @@ def test_bpe_train_and_encode_classic_example(spark):
     again = {r["doc_id"]: r["token_digest"]
              for r in apply_bpe(df, merges).collect()}
     assert again[1] == got[1]["token_digest"]
+
+
+def test_grouped_split_no_group_straddles_splits(spark):
+    rows = [(i, f"site{i % 37}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = C.grouped_split(df, "g", val_bp=2000, test_bp=2000).collect()
+    per_group = {}
+    for r in out:
+        per_group.setdefault(r["g"], set()).add(r["split"])
+    # leakage-safety: every group maps to exactly one split
+    assert all(len(s) == 1 for s in per_group.values())
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    # 20/20/60 in expectation over 37 groups — loose bounds
+    assert counts["train"] > counts.get("val", 0)
+    assert set(counts) <= {"train", "val", "test"}
+    # deterministic re-run
+    again = C.grouped_split(df, "g", val_bp=2000, test_bp=2000).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
