@@ -448,7 +448,8 @@ def pca_project(corpus: DataFrame, model: dict, id_col: str = "vec_id",
 
 
 def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              with_score: bool = False) -> DataFrame:
     """Exact k-nearest-neighbor GRAPH: cosine top-k neighbors for EVERY
     corpus vector (queries == corpus) — the building block for kNN-graph
     near-dup clustering, SemDeDup-style pruning, and retrieval-augmented
@@ -492,17 +493,26 @@ def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
                 idx = np.argpartition(-cs, top - 1)[:top]
                 # rank: score desc, neighbor id asc on ties
                 fin = idx[np.lexsort((cids[idx], -cs[idx]))]
-                out.append(pd.DataFrame({
-                    "query_id": qid, "neighbor_id": cids[fin],
-                    "rank": np.arange(1, top + 1, dtype=np.int32)}))
-            yield (pd.concat(out) if out
-                   else pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
-                                      "neighbor_id": pd.Series([], dtype="int64"),
-                                      "rank": pd.Series([], dtype="int32")}))
+                frame = {"query_id": qid, "neighbor_id": cids[fin],
+                         "rank": np.arange(1, top + 1, dtype=np.int32)}
+                if with_score:
+                    frame["score"] = cs[fin]
+                out.append(pd.DataFrame(frame))
+            if out:
+                yield pd.concat(out)
+            else:
+                empty = {"query_id": pd.Series([], dtype="int64"),
+                         "neighbor_id": pd.Series([], dtype="int64"),
+                         "rank": pd.Series([], dtype="int32")}
+                if with_score:
+                    empty["score"] = pd.Series([], dtype="float64")
+                yield pd.DataFrame(empty)
 
-    return (corpus.mapInPandas(
-        score, schema="query_id long, neighbor_id long, rank int")
-        .orderBy("query_id", "rank"))
+    schema = "query_id long, neighbor_id long, rank int"
+    if with_score:
+        schema += ", score double"
+    return (corpus.mapInPandas(score, schema=schema)
+            .orderBy("query_id", "rank"))
 
 
 def knn_graph_ivf(corpus: DataFrame, k: int = 5, kc: int = 8,

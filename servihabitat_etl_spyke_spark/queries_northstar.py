@@ -406,20 +406,15 @@ WHERE neg_rank <= 3 ORDER BY query_id, neg_rank
 """)
 def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per anchor, the 3
-    most-similar vectors that are NOT near-duplicates — composed from the
-    exact kNN graph (top-10) minus the embedding near-dup pairs
-    (cos >= 0.45, both orientations), re-ranked. One anti-join between
-    two already-scale-shaped intermediates; at corpus scale both sides
-    come from their LSH/IVF variants with the same composition."""
+    most-similar vectors that are NOT near-duplicates. The near-dup cut
+    (cos >= 0.45) only ever applies to an anchor's own top-10 edges, so
+    it is evaluated directly on the kNN edge scores — no separate
+    near-dup pair join, no second corpus pass. One scored graph pass +
+    a per-anchor window; the documented-exact O(n^2) near-dup baseline
+    stays in `dedup_embedding` where it belongs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    graph = SIM.knn_graph(emb, k=10)
-    dups = D.embedding_neardup(emb, threshold=0.45)
-    sym = dups.union(dups.select(F.col("id_b").alias("id_a"),
-                                 F.col("id_a").alias("id_b")))
-    kept = graph.join(
-        sym.select(F.col("id_a").alias("query_id"),
-                   F.col("id_b").alias("neighbor_id")),
-        ["query_id", "neighbor_id"], "left_anti")
+    graph = SIM.knn_graph(emb, k=10, with_score=True)
+    kept = graph.filter(F.col("score") < 0.45)
     w = W.partitionBy("query_id").orderBy("rank")
     return (kept.select("query_id", "neighbor_id",
                         F.row_number().over(w).alias("neg_rank"))

@@ -205,8 +205,6 @@ _ALLOWED_HAZARDS = {
     "ann_ivf_topk": {"bnlj"},
     "ann_ivf_kmeans_topk": {"bnlj"},
     "dedup_embedding": {"bnlj"},
-    # composes the documented exact O(n^2) near-dup baseline above
-    "ann_hard_negatives": {"bnlj"},
     "multimodal_embed_ann": {"bnlj"},
     # k-row centroid-matrix broadcast (k-means assignment cross join)
     "dedup_semantic": {"bnlj"},
