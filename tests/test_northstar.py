@@ -508,3 +508,41 @@ def test_dhash_neardup_pigeonhole_exact(spark):
     assert (1, 5) not in got
     assert (2, 3) not in got         # hamming 6: beyond threshold
     assert got[(2, 4)] == 1          # near-identical variants pair up too
+
+
+def test_multimodal_map_ops_run_in_streaming(spark, sf_dir, tmp_path):
+    """The multimodal map stages (attach -> decode -> hash/fingerprint)
+    are mapInPandas projections, so the SAME operator functions run
+    unchanged on a readStream DataFrame — streaming media ingest needs no
+    reimplementation, and the hashes match the batch run row for row."""
+    from servihabitat_etl_spyke_spark.catalog import load_table
+
+    def run_stream(df, name):
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / name))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return df.sparkSession.table(name)
+
+    batch = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 3000)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .filter(F.col("doc_id") < 3000))
+    assert stream.isStreaming
+
+    got = {r["doc_id"]: r["dhash"] for r in
+           run_stream(MM.image_dhash(MM.attach_binary(stream)),
+                      "mm_dhash").collect()}
+    want = {r["doc_id"]: r["dhash"] for r in
+            MM.image_dhash(MM.attach_binary(batch)).collect()}
+    assert got == want
+
+    got_fp = {r["doc_id"]: r["fp_digest"] for r in
+              run_stream(MM.audio_fingerprint(MM.attach_audio(stream)),
+                         "mm_fp").collect()}
+    want_fp = {r["doc_id"]: r["fp_digest"] for r in
+               MM.audio_fingerprint(MM.attach_audio(batch)).collect()}
+    assert got_fp == want_fp
