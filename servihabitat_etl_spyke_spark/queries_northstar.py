@@ -422,6 +422,40 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "neg_rank"))
 
 
+@query("graph_knn_degrees", oracle="""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS s
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored
+), indeg AS (
+  SELECT neighbor_id, count(*) AS in_degree FROM ranked
+  WHERE rank <= 5 GROUP BY neighbor_id
+)
+SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vectors
+FROM indeg GROUP BY in_degree ORDER BY in_degree
+""")
+def graph_knn_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic over the kNN graph: the in-degree histogram
+    (how many anchors list each vector among their top-5). A heavy right
+    tail means hub vectors — the classic high-dimensional ANN pathology
+    that degrades recall and skews the `knn_graph_ivf` cell join; this
+    is the metric you watch before tuning probes/bands. Two tiny
+    aggregations over the n*k edge table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = SIM.knn_graph(emb, k=5)
+    return (edges.groupBy("neighbor_id")
+            .agg(F.count("*").alias("in_degree"))
+            .groupBy("in_degree")
+            .agg(F.count("*").alias("n_vectors"))
+            .orderBy("in_degree"))
+
+
 @query("embed_pca")  # eigendecomposition -> rows-only; pytest-verified
 def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA reduction of the embedding table: per-partition
