@@ -86,6 +86,8 @@ HEADLINE = [
     "multimodal_video_scenes",
     "ann_hard_negatives",
     "embed_pca",
+    "text_collocations",
+    "graph_knn_degrees",
 ]
 
 

@@ -396,6 +396,51 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
                     "n_terms_hit"))
 
 
+def collocations(docs: DataFrame, min_count: int = 5, top: int = 20,
+                 text_col: str = "text") -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    token pairs: PMI = ln( (c12/P) / ((c1/N) * (c2/N)) ) with P = total
+    pairs, N = total tokens — the classic corpus-analysis statistic for
+    multiword expressions ("hong kong"-style units a tokenizer or phrase
+    table should fuse). ``min_count`` guards the PMI low-frequency bias.
+
+    Shape: ONE exploded pass each for pair and unigram counts
+    (vocabulary-width shuffles), unigram counts joined onto the pair
+    vocabulary (never the corpus), scalar totals as 1-row broadcasts.
+    PMI is nano-quantized so the ranking is engine-stable."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pair_structs = F.when(n < 2, F.array().cast(
+        "array<struct<w1:string,w2:string>>")).otherwise(
+        F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+    big = (docs.select(F.explode(pair_structs).alias("p"))
+           .select("p.w1", "p.w2")
+           .groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+           .filter(F.col("c12") >= min_count))
+    uni = (docs.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("_c"))
+           .persist())
+    uni.count()
+    totals = (uni.agg(F.sum("_c").alias("_n"))
+              .crossJoin(docs.select(
+                  F.greatest(n - 1, F.lit(0)).alias("_np"))
+                  .agg(F.sum("_np").alias("_p"))))
+    scored = (big
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("_c").alias("c1")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("_c").alias("c2")), "w2")
+              .join(F.broadcast(totals)))
+    pmi = F.log((F.col("c12") / F.col("_p"))
+                / ((F.col("c1") / F.col("_n"))
+                   * (F.col("c2") / F.col("_n"))))
+    nano = F.floor(pmi * 1000000000 + F.lit(0.5)).cast("long")
+    return (scored.select("w1", "w2", "c12", nano.alias("pmi_nano"))
+            .orderBy(F.col("pmi_nano").desc(), "w1", "w2")
+            .limit(top))
+
+
 # -- BPE tokenizer: sample-trained, corpus-applied ----------------------------
 
 

@@ -998,6 +998,34 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.phrase_search(docs, "table key filter")
 
 
+@query("text_collocations", oracle="""
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT w, count(*) AS c
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+tot AS (SELECT sum(c) AS n FROM uni),
+ptot AS (SELECT sum(greatest(len(t) - 1, 0)) AS p FROM toks),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM (
+         SELECT t[i] AS w1, t[i + 1] AS w2
+         FROM toks, UNNEST(range(1, len(t))) AS u(i)) GROUP BY w1, w2
+       HAVING count(*) >= 5)
+SELECT w1, w2, c12,
+       CAST(floor(ln((c12 / CAST(p AS DOUBLE))
+                     / ((c1.c / CAST(n AS DOUBLE))
+                        * (c2.c / CAST(n AS DOUBLE))))
+                  * 1000000000 + 0.5) AS BIGINT) AS pmi_nano
+FROM bi JOIN uni c1 ON bi.w1 = c1.w
+        JOIN uni c2 ON bi.w2 = c2.w, tot, ptot
+ORDER BY pmi_nano DESC, w1, w2 LIMIT 20
+""")
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-pair PMI (min count 5) — the
+    multiword-expression statistic a phrase table or tokenizer merges
+    on. Nano-quantized PMI keeps the ranking engine-stable; the oracle
+    recomputes the identical formula and order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.collocations(docs, min_count=5, top=20)
+
+
 @query("text_bpe_tokenize")  # iterative merges -> rows-only; pytest-proven
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end BPE: the merge list trains on a driver-sized sample

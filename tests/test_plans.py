@@ -198,6 +198,8 @@ _ALLOWED_HAZARDS = {
     "text_lm_score": {"bnlj", "single_part"},
     # corpus-total scalar (1 row) broadcast into the backoff model build
     "text_bigram_lm_score": {"bnlj", "single_part"},
+    # token-total and pair-total scalars (1 row each) joined into PMI
+    "text_collocations": {"bnlj", "single_part"},
     "ephemeral_split": {"bnlj", "single_part"},
     # exact brute-force similarity baselines (documented O(n^2); the LSH /
     # IVF variants are the scale path) + tiny centroid cross joins
