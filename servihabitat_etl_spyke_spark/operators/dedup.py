@@ -551,7 +551,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
 def canonical_selection(docs: DataFrame, clusters: DataFrame,
                         score_col: str = "n_chars",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        clusters_id_col: str | None = None) -> DataFrame:
     """Quality-aware canonical selection: within each near-dup cluster,
     keep the doc with the BEST score (desc, id asc tiebreak) — the step
     after clustering where a dedup pipeline decides which copy survives.
@@ -563,9 +564,15 @@ def canonical_selection(docs: DataFrame, clusters: DataFrame,
     left join + one window on cluster_id (clusters are small groups, so
     the window shuffle is well-distributed).
 
+    ``clusters_id_col`` names the clusters frame's id column; the default
+    takes its FIRST column (connected_components emits (doc_id,
+    cluster_id)), so a custom ``id_col`` on docs works without also
+    renaming the clusters side.
+
     Returns (id, cluster_id, canonical_id, is_canonical)."""
     from pyspark.sql.window import Window as W
-    joined = (docs.join(clusters.withColumnRenamed("doc_id", id_col),
+    cid = clusters_id_col or clusters.columns[0]
+    joined = (docs.join(clusters.withColumnRenamed(cid, id_col),
                         id_col, "left")
               .select(F.col(id_col),
                       F.coalesce("cluster_id", F.col(id_col))

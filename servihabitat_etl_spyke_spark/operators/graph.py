@@ -47,6 +47,9 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 10,
              .union(e.select(F.col("dst").alias("v")))
              .distinct().localCheckpoint())
     n = verts.count()
+    if n == 0:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "v long, rank double")
     out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
 
     ranks = verts.select("v", F.lit(1.0 / n).alias("rank"))
@@ -56,16 +59,19 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 10,
                     .select("dst",
                             (F.col("rank") / F.col("_deg")).alias("_c"))
                     .groupBy("dst").agg(F.sum("_c").alias("_in")))
-        # dangling vertices have no out-edges: their whole rank teleports
+        # Dangling vertices (no out-edges) teleport their whole rank.
+        # The 1-row aggregate joins in as a broadcast nested-loop — one
+        # lazy plan per iteration, no driver action besides the final
+        # localCheckpoint that truncates lineage anyway.
         dangling = (ranks.join(out_deg.withColumnRenamed("src", "v"),
                                "v", "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
-                    .first()["_dm"])
-        base = (1.0 - damping) / n + damping * dangling / n
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")))
         ranks = (verts.join(contribs.withColumnRenamed("dst", "v"),
                             "v", "left")
+                 .join(F.broadcast(dangling))
                  .select("v",
-                         (F.lit(base)
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping) * F.col("_dm") / F.lit(float(n))
                           + F.lit(damping)
                           * F.coalesce("_in", F.lit(0.0))).alias("rank"))
                  .localCheckpoint())

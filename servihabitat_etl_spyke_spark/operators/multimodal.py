@@ -356,15 +356,28 @@ def image_dhash(blobs: DataFrame, hash_w: int = 8, hash_h: int = 8,
 
 
 def dhash_neardup(hashes: DataFrame, max_hamming: int = 6,
-                  bands: int = 4, id_col: str = "doc_id",
+                  bands: int = 8, id_col: str = "doc_id",
                   hash_col: str = "dhash") -> DataFrame:
     """Visual near-dup pairs from dHash values: band the 64 bits into
-    ``bands`` contiguous 16-bit keys (two images within Hamming distance
-    ``max_hamming`` < bands must agree EXACTLY on at least one band —
-    pigeonhole), candidate-join per band, then verify
+    ``bands`` contiguous (64/bands)-bit keys (two images within Hamming
+    distance ``max_hamming`` < bands must agree EXACTLY on at least one
+    band — pigeonhole), candidate-join per band, then verify
     ``bit_count(a XOR b) <= max_hamming``. The same bucket-join-then-
     verify shape as MinHash-LSH, entirely in JVM integer expressions —
-    no all-pairs compare, no Python in the hot path."""
+    no all-pairs compare, no Python in the hot path.
+
+    The pigeonhole recall guarantee is EXACT only when
+    ``max_hamming < bands`` — a pair differing in >= bands bits can
+    spread one flipped bit into every band and never collide.  Enforced
+    here rather than silently degrading to approximate recall."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"dhash_neardup: max_hamming={max_hamming} >= bands={bands} "
+            f"voids the pigeonhole guarantee (pairs at Hamming distance "
+            f">= {bands} can miss every band); raise bands or lower "
+            f"max_hamming")
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
     width = 64 // bands
     mask = (1 << width) - 1
     h = hashes.select(F.col(id_col).alias("_id"),

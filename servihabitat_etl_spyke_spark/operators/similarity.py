@@ -469,10 +469,23 @@ def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
     import numpy as np
     import pandas as pd
 
+    # "small by contract": the collected matrix rides in every task
+    # closure, so enforce the limit instead of silently OOMing executors.
+    _MAX_CLOSURE_CELLS = 200_000_000          # ~1.5 GiB float64
     rows = corpus.select(id_col, vec_col).collect()
     all_ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    if mat.size > _MAX_CLOSURE_CELLS:
+        raise ValueError(
+            f"knn_graph: corpus {mat.shape} exceeds the small-by-contract "
+            f"closure limit ({_MAX_CLOSURE_CELLS} cells); use knn_graph_ivf")
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    if (norms == 0).any():
+        bad = all_ids[(norms[:, 0] == 0)][:5].tolist()
+        raise ValueError(
+            f"knn_graph: zero-norm embedding(s), cosine undefined "
+            f"(ids {bad}...); filter or impute them upstream")
+    mat = mat / norms
     order = np.argsort(all_ids)
     all_ids, mat = all_ids[order], mat[order]
 
@@ -480,7 +493,8 @@ def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             block = np.array(list(pdf[vec_col]), dtype=np.float64)
-            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            bn = np.linalg.norm(block, axis=1, keepdims=True)
+            block = block / np.maximum(bn, 1e-300)
             sims = block @ mat.T                        # (batch, n)
             out = []
             for ri, qid in enumerate(ids):

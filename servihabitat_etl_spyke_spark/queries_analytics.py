@@ -512,20 +512,22 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The timing deliberately INCLUDES the one-time layout build — that is
     the real cost a pipeline amortizes across every later join."""
     import tempfile
-    import uuid
 
     from .operators.scale import write_bucketed
 
-    run = uuid.uuid4().hex[:8]
-    base = tempfile.mkdtemp(prefix="bucketed_")
+    # Fixed per-process location + fixed table names: write_bucketed is
+    # mode("overwrite"), so repeated invocations (bench best-of-N) rebuild
+    # in place — still paying the layout-build cost every run — without
+    # accumulating temp dirs or uuid-named catalog entries.
+    base = f"{tempfile.gettempdir()}/bucketed_join_fixture"
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority")
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
-    write_bucketed(orders, f"b_orders_{run}", f"{base}/o", "o_orderkey")
-    write_bucketed(li, f"b_lineitem_{run}", f"{base}/l", "o_orderkey")
-    return (spark.table(f"b_lineitem_{run}")
-            .join(spark.table(f"b_orders_{run}"), "o_orderkey")
+    write_bucketed(orders, "b_orders", f"{base}/o", "o_orderkey")
+    write_bucketed(li, "b_lineitem", f"{base}/l", "o_orderkey")
+    return (spark.table("b_lineitem")
+            .join(spark.table("b_orders"), "o_orderkey")
             .groupBy("o_orderpriority")
             .agg(F.count("*").alias("n_lines"),
                  F.sum("l_quantity").cast("long").alias("sum_qty"))

@@ -277,3 +277,26 @@ def test_pagerank_dangling_mass_redistributed(spark):
            pagerank(edges, damping=0.85, iters=30, directed=True).collect()}
     assert abs(sum(got.values()) - 1.0) < 1e-9   # no rank mass lost
     assert got[3] > got[2] > got[1]              # rank flows downstream
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    # ADVICE r2: 1.0/n raised ZeroDivisionError on an empty edge table
+    from servihabitat_etl_spyke_spark.operators.graph import pagerank
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    out = pagerank(edges)
+    assert out.columns == ["v", "rank"]
+    assert out.count() == 0
+
+
+def test_canonical_selection_custom_id_col(spark):
+    # ADVICE r2: the clusters frame's id column was hard-coded 'doc_id',
+    # breaking any caller that ran the pipeline with a custom id_col
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        canonical_selection)
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50)], "page_id long, n_chars long")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "page_id long, cluster_id long")
+    got = {r["page_id"]: (r["canonical_id"], r["is_canonical"]) for r in
+           canonical_selection(docs, clusters, id_col="page_id").collect()}
+    assert got == {1: (2, False), 2: (2, True), 3: (2, False)}

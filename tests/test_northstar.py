@@ -546,3 +546,25 @@ def test_multimodal_map_ops_run_in_streaming(spark, sf_dir, tmp_path):
     want_fp = {r["doc_id"]: r["fp_digest"] for r in
                MM.audio_fingerprint(MM.attach_audio(batch)).collect()}
     assert got_fp == want_fp
+
+
+def test_dhash_neardup_rejects_pigeonhole_violation(spark):
+    # ADVICE r2: max_hamming >= bands silently dropped true pairs whose
+    # differing bits spread across every band — now it raises instead
+    import pytest
+    df = spark.createDataFrame([(1, 0)], "doc_id long, dhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        MM.dhash_neardup(df, max_hamming=6, bands=4)
+    with pytest.raises(ValueError, match="divide 64"):
+        MM.dhash_neardup(df, max_hamming=3, bands=5)
+
+
+def test_knn_graph_rejects_zero_norm_vectors(spark):
+    # ADVICE r2: a zero-norm embedding produced NaN cosines that ranked
+    # unpredictably — now the exact graph fails loudly
+    import pytest
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="zero-norm"):
+        SIM.knn_graph(df, k=1)
