@@ -137,6 +137,7 @@ def main() -> None:
     # (BENCH_BASELINE.json). Only meaningful at the baseline's sf; ratios
     # >2x are singled out (bench noise on this VM is 3-4x on single runs,
     # so a flagged query means "re-measure / profile", not proof).
+    detail = dict(out)
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
     if os.path.exists(base_path):
@@ -146,12 +147,37 @@ def main() -> None:
             deltas = {n: round(t / base["queries"][n], 2)
                       for n, t in timings.items()
                       if base["queries"].get(n)}
+            # per-query deltas go to the detail FILE only: the driver
+            # records a 4 KB stdout tail, and r02's full dict pushed the
+            # JSON head past it, truncating the line mid-key
+            detail["baseline_round"] = base.get("round", "r01")
+            detail["delta_vs_baseline"] = deltas
             out["baseline_round"] = base.get("round", "r01")
-            out["delta_vs_baseline"] = deltas
+            out["median_delta_vs_baseline"] = round(
+                sorted(deltas.values())[len(deltas) // 2], 2) if deltas else None
             out["regressions_over_2x"] = sorted(
                 n for n, r in deltas.items() if r > 2.0)
+            detail["regressions_over_2x"] = out["regressions_over_2x"]
 
-    print(json.dumps(out))
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 3500:
+        # keep the protocol line safely inside the 4 KB tail: drop the
+        # regression list first, then thin per-query detail (full copy is
+        # always in BENCH_DETAIL.json)
+        out.pop("regressions_over_2x", None)
+        line = json.dumps(out, separators=(",", ":"))
+        while len(line) > 3500 and out["queries"]:
+            slim = dict(sorted(out["queries"].items(),
+                               key=lambda kv: -kv[1])[:len(out["queries"]) - 5])
+            out["queries"] = slim
+            line = json.dumps(out, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line, flush=True)
     spark.stop()
 
 

@@ -38,6 +38,9 @@ def get_spark(app_name: str = "servihabitat_etl_spyke_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # the stage-progress bar writes \r-spam to stdout, which corrupts
+        # single-line JSON protocols (the bench driver reads a stdout tail)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
