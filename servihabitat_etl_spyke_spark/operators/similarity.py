@@ -531,7 +531,8 @@ def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
 
 def knn_graph_ivf(corpus: DataFrame, k: int = 5, kc: int = 8,
                   n_probe: int = 2, iters: int = 3, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  with_score: bool = False) -> DataFrame:
     """Approximate kNN graph at corpus scale: k-means coarse partition,
     each vector scores only the vectors in its ``n_probe`` nearest cells.
 
@@ -576,7 +577,9 @@ def knn_graph_ivf(corpus: DataFrame, k: int = 5, kc: int = 8,
               .select("query_id", "neighbor_id",
                       cosine(F.col("qvec"), F.col("cvec")).alias("score")))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
-    return (scored.select("query_id", "neighbor_id",
-                          F.row_number().over(w).alias("rank"))
+    cols = ["query_id", "neighbor_id", F.row_number().over(w).alias("rank")]
+    if with_score:
+        cols.append("score")
+    return (scored.select(*cols)
             .filter(F.col("rank") <= k)
             .orderBy("query_id", "rank"))

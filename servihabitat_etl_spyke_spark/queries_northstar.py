@@ -411,15 +411,41 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is evaluated directly on the kNN edge scores — no separate
     near-dup pair join, no second corpus pass. One scored graph pass +
     a per-anchor window; the documented-exact O(n^2) near-dup baseline
-    stays in `dedup_embedding` where it belongs."""
+    stays in `dedup_embedding` where it belongs.
+
+    This is the EXACT-graph oracle baseline (knn_graph is collect-based,
+    small-by-contract); the scale path is `ann_hard_negatives_ivf` —
+    identical consumer logic fed by the cluster-pruned graph."""
     emb = load_table(spark, sf_dir, "embeddings")
     graph = SIM.knn_graph(emb, k=10, with_score=True)
-    kept = graph.filter(F.col("score") < 0.45)
+    return _hard_negatives_from(graph)
+
+
+def _hard_negatives_from(graph: DataFrame, max_cos: float = 0.45,
+                         n_neg: int = 3) -> DataFrame:
+    """Graph-source-agnostic negative miner: takes (query_id, neighbor_id,
+    rank, score) edges from ANY kNN-graph builder. Distributed throughout
+    — one edge filter + one per-anchor window."""
+    kept = graph.filter(F.col("score") < max_cos)
     w = W.partitionBy("query_id").orderBy("rank")
     return (kept.select("query_id", "neighbor_id",
                         F.row_number().over(w).alias("neg_rank"))
-            .filter(F.col("neg_rank") <= 3)
+            .filter(F.col("neg_rank") <= n_neg)
             .orderBy("query_id", "neg_rank"))
+
+
+@query("ann_hard_negatives_ivf")  # approximate graph -> rows-only; pytest
+def ann_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining at corpus scale: the SAME consumer logic as
+    `ann_hard_negatives` (shared `_hard_negatives_from`), fed by the
+    cluster-pruned `knn_graph_ivf` instead of the collect-based exact
+    graph — no driver-side matrix, no closure shipping; the only shuffle
+    is the IVF cell equi-join plus the per-anchor window. Equivalence to
+    the exact composition (modulo IVF recall) asserted in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = SIM.knn_graph_ivf(emb, k=10, kc=4, n_probe=2, iters=3,
+                              with_score=True)
+    return _hard_negatives_from(graph)
 
 
 @query("graph_knn_degrees", oracle="""
@@ -446,14 +472,37 @@ def graph_knn_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail means hub vectors — the classic high-dimensional ANN pathology
     that degrades recall and skews the `knn_graph_ivf` cell join; this
     is the metric you watch before tuning probes/bands. Two tiny
-    aggregations over the n*k edge table."""
+    aggregations over the n*k edge table.
+
+    EXACT-graph oracle baseline; the scale path is
+    `graph_knn_degrees_ivf` (same histogram over the pruned graph)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = SIM.knn_graph(emb, k=5)
+    return _degree_histogram(SIM.knn_graph(emb, k=5))
+
+
+def _degree_histogram(edges: DataFrame) -> DataFrame:
+    """In-degree histogram over ANY (query_id, neighbor_id, ...) edge
+    table — two map-side-combined aggregations, graph-source-agnostic."""
     return (edges.groupBy("neighbor_id")
             .agg(F.count("*").alias("in_degree"))
             .groupBy("in_degree")
             .agg(F.count("*").alias("n_vectors"))
             .orderBy("in_degree"))
+
+
+@query("graph_knn_degrees_ivf")  # approximate graph -> rows-only; pytest
+def graph_knn_degrees_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic at corpus scale: the SAME histogram consumer as
+    `graph_knn_degrees` (shared `_degree_histogram`), fed by the
+    cluster-pruned `knn_graph_ivf` — the composition you actually run at
+    100 TB, where the exact graph's collect-and-broadcast is off the
+    table. Hub detection tolerates IVF approximation well: hubs by
+    definition appear in MANY anchors' lists, so pruned recall loss
+    thins the tail uniformly rather than hiding it (shape equivalence
+    asserted in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _degree_histogram(
+        SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2, iters=3))
 
 
 @query("embed_pca")  # eigendecomposition -> rows-only; pytest-verified
@@ -484,17 +533,40 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection. Iterative join+aggregate dataflow (localCheckpoint-
     truncated); float sums are fold-order dependent, so the driver
     records rows-only and pytest verifies against a local dense power
-    iteration."""
-    from .operators.graph import pagerank
+    iteration.
+
+    EXACT-graph oracle baseline; the scale path is
+    `graph_pagerank_knn_ivf` (same PageRank over the pruned graph)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = SIM.knn_graph(emb, k=5).select(
-        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
-    ranks = pagerank(edges, damping=0.85, iters=8)
+    return _pagerank_over(SIM.knn_graph(emb, k=5))
+
+
+def _pagerank_over(edges: DataFrame) -> DataFrame:
+    """Quantized PageRank over ANY (query_id, neighbor_id, ...) edge
+    table — the distributed power iteration itself never collects."""
+    from .operators.graph import pagerank
+    e = edges.select(F.col("query_id").alias("id_a"),
+                     F.col("neighbor_id").alias("id_b"))
+    ranks = pagerank(e, damping=0.85, iters=8)
     return (ranks.select(
         F.col("v").alias("vec_id"),
         (F.floor(F.col("rank") * 1000000000 + F.lit(0.5)) / 1000000000)
         .alias("rank_q"))
         .orderBy("vec_id"))
+
+
+@query("graph_pagerank_knn_ivf")  # approximate graph -> rows-only; pytest
+def graph_pagerank_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph centrality at corpus scale: the SAME power-iteration
+    consumer as `graph_pagerank_knn` (shared `_pagerank_over`), fed by
+    the cluster-pruned `knn_graph_ivf` — end-to-end distributed: k-means
+    codebook (centroids-only to driver), cell equi-join graph build,
+    join+aggregate PageRank iterations with localCheckpoint lineage
+    truncation. Rank correlation with the exact composition asserted in
+    pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _pagerank_over(
+        SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2, iters=3))
 
 
 @query("ann_ivf_kmeans_topk")  # approximate -> rows-only; recall in pytest

@@ -568,3 +568,60 @@ def test_knn_graph_rejects_zero_norm_vectors(spark):
         "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="zero-norm"):
         SIM.knn_graph(df, k=1)
+
+
+def _neg_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_hard_negatives_ivf_matches_exact_composition(spark, sf_dir):
+    """The IVF-fed miner must be the exact miner modulo graph recall:
+    identical consumer logic (shared helper), so anchors whose top-10
+    IVF edges equal the exact edges produce identical negatives."""
+    from servihabitat_etl_spyke_spark.queries_northstar import (
+        _hard_negatives_from)
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _neg_sets(_hard_negatives_from(
+        SIM.knn_graph(emb, k=10, with_score=True)))
+    approx = _neg_sets(_hard_negatives_from(
+        SIM.knn_graph_ivf(emb, k=10, kc=4, n_probe=2, iters=3,
+                          with_score=True)))
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+               for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5, sum(recalls) / len(recalls)
+
+
+def test_degree_histogram_ivf_preserves_edge_mass(spark, sf_dir):
+    """Every anchor has >= k candidates in its probed cells at this SF,
+    so the IVF histogram redistributes but never loses edge mass."""
+    from servihabitat_etl_spyke_spark.queries_northstar import (
+        _degree_histogram)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    hist = {r["in_degree"]: r["n_vectors"] for r in _degree_histogram(
+        SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2, iters=3)).collect()}
+    assert sum(d * c for d, c in hist.items()) == n * 5
+
+
+def test_pagerank_ivf_correlates_with_exact(spark, sf_dir):
+    """Centrality over the pruned graph must preserve the exact graph's
+    ranking signal (rank correlation), not just run."""
+    import numpy as np
+    from servihabitat_etl_spyke_spark.queries_northstar import (
+        _pagerank_over)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300)
+    exact = {r["vec_id"]: r["rank_q"] for r in
+             _pagerank_over(SIM.knn_graph(emb, k=5)).collect()}
+    approx = {r["vec_id"]: r["rank_q"] for r in
+              _pagerank_over(SIM.knn_graph_ivf(
+                  emb, k=5, kc=4, n_probe=2, iters=3)).collect()}
+    ids = sorted(exact)
+    a = np.array([exact[i] for i in ids]).argsort().argsort()
+    b = np.array([approx.get(i, 0.0) for i in ids]).argsort().argsort()
+    n = len(ids)
+    rho = 1 - 6 * ((a - b) ** 2).sum() / (n * (n ** 2 - 1))
+    assert rho >= 0.5, rho
