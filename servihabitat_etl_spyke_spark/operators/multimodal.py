@@ -924,3 +924,94 @@ def detect_scene_changes(blobs: DataFrame, threshold_milli: int = 30000,
     return blobs.mapInPandas(
         scenes, schema=(f"{id_col} long, frame_idx int, delta_milli long, "
                         "is_cut boolean"))
+
+
+def video_keyframe_dhash(blobs: DataFrame, threshold_milli: int = 30000,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Keyframe extraction + perceptual hashing in ONE decode pass: per
+    video, sequential frame decode, scene-cut detection on exact integer
+    mean-luminance deltas (same rule as :func:`detect_scene_changes`),
+    and a dHash for every KEYFRAME — frame 0 plus the first frame of
+    each new shot (|delta| >= threshold). Output: (id, frame_idx, dhash).
+
+    The video-dedup front half: re-encoded / re-containered copies of
+    the same footage produce the same shot structure and near-identical
+    keyframe hashes, so near-dup detection reduces to the banded-Hamming
+    join over this table (:func:`video_dhash_neardup`). Pure map stage —
+    blobs never shuffle, one decode per frame feeding BOTH the cut
+    detector and the hash."""
+
+    def kf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fis, hs = [], [], []
+            for did, content in zip(pdf[id_col], pdf["content"]):
+                raw = bytes(content)
+                n = decode_bmv_meta(raw)["n_frames"]
+                prev = None
+                for fi in range(n):
+                    px = decode_bmv_frame(raw, fi)
+                    mean = int(px.astype(np.int64).sum()) * 1000 // px.size
+                    is_key = prev is None or abs(mean - prev) >= \
+                        threshold_milli
+                    if is_key:
+                        ids.append(did)
+                        fis.append(fi)
+                        hs.append(dhash_bits(px))
+                    prev = mean
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(fis, dtype="int32"),
+                "dhash": pd.Series(hs, dtype="uint64").astype("int64"),
+            })
+
+    return blobs.mapInPandas(
+        kf, schema=f"{id_col} long, frame_idx int, dhash long")
+
+
+def video_dhash_neardup(keyframes: DataFrame, max_hamming: int = 3,
+                        bands: int = 4,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Video near-dup pairs from keyframe dHashes: LSH-band each hash
+    into ``bands`` contiguous keys (pigeonhole-exact for ``max_hamming <
+    bands``, enforced), candidate keyframe pairs from the band equi-join
+    restricted to DIFFERENT videos, Hamming verify, then per video pair
+    the best (minimum) keyframe distance and the number of matching
+    keyframe pairs. Output: (id_a, id_b, best_hamming, n_matching_pairs).
+
+    Same bucket-join-then-verify shape as :func:`dhash_neardup`; the
+    extra per-pair aggregation is a tiny groupBy over verified pairs
+    only."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"video_dhash_neardup: max_hamming={max_hamming} >= "
+            f"bands={bands} voids the pigeonhole guarantee")
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = keyframes.select(F.col(id_col).alias("_id"),
+                         F.col("frame_idx").alias("_fi"),
+                         F.col("dhash").alias("_h"))
+    banded = h.select(
+        "_id", "_fi", "_h",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned(F.col("_h"), b * width)
+                     .bitwiseAND(F.lit(mask)).alias("key"))
+            for b in range(bands)])).alias("bk")) \
+        .select("_id", "_fi", "bk.band", "bk.key", "_h")
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_fi").alias("fa"),
+                      F.col("_h").alias("ha"), "band", "key")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_fi").alias("fb"),
+                      F.col("_h").alias("hb"), "band", "key")
+    pairs = (a.join(b, ["band", "key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                     <= max_hamming)
+             .select("id_a", "fa", "id_b", "fb",
+                     F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                     .alias("hamming"))
+             .distinct())                 # multi-band agreement dedup
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.min("hamming").alias("best_hamming"),
+                 F.count("*").alias("n_matching_pairs")))

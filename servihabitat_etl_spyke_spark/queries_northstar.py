@@ -1236,3 +1236,100 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (MM.sample_video_frames(MM.attach_video(docs), every_n=2)
             .orderBy("doc_id", "frame_idx"))
+
+
+def _gray_sql(col_expr: str) -> str:
+    """DuckDB expression for the pixel-center-resampled gray value the
+    dHash grid reads at (row b//8, column ``col_expr``): the BMV/BMP
+    keystream tiles the 16-byte md5 digest ``hx`` over w*h*3 bytes, so
+    pixel byte k is hex pair k % 16 — every sampled gray value is
+    recomputable from (hx, w, h) alone."""
+    idx = ("(least(CAST(floor(((b // 8) + 0.5) * h / 8) AS BIGINT), h - 1)"
+           " * w + least(CAST(floor((" + col_expr + " + 0.5) * w / 9)"
+           " AS BIGINT), w - 1))")
+    return " + ".join(
+        f"('0x' || substr(hx, (({idx} * 3 + {ch}) % 16) * 2 + 1, 2))::INT"
+        for ch in range(3))
+
+
+def _video_dedup_oracle() -> str:
+    """Analytic replay of the WHOLE video-dedup pipeline: per-frame mean
+    luminance from the md5 keystream -> scene cuts -> keyframe set ->
+    per-keyframe dHash (as two 32-bit halves) -> all-pairs verified
+    banded result."""
+    return f"""
+WITH g AS (
+  SELECT doc_id, text,
+         doc_id % 4 + 2 AS n_frames,
+         strlen(text) % 24 + 4 AS w,
+         doc_id % 16 + 4 AS h
+  FROM documents
+), f AS (
+  SELECT doc_id, w, h, w * h * 3 AS need,
+         unnest(range(0, n_frames)) AS fi, text
+  FROM g
+), d AS (
+  SELECT doc_id, fi, w, h, need,
+         md5(text || '#' || CAST(fi AS VARCHAR)) AS hx
+  FROM f
+), s AS (
+  SELECT doc_id, fi, w, h, hx,
+         CAST((((need // 16) * list_sum(list_transform(range(0, 16), j ->
+             ('0x' || substr(hx, CAST(2 * j + 1 AS INT), 2))::INT))
+           + COALESCE(list_sum(list_transform(range(0, need % 16), j ->
+             ('0x' || substr(hx, CAST(2 * j + 1 AS INT), 2))::INT)), 0))
+           * 1000) // need AS BIGINT) AS mean_milli
+  FROM d
+), lagged AS (
+  SELECT doc_id, fi, w, h, hx,
+         mean_milli - lag(mean_milli) OVER (PARTITION BY doc_id
+                                            ORDER BY fi) AS delta
+  FROM s
+), kf AS (
+  SELECT doc_id, fi, w, h, hx FROM lagged
+  WHERE fi = 0 OR abs(delta) >= 30000
+), bits AS (
+  SELECT doc_id, fi,
+    list_transform(range(0, 64), b -> (
+      CASE WHEN ({_gray_sql("(b % 8)")}) > ({_gray_sql("((b % 8) + 1)")})
+      THEN 1::BIGINT ELSE 0::BIGINT END)) AS bl
+  FROM kf
+), dh AS (
+  SELECT doc_id, fi,
+         CAST(list_sum(list_transform(range(1, 33),
+              i -> bl[i] * (1::BIGINT << CAST(i - 1 AS INT)))) AS BIGINT)
+           AS lo,
+         CAST(list_sum(list_transform(range(33, 65),
+              i -> bl[i] * (1::BIGINT << CAST(i - 33 AS INT)))) AS BIGINT)
+           AS hi
+  FROM bits
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(min(bit_count(xor(a.lo, b.lo))
+                + bit_count(xor(a.hi, b.hi))) AS INT) AS best_hamming,
+       CAST(count(*) AS BIGINT) AS n_matching_pairs
+FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+GROUP BY a.doc_id, b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+@query("multimodal_video_dedup", oracle=_video_dedup_oracle())
+def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video-dedup pipeline END TO END (the multimodal counterpart of
+    `curate_pipeline`): sequential BMV decode -> scene-cut detection on
+    exact integer luminance deltas -> one dHash per keyframe (frame 0 +
+    first frame of each shot) -> LSH-banded Hamming join across videos
+    (pigeonhole-exact at max_hamming=3 < bands=4) -> per video pair the
+    best keyframe distance + matching-keyframe count. Re-encoded or
+    re-containered copies of the same footage share shot structure and
+    keyframe hashes, so they surface here without any all-pairs frame
+    compare. Decode+hash is a pure map stage; the only shuffles are the
+    16-bit band equi-join and the tiny verified-pair groupBy. The oracle
+    replays every stage analytically from the md5 pixel keystream."""
+    docs = load_table(spark, sf_dir, "documents")
+    kf = MM.video_keyframe_dhash(MM.attach_video(docs),
+                                 threshold_milli=30000)
+    return (MM.video_dhash_neardup(kf, max_hamming=3, bands=4)
+            .orderBy("id_a", "id_b"))

@@ -625,3 +625,34 @@ def test_pagerank_ivf_correlates_with_exact(spark, sf_dir):
     n = len(ids)
     rho = 1 - 6 * ((a - b) ** 2).sum() / (n * (n ** 2 - 1))
     assert rho >= 0.5, rho
+
+
+def test_video_dedup_pipeline_finds_planted_copies(spark):
+    """End-to-end video dedup: two docs with identical text and matching
+    geometry params (doc_id congruent mod 16 and mod 4) render
+    frame-identical BMV videos -> every keyframe hash matches at Hamming
+    0; an unrelated doc pairs with neither."""
+    docs = spark.createDataFrame(
+        [(3, "the same footage re-uploaded twice"),
+         (19, "the same footage re-uploaded twice"),   # 19%16=3, 19%4=3%4
+         (8, "completely different content here x")],
+        "doc_id long, text string")
+    from servihabitat_etl_spyke_spark.operators import multimodal as MMod
+    kf = MMod.video_keyframe_dhash(MMod.attach_video(docs))
+    pairs = {(r["id_a"], r["id_b"]): (r["best_hamming"],
+                                      r["n_matching_pairs"])
+             for r in MMod.video_dhash_neardup(kf).collect()}
+    n_kf_3 = kf.filter(F.col("doc_id") == 3).count()
+    assert (3, 19) in pairs
+    best, n_match = pairs[(3, 19)]
+    assert best == 0
+    assert n_match >= n_kf_3       # every keyframe of 3 matches one of 19
+    assert not any(8 in p for p in pairs)
+
+
+def test_video_dhash_neardup_rejects_pigeonhole_violation(spark):
+    import pytest
+    kf = spark.createDataFrame([(1, 0, 0)],
+                               "doc_id long, frame_idx int, dhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        MM.video_dhash_neardup(kf, max_hamming=4, bands=4)
