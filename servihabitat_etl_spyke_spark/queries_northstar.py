@@ -199,6 +199,40 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+@query("dedup_snapshot_incremental", oracle=_incremental_oracle())
+def dedup_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-crawl dedup cycle END TO END over snapshot-versioned
+    storage: commit 1 lands the corpus (80% of docs) in a SnapshotStore
+    and its MinHash signature table in a sibling store; commit 2 lands
+    the new crawl (doc_id % 5 == 0). The consumer — checkpointed at
+    snapshot 1 — reads ONLY the new commit via ``read_incremental`` (the
+    manifest plans the scan; proven by an inputFiles assertion in
+    pytest), loads the PERSISTED signatures instead of re-hashing the
+    corpus, and runs the broadcast incremental LSH join. Same oracle as
+    `dedup_incremental`: the full-corpus pair set restricted to pairs
+    touching the new batch — proving the snapshot plumbing changes the
+    I/O, not the answer."""
+    import tempfile
+
+    from .sources.snapshots import SnapshotStore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    crawl = docs.filter(F.col("doc_id") % 5 == 0)
+
+    doc_store = SnapshotStore(tempfile.mkdtemp(prefix="snapdocs_"))
+    sig_store = SnapshotStore(tempfile.mkdtemp(prefix="snapsigs_"))
+    base_sid = doc_store.commit(corpus)
+    sig_store.commit(D.minhash_signatures(corpus))
+    doc_store.commit(crawl)
+
+    new = doc_store.read_incremental(spark, since=base_sid)
+    stored = doc_store.read(spark, snapshot=base_sid)
+    stored_sig = sig_store.read(spark)
+    return (D.incremental_neardup(new, stored, stored_sig, threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
 @query("dedup_clusters", oracle=_cluster_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash-LSH pairs -> connected components ->

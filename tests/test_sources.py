@@ -128,3 +128,28 @@ def test_snapshot_errors(spark, tmp_path):
         st.read(spark, snapshot=99)               # unknown snapshot
     with _pt.raises(ValueError):
         st.commit(spark.range(3), mode="merge")   # unknown mode
+
+
+def test_snapshot_incremental_scans_only_new_commit(spark, sf_dir):
+    """The snapshot-incremental dedup consumer must plan its 'new batch'
+    scan over ONLY the post-checkpoint commit's files — the whole point
+    of checkpointing a snapshot id instead of re-scanning the corpus."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.sources.snapshots import SnapshotStore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    crawl = docs.filter(F.col("doc_id") % 5 == 0)
+    store = SnapshotStore(tempfile.mkdtemp(prefix="snapinc_"))
+    sid = store.commit(corpus)
+    store.commit(crawl)
+
+    new = store.read_incremental(spark, since=sid)
+    files = new.inputFiles()
+    assert files and all("commit-000002" in f for f in files), files
+    assert new.count() == crawl.count()
+    # and the checkpointed snapshot still reads exactly the old corpus
+    assert store.read(spark, snapshot=sid).count() == corpus.count()
