@@ -36,6 +36,8 @@ class Engine:
         # Shadows same-named parquet — latest declaration wins, like the
         # reference's put handler overwriting an existing object schema.
         self._runtime_tables: dict[str, DataFrame] = {}
+        # storage backend per runtime model (objectsAPI.ts:169 analog)
+        self._storage: dict[str, str] = {}
         # bumped on EVERY register_model call (a len()-based check would
         # miss same-name re-registration and never refresh the SQL views)
         self._registry_version = 0
@@ -56,7 +58,8 @@ class Engine:
         self._registry_version += 1
 
     def create_model(self, spec, data: list | DataFrame | None = None,
-                     bind_to: str | None = None) -> Model:
+                     bind_to: str | None = None,
+                     storage: str = "native") -> Model:
         """CREATE TABLE from a JSON object description — the full `objects`
         bundle lifecycle (reference ``objectsAPI.ts:133-193`` accepts the
         description, codegens a zod schema, and provisions a CRUD store;
@@ -73,8 +76,49 @@ class Engine:
         - ``bind_to='orders'``: the declared metadata governs an EXISTING
           parquet table (rename-free ALTER: new annotations, same data);
           the description's keys select/serve as the visible columns.
+        - ``storage``: the reference lets a runtime object pick its store
+          (``objectsAPI.ts:169`` — LevelDB, custom, or Google Sheets).
+          ``'native'`` is the typed DataFrame store; ``'sheet'`` applies
+          sheet semantics (sources/sheets.py): every column is STRING (a
+          sheet has no types), bootstrap accepts header+rows lists via
+          ``sheet_from_rows`` (short rows pad, extra cells drop), and
+          ``put()`` routes through the keyed update-else-append
+          ``sheet_upsert``. The declared keys still govern list-view
+          masking / search / paging — the string-coerced list-query
+          contract (P1) is storage-agnostic.
         """
         m = Model.from_json_description(spec)
+        if storage not in ("native", "sheet"):
+            raise ValueError(f"unknown storage: {storage!r}")
+        if storage == "sheet":
+            if bind_to is not None:
+                raise ValueError("sheet storage keeps its own rows; "
+                                 "bind_to applies to native storage")
+            from pyspark.sql import functions as F
+            from .sources.sheets import sheet_from_rows
+            declared = list(m.fields)
+            if isinstance(data, DataFrame):
+                if set(data.columns) != set(declared):
+                    raise ValueError(
+                        f"sheet bootstrap columns {sorted(data.columns)} "
+                        f"!= declared keys {sorted(declared)}")
+                sdf = data.select([F.col(c).cast("string").alias(c)
+                                   for c in declared])
+            elif data:
+                # header + rows, the getSpreadSheetElements shape
+                sdf = sheet_from_rows(self.spark, data)
+                if set(sdf.columns) != set(declared):
+                    raise ValueError(
+                        f"sheet header {sdf.columns} != declared keys "
+                        f"{sorted(declared)}")
+                sdf = sdf.select(*declared)
+            else:
+                sdf = self.spark.createDataFrame(
+                    [], ", ".join(f"`{c}` string" for c in declared))
+            self._runtime_tables[m.name] = sdf
+            self._storage[m.name] = "sheet"
+            self.register_model(m)
+            return m
         if bind_to is not None:
             df = load_table(self.spark, self.sf_dir, bind_to)
             missing = [f for f in m.fields if f not in df.columns]
@@ -99,6 +143,37 @@ class Engine:
         from .queries import CUSTOMER, DOCUMENTS, EVENTS, ORDERS
         for m in (ORDERS, CUSTOMER, DOCUMENTS, EVENTS):
             self.register_model(m)
+
+    def put(self, model_name: str,
+            rows: list[dict] | DataFrame) -> None:
+        """Keyed update-else-append into a runtime model's store (the S6
+        point upsert / S9 sheet put, batched): rows whose id exists are
+        replaced in place, new ids append. Sheet-backed models coerce
+        every value to string first (sheet semantics); both backends use
+        the same anti-join upsert shape."""
+        from pyspark.sql import functions as F
+        from .sources.sheets import sheet_upsert
+        if model_name not in self._runtime_tables:
+            raise KeyError(f"{model_name!r} is not a runtime model")
+        m = self._models[model_name]
+        cur = self._runtime_tables[model_name]
+        is_sheet = self._storage.get(model_name) == "sheet"
+        if isinstance(rows, DataFrame):
+            upd = rows
+        elif is_sheet:
+            upd = self.spark.createDataFrame(
+                [tuple(str(r[c]) for c in cur.columns) for r in rows],
+                ", ".join(f"`{c}` string" for c in cur.columns))
+        else:
+            upd = self.spark.createDataFrame(
+                [tuple(r[c] for c in cur.columns) for r in rows],
+                cur.schema)
+        if is_sheet:
+            upd = upd.select([F.col(c).cast("string").alias(c)
+                              for c in cur.columns])
+        self._runtime_tables[model_name] = sheet_upsert(
+            cur, upd, m.id_field)
+        self._registry_version += 1   # refresh SQL views on next use
 
     def model(self, name: str) -> Model:
         return self._models[name]

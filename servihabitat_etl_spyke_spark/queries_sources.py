@@ -204,6 +204,47 @@ def runtime_model_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT priority, n_orders, revenue FROM order_stats ORDER BY priority")
 
 
+@query("runtime_model_sheet", oracle="""
+WITH sheet AS (
+  SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+         CAST(n_name AS VARCHAR) AS n_name,
+         CAST(n_regionkey AS VARCHAR) AS n_regionkey
+  FROM nation WHERE n_nationkey <> 3
+  UNION ALL SELECT '3', 'CANADA-EAST', '9'
+  UNION ALL SELECT '99', 'ATLANTIS', '9'
+)
+SELECT n_nationkey, n_name, n_regionkey FROM sheet ORDER BY n_nationkey
+""")
+def runtime_model_sheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime model bound to a SHEET store (the reference's objects
+    bundle lets a dynamically created object pick Google Sheets as its
+    backend, objectsAPI.ts:169): every column is string-typed (sheets
+    have no types), a keyed put updates one existing row in place and
+    appends one new row (googleSheetClient.ts:198-238 semantics via
+    sheet_upsert), and the result is served through the STANDARD
+    list-query path — string-typed ordering and all (sheet rows sort
+    lexicographically: 0 < 1 < 10 < 2). The oracle replays bootstrap +
+    upsert with VARCHAR casts + UNION ALL."""
+    from .engine import Engine
+    eng = Engine(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    eng.create_model({
+        "name": "partner_sheet",
+        "keys": {
+            "n_nationkey": {"type": "string", "modifiers": [{"name": "id"}]},
+            "n_name": {"type": "string"},
+            "n_regionkey": {"type": "string"},
+        },
+        "defaultOrderBy": "n_nationkey",
+    }, data=nation, storage="sheet")
+    eng.put("partner_sheet", [
+        {"n_nationkey": 3, "n_name": "CANADA-EAST", "n_regionkey": 9},
+        {"n_nationkey": 99, "n_name": "ATLANTIS", "n_regionkey": 9},
+    ])
+    return eng.list("partner_sheet", order_by="n_nationkey", all_rows=True)
+
+
 # ---------------------------------------------------------------------------
 # Snapshot-versioned storage (time travel / reproducible dataset versions)
 # ---------------------------------------------------------------------------

@@ -82,3 +82,51 @@ def test_sql_views_refresh_on_reregistration(spark, sf_dir, tmp_path):
         .write.parquet(str(tmp_path / "extra.parquet"))
     e.register_model(model("extra", FieldSpec("id", is_id=True)))
     assert e.sql("SELECT v FROM extra").first()["v"] == "x"
+
+
+def test_sheet_backed_runtime_model_lifecycle(spark, sf_dir):
+    """objectsAPI.ts:169 storage choice: a runtime model on the sheet
+    backend — all-string columns, header+rows bootstrap, keyed
+    update-else-append put, served through the standard list path."""
+    e = Engine(spark, sf_dir)
+    e.create_model({
+        "name": "crew_sheet",
+        "keys": {
+            "crew_id": {"type": "string", "modifiers": [{"name": "id"}]},
+            "role": {"type": "string"},
+        },
+    }, data=[["crew_id", "role"],
+             ["1", "pilot"],
+             ["2", "navigator", "extra-cell-dropped"],
+             ["10"]],                      # short row pads to ''
+       storage="sheet")
+    rows = {r["crew_id"]: r["role"]
+            for r in e.list("crew_sheet", all_rows=True).collect()}
+    assert rows == {"1": "pilot", "2": "navigator", "10": ""}
+    # put: update-in-place + append; ints coerce to sheet strings
+    e.put("crew_sheet", [{"crew_id": 2, "role": "captain"},
+                         {"crew_id": 3, "role": "engineer"}])
+    rows = {r["crew_id"]: r["role"]
+            for r in e.list("crew_sheet", all_rows=True).collect()}
+    assert rows == {"1": "pilot", "2": "captain", "3": "engineer", "10": ""}
+    # sheet ordering is string-typed: '1' < '10' < '2' < '3'
+    ordered = [r["crew_id"] for r in
+               e.list("crew_sheet", order_by="crew_id",
+                      all_rows=True).collect()]
+    assert ordered == ["1", "10", "2", "3"]
+    # SQL-visible alongside the parquet catalog, refreshed after put
+    assert e.sql("SELECT count(*) AS n FROM crew_sheet").first()["n"] == 4
+
+
+def test_sheet_storage_validation(spark, sf_dir):
+    import pytest
+    e = Engine(spark, sf_dir)
+    with pytest.raises(ValueError, match="bind_to"):
+        e.create_model({"name": "s1", "keys": {"a": {"type": "string"}}},
+                       bind_to="orders", storage="sheet")
+    with pytest.raises(ValueError, match="header"):
+        e.create_model({"name": "s2", "keys": {"a": {"type": "string"}}},
+                       data=[["wrong_col"], ["x"]], storage="sheet")
+    with pytest.raises(ValueError, match="unknown storage"):
+        e.create_model({"name": "s3", "keys": {"a": {"type": "string"}}},
+                       storage="leveldb")
