@@ -526,15 +526,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         nbr = (edges.join(labels.select(F.col("u").alias("v"),
                                         F.col("label").alias("lv")), "v")
                .groupBy("u").agg(F.min("lv").alias("nmin")))
+        # checkpoint FIRST (one eager job running the join), then derive
+        # the convergence count from the checkpointed rows — counting off
+        # the live plan would execute the whole join a second time per
+        # round, doubling the iteration cost
         merged = (labels.join(nbr, "u", "left")
                   .select("u",
                           F.least(F.col("label"),
                                   F.coalesce("nmin", F.col("label")))
                           .alias("new_label"),
-                          F.col("label")))
-        changed = merged.filter(F.col("new_label") < F.col("label")).count()
-        labels = (merged.select("u", F.col("new_label").alias("label"))
+                          F.col("label"))
                   .localCheckpoint())
+        changed = merged.filter(F.col("new_label") < F.col("label")).count()
+        labels = merged.select("u", F.col("new_label").alias("label"))
         if changed == 0:
             break
     if changed != 0:
@@ -569,22 +573,31 @@ def canonical_selection(docs: DataFrame, clusters: DataFrame,
     cluster_id)), so a custom ``id_col`` on docs works without also
     renaming the clusters side.
 
+    Scale shape: docs NOT in any cluster (the overwhelming majority of a
+    real corpus — near-dups are a thin slice) are their own canonical by
+    definition, so they take a pure projection off the left join; only
+    the clustered slice goes through the per-cluster window. The corpus
+    is never shuffled on cluster_id (AQE picks broadcast for the join
+    when the cluster table fits, the usual case).
+
     Returns (id, cluster_id, canonical_id, is_canonical)."""
     from pyspark.sql.window import Window as W
     cid = clusters_id_col or clusters.columns[0]
     joined = (docs.join(clusters.withColumnRenamed(cid, id_col),
                         id_col, "left")
-              .select(F.col(id_col),
-                      F.coalesce("cluster_id", F.col(id_col))
-                      .alias("cluster_id"),
-                      F.col(score_col)))
+              .select(F.col(id_col), F.col("cluster_id"), F.col(score_col)))
+    singles = (joined.filter(F.col("cluster_id").isNull())
+               .select(F.col(id_col),
+                       F.col(id_col).alias("cluster_id"),
+                       F.col(id_col).alias("canonical_id")))
     w = W.partitionBy("cluster_id").orderBy(F.col(score_col).desc(),
                                             F.col(id_col))
-    return (joined.select(
-        F.col(id_col), "cluster_id",
-        F.first(id_col).over(w).alias("canonical_id"))
-        .withColumn("is_canonical",
-                    F.col(id_col) == F.col("canonical_id")))
+    grouped = (joined.filter(F.col("cluster_id").isNotNull())
+               .select(F.col(id_col), "cluster_id",
+                       F.first(id_col).over(w).alias("canonical_id")))
+    return (singles.unionByName(grouped)
+            .withColumn("is_canonical",
+                        F.col(id_col) == F.col("canonical_id")))
 
 
 # -- semantic dedup (SemDeDup shape) ------------------------------------------
@@ -606,26 +619,39 @@ def semantic_dedup(corpus: DataFrame, k: int = 8, threshold: float = 0.9,
     SemDeDup — at corpus scale k grows with n (n/k ~ thousands) so each
     cluster's quadratic term stays bounded, and clusters compare in
     parallel. Assignment broadcasts only the k x dim centroid matrix."""
-    from .similarity import dot, kmeans_fit, assign_to_centroids
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import kmeans_fit, assign_to_centroids
     cents = kmeans_fit(corpus, k=k, iters=iters,
                        id_col=id_col, vec_col=vec_col)
     units = _unit_vectors(corpus, id_col, vec_col)
-    # referenced three times below (both sides of the pairwise join + the
-    # final keep-flag join) — persist so assignment runs once
+    # referenced twice below (the grouped pairwise scan + the final
+    # keep-flag join) — persist so assignment runs once
     assigned = (assign_to_centroids(corpus, cents, id_col=id_col,
                                     vec_col=vec_col)
                 .select(id_col, "centroid_id")
                 .join(units, id_col)
                 .persist())
-    a = assigned.select(F.col(id_col).alias("id_a"), "centroid_id",
-                        F.col("uvec").alias("ua"))
-    b = assigned.select(F.col(id_col).alias("id_b"), "centroid_id",
-                        F.col("uvec").alias("ub"))
-    drops = (a.join(b, ["centroid_id"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .filter(dot(F.col("ua"), F.col("ub")) >= threshold)
-             .select(F.col("id_b").alias(id_col))
-             .distinct())
+
+    # In-cluster pairwise scan as ONE numpy GEMM per cluster
+    # (applyInPandas): each unit vector crosses Arrow once, vs once per
+    # PAIR in a self-join formulation — and the |cluster|^2 dot products
+    # run as a single BLAS call instead of interpreted per-element
+    # higher-order-function expressions. A cluster fits in one worker by
+    # construction (SemDeDup grows k with n so n/k stays bounded).
+    def _drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.asarray(pdf["uvec"].tolist(), dtype=np.float64)[order]
+        sims = X @ X.T
+        iu = np.triu_indices(len(ids), k=1)      # row < col => lower id
+        drop = np.unique(iu[1][sims[iu] >= threshold])
+        return pd.DataFrame({id_col: pd.Series(ids[drop], dtype="int64")})
+
+    drops = assigned.groupBy("centroid_id").applyInPandas(
+        _drops, schema=f"{id_col} long")
     return (assigned
             .join(drops.withColumn("_drop", F.lit(True)), id_col, "left")
             .select(F.col(id_col), F.col("centroid_id"),

@@ -242,18 +242,24 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
     if len(cents) < k:
         raise ValueError(
             f"kmeans_fit: k={k} but only {len(cents)} distinct vectors")
-    pts = corpus.select(F.col(vec_col).alias("v"))
-    for _ in range(iters):
-        stats = (pts.select(nearest_centroid(cents)(F.col("v")).alias("cid"),
-                            F.posexplode("v"))
-                 .groupBy("cid", "pos")
-                 .agg(F.count("*").alias("n"),
-                      F.sum(F.col("col").cast("double")).alias("s"))
-                 .collect())
-        new = [list(c) for c in cents]  # empty clusters keep their centroid
-        for r in stats:
-            new[r["cid"]][r["pos"]] = r["s"] / r["n"]
-        cents = new
+    # persist: every iteration re-scans the points; without this each
+    # Lloyd's round re-reads (and re-decodes) the source parquet
+    pts = corpus.select(F.col(vec_col).alias("v")).persist()
+    try:
+        for _ in range(iters):
+            stats = (pts.select(
+                        nearest_centroid(cents)(F.col("v")).alias("cid"),
+                        F.posexplode("v"))
+                     .groupBy("cid", "pos")
+                     .agg(F.count("*").alias("n"),
+                          F.sum(F.col("col").cast("double")).alias("s"))
+                     .collect())
+            new = [list(c) for c in cents]  # empty clusters keep centroid
+            for r in stats:
+                new[r["cid"]][r["pos"]] = r["s"] / r["n"]
+            cents = new
+    finally:
+        pts.unpersist()
     return cents
 
 
