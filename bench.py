@@ -88,6 +88,13 @@ HEADLINE = [
     "embed_pca",
     "text_collocations",
     "graph_knn_degrees",
+    # round-3 additions: IVF-composed kNN consumers (the scale path),
+    # video dedup pipeline, snapshot-incremental dedup, sheet models
+    "ann_hard_negatives_ivf",
+    "graph_pagerank_knn_ivf",
+    "multimodal_video_dedup",
+    "dedup_snapshot_incremental",
+    "runtime_model_sheet",
 ]
 
 

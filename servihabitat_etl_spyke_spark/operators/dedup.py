@@ -25,6 +25,7 @@ portability is not required.)
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import spread as _spread
 
@@ -784,3 +785,89 @@ def cdc_dedup_stats(blobs: DataFrame, id_col: str = "doc_id",
                  F.max("length").alias("length"),
                  ((F.count("*") - 1) * F.max("length")).alias("bytes_saved"))
             .filter(F.col("copies") > 1))
+
+
+# -- exact-substring span dedup (Lee et al. 2022 shape) ------------------------
+
+
+def duplicate_spans(docs: DataFrame, min_len: int = 8,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Maximal exactly-duplicated token spans, corpus-wide — the
+    exact-substring dedup of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al. 2022, arXiv:2107.06499), which builds a
+    suffix array; the distributed equivalent marks every ``min_len``-gram
+    that occurs more than once ANYWHERE in the corpus (including within
+    one doc) and merges each doc's overlapping marked windows into
+    maximal intervals. Returns (id, span_start, span_end, span_len) in
+    token positions, span = [start, end).
+
+    Scale shape: gram keys are md5 digests, so the one corpus-wide
+    shuffle (group by gram to count occurrences) carries 16-byte keys +
+    (doc, pos) ints — never text. The interval merge is the classic
+    running-max window per doc (one shuffle on doc id); spans per doc
+    are bounded by doc length, not corpus size. No suffix array, no
+    global sort."""
+    toks = (docs.select(F.col(id_col),
+                        F.split(F.col(text_col), " ").alias("_t"))
+            .filter(F.size("_t") >= min_len))
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.size("_t") - min_len),
+            lambda i: F.md5(F.concat_ws(
+                " ", F.slice("_t", i + 1, min_len)))))
+        .alias("start", "gh"))
+    dup = (grams.groupBy("gh").agg(F.count("*").alias("_c"))
+           .filter(F.col("_c") >= 2).select("gh"))
+    marked = grams.join(dup, "gh").select(id_col, "start")
+    w = W.partitionBy(id_col).orderBy("start")
+    prev_end = F.max(F.col("start") + min_len).over(
+        w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = marked.select(
+        F.col(id_col), "start",
+        F.when(prev_end.isNull() | (F.col("start") > prev_end), 1)
+        .otherwise(0).alias("_new"))
+    islands = flagged.select(
+        F.col(id_col), "start",
+        F.sum("_new").over(w).alias("_island"))
+    return (islands.groupBy(id_col, "_island")
+            .agg(F.min("start").alias("span_start"),
+                 (F.max("start") + min_len).alias("span_end"))
+            .select(F.col(id_col), "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start"))
+                    .alias("span_len")))
+
+
+def remove_duplicate_spans(docs: DataFrame, spans: DataFrame | None = None,
+                           min_len: int = 8, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Cut every duplicated span out of the text (the Lee et al. removal
+    step): tokens whose position falls inside any of the doc's spans are
+    dropped, the rest rejoin with single spaces. Docs with no spans pass
+    through unchanged. Pure expression tree: the per-doc span list
+    aggregates to an array column and a higher-order filter tests each
+    token position — no Python, no extra shuffle beyond the span join."""
+    if spans is None:
+        spans = duplicate_spans(docs, min_len, id_col, text_col)
+    span_arr = (spans.groupBy(id_col)
+                .agg(F.collect_list(F.struct("span_start", "span_end"))
+                     .alias("_spans")))
+    toks = docs.select(F.col(id_col),
+                       F.split(F.col(text_col), " ").alias("_t"))
+    joined = toks.join(span_arr, id_col, "left")
+    kept = F.filter(
+        F.transform(F.sequence(F.lit(0), F.size("_t") - 1),
+                    lambda i: F.struct(i.alias("p"),
+                                       F.element_at("_t", i + 1)
+                                       .alias("tok"))),
+        lambda s: ~F.exists(
+            F.coalesce("_spans", F.array()),
+            lambda sp: (s["p"] >= sp["span_start"])
+            & (s["p"] < sp["span_end"])))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["tok"]))
+        .alias("text_deduped"),
+        F.size(kept).alias("n_tokens_kept"),
+        (F.size("_t") - F.size(kept)).alias("n_tokens_removed"))

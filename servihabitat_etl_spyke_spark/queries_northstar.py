@@ -1367,3 +1367,55 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  threshold_milli=30000)
     return (MM.video_dhash_neardup(kf, max_hamming=3, bands=4)
             .orderBy("id_a", "id_b"))
+
+
+@query("dedup_exact_substring", oracle="""
+-- Lee et al. 2022 exact-substring dedup, replayed: every 8-gram that
+-- occurs >= 2 times corpus-wide marks its window; per doc, overlapping
+-- marked windows merge into maximal spans via the running-max interval
+-- rule.
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(range(0, len(t) - 8 + 1)) AS start, t
+  FROM toks WHERE len(t) >= 8
+), hashed AS (
+  SELECT doc_id, start,
+         md5(array_to_string(list_slice(t, CAST(start + 1 AS INT),
+                                        CAST(start + 8 AS INT)), ' ')) AS gh
+  FROM grams
+), dup AS (
+  SELECT gh FROM hashed GROUP BY gh HAVING count(*) >= 2
+), marked AS (
+  SELECT h.doc_id, h.start FROM hashed h JOIN dup USING (gh)
+), flagged AS (
+  SELECT doc_id, start,
+         CASE WHEN max(start + 8) OVER (PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR start > max(start + 8) OVER (PARTITION BY doc_id
+                ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS nf
+  FROM marked
+), isl AS (
+  SELECT doc_id, start,
+         sum(nf) OVER (PARTITION BY doc_id ORDER BY start) AS island
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(min(start) AS BIGINT) AS span_start,
+       CAST(max(start) + 8 AS BIGINT) AS span_end,
+       CAST(max(start) + 8 - min(start) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+""")
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (arXiv:2107.06499): maximal token spans
+    whose every 8-gram repeats somewhere in the corpus — the
+    suffix-array dedup re-expressed as a gram-hash shuffle (16-byte keys
+    + ints, never text) plus a per-doc running-max interval merge. The
+    removal step is `D.remove_duplicate_spans` (pytest-proven); this
+    query emits the span table the removal consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (D.duplicate_spans(docs, min_len=8)
+            .orderBy("doc_id", "span_start"))

@@ -300,3 +300,44 @@ def test_canonical_selection_custom_id_col(spark):
     got = {r["page_id"]: (r["canonical_id"], r["is_canonical"]) for r in
            canonical_selection(docs, clusters, id_col="page_id").collect()}
     assert got == {1: (2, False), 2: (2, True), 3: (2, False)}
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    """Two docs share one long passage: every covering 4-gram repeats, so
+    the marked windows must merge into ONE maximal span per doc (not one
+    span per gram), positioned where the passage sits in each doc."""
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        duplicate_spans, remove_duplicate_spans)
+    shared = "alpha beta gamma delta epsilon zeta eta theta"      # 8 toks
+    docs = spark.createDataFrame(
+        [(1, f"{shared} unique tail one two three"),
+         (2, f"front matter here {shared}"),
+         (3, "totally unrelated words nothing repeats at all here")],
+        "doc_id long, text string")
+    spans = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+             for r in duplicate_spans(docs, min_len=4).collect()}
+    assert spans[1] == (0, 8, 8)
+    assert spans[2] == (3, 11, 8)
+    assert 3 not in spans
+    # removal cuts exactly the span, keeps everything else
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, min_len=4).collect()}
+    assert out[1]["text_deduped"] == "unique tail one two three"
+    assert out[1]["n_tokens_removed"] == 8
+    assert out[2]["text_deduped"] == "front matter here"
+    assert out[3]["text_deduped"] == \
+        "totally unrelated words nothing repeats at all here"
+    assert out[3]["n_tokens_removed"] == 0
+
+
+def test_duplicate_spans_within_doc_repetition(spark):
+    """Self-repetition counts: the same 4-gram twice in ONE doc marks
+    both occurrences (count >= 2 is corpus-wide, including within-doc)."""
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        duplicate_spans)
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam x y z spam spam spam spam")],
+        "doc_id long, text string")
+    got = [(r["span_start"], r["span_end"]) for r in
+           duplicate_spans(docs, min_len=4).orderBy("span_start").collect()]
+    assert got == [(0, 4), (7, 11)]
