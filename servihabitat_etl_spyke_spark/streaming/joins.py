@@ -46,3 +46,87 @@ def stream_interval_join(left: DataFrame, right: DataFrame, on: list[str],
     joined = l.join(r, cond)
     # drop the duplicated right-side key columns
     return joined.drop(*[r[k] for k in on])
+
+
+def stream_incremental_neardup(stream_docs: DataFrame,
+                               stored_docs: DataFrame,
+                               stored_sig: DataFrame,
+                               threshold: float = 0.5, k: int = 16,
+                               bands: int = 4, rows: int = 4,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               n: int = 3) -> DataFrame:
+    """Streaming twin of ``operators.dedup.incremental_neardup``: the
+    daily crawl arrives as a STREAM and every micro-batch is checked
+    against the signed static corpus as it lands — near-dup detection at
+    ingest time instead of as a nightly batch.
+
+    Per stream row (all ROW-LOCAL: shingles, base hashes, k permutation
+    mins, band keys — the same arithmetic family as the batch operator,
+    so signatures are bit-identical), then ONE stream-static equi-join
+    on (band, key) against the persisted corpus band table, candidate
+    dedup, and exact-Jaccard verification against the static corpus's
+    shingle arrays. Emits (id_a, id_b, jaccard) in append mode.
+
+    Scope: new-vs-CORPUS pairs (the batch operator also finds
+    new-vs-new inside one batch; across a stream that is a
+    stream-stream self-join — run the batch operator over the
+    accumulated snapshot for the full closure, see
+    ``dedup_snapshot_incremental``). The candidate dropDuplicates keeps
+    per-pair state for the run — bounded by candidate count, and reset
+    per availableNow trigger.
+
+    Batch-vs-stream row equality is asserted in tests (the streaming
+    twin pattern of streaming/stateful.py and the multimodal twins)."""
+    from ..operators.dedup import (_MH_PRIME, _hash32, _mh_params,
+                                   band_signatures, shingles_from_tokens)
+
+    docs = stream_docs.filter(F.col(text_col).isNotNull())
+    toks = docs.select(F.col(id_col),
+                       F.split(F.col(text_col), " ").alias("_toks"))
+    shingled = toks.select(
+        F.col(id_col),
+        shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
+    hashed = shingled.select(
+        F.col(id_col), "_sh",
+        F.transform("_sh", lambda s: _hash32(s)).alias("_h"))
+
+    def _perm(a: int, b: int):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
+
+    av, bv = _mh_params(k)
+    sig = hashed.select(
+        F.col(id_col), "_sh",
+        *[F.array_min(F.transform("_h", _perm(av[i], bv[i])))
+          .alias(f"mh{i}") for i in range(k)])
+    banded = sig.select(
+        F.col(id_col).alias("new_id"), F.col("_sh").alias("sh_new"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws(",", *[F.col(f"mh{bi * rows + ri}")
+                                         for ri in range(rows)]))
+                .alias("key"))
+            for bi in range(bands)])).alias("bk")) \
+        .select("new_id", "sh_new", "bk.band", "bk.key")
+
+    bt = band_signatures(stored_sig, bands, rows, id_col).select(
+        F.col(id_col).alias("stored_id"), "band", "key")
+    stored_sh = (stored_docs.filter(F.col(text_col).isNotNull())
+                 .select(F.col(id_col).alias("stored_id"),
+                         F.split(F.col(text_col), " ").alias("_t")))
+    stored_sh = stored_sh.select(
+        "stored_id", shingles_from_tokens(F.col("_t"), n).alias("sh_st"))
+
+    cand = (banded.join(bt, ["band", "key"])      # stream-static equi-join
+            .filter(F.col("new_id") != F.col("stored_id"))
+            .dropDuplicates(["new_id", "stored_id"])
+            .join(stored_sh, "stored_id"))
+    common = F.size(F.array_intersect("sh_new", "sh_st"))
+    union = F.size("sh_new") + F.size("sh_st") - common
+    return (cand
+            .withColumn("jaccard", F.round(common / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select(F.least("new_id", "stored_id").alias("id_a"),
+                    F.greatest("new_id", "stored_id").alias("id_b"),
+                    "jaccard"))

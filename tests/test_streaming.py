@@ -331,3 +331,38 @@ def test_stream_rollup_upsert_matches_batch(spark, sf_dir, tmp_path):
     got2 = {(r["win_start"], r["event_type"]): r["cnt"]
             for r in spark.read.parquet(str(tmp_path / "rollup")).collect()}
     assert got2 == {k: 2 * cnt for k, (cnt, _s) in g.items()}
+
+
+def test_stream_incremental_neardup_matches_batch(spark, sf_dir, tmp_path):
+    """Ingest-time near-dup: the crawl (doc_id % 5 == 0) arrives as a
+    stream and must find exactly the new-vs-corpus pairs the batch
+    incremental operator finds (same signatures, same Jaccard)."""
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        incremental_neardup, minhash_signatures)
+    from servihabitat_etl_spyke_spark.streaming.joins import (
+        stream_incremental_neardup)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stored = docs.filter(F.col("doc_id") % 5 != 0)
+    stored_sig = minhash_signatures(stored)
+
+    stream = (spark.readStream.schema(
+                load_table(spark, sf_dir, "documents").schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .select("doc_id", "text")
+              .filter(F.col("doc_id") % 5 == 0))
+    assert stream.isStreaming
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in _run_stream(
+        stream_incremental_neardup(stream, stored, stored_sig),
+        "inc_neardup", tmp_path).collect()}
+
+    # batch twin, restricted to new-vs-CORPUS pairs (the streaming form
+    # documents new-vs-new as out of scope per micro-batch)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = incremental_neardup(new, stored, stored_sig, threshold=0.5)
+    want = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in batch.collect()
+            if (r["id_a"] % 5 == 0) != (r["id_b"] % 5 == 0)}
+    assert got == want
+    assert want, "fixture must contain cross pairs for the twin to prove"
