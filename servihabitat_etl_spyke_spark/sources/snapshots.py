@@ -86,6 +86,21 @@ class SnapshotStore:
         self._store(snaps)
         return sid
 
+    def compact(self, spark: SparkSession,
+                target_files: int = 1) -> int:
+        """Rewrite the LATEST snapshot's (possibly many) commit
+        directories into one fresh directory and register it as a new
+        overwrite snapshot — the small-files maintenance op (Iceberg's
+        rewrite_data_files): a long append history degrades scan
+        planning (one parquet footer per tiny commit), and compaction
+        restores O(1) directories without touching history — every
+        earlier snapshot still reads its own immutable files, and the
+        compacted snapshot is row-identical to the one it replaces
+        (asserted in tests). ``target_files`` controls the coalesce
+        width of the rewrite."""
+        df = self.read(spark).coalesce(target_files)
+        return self.commit(df, mode="overwrite")
+
     # -- reads ---------------------------------------------------------------
 
     def _dirs_for(self, snapshot: int | None) -> list[str]:

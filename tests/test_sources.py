@@ -153,3 +153,39 @@ def test_snapshot_incremental_scans_only_new_commit(spark, sf_dir):
     assert new.count() == crawl.count()
     # and the checkpointed snapshot still reads exactly the old corpus
     assert store.read(spark, snapshot=sid).count() == corpus.count()
+
+
+def test_snapshot_compaction_row_identical_history_intact(spark, sf_dir):
+    """compact() folds a long append history into one directory: the new
+    snapshot reads row-identically, every OLD snapshot still reads its
+    own files, and incremental consumers checkpointed before compaction
+    see the rewrite as one addition."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.sources.snapshots import SnapshotStore
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    store = SnapshotStore(tempfile.mkdtemp(prefix="snapcomp_"))
+    for bucket in range(4):                       # 4 tiny append commits
+        store.commit(ev.filter(F.col("event_id") % 4 == bucket))
+    assert len(store.snapshots()[-1]["dirs"]) == 4
+
+    before = store.read(spark)
+    n_before, sum_before = before.count(), \
+        before.agg(F.sum("value")).first()[0]
+    cid = store.compact(spark)
+
+    latest = store.snapshots()[-1]
+    assert latest["id"] == cid and len(latest["dirs"]) == 1
+    after = store.read(spark)
+    assert after.count() == n_before
+    assert abs(after.agg(F.sum("value")).first()[0] - sum_before) < 1e-6
+    # history intact: snapshot 2 still reads exactly commits 1-2
+    snap2 = store.read(spark, snapshot=2)
+    want2 = ev.filter(F.col("event_id") % 4 < 2)
+    assert snap2.count() == want2.count()
+    # an incremental consumer at snapshot 4 sees the compacted rewrite
+    inc = store.read_incremental(spark, since=4)
+    assert inc.count() == n_before
