@@ -175,6 +175,34 @@ class Engine:
             cur, upd, m.id_field)
         self._registry_version += 1   # refresh SQL views on next use
 
+    def read(self, model_name: str, item_id, view: str = "read") -> dict | None:
+        """Point read by id (the AutoAPI GET-one endpoint): one row as a
+        dict with the model's view masking applied, or None. Ids compare
+        string-coerced, matching the list-query P1 contract."""
+        from pyspark.sql import functions as F
+        m = self._models[model_name]
+        df = self.table(model_name)
+        cols = m.visible_columns(df.columns, view)
+        row = (df.filter(F.col(m.id_field).cast("string")
+                         == str(item_id))
+               .select(*cols).limit(1).collect())
+        return row[0].asDict() if row else None
+
+    def delete(self, model_name: str, item_ids: list) -> None:
+        """Keyed delete from a runtime model's store (the AutoAPI DELETE
+        endpoint; the reference's cascade hooks are the flow callbacks —
+        compose them before calling): one anti-join, same shape as the
+        upsert's replace half."""
+        from pyspark.sql import functions as F
+        if model_name not in self._runtime_tables:
+            raise KeyError(f"{model_name!r} is not a runtime model")
+        m = self._models[model_name]
+        cur = self._runtime_tables[model_name]
+        gone = [str(i) for i in item_ids]
+        self._runtime_tables[model_name] = cur.filter(
+            ~F.col(m.id_field).cast("string").isin(gone))
+        self._registry_version += 1
+
     def model(self, name: str) -> Model:
         return self._models[name]
 

@@ -130,3 +130,30 @@ def test_sheet_storage_validation(spark, sf_dir):
     with pytest.raises(ValueError, match="unknown storage"):
         e.create_model({"name": "s3", "keys": {"a": {"type": "string"}}},
                        storage="leveldb")
+
+
+def test_engine_point_read_and_delete(spark, sf_dir):
+    """CRUD closure on the facade: GET-one applies view masking and
+    string-coerced id match; DELETE is the keyed anti-filter."""
+    e = Engine(spark, sf_dir)
+    e.create_model({
+        "name": "gadgets",
+        "keys": {
+            "gid": {"type": "number", "params": ["int"],
+                    "modifiers": [{"name": "id"}]},
+            "label": {"type": "string"},
+            "secret_code": {"type": "string",
+                            "modifiers": [{"name": "secret"}]},
+        },
+    }, data=[{"gid": 1, "label": "a", "secret_code": "s1"},
+             {"gid": 2, "label": "b", "secret_code": "s2"}])
+    got = e.read("gadgets", "1")          # string-coerced id
+    assert got == {"gid": 1, "label": "a"}   # secret masked in EVERY view
+    assert e.read("gadgets", 1, view="list") == {"gid": 1, "label": "a"}
+    assert e.read("gadgets", 99) is None
+    e.delete("gadgets", [1])
+    assert e.read("gadgets", 1) is None
+    assert e.list("gadgets", all_rows=True).count() == 1
+    import pytest
+    with pytest.raises(KeyError):
+        e.delete("orders", [1])           # parquet tables are immutable
