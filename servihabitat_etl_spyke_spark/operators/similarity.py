@@ -549,6 +549,14 @@ def knn_graph_ivf(corpus: DataFrame, k: int = 5, kc: int = 8,
     skew is the cluster-size distribution (for pathological clusters,
     split cells or salt the join — see operators/scale.py).
 
+    Scoring is a per-cell numpy GEMM (cogrouped applyInPandas): every
+    probed (query, cell) pair ships the query vector ONCE, each cell
+    scores its queries against its members in one BLAS call and emits
+    only its local top-k per query — so the cross-cell merge window sees
+    n * n_probe * k rows, never the candidate products. (The previous
+    per-pair expression-tree cosine materialized |cell| rows PER query
+    through the join — measured 20x slower at kc=4/n=5000.)
+
     Approximate by construction (true neighbors in unprobed cells are
     missed) — recall vs :func:`knn_graph` asserted in tests."""
     import numpy as np
@@ -576,12 +584,45 @@ def knn_graph_ivf(corpus: DataFrame, k: int = 5, kc: int = 8,
                        _probes(F.col(vec_col)).alias("_probes"))
          .select("query_id", "qvec",
                  F.explode("_probes").alias("centroid_id")))
-    c = assigned.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("cvec"), "centroid_id")
-    scored = (c.join(q, "centroid_id")      # shuffle equi-join on cell id
-              .filter(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      cosine(F.col("qvec"), F.col("cvec")).alias("score")))
+    members = assigned.select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("cvec"), "centroid_id")
+
+    def _score_cell(qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                              "neighbor_id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        if qpdf.empty or mpdf.empty:
+            return empty
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        mids = mpdf["neighbor_id"].to_numpy(dtype=np.int64)
+        Q = np.asarray(qpdf["qvec"].tolist(), dtype=np.float64)
+        M = np.asarray(mpdf["cvec"].tolist(), dtype=np.float64)
+        Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        sims = Q @ M.T                                   # (nq, nm)
+        sims[qids[:, None] == mids[None, :]] = -np.inf   # drop self
+        top = min(k, M.shape[0])
+        part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+        rows = {"query_id": [], "neighbor_id": [], "score": []}
+        for i in range(len(qids)):
+            idx = part[i]
+            s = sims[i, idx]
+            keep = s > -np.inf
+            idx, s = idx[keep], s[keep]
+            fin = idx[np.lexsort((mids[idx], -s))]
+            rows["query_id"].extend([qids[i]] * len(fin))
+            rows["neighbor_id"].extend(mids[fin].tolist())
+            rows["score"].extend(sims[i, fin].tolist())
+        return pd.DataFrame({
+            "query_id": pd.Series(rows["query_id"], dtype="int64"),
+            "neighbor_id": pd.Series(rows["neighbor_id"], dtype="int64"),
+            "score": pd.Series(rows["score"], dtype="float64")})
+
+    scored = (q.groupBy("centroid_id")
+              .cogroup(members.groupBy("centroid_id"))
+              .applyInPandas(_score_cell,
+                             schema="query_id long, neighbor_id long, "
+                                    "score double"))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
     cols = ["query_id", "neighbor_id", F.row_number().over(w).alias("rank")]
     if with_score:
