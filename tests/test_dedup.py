@@ -341,3 +341,50 @@ def test_duplicate_spans_within_doc_repetition(spark):
     got = [(r["span_start"], r["span_end"]) for r in
            duplicate_spans(docs, min_len=4).orderBy("span_start").collect()]
     assert got == [(0, 4), (7, 11)]
+
+
+def test_duplicate_spans_matches_local_bruteforce(spark):
+    """Randomized cross-check: 60 docs over a 12-word vocabulary (dense
+    gram collisions) — the distributed span table must equal a local
+    brute-force mark-and-merge reference exactly."""
+    import random
+    from collections import Counter
+
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        duplicate_spans)
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {did: " ".join(rng.choice(vocab)
+                           for _ in range(rng.randint(2, 30)))
+             for did in range(60)}
+    L = 4
+
+    grams = Counter()
+    for t in texts.values():
+        toks = t.split(" ")
+        for s in range(len(toks) - L + 1):
+            grams[tuple(toks[s:s + L])] += 1
+    want = set()
+    for did, t in texts.items():
+        toks = t.split(" ")
+        marked = [s for s in range(len(toks) - L + 1)
+                  if grams[tuple(toks[s:s + L])] >= 2]
+        spans, cur = [], None
+        for s in marked:
+            if cur is not None and s <= cur[1]:
+                cur = (cur[0], max(cur[1], s + L))
+            else:
+                if cur:
+                    spans.append(cur)
+                cur = (s, s + L)
+        if cur:
+            spans.append(cur)
+        for a, b in spans:
+            want.add((did, a, b, b - a))
+
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+           for r in duplicate_spans(docs, min_len=L).collect()}
+    assert got == want and want, (len(got), len(want))
