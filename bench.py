@@ -95,6 +95,9 @@ HEADLINE = [
     "multimodal_video_dedup",
     "dedup_snapshot_incremental",
     "runtime_model_sheet",
+    "dedup_exact_substring",
+    "ann_knn_graph_ivf",
+    "graph_knn_degrees_ivf",
 ]
 
 
