@@ -630,3 +630,165 @@ def knn_graph_ivf(corpus: DataFrame, k: int = 5, kc: int = 8,
     return (scored.select(*cols)
             .filter(F.col("rank") <= k)
             .orderBy("query_id", "rank"))
+
+
+# -- product quantization (PQ / ADC search) ------------------------------------
+
+
+def pq_train(corpus: DataFrame, m: int = 8, ks: int = 16, iters: int = 5,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Train a product-quantization codebook (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the vector into
+    ``m`` contiguous subspaces and run k-means with ``ks`` centroids in
+    EACH subspace. Returns codebooks[m][ks][dim/m] — the model that
+    compresses a float vector to m small codes (m bytes at ks<=256), a
+    32x shrink for 64-dim float64 at m=8.
+
+    Distributed: ALL m subspace k-means run together — each Lloyd's
+    round is ONE mapInPandas pass emitting per-partition (subspace,
+    code, count, sum) partials (m * ks * partitions tiny rows), reduced
+    on the driver into the next codebook. Seeds: the ks lowest-id
+    vectors' subvectors (deterministic)."""
+    import numpy as np
+    import pandas as pd
+
+    first = corpus.orderBy(id_col).limit(ks).select(vec_col).collect()
+    X0 = np.asarray([r[0] for r in first], dtype=np.float64)
+    if len(X0) < ks:
+        raise ValueError(f"pq_train: ks={ks} but only {len(X0)} vectors")
+    d = X0.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = [X0[:, s * dsub:(s + 1) * dsub].copy() for s in range(m)]
+
+    pts = corpus.select(vec_col).persist()
+    try:
+        for _ in range(iters):
+            bb = [b.copy() for b in books]
+
+            def partials(batches):
+                for pdf in batches:
+                    X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                    rows = []
+                    for s in range(m):
+                        Xs = X[:, s * dsub:(s + 1) * dsub]
+                        C = bb[s]
+                        d2 = ((Xs * Xs).sum(1)[:, None]
+                              - 2.0 * (Xs @ C.T)
+                              + (C * C).sum(1)[None, :])
+                        a = d2.argmin(1)
+                        for cid in np.unique(a):
+                            msk = a == cid
+                            rows.append((s, int(cid), int(msk.sum()),
+                                         Xs[msk].sum(0).tolist()))
+                    yield pd.DataFrame(
+                        rows, columns=["s", "cid", "n", "sums"])
+
+            got = pts.mapInPandas(
+                partials,
+                schema="s int, cid int, n long, sums array<double>").collect()
+            counts = np.zeros((m, ks))
+            sums = np.zeros((m, ks, dsub))
+            for r in got:
+                counts[r["s"], r["cid"]] += r["n"]
+                sums[r["s"], r["cid"]] += np.asarray(r["sums"])
+            for s in range(m):
+                nz = counts[s] > 0           # empty cells keep centroids
+                books[s][nz] = sums[s][nz] / counts[s][nz, None]
+    finally:
+        pts.unpersist()
+    return [[c.tolist() for c in b] for b in books]
+
+
+def pq_encode(corpus: DataFrame, codebooks: list,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Compress every vector to its m nearest-subspace-centroid codes:
+    (id, codes array<int>). Row-local (codebooks ride the closure — a
+    few KB); the encoded table is the thing you persist at 100 TB, m
+    bytes/vector instead of dim floats."""
+    import numpy as np
+    import pandas as pd
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m, dsub = len(B), B[0].shape[1]
+
+    def enc(batches):
+        for pdf in batches:
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * dsub:(s + 1) * dsub]
+                C = B[s]
+                d2 = ((Xs * Xs).sum(1)[:, None] - 2.0 * (Xs @ C.T)
+                      + (C * C).sum(1)[None, :])
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                "codes": [row.tolist() for row in codes]})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} long, codes array<int>")
+
+
+def pq_search(codes_df: DataFrame, queries: DataFrame, codebooks: list,
+              k: int = 10, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-encoded corpus: per
+    query a (m x ks) lookup table of exact query-subvector-to-centroid
+    squared distances, then every encoded row's approximate distance is
+    m table lookups — no float vector is ever read at query time.
+    Queries broadcast via the task closure (small-by-contract, the
+    :func:`cosine_topk_pandas` rule); each partition emits its local
+    top-k per query and one window merges. Returns (query_id,
+    neighbor_id, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m, dsub = len(B), B[0].shape[1]
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    # LUT[q, s, c] = ||Q[q, s-th sub] - B[s][c]||^2
+    lut = np.stack([
+        ((Q[:, s * dsub:(s + 1) * dsub] ** 2).sum(1)[:, None]
+         - 2.0 * (Q[:, s * dsub:(s + 1) * dsub] @ B[s].T)
+         + (B[s] ** 2).sum(1)[None, :])
+        for s in range(m)], axis=1)                       # (nq, m, ks)
+
+    def scan(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+            D = np.zeros((len(qids), len(ids)))
+            for s in range(m):
+                D += lut[:, s, codes[:, s]]
+            rows = {"query_id": [], "neighbor_id": [], "adc": []}
+            top = min(k, len(ids))
+            for qi in range(len(qids)):
+                d = D[qi]
+                mask = ids != qids[qi]                     # drop self
+                cids, cd = ids[mask], d[mask]
+                t = min(top, len(cids))
+                if t == 0:
+                    continue
+                idx = np.argpartition(cd, t - 1)[:t]
+                rows["query_id"].extend([qids[qi]] * t)
+                rows["neighbor_id"].extend(cids[idx].tolist())
+                rows["adc"].extend(cd[idx].tolist())
+            yield pd.DataFrame({
+                "query_id": pd.Series(rows["query_id"], dtype="int64"),
+                "neighbor_id": pd.Series(rows["neighbor_id"],
+                                         dtype="int64"),
+                "adc": pd.Series(rows["adc"], dtype="float64")})
+
+    scored = codes_df.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, adc double")
+    w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (scored.select("query_id", "neighbor_id",
+                          F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank"))

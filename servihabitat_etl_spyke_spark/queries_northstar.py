@@ -1419,3 +1419,20 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (D.duplicate_spans(docs, min_len=8)
             .orderBy("doc_id", "span_start"))
+
+
+@query("ann_pq_topk")  # float k-means codebooks -> rows-only; recall pytest
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end to end (Jegou et al. 2011): train
+    m=16 subspace codebooks (ALL subspaces per Lloyd's round in ONE
+    mapInPandas partial pass), compress the corpus to 16 codes/vector
+    (the table you'd persist at 100 TB — 32x smaller than the floats),
+    and answer queries by asymmetric distance: per query an (m x ks)
+    exact lookup table, per encoded row m table lookups — query time
+    never touches a float vector. Recall vs exact L2 asserted in
+    pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = SIM.pq_train(emb, m=16, ks=64, iters=4)
+    codes = SIM.pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.pq_search(codes, queries, books, k=10)

@@ -656,3 +656,56 @@ def test_video_dhash_neardup_rejects_pigeonhole_violation(spark):
                                "doc_id long, frame_idx int, dhash long")
     with pytest.raises(ValueError, match="pigeonhole"):
         MM.video_dhash_neardup(kf, max_hamming=4, bands=4)
+
+
+def test_pq_roundtrip_and_recall(spark, sf_dir):
+    """PQ pipeline: codebook shapes, code ranges, deterministic re-run,
+    and ADC recall@10 against exact L2 on the raw vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = SIM.pq_train(emb, m=16, ks=64, iters=4)
+    assert len(books) == 16 and all(len(b) == 64 for b in books)
+    assert SIM.pq_train(emb, m=16, ks=64, iters=4) == books  # deterministic
+
+    codes = SIM.pq_encode(emb, books)
+    cd = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert all(len(c) == 16 and all(0 <= x < 64 for x in c)
+               for c in cd.values())
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = _topk_sets(SIM.pq_search(codes, queries, books, k=10))
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    recalls = []
+    for r in queries.collect():
+        qid, q = r["vec_id"], np.array(r["embedding"], dtype=np.float64)
+        d = ((X - q) ** 2).sum(1)
+        d[ids == qid] = np.inf
+        exact = set(ids[np.argpartition(d, 10)[:10]].tolist())
+        recalls.append(len(exact & approx.get(qid, set())) / 10)
+    assert sum(recalls) / len(recalls) >= 0.45, sum(recalls) / len(recalls)
+
+
+def test_pq_encoding_reduces_reconstruction_error(spark, sf_dir):
+    """Trained codebooks must beat the untrained seed codebooks on mean
+    reconstruction error — k-means actually moved the centroids."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300)
+    trained = SIM.pq_train(emb, m=16, ks=64, iters=4)
+    seeds = SIM.pq_train(emb, m=16, ks=64, iters=0)
+
+    rows = emb.select("embedding").collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+
+    def recon_err(books):
+        err = 0.0
+        dsub = X.shape[1] // len(books)
+        for s, b in enumerate(books):
+            C = np.array(b)
+            Xs = X[:, s * dsub:(s + 1) * dsub]
+            d2 = ((Xs ** 2).sum(1)[:, None] - 2 * Xs @ C.T
+                  + (C ** 2).sum(1)[None, :])
+            err += d2.min(1).sum()
+        return err
+    assert recon_err(trained) < 0.75 * recon_err(seeds)
