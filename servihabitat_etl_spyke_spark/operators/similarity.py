@@ -221,7 +221,8 @@ def nearest_centroid(centroids: list[list[float]]) -> "Column":
 
 def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
                id_col: str = "vec_id",
-               vec_col: str = "embedding") -> list[list[float]]:
+               vec_col: str = "embedding",
+               sample_frac: float | None = None) -> list[list[float]]:
     """Lloyd's k-means, fully distributed: assignment is the row-local
     :func:`nearest_centroid` GEMM (no shuffle), the update is one narrow
     (cid, dim-position) aggregation over the posexploded vectors — k x dim
@@ -229,8 +230,13 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
     Deterministic seeds: the k lowest-id distinct vectors.
 
     Scale: per iteration cost is one |corpus| x k GEMM map stage plus one
-    k*dim-wide shuffle — the standard Spark k-means shape; for 100 TB use
-    a sampled minibatch per iteration (same code over corpus.sample())."""
+    k*dim-wide shuffle. ``sample_frac`` is the 100 TB knob: each Lloyd's
+    round updates from an independent Bernoulli minibatch of that
+    fraction (seeded by the iteration index — rerun-identical), the
+    standard minibatch k-means trade (Sculley 2010): per-round cost drops
+    to frac * corpus while centroids converge to the same cluster
+    structure, since each update still averages an unbiased sample of
+    every cell."""
     # seeds: the k DISTINCT vectors with the lowest ids — duplicate seeds
     # would create dead twin centroids (ties assign to the lower cid, the
     # twin never receives points and never moves)
@@ -246,8 +252,10 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
     # Lloyd's round re-reads (and re-decodes) the source parquet
     pts = corpus.select(F.col(vec_col).alias("v")).persist()
     try:
-        for _ in range(iters):
-            stats = (pts.select(
+        for it in range(iters):
+            batch = (pts if sample_frac is None
+                     else pts.sample(fraction=sample_frac, seed=it))
+            stats = (batch.select(
                         nearest_centroid(cents)(F.col("v")).alias("cid"),
                         F.posexplode("v"))
                      .groupBy("cid", "pos")

@@ -709,3 +709,24 @@ def test_pq_encoding_reduces_reconstruction_error(spark, sf_dir):
             err += d2.min(1).sum()
         return err
     assert recon_err(trained) < 0.75 * recon_err(seeds)
+
+
+def test_kmeans_minibatch_recovers_cluster_structure(spark):
+    """sample_frac minibatch rounds must land on the same separated
+    clusters as full-batch Lloyd's (Sculley 2010 minibatch trade)."""
+    import itertools
+
+    def onehot(i, scale):
+        return [scale if j == i else 0.0 for j in range(4)]
+
+    # interleave ids across clusters so the k lowest-id seed vectors
+    # land one per cluster
+    rows = [(j * 10 + i, onehot(i, 1.0 + 0.01 * j))
+            for i, j in itertools.product(range(4), range(25))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = np.array(SIM.kmeans_fit(emb, k=4, iters=4))
+    mini = np.array(SIM.kmeans_fit(emb, k=4, iters=4, sample_frac=0.5))
+    # same cluster structure: each minibatch centroid sits in the same
+    # one-hot axis as its full-batch twin
+    assert (full.argmax(1) == mini.argmax(1)).all()
+    assert np.abs(full - mini).max() < 0.1
