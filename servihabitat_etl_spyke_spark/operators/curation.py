@@ -435,3 +435,35 @@ def temperature_mix(df: DataFrame, target_rows: int, strata_col: str,
                     strata_col)
             .filter(_unit_uniform(F.col(key_col)) < F.col("_thresh"))
             .drop("_thresh"))
+
+
+def contamination_score(train: DataFrame, evalset: DataFrame, n: int = 8,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """GRADED eval-set contamination: per training doc the fraction of
+    its distinct n-grams that appear anywhere in the eval set —
+    (id, n_grams, n_shared, contam_permille). :func:`decontaminate` is
+    the binary gate (any overlap); this is the score you threshold or
+    stratify on when a hard drop is too blunt (e.g. boilerplate-heavy
+    corpora where a single shared gram is noise but 30% overlap is a
+    leak). Permille as an integer floor — engine-bit-identical, no
+    float hashing hazards.
+
+    Same scale shape as decontaminate: eval grams broadcast, the train
+    side explodes once; the per-doc totals ride the same exploded table
+    (one groupBy), zero-overlap docs survive via the left join."""
+    from .dedup import shingles_from_tokens, tokenized
+    grams = shingles_from_tokens(F.col("_toks"), n)
+    ev = (evalset.select(F.split(F.col(text_col), " ").alias("_toks"))
+          .select(F.explode(grams).alias("gram"))
+          .distinct())
+    tr = (tokenized(train, id_col, text_col)
+          .select(F.col(id_col), F.explode(grams).alias("gram")))
+    totals = tr.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    shared = (tr.join(F.broadcast(ev), "gram")
+              .groupBy(id_col).agg(F.count("*").alias("n_shared")))
+    return (totals.join(shared, id_col, "left")
+            .select(F.col(id_col), "n_grams",
+                    F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+                    F.floor(F.coalesce("n_shared", F.lit(0)) * 1000
+                            / F.col("n_grams")).alias("contam_permille")))

@@ -641,3 +641,33 @@ def curate_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = C.temperature_mix(docs, target_rows=250, strata_col="lang",
                             key_col="doc_id", alpha=0.5)
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@query("curate_contamination_score", oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + 3), ' ') AS gram
+  FROM toks, UNNEST(range(1, greatest(len(t) - 3, 1) + 1)) AS u(i)),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id),
+sh AS (SELECT t.doc_id, count(*) AS n_shared
+       FROM tr t JOIN ev USING (gram) GROUP BY t.doc_id)
+SELECT tot.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(floor(COALESCE(sh.n_shared, 0) * 1000 / n_grams) AS BIGINT)
+         AS contam_permille
+FROM tot LEFT JOIN sh ON tot.doc_id = sh.doc_id
+ORDER BY tot.doc_id
+""")
+def curate_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination: per training doc (id % 97 != 0) the permille
+    of its distinct 4-grams found in the eval slice (id % 97 == 0) — the
+    thresholdable version of curate_decontaminate, zero-overlap docs
+    included. Eval grams broadcast; one explode feeds both the totals
+    and the matched counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return C.contamination_score(train, ev, n=4).orderBy("doc_id")
