@@ -619,3 +619,57 @@ def pair_counts(docs: DataFrame, top: int = 32,
             .groupBy("pair").agg(F.count("*").alias("n_pairs"))
             .orderBy(F.col("n_pairs").desc(), "pair")
             .limit(top))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every word k-gram, slide a window of w
+    consecutive hashes, and keep each window's MINIMUM hash (rightmost
+    occurrence on ties) — the guarantee is that any shared substring of
+    length >= w + k - 1 tokens contributes at least one IDENTICAL
+    selected fingerprint in both documents, at ~2/(w+1) the density of
+    keeping every gram. The standard plagiarism / near-copy sketch when
+    MinHash's whole-document granularity is too coarse.
+
+    Returns distinct (id, gram_pos, fp_hash) rows.
+
+    Plan: gram hashes in the scan projection (posexplode), ONE window
+    function per doc ordered by position — the rightmost-min selection
+    is a plain integer min over the frame (hash and reversed position
+    packed into one sortable key, so Spark and the SQL oracle pick
+    bit-identical winners), then a distinct over selected rows. One
+    doc-keyed shuffle; fingerprint density (not corpus size) bounds the
+    output."""
+    from pyspark.sql.window import Window as W
+
+    from .dedup import _hash32, tokenized
+
+    _POSCAP = 1 << 20          # docs are < 1M grams by contract
+    toks = tokenized(docs, id_col, text_col).filter(
+        F.size("_toks") >= k + w - 1)
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - k),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, k))))
+        .alias("pos", "gram"))
+    hashed = grams.select(
+        F.col(id_col), "pos",
+        (_hash32(F.col("gram")) * _POSCAP
+         + (F.lit(_POSCAP - 1) - F.col("pos"))).alias("_key"))
+    frame = (W.partitionBy(id_col).orderBy("pos")
+             .rowsBetween(0, w - 1))
+    n_h = W.partitionBy(id_col)
+    sel = hashed.select(
+        F.col(id_col), "pos",
+        F.min("_key").over(frame).alias("_win"),
+        F.count("*").over(n_h).alias("_n"))
+    # only full windows select (start pos <= n_hashes - w)
+    return (sel.filter(F.col("pos") <= F.col("_n") - w)
+            .select(F.col(id_col),
+                    (F.lit(_POSCAP - 1) - F.col("_win") % _POSCAP)
+                    .alias("gram_pos"),
+                    F.floor(F.col("_win") / _POSCAP).alias("fp_hash"))
+            .distinct())

@@ -1436,3 +1436,42 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = SIM.pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.pq_search(codes, queries, books, k=10)
+
+
+@query("text_winnowing", oracle="""
+-- MOSS winnowing replayed: 4-gram md5-hashes, window of 5, rightmost
+-- minimum per window via the packed (hash, reversed-pos) integer key.
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(
+             list_slice(t, i, i + 3), ' ')), 1, 8))::BIGINT AS h
+  FROM toks, UNNEST(range(1, len(t) - 4 + 2)) AS u(i)
+  WHERE len(t) >= 8
+), keyed AS (
+  SELECT doc_id, pos,
+         h * 1048576 + (1048575 - pos) AS key,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM grams
+), win AS (
+  SELECT doc_id, pos, n,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+  FROM keyed
+)
+SELECT DISTINCT doc_id,
+       CAST(1048575 - (wmin % 1048576) AS BIGINT) AS gram_pos,
+       CAST(wmin // 1048576 AS BIGINT) AS fp_hash
+FROM win WHERE pos <= n - 5
+ORDER BY doc_id, gram_pos
+""")
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS plagiarism sketch): per doc the
+    rightmost-minimum 4-gram hash of every 5-hash window — any shared
+    run of >= 8 tokens between two docs is GUARANTEED to leave an
+    identical fingerprint in both, at ~1/3 the density of keeping every
+    gram. The oracle replays hashing, packing, and window minima
+    bit-identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (TX.winnow_fingerprints(docs, k=4, w=5)
+            .orderBy("doc_id", "gram_pos"))

@@ -730,3 +730,25 @@ def test_kmeans_minibatch_recovers_cluster_structure(spark):
     # one-hot axis as its full-batch twin
     assert (full.argmax(1) == mini.argmax(1)).all()
     assert np.abs(full - mini).max() < 0.1
+
+
+def test_winnowing_guarantee_shared_run_leaves_common_fingerprint(spark):
+    """The winnowing theorem: a shared token run of length >= w + k - 1
+    (= 8 here) must leave at least one identical (hash) fingerprint in
+    both docs; and density is far below one-per-gram."""
+    import servihabitat_etl_spyke_spark.operators.text as TXop
+    shared = "q w e r t y u i"                           # 8 tokens
+    docs = spark.createDataFrame(
+        [(1, f"aa bb cc {shared} dd ee"),
+         (2, f"{shared} zz xx cc vv bb nn mm kk"),
+         (3, "totally different words with no common run at all here")],
+        "doc_id long, text string")
+    fps = {}
+    rows = TXop.winnow_fingerprints(docs, k=4, w=5).collect()
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert fps[1] & fps[2], "shared 8-token run must fingerprint-collide"
+    assert not (fps[1] & fps[3])
+    # density: far fewer fingerprints than grams
+    n_grams_2 = len(docs.filter("doc_id = 2").first()["text"].split()) - 3
+    assert len(fps[2]) < n_grams_2
