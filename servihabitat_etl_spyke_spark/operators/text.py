@@ -673,3 +673,20 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
                     .alias("gram_pos"),
                     F.floor(F.col("_win") / _POSCAP).alias("fp_hash"))
             .distinct())
+
+
+def winnow_match_pairs(fps: DataFrame, min_shared: int = 2,
+                       id_col: str = "doc_id") -> DataFrame:
+    """MOSS match step over :func:`winnow_fingerprints` output: document
+    pairs ranked by the number of DISTINCT shared fingerprint hashes —
+    the near-copy report. Inverted-index equi-join on fp_hash (never
+    all-pairs); the same hot-key caveat as shingle joins applies, so
+    boilerplate fingerprints shared by more than ~sqrt(corpus) docs
+    should be stop-listed upstream at scale."""
+    a = fps.select(F.col(id_col).alias("id_a"), "fp_hash").distinct()
+    b = fps.select(F.col(id_col).alias("id_b"), "fp_hash").distinct()
+    return (a.join(b, "fp_hash")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

@@ -1475,3 +1475,51 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (TX.winnow_fingerprints(docs, k=4, w=5)
             .orderBy("doc_id", "gram_pos"))
+
+
+def _winnow_cte() -> str:
+    """Shared winnowing replay ending in CTE fp(doc_id, gram_pos,
+    fp_hash) — the oracle half of text_winnowing, reused by the pair
+    report."""
+    return """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(
+             list_slice(t, i, i + 3), ' ')), 1, 8))::BIGINT AS h
+  FROM toks, UNNEST(range(1, len(t) - 4 + 2)) AS u(i)
+  WHERE len(t) >= 8
+), keyed AS (
+  SELECT doc_id, pos,
+         h * 1048576 + (1048575 - pos) AS key,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM grams
+), win AS (
+  SELECT doc_id, pos, n,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+  FROM keyed
+), fp AS (
+  SELECT DISTINCT doc_id,
+         1048575 - (wmin % 1048576) AS gram_pos,
+         wmin // 1048576 AS fp_hash
+  FROM win WHERE pos <= n - 5
+)"""
+
+
+@query("text_winnowing_pairs", oracle=_winnow_cte() + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(DISTINCT a.fp_hash) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY id_a, id_b HAVING count(DISTINCT a.fp_hash) >= 2
+ORDER BY id_a, id_b
+""")
+def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS near-copy report: document pairs sharing >= 2 distinct
+    winnowing fingerprints, via the inverted-index join on fp_hash —
+    plagiarism-granularity matching where MinHash (whole-doc Jaccard)
+    is too coarse. Oracle replays selection AND matching."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = TX.winnow_fingerprints(docs, k=4, w=5)
+    return (TX.winnow_match_pairs(fps, min_shared=2)
+            .orderBy("id_a", "id_b"))
