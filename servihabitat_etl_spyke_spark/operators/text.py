@@ -690,3 +690,69 @@ def winnow_match_pairs(fps: DataFrame, min_shared: int = 2,
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared))
+
+
+def tfidf_vectors(docs: DataFrame, dim: int = 64,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Hashing-trick TF-IDF document vectors: token -> bucket =
+    hash32(token) % dim (no vocabulary build, the fastText/Vowpal trick
+    that keeps featurization ROW-LOCAL at any corpus size), tf per
+    (doc, bucket), idf = ln((N + 1) / (df + 1)) + 1 from one bucket-keyed
+    aggregation, L2-normalized dense array<double> per doc.
+
+    Returns (id, tfidf). The vector column feeds the similarity suite
+    unchanged — k-means topic clustering, ANN, PQ — which is the point:
+    text becomes just another embedding column.
+
+    Shuffles: one (doc, bucket) tf aggregation + one broadcast of the
+    dim-row idf table; the dense-vector build is a map-typed lookup
+    projection, no pivot."""
+    from .dedup import _hash32, tokenized
+
+    toks = tokenized(docs, id_col, text_col)
+    tf = (toks.select(F.col(id_col), F.explode("_toks").alias("tok"))
+          .filter(F.col("tok") != "")
+          .select(F.col(id_col), (_hash32(F.col("tok")) % dim).alias("b"))
+          .groupBy(id_col, "b").agg(F.count("*").alias("tf")))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))
+    idf = (tf.groupBy("b").agg(F.countDistinct(id_col).alias("df"))
+           .join(F.broadcast(n_docs))
+           .select("b", (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1)
+                   .alias("idf")))
+    weighted = (tf.join(F.broadcast(idf), "b")
+                .select(F.col(id_col), "b",
+                        (F.col("tf") * F.col("idf")).alias("w")))
+    dense = (weighted.groupBy(id_col)
+             .agg(F.map_from_entries(F.collect_list(F.struct("b", "w")))
+                  .alias("_m"))
+             .select(F.col(id_col),
+                     F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                                 lambda i: F.coalesce(
+                                     F.element_at("_m", i.cast("long")),
+                                     F.lit(0.0))).alias("_v")))
+    nrm = F.sqrt(F.aggregate("_v", F.lit(0.0),
+                             lambda a, x: a + x * x))
+    return dense.select(
+        F.col(id_col),
+        F.transform("_v", lambda x: x / nrm).alias("tfidf"))
+
+
+def cluster_documents(docs: DataFrame, k: int = 8, dim: int = 64,
+                      iters: int = 4, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Topic clustering = TF-IDF vectors + the similarity suite's
+    distributed k-means: (id, cluster_id). The corpus-organization pass
+    (topic-balanced sampling, per-topic quality review) that needs no
+    external embedding model."""
+    from .similarity import assign_to_centroids, kmeans_fit
+    vecs = tfidf_vectors(docs, dim, id_col, text_col).persist()
+    try:
+        cents = kmeans_fit(vecs, k=k, iters=iters,
+                           id_col=id_col, vec_col="tfidf")
+        return (assign_to_centroids(vecs, cents, id_col=id_col,
+                                    vec_col="tfidf")
+                .select(F.col(id_col),
+                        F.col("centroid_id").alias("cluster_id")))
+    finally:
+        vecs.unpersist()

@@ -1523,3 +1523,14 @@ def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = TX.winnow_fingerprints(docs, k=4, w=5)
     return (TX.winnow_match_pairs(fps, min_shared=2)
             .orderBy("id_a", "id_b"))
+
+
+@query("text_cluster_topics")  # float k-means -> rows-only; purity pytest
+def text_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic clustering without an external embedding model: hashing-
+    trick TF-IDF vectors (row-local featurization, one tf aggregation,
+    broadcast idf) fed into the similarity suite's distributed k-means —
+    text becomes just another embedding column. Output (doc_id,
+    cluster_id); cluster purity on planted topics asserted in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.cluster_documents(docs, k=6, dim=64).orderBy("doc_id")

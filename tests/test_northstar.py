@@ -752,3 +752,34 @@ def test_winnowing_guarantee_shared_run_leaves_common_fingerprint(spark):
     # density: far fewer fingerprints than grams
     n_grams_2 = len(docs.filter("doc_id = 2").first()["text"].split()) - 3
     assert len(fps[2]) < n_grams_2
+
+
+def test_tfidf_cluster_purity_on_planted_topics(spark):
+    """Three disjoint-vocabulary topics must separate into pure
+    clusters; TF-IDF vectors are unit-norm with zero weight off-topic."""
+    import itertools
+
+    import servihabitat_etl_spyke_spark.operators.text as TXop
+    topics = {0: "spark shuffle executor catalyst tungsten",
+              1: "sonnet stanza meter rhyme couplet",
+              2: "enzyme protein ribosome mitosis codon"}
+    rows = [(t * 100 + j, " ".join([topics[t]] * 2))
+            for t, j in itertools.product(range(3), range(10))]
+    # interleave ids so k-means seeds span topics
+    rows = [(j * 10 + t, txt) for (orig, txt), (t, j) in
+            zip(rows, itertools.product(range(3), range(10)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    vecs = {r["doc_id"]: r["tfidf"] for r in
+            TXop.tfidf_vectors(docs, dim=32).collect()}
+    assert all(abs(sum(x * x for x in v) - 1.0) < 1e-9
+               for v in vecs.values())
+
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           TXop.cluster_documents(docs, k=3, dim=32, iters=3).collect()}
+    from collections import Counter
+    purity = 0
+    for t in range(3):
+        members = [got[d] for d in got if d % 10 == t]
+        purity += Counter(members).most_common(1)[0][1]
+    assert purity / len(got) >= 0.9, purity / len(got)
