@@ -15,11 +15,13 @@ verified every round by the identical local mirror
 which 50 get *driver-side* evidence.  Round-by-round plan (see README):
 
 - r1/r2 window: list/ETL/function/TPC-H-core/windowing queries (all green in
-  CORRECTNESS_r01/r02 — the ``_DRIVER_VERIFIED`` set below).
+  CORRECTNESS_r01/r02).
 - r3 window (``_WINDOW``): the dedup, ANN, text, curation, multimodal and
   TPC-H-completion suites — never driver-checked before.
-- r4+: rotate ``_WINDOW`` to the residual tier-2 names (sources, streaming,
-  runtime-model DDL, remaining multimodal/scale queries).
+- r4+: AUTOMATIC — ``_DRIVER_VERIFIED`` is derived from the
+  ``CORRECTNESS_r*.json`` files at import time, so each round's green rows
+  retire their names and the window advances to the next unverified tier
+  (failed rows stay in the window for re-verification).
 """
 
 from __future__ import annotations
@@ -30,27 +32,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 from servihabitat_etl_spyke_spark import queries as _catalog
 
-# Names with green rows in CORRECTNESS_r01.json / CORRECTNESS_r02.json —
-# already driver-verified, so they yield their window slots (still covered
-# every round by tests/test_oracle_parity.py).
-_DRIVER_VERIFIED = frozenset({
-    "agg_approx_distinct", "agg_approx_percentiles", "agg_cube",
-    "agg_percentiles", "agg_rollup", "agg_stats", "dedup_first_wins",
-    "dedup_merge_first_wins", "edge_detection", "etl_dynamodb_roundtrip",
-    "etl_empty_list_sanitize", "etl_enum_normalize", "etl_keyed_upsert",
-    "fn_add_object_key", "fn_iso_timestamp", "fn_json_parse",
-    "fn_password_hash", "fn_split_join", "fn_time_sortable_id",
-    "fn_uuid_validate", "group_count", "group_index_build", "group_options",
-    "link_join", "list_eq_filter", "list_free_text", "list_path_prefix",
-    "list_range_filter", "list_tag_search", "multi_prefix_group",
-    "pages_envelope", "pagination_deep_page", "projection_masking",
-    "q10_return_revenue", "q14_promo_ratio", "q17_small_qty_avg",
-    "q18_large_orders", "q1_pricing_summary", "q3_shipping_priority",
-    "q4_priority_semi", "q5_region_revenue", "q6_revenue_delta",
-    "queue_fifo_lifo", "read_multiple", "scale_global_rownum", "sessionize",
-    "skew_salted_agg", "total_count", "window_topk_per_group",
-    "window_tumbling_hourly",
-})
+def _driver_verified() -> frozenset:
+    """Names already driver-verified: every query with a green row (or a
+    clean rows-only run, err == 'no_oracle') in ANY CORRECTNESS_r*.json
+    in the repo root. Self-maintaining — each round's results
+    automatically retire their names from the next round's window, and a
+    FAILED row keeps its name in the window for re-verification."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    done: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            green = (r.get("rows_match") and r.get("schema_match")
+                     and r.get("hash_match"))
+            rows_only = (r.get("err") == "no_oracle"
+                         and (r.get("spark_rows") or 0) >= 0)
+            if green or rows_only:
+                done.add(name)
+    return frozenset(done)
+
+
+_DRIVER_VERIFIED = _driver_verified()
 
 # This round's 50-slot driver window, highest-value never-checked suites.
 _WINDOW = [
@@ -84,14 +96,17 @@ _WINDOW = [
 
 
 def _rotated(d: dict) -> dict:
-    """Stable reorder: window names (listed order) → other never-driver-
-    checked names (registration order) → already-verified names."""
+    """Stable reorder: unverified window names (listed order) → other
+    never-driver-checked names (registration order) → already-verified
+    names. Because _DRIVER_VERIFIED is read from the CORRECTNESS files,
+    each round's green rows automatically advance the window to the
+    next unverified tier — no manual re-rotation needed."""
     pos = {n: i for i, n in enumerate(_WINDOW)}
 
     def tier(name: str) -> tuple[int, int]:
-        if name in pos:
-            return (0, pos[name])
-        return (1, 0) if name not in _DRIVER_VERIFIED else (2, 0)
+        if name in _DRIVER_VERIFIED:
+            return (2, 0)
+        return (0, pos[name]) if name in pos else (1, 0)
 
     return dict(sorted(d.items(), key=lambda kv: tier(kv[0])))
 
