@@ -39,14 +39,23 @@ from ..functions.core import epoch_micros
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str, right_ts: str, right_cols: list[str],
-              tolerance_sec: float | None = None) -> DataFrame:
-    """Backward as-of join: latest right row with ``right_ts <= left_ts``.
+              tolerance_sec: float | None = None,
+              direction: str = "backward") -> DataFrame:
+    """As-of join. ``direction='backward'`` (default): latest right row
+    with ``right_ts <= left_ts``. ``'forward'``: EARLIEST right row with
+    ``right_ts >= left_ts`` — the "next event after" form (next
+    maintenance after a failure, next quote after an order). Same
+    union-marker single-window plan either way; forward just sorts the
+    union descending so the carried-forward payload is the nearest
+    following row.
 
     Ties on ``right_ts`` resolve to the largest ``right_cols`` tuple (struct
     comparison; put a unique id first for determinism). Right payload columns
     come back NULL where no right row qualifies (left-outer semantics);
-    ``tolerance_sec`` additionally nulls matches older than the tolerance.
+    ``tolerance_sec`` additionally nulls matches farther than the tolerance.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     payload = F.struct(F.col(right_ts).alias("__rts"),
                        *[F.col(c) for c in right_cols])
     r = right.select(*[F.col(k) for k in on],
@@ -63,18 +72,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     u = r.withColumn("__lrow", F.lit(None).cast(l.schema["__lrow"].dataType)) \
          .unionByName(l)
     # rights sort before lefts at equal ts (__side 0 < 1), so the frame up to
-    # the current row realizes ts <= left_ts; left rows contribute NULL
-    # payloads which last(ignorenulls) skips.
-    w = (W.partitionBy(*on).orderBy("__t", "__side", "__payload")
+    # the current row realizes ts <= left_ts (backward) / ts >= left_ts
+    # (forward, descending scan); left rows contribute NULL payloads which
+    # last(ignorenulls) skips.
+    ts_key = F.col("__t") if direction == "backward" else F.col("__t").desc()
+    w = (W.partitionBy(*on).orderBy(ts_key, "__side", "__payload")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     matched = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
     out = matched.filter(F.col("__side") == 1)
     if tolerance_sec is not None:
-        out = out.withColumn(
-            "__m",
-            F.when(F.col("__m.__rts") >=
-                   F.col("__t") - F.expr(f"INTERVAL {tolerance_sec} SECONDS"),
-                   F.col("__m")))
+        tol = F.expr(f"INTERVAL {tolerance_sec} SECONDS")
+        cond = (F.col("__m.__rts") >= F.col("__t") - tol
+                if direction == "backward"
+                else F.col("__m.__rts") <= F.col("__t") + tol)
+        out = out.withColumn("__m", F.when(cond, F.col("__m")))
     return out.select(
         "__lrow.*",
         F.col("__m.__rts").alias(f"{right_ts}_asof"),

@@ -679,3 +679,37 @@ def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(qualifying),
                   supp.s_suppkey == F.col("l_suppkey"), "left_semi")
             .select("s_name").orderBy("s_name"))
+
+
+@query("asof_forward_events", oracle="""
+SELECT e.user_id, e.event_id AS err_id, c.click_id, c.gap_us
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT cc.event_id AS click_id,
+         epoch_us(cc.ts) - epoch_us(e.ts) AS gap_us
+  FROM events cc
+  WHERE cc.user_id = e.user_id AND cc.event_type = 'click' AND cc.ts >= e.ts
+  ORDER BY cc.ts ASC, cc.event_id DESC LIMIT 1) AS c ON TRUE
+WHERE e.event_type = 'error'
+ORDER BY err_id
+""")
+def asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each error gets the user's first click at or
+    after it (the "did the user recover" probe; NULL when nothing
+    follows). Same union-marker single-window plan as the backward form,
+    scanned descending — the oracle is the quadratic correlated-LATERAL
+    twin."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("user_id", F.col("event_id").alias("err_id"), "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("cts")))
+    out = asof_join(errors, clicks, on=["user_id"],
+                    left_ts="ts", right_ts="cts", right_cols=["click_id"],
+                    direction="forward")
+    return (out.select(
+        "user_id", "err_id", "click_id",
+        (epoch_micros(out, "cts_asof") - epoch_micros(out, "ts"))
+        .alias("gap_us"))
+        .orderBy("err_id"))

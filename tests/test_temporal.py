@@ -141,3 +141,31 @@ def test_q13_left_join_keeps_zero_bucket(spark, sf_dir):
     from servihabitat_etl_spyke_spark.catalog import load_table
     n_cust = load_table(spark, sf_dir, "customer").count()
     assert sum(rows.values()) == n_cust
+
+
+def test_asof_forward_and_tolerance(spark):
+    from datetime import datetime
+
+    from servihabitat_etl_spyke_spark.operators.temporal import asof_join
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, 10, ts(10)), (1, 11, ts(40)), (2, 20, ts(5))],
+        "k long, lid long, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, 100, ts(12)), (1, 101, ts(12)), (1, 102, ts(50)),
+         (2, 200, ts(1))],
+        "k long, rid long, rts timestamp")
+    out = {r["lid"]: r["rid"] for r in asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["rid"], direction="forward").collect()}
+    # nearest following; tie at ts(12) -> largest rid wins
+    assert out == {10: 101, 11: 102, 20: None}
+    # tolerance: ts(40) -> ts(50) gap is 10s; 5s tolerance nulls it
+    tol = {r["lid"]: r["rid"] for r in asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["rid"], direction="forward",
+        tolerance_sec=5).collect()}
+    assert tol == {10: 101, 11: None, 20: None}
