@@ -1534,3 +1534,45 @@ def text_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id); cluster purity on planted topics asserted in pytest."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.cluster_documents(docs, k=6, dim=64).orderBy("doc_id")
+
+
+def _cluster_sizes_oracle() -> str:
+    """Cluster-size histogram + corpus dedup rate from the recursive-CTE
+    components, singletons included via the docs left join."""
+    comp = _cluster_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH comp AS ({comp}),
+sized AS (
+  SELECT COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+), per_cluster AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM sized GROUP BY cluster_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+FROM per_cluster GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+@query("dedup_cluster_sizes", oracle=_cluster_sizes_oracle())
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-rate report: near-dup cluster-size histogram with the
+    removable-copy count per size band (singletons included) — the
+    one-page summary a curation run prints before committing a dedup
+    pass. Two tiny aggregations over the component table; the corpus
+    never shuffles beyond the pair pipeline itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_neardup(docs, threshold=0.5)
+    clusters = D.connected_components(pairs)
+    sized = (docs.select("doc_id")
+             .join(clusters, "doc_id", "left")
+             .select(F.coalesce("cluster_id", F.col("doc_id"))
+                     .alias("cluster_id")))
+    per_cluster = sized.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return (per_cluster.groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters"),
+                 (F.count("*") * (F.col("cluster_size") - 1))
+                 .alias("n_removable"))
+            .orderBy("cluster_size"))
