@@ -254,3 +254,35 @@ def test_registry_wide_no_new_scale_hazards(spark, sf_dir):
         if extra:
             violations[name] = sorted(extra)
     assert not violations, violations
+
+
+def test_exact_substring_shuffle_carries_no_text(spark, sf_dir):
+    """dedup_exact_substring: the gram-count exchange must move md5
+    digests + ints only — the doc text stays inside the scan stage
+    (pruned to doc_id/text at the scan, gone before any Exchange)."""
+    plan = plan_of(spark, "dedup_exact_substring", sf_dir)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if ln.strip().startswith("(") and ") Exchange" in ln:
+            # the plan block after an Exchange header lists its output
+            block = "\n".join(lines[i:i + 4])
+            assert "text#" not in block, f"text crosses a shuffle:\n{block}"
+    assert "md5(" in plan
+
+
+def test_video_dedup_band_join_is_hash_join(spark, sf_dir):
+    """multimodal_video_dedup: the cross-video candidate stage must be a
+    band-key equi-join (hash join), never a nested-loop/cartesian
+    compare of videos, and blob bytes must not cross the join."""
+    plan = plan_of(spark, "multimodal_video_dedup", sf_dir)
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) \
+        or ("ShuffledHashJoin" in plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # blob bytes stay in the decode stage: no Exchange or Join node may
+    # list the content column among its inputs/arguments
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if ") Exchange" in ln or "Join" in ln and ln.strip().startswith("("):
+            block = "\n".join(lines[i:i + 4])
+            assert "content#" not in block, block
