@@ -800,3 +800,23 @@ def pq_search(codes_df: DataFrame, queries: DataFrame, codebooks: list,
                           F.row_number().over(w).alias("rank"))
             .filter(F.col("rank") <= k)
             .orderBy("query_id", "rank"))
+
+
+def recall_report(exact_edges: DataFrame,
+                  approx_edges: DataFrame) -> DataFrame:
+    """Recall evaluation between two (query_id, neighbor_id, ...) edge
+    tables — the measurement loop every ANN deployment runs when tuning
+    probes/bands/codebooks: per query |exact ∩ approx| / |exact| as an
+    integer permille (fold-order-free), plus the counts. One equi-join
+    on (query, neighbor) + two aggregations; evaluation cost scales with
+    the edge tables, never the corpus."""
+    e = exact_edges.select("query_id", "neighbor_id")
+    a = approx_edges.select("query_id", "neighbor_id")
+    totals = e.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hits = (e.join(a, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hit")))
+    return (totals.join(hits, "query_id", "left")
+            .select("query_id", "n_exact",
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                    F.floor(F.coalesce("n_hit", F.lit(0)) * 1000
+                            / F.col("n_exact")).alias("recall_permille")))

@@ -1576,3 +1576,16 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.count("*") * (F.col("cluster_size") - 1))
                  .alias("n_removable"))
             .orderBy("cluster_size"))
+
+
+@query("ann_recall_report")  # approx side float-kmeans -> rows-only
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning loop as a query: per-anchor recall permille of the
+    cluster-pruned kNN graph against the exact graph — what you watch
+    while trading probes for cost. Join + two aggregations over the two
+    edge tables; pytest pins the report against an independently
+    computed recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = SIM.knn_graph(emb, k=5)
+    approx = SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2, iters=3)
+    return SIM.recall_report(exact, approx).orderBy("query_id")

@@ -783,3 +783,16 @@ def test_tfidf_cluster_purity_on_planted_topics(spark):
         members = [got[d] for d in got if d % 10 == t]
         purity += Counter(members).most_common(1)[0][1]
     assert purity / len(got) >= 0.9, purity / len(got)
+
+
+def test_recall_report_matches_independent_computation(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200)
+    exact = SIM.knn_graph(emb, k=5)
+    approx = SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2, iters=3)
+    got = {r["query_id"]: (r["n_exact"], r["n_hit"], r["recall_permille"])
+           for r in SIM.recall_report(exact, approx).collect()}
+    es, as_ = _topk_sets(exact), _topk_sets(approx)
+    for q in es:
+        hit = len(es[q] & as_.get(q, set()))
+        assert got[q] == (len(es[q]), hit, hit * 1000 // len(es[q])), q
