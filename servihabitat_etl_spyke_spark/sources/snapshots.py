@@ -116,11 +116,21 @@ class SnapshotStore:
                          f"(have {[s['id'] for s in snaps]})")
 
     def read(self, spark: SparkSession,
-             snapshot: int | None = None) -> DataFrame:
-        """The table as of ``snapshot`` (default: latest)."""
+             snapshot: int | None = None,
+             merge_schema: bool = False) -> DataFrame:
+        """The table as of ``snapshot`` (default: latest).
+
+        ``merge_schema=True`` unions the per-commit schemas (parquet
+        mergeSchema): columns added by later commits come back NULL for
+        earlier files — the additive schema-evolution contract (column
+        DROPS still require an overwrite commit; parquet cannot subtract
+        a column from old files)."""
         dirs = self._dirs_for(snapshot)
-        return spark.read.parquet(*[os.path.join(self.path, d)
-                                    for d in dirs])
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*[os.path.join(self.path, d)
+                                for d in dirs])
 
     def read_incremental(self, spark: SparkSession,
                          since: int) -> DataFrame:

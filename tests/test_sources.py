@@ -189,3 +189,23 @@ def test_snapshot_compaction_row_identical_history_intact(spark, sf_dir):
     # an incremental consumer at snapshot 4 sees the compacted rewrite
     inc = store.read_incremental(spark, since=4)
     assert inc.count() == n_before
+
+
+def test_snapshot_additive_schema_evolution(spark, sf_dir):
+    """A later commit may add a column; merge_schema reads union the
+    schemas with NULLs for pre-evolution files, while per-snapshot
+    time travel keeps each snapshot's own schema."""
+    import tempfile
+
+    from servihabitat_etl_spyke_spark.sources.snapshots import SnapshotStore
+
+    store = SnapshotStore(tempfile.mkdtemp(prefix="snapevo_"))
+    store.commit(spark.createDataFrame([(1, "a")], "id long, v string"))
+    store.commit(spark.createDataFrame([(2, "b", 9.5)],
+                                       "id long, v string, score double"))
+    merged = store.read(spark, merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+    # time travel to snapshot 1 sees the original schema only
+    assert store.read(spark, snapshot=1).columns == ["id", "v"]
