@@ -38,6 +38,8 @@ class Engine:
         self._runtime_tables: dict[str, DataFrame] = {}
         # storage backend per runtime model (objectsAPI.ts:169 analog)
         self._storage: dict[str, str] = {}
+        # named parameterized automations (UD1, protolib automations)
+        self._automations: dict = {}
         # bumped on EVERY register_model call (a len()-based check would
         # miss same-name re-registration and never refresh the SQL views)
         self._registry_version = 0
@@ -274,12 +276,23 @@ class Engine:
             self._views_version = self._registry_version
         return self.spark.sql(statement)
 
-    def run(self, query_name: str) -> DataFrame:
-        """Run any named query from the registry (UD1 automations analog:
-        named, parameterized by the engine's sf_dir)."""
+    def register_automation(self, name: str, fn) -> None:
+        """UD1: a named automation — any callable (spark, sf_dir,
+        **params) -> DataFrame. The reference's automations bundle
+        registers named flows invocable with a params object
+        (protolib automations); here they live beside the query
+        registry and shadow same-named registry queries."""
+        self._automations[name] = fn
+
+    def run(self, query_name: str, **params) -> DataFrame:
+        """Run a named automation or registry query (UD1). ``params``
+        pass through to the callable — registry queries take none;
+        registered automations take whatever they declared (a wrong
+        name is a TypeError, never silently dropped)."""
         from .queries import QUERIES
-        return QUERIES[query_name](self.spark, self.sf_dir)
+        fn = self._automations.get(query_name) or QUERIES[query_name]
+        return fn(self.spark, self.sf_dir, **params)
 
     def queries(self) -> list[str]:
         from .queries import QUERIES
-        return sorted(QUERIES)
+        return sorted(set(QUERIES) | set(self._automations))

@@ -157,3 +157,26 @@ def test_engine_point_read_and_delete(spark, sf_dir):
     import pytest
     with pytest.raises(KeyError):
         e.delete("orders", [1])           # parquet tables are immutable
+
+
+def test_parameterized_automation(spark, sf_dir):
+    """UD1: named automations take parameters; registry queries still
+    run unchanged; wrong param names are a TypeError."""
+    from pyspark.sql import functions as F
+    e = Engine(spark, sf_dir)
+
+    def top_orders(spark_, sf_dir_, *, status, limit=5):
+        from servihabitat_etl_spyke_spark.catalog import load_table
+        return (load_table(spark_, sf_dir_, "orders")
+                .filter(F.col("o_orderstatus") == status)
+                .orderBy(F.col("o_totalprice").desc())
+                .limit(limit))
+
+    e.register_automation("top_orders", top_orders)
+    assert "top_orders" in e.queries()
+    out = e.run("top_orders", status="F", limit=3).collect()
+    assert len(out) == 3
+    assert all(r["o_orderstatus"] == "F" for r in out)
+    assert e.run("total_count").first()["total"] > 0   # registry unchanged
+    with pytest.raises(TypeError):
+        e.run("top_orders", wrong_param=1)
