@@ -189,3 +189,85 @@ def compact_to_target(df: DataFrame, path: str, target_mb: int = 128,
                    // (target_mb * 1024 * 1024)))
     df.repartition(n).write.mode("overwrite").format(fmt).save(path)
     return n
+
+
+# -- Bloom-filter semi-join pre-filter ----------------------------------------
+
+
+def bloom_bitmap(keys: DataFrame, key_col: str, n_bits: int = 1 << 20,
+                 n_hashes: int = 3):
+    """Build a Bloom bitset (numpy uint64 array, n_bits/64 words) from a
+    key column: per-partition partial bitmaps OR-merged on the driver —
+    the build side streams once, only ceil(n_bits/64)*8 bytes per
+    partition travel. Hash family: splitmix64-style integer mixing of
+    xxhash64(key), fully engine-deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    words = n_bits // 64
+
+    def partial(batches):
+        bm = np.zeros(words, dtype=np.uint64)
+        for pdf in batches:
+            h = pdf["_h"].to_numpy(dtype=np.uint64)
+            x = h.copy()
+            for _ in range(n_hashes):
+                # splitmix64 round per probe
+                x = x + np.uint64(0x9E3779B97F4A7C15)
+                z = x.copy()
+                z ^= z >> np.uint64(30)
+                z *= np.uint64(0xBF58476D1CE4E5B9)
+                z ^= z >> np.uint64(27)
+                z *= np.uint64(0x94D049BB133111EB)
+                z ^= z >> np.uint64(31)
+                idx = z % np.uint64(n_bits)
+                np.bitwise_or.at(bm, (idx // np.uint64(64)).astype(np.int64),
+                                 np.uint64(1) << (idx % np.uint64(64)))
+        yield pd.DataFrame({"w": [bm.tobytes()]})
+
+    parts = (keys.select(F.xxhash64(F.col(key_col).cast("string"))
+                         .cast("long").alias("_h"))
+             .mapInPandas(partial, schema="w binary").collect())
+    out = np.zeros(words, dtype=np.uint64)
+    for r in parts:
+        out |= np.frombuffer(r["w"], dtype=np.uint64)
+    return out
+
+
+def bloom_prefilter(probe: DataFrame, bitmap, key_col: str,
+                    n_hashes: int = 3) -> DataFrame:
+    """Drop probe rows whose key is DEFINITELY absent from the bitmap
+    (no false negatives — every true match survives). The 100 TB use:
+    the build side is too large to broadcast as a join hash map, but its
+    Bloom fits in every task closure, so the probe side thins BEFORE the
+    shuffle join — shuffle volume drops by the miss rate at ~1.2 bytes/
+    build-key. Vectorized membership test per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    bm = np.asarray(bitmap, dtype=np.uint64)
+    n_bits = bm.size * 64
+
+    def keep(batches):
+        for pdf in batches:
+            h = pdf.pop("_h").to_numpy(dtype=np.uint64)
+            ok = np.ones(len(h), dtype=bool)
+            x = h.copy()
+            for _ in range(n_hashes):
+                x = x + np.uint64(0x9E3779B97F4A7C15)
+                z = x.copy()
+                z ^= z >> np.uint64(30)
+                z *= np.uint64(0xBF58476D1CE4E5B9)
+                z ^= z >> np.uint64(27)
+                z *= np.uint64(0x94D049BB133111EB)
+                z ^= z >> np.uint64(31)
+                idx = z % np.uint64(n_bits)
+                ok &= (bm[(idx // np.uint64(64)).astype(np.int64)]
+                       >> (idx % np.uint64(64))) & np.uint64(1) > 0
+            yield pdf[ok]
+
+    with_h = probe.withColumn(
+        "_h", F.xxhash64(F.col(key_col).cast("string")).cast("long"))
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in probe.schema.fields)
+    return with_h.mapInPandas(keep, schema=schema)

@@ -193,3 +193,33 @@ def test_profile_table_nulls_and_types(spark):
     assert [r["col_name"] for r in profile_table(df, ["x"]).collect()] == ["x"]
     with _pt.raises(ValueError):
         profile_table(df, ["nope"])
+
+
+def test_bloom_prefilter_no_false_negatives_and_thins(spark, sf_dir):
+    """Bloom pre-filter: every true join key survives (no false
+    negatives), misses are mostly dropped, and the filtered join equals
+    the plain join exactly."""
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.operators.scale import (
+        bloom_bitmap, bloom_prefilter)
+
+    orders = load_table(spark, sf_dir, "orders")
+    build = orders.filter(F.col("o_orderkey") % 7 == 0) \
+                  .select("o_orderkey", "o_orderpriority")
+    probe = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+
+    bm = bloom_bitmap(build, "o_orderkey", n_bits=1 << 16)
+    thinned = bloom_prefilter(probe, bm, "o_orderkey")
+
+    plain = probe.join(build, "o_orderkey")
+    filtered = thinned.join(build, "o_orderkey")
+    assert sorted(map(tuple, filtered.collect())) == \
+        sorted(map(tuple, plain.collect()))
+
+    n_probe, n_thin = probe.count(), thinned.count()
+    n_match = probe.join(build.select("o_orderkey"), "o_orderkey",
+                         "left_semi").count()
+    assert n_thin >= n_match                  # no false negatives
+    # ~1/7 of keys match; the bloom should drop the bulk of the misses
+    assert n_thin < n_probe * 0.5, (n_thin, n_probe)
