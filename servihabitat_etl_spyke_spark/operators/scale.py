@@ -271,3 +271,24 @@ def bloom_prefilter(probe: DataFrame, bitmap, key_col: str,
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                        for f in probe.schema.fields)
     return with_h.mapInPandas(keep, schema=schema)
+
+
+def skew_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Key-skew diagnostic — what you inspect BEFORE choosing salting /
+    AQE skew-join settings: the ``top`` hottest keys with their row
+    counts, permille share of the table, and the multiple of a perfectly
+    uniform key's load. One aggregation + a 1-row total broadcast; at
+    100 TB this is the cheap pre-flight that tells you whether the big
+    join needs `salted_join` at all."""
+    counts = df.groupBy(key).agg(F.count("*").alias("n_rows"))
+    stats = counts.agg(F.sum("n_rows").alias("_total"),
+                       F.count("*").alias("_n_keys"))
+    return (counts.join(F.broadcast(stats))
+            .select(F.col(key), "n_rows",
+                    F.floor(F.col("n_rows") * 1000 / F.col("_total"))
+                    .alias("share_permille"),
+                    F.floor(F.col("n_rows") * F.col("_n_keys") * 100
+                            / F.col("_total"))
+                    .alias("x_uniform_pct"))
+            .orderBy(F.col("n_rows").desc(), key)
+            .limit(top))

@@ -569,3 +569,25 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                           ["o_orderkey", "o_custkey", "o_orderstatus",
                            "o_totalprice", "o_orderpriority"])
             .orderBy("col_name"))
+
+
+@query("scale_skew_report", oracle="""
+WITH counts AS (
+  SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY o_custkey
+), stats AS (
+  SELECT sum(n_rows) AS total, count(*) AS n_keys FROM counts
+)
+SELECT o_custkey, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(floor(n_rows * 1000 / total) AS BIGINT) AS share_permille,
+       CAST(floor(n_rows * n_keys * 100 / total) AS BIGINT) AS x_uniform_pct
+FROM counts, stats
+ORDER BY n_rows DESC, o_custkey LIMIT 10
+""")
+def scale_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew pre-flight: the 10 hottest order customers with row
+    share and uniform-load multiple — the diagnostic that decides
+    whether a join/agg needs salting before it runs. One aggregation +
+    a 1-row broadcast."""
+    from .operators.scale import skew_report
+    orders = load_table(spark, sf_dir, "orders")
+    return skew_report(orders, "o_custkey", top=10)
