@@ -218,6 +218,8 @@ _ALLOWED_HAZARDS = {
     "curate_temperature_mix": {"bnlj", "single_part"},
     # corpus-count scalar (1 row) broadcast into the idf table build
     "text_cluster_topics": {"bnlj", "single_part"},
+    # table-total/key-count scalar (1 row) broadcast over the key counts
+    "scale_skew_report": {"bnlj", "single_part"},
     # single-row global aggregates (final agg of partials — tiny by then)
     "q6_revenue_delta": {"single_part"},
     "q14_promo_ratio": {"single_part"},
