@@ -1589,3 +1589,54 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = SIM.knn_graph(emb, k=5)
     approx = SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2, iters=3)
     return SIM.recall_report(exact, approx).orderBy("query_id")
+
+
+def _split_leakage_oracle() -> str:
+    """Near-dup pairs bucketed by the (split_a, split_b) combination of
+    their endpoints under the source-hashed grouped split."""
+    pairs = _minhash_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH pairs AS ({pairs}),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(source), 1, 8))::UBIGINT % 10000 < 500
+              THEN 'val'
+              WHEN ('0x' || substr(md5(source), 1, 8))::UBIGINT % 10000 < 1000
+              THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents
+)
+SELECT least(a.split, b.split) AS split_a,
+       greatest(a.split, b.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) FILTER (WHERE a.split <> b.split) AS BIGINT)
+         AS n_leaking
+FROM pairs p JOIN sp a ON p.id_a = a.doc_id
+             JOIN sp b ON p.id_b = b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("curate_split_leakage", oracle=_split_leakage_oracle())
+def curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leakage AUDIT for a dataset split: near-dup pairs (MinHash-LSH)
+    bucketed by their endpoints' split assignment — off-diagonal rows are
+    eval contamination the split failed to prevent (grouped_split kills
+    within-source leakage by construction; this measures the residual
+    CROSS-source near-dups). Two broadcast joins of the tiny pair list
+    against the split projection."""
+    from .operators.curation import grouped_split
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_neardup(docs, threshold=0.5)
+    sp = grouped_split(docs, "source").select("doc_id", "split")
+    a = sp.select(F.col("doc_id").alias("id_a"),
+                  F.col("split").alias("sa"))
+    b = sp.select(F.col("doc_id").alias("id_b"),
+                  F.col("split").alias("sb"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .groupBy(F.least("sa", "sb").alias("split_a"),
+                     F.greatest("sa", "sb").alias("split_b"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.count(F.when(F.col("sa") != F.col("sb"), 1))
+                 .alias("n_leaking"))
+            .orderBy("split_a", "split_b"))
