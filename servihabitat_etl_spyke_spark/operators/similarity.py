@@ -820,3 +820,119 @@ def recall_report(exact_edges: DataFrame,
                     F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
                     F.floor(F.coalesce("n_hit", F.lit(0)) * 1000
                             / F.col("n_exact")).alias("recall_permille")))
+
+
+def ivfpq_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 kc: int = 8, n_probe: int = 2, m: int = 16, ks: int = 64,
+                 iters: int = 3, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ (IVFADC, Jegou et al. 2011 §IV): the composition behind
+    billion-scale ANN — a coarse k-means quantizer routes vectors to
+    cells, each vector stores only the PQ codes of its RESIDUAL
+    (x - centroid), and queries scan probed cells by asymmetric distance
+    with a per-(query, cell) lookup table built from the query's own
+    residual. At 100 TB the persisted index is m bytes + a cell id per
+    vector; query time reads no floats.
+
+    Distributed shape: coarse training + pooled residual codebooks reuse
+    :func:`kmeans_fit` / :func:`pq_train` (model-sized driver state
+    only); encoding is row-local; the scan is ONE cogrouped
+    applyInPandas per cell (each cell's members ADC-scan the queries
+    probing it and emit local top-k) + the cross-cell merge window —
+    the same shuffle discipline as :func:`knn_graph_ivf`.
+
+    Queries are small-by-contract (ids/vectors in the task closure).
+    Returns (query_id, neighbor_id, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = kmeans_fit(corpus, k=kc, iters=iters,
+                       id_col=id_col, vec_col=vec_col)
+    C = np.asarray(cents, dtype=np.float64)
+    assigned = assign_to_centroids(corpus, cents, id_col, vec_col)
+
+    # residual table (row-local: centroid matrix rides the closure)
+    def _resid(batches):
+        for pdf in batches:
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            cid = pdf["centroid_id"].to_numpy(dtype=np.int64)
+            R = X - C[cid]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                "centroid_id": cid,
+                "resid": [r.tolist() for r in R]})
+
+    res = assigned.select(id_col, vec_col, "centroid_id").mapInPandas(
+        _resid, schema=f"{id_col} long, centroid_id long, "
+                       "resid array<double>")
+    res = res.persist()
+    try:
+        books = pq_train(res, m=m, ks=ks, iters=iters,
+                         id_col=id_col, vec_col="resid")
+        codes = (pq_encode(res, books, id_col=id_col, vec_col="resid")
+                 .join(res.select(id_col, "centroid_id"), id_col))
+
+        B = [np.asarray(b, dtype=np.float64) for b in books]
+        dsub = B[0].shape[1]
+        qrows = queries.select(id_col, vec_col).collect()
+        qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+        Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+        # probe cells per query (closure-local)
+        qd2 = ((Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T)
+               + (C * C).sum(1)[None, :])
+        probes = np.argsort(qd2, axis=1, kind="stable")[:, :min(n_probe, kc)]
+        probe_rows = [(int(qids[i]), int(c))
+                      for i in range(len(qids)) for c in probes[i]]
+        spark = corpus.sparkSession
+        probe_df = spark.createDataFrame(probe_rows,
+                                         "query_id long, centroid_id long")
+        qmap = {int(qids[i]): Q[i] for i in range(len(qids))}
+
+        def _scan_cell(qpdf: pd.DataFrame, mpdf: pd.DataFrame):
+            empty = pd.DataFrame({
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "adc": pd.Series([], dtype="float64")})
+            if qpdf.empty or mpdf.empty:
+                return empty
+            cell = int(mpdf["centroid_id"].iloc[0])
+            ids = mpdf[id_col].to_numpy(dtype=np.int64)
+            codes_m = np.asarray(mpdf["codes"].tolist(), dtype=np.int64)
+            rows = {"query_id": [], "neighbor_id": [], "adc": []}
+            for qid in qpdf["query_id"].to_numpy(dtype=np.int64):
+                qres = qmap[int(qid)] - C[cell]
+                lut = np.stack([
+                    ((qres[s * dsub:(s + 1) * dsub] ** 2).sum()
+                     - 2.0 * (B[s] @ qres[s * dsub:(s + 1) * dsub])
+                     + (B[s] ** 2).sum(1))
+                    for s in range(m)])                    # (m, ks)
+                D = lut[np.arange(m)[:, None], codes_m.T].sum(0)
+                mask = ids != qid
+                cids, cd = ids[mask], D[mask]
+                t = min(k, len(cids))
+                if t == 0:
+                    continue
+                idx = np.argpartition(cd, t - 1)[:t]
+                rows["query_id"].extend([qid] * t)
+                rows["neighbor_id"].extend(cids[idx].tolist())
+                rows["adc"].extend(cd[idx].tolist())
+            if not rows["query_id"]:
+                return empty
+            return pd.DataFrame({
+                "query_id": pd.Series(rows["query_id"], dtype="int64"),
+                "neighbor_id": pd.Series(rows["neighbor_id"],
+                                         dtype="int64"),
+                "adc": pd.Series(rows["adc"], dtype="float64")})
+
+        scored = (probe_df.groupBy("centroid_id")
+                  .cogroup(codes.groupBy("centroid_id"))
+                  .applyInPandas(_scan_cell,
+                                 schema="query_id long, neighbor_id long, "
+                                        "adc double"))
+        w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+        return (scored.select("query_id", "neighbor_id",
+                              F.row_number().over(w).alias("rank"))
+                .filter(F.col("rank") <= k)
+                .orderBy("query_id", "rank"))
+    finally:
+        res.unpersist()

@@ -1640,3 +1640,16 @@ def curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.when(F.col("sa") != F.col("sb"), 1))
                  .alias("n_leaking"))
             .orderBy("split_a", "split_b"))
+
+
+@query("ann_ivfpq_topk")  # float codebooks -> rows-only; recall pytest
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end to end (the billion-scale ANN architecture): coarse
+    k-means cells + pooled residual PQ codebooks; each vector persists as
+    a cell id + 16 codes, and queries ADC-scan only their probed cells
+    with per-(query, cell) residual lookup tables — no float vector is
+    read at query time. Recall vs exact L2 asserted in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivfpq_search(emb, queries, k=10, kc=4, n_probe=2,
+                            m=16, ks=64, iters=3)

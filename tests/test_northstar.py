@@ -796,3 +796,23 @@ def test_recall_report_matches_independent_computation(spark, sf_dir):
     for q in es:
         hit = len(es[q] & as_.get(q, set()))
         assert got[q] == (len(es[q]), hit, hit * 1000 // len(es[q])), q
+
+
+def test_ivfpq_recall(spark, sf_dir):
+    """IVF-PQ must find a solid share of true L2 neighbors while probing
+    half the cells and reading only residual codes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = _topk_sets(SIM.ivfpq_search(emb, queries, k=10, kc=4,
+                                         n_probe=2, m=16, ks=64, iters=3))
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    recalls = []
+    for r in queries.collect():
+        qid, q = r["vec_id"], np.array(r["embedding"], dtype=np.float64)
+        d = ((X - q) ** 2).sum(1)
+        d[ids == qid] = np.inf
+        exact = set(ids[np.argpartition(d, 10)[:10]].tolist())
+        recalls.append(len(exact & approx.get(qid, set())) / 10)
+    assert sum(recalls) / len(recalls) >= 0.35, sum(recalls) / len(recalls)
