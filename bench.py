@@ -98,6 +98,12 @@ HEADLINE = [
     "dedup_exact_substring",
     "ann_knn_graph_ivf",
     "graph_knn_degrees_ivf",
+    # round-3 late additions: containment dedup, exact heavy hitters,
+    # hybrid retrieval fusion, PSI drift (no earlier baseline)
+    "dedup_containment",
+    "text_heavy_hitters",
+    "retrieval_hybrid_rrf",
+    "profile_drift_psi",
 ]
 
 

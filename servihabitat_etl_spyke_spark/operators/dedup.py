@@ -149,6 +149,45 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
     )
 
 
+def containment_pairs(docs: DataFrame, threshold: float = 0.6,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment |A∩B| / |A| — the
+    quote-inclusion detector. A short document embedded verbatim inside a
+    much longer one has containment ~1.0 while its symmetric Jaccard is
+    tiny (|A∩B| / |A∪B| is diluted by the long doc's extra shingles), so
+    `jaccard_pairs` at any useful threshold misses exactly the pairs a
+    training-data pipeline most wants to drop (press-release quotes,
+    embedded licences, scraped excerpts).
+
+    Same inverted-index shape as `jaccard_pairs` — one shingle equi-join
+    counts each unordered pair's overlap once, then BOTH directions are
+    scored row-locally and filtered. Returns (contained_id, container_id,
+    containment) — a row means contained_id's shingle set is >= threshold
+    inside container_id's."""
+    sh = shingle_table(docs, id_col, text_col, n).alias("s")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    scored = common.join(sa, "id_a").join(sb, "id_b")
+    fwd = scored.select(
+        F.col("id_a").alias("contained_id"), F.col("id_b").alias("container_id"),
+        F.round(F.col("common") / F.col("n_a"), 6).alias("containment"))
+    rev = scored.select(
+        F.col("id_b").alias("contained_id"), F.col("id_a").alias("container_id"),
+        F.round(F.col("common") / F.col("n_b"), 6).alias("containment"))
+    return (fwd.unionByName(rev)
+            .filter(F.col("containment") >= threshold))
+
+
 # -- MinHash + LSH ------------------------------------------------------------------
 
 # Universal-hash family for MinHash permutations (Broder's construction):

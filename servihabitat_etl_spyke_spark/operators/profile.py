@@ -65,3 +65,46 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
             row.get(f"{n}__mns"), row.get(f"{n}__mxs"),
         ))
     return df.sparkSession.createDataFrame(out, _SCHEMA)
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, col: str,
+              lo: float, hi: float, bins: int = 10) -> DataFrame:
+    """Population Stability Index between a reference snapshot's column
+    distribution and the current one — the standard drift monitor a
+    pipeline runs between ingest batches (PSI < 0.1 stable, 0.1-0.25
+    shifting, > 0.25 drifted).
+
+    Fixed-width bins over [lo, hi) with the edge bins absorbing
+    out-of-range values, so binning is a pure projection (no quantile
+    pass); each side is one scan + one tiny (``bins``-row) aggregation.
+    Proportions use Laplace 0.5 smoothing so empty bins stay finite, and
+    each bin's PSI term (p - q) * ln(p / q) is emitted nano-quantized —
+    integer output an external SQL engine reproduces bit-for-bit (the
+    same ln+floor trick the BM25 oracle uses). Sum psi_nano over the
+    result for the headline PSI.
+
+    Returns one row per bin: (bin, n_ref, n_cur, psi_nano)."""
+    span = float(hi) - float(lo)
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.floor(
+            (F.col(col) - F.lit(float(lo))) / F.lit(span) * bins)))
+        return (df.select(b.cast("long").alias("bin"))
+                .groupBy("bin").agg(F.count("*").alias(out)))
+
+    all_bins = ref.sparkSession.range(bins).select(F.col("id").alias("bin"))
+    r = binned(ref, "n_ref")
+    c = binned(cur, "n_cur")
+    joined = (all_bins.join(F.broadcast(r), "bin", "left")
+              .join(F.broadcast(c), "bin", "left")
+              .select("bin",
+                      F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                      F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+    totals = joined.agg(F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc"))
+    p = (F.col("n_ref") + 0.5) / (F.col("_tr") + 0.5 * bins)
+    q = (F.col("n_cur") + 0.5) / (F.col("_tc") + 0.5 * bins)
+    return (joined.join(F.broadcast(totals))
+            .select("bin", "n_ref", "n_cur",
+                    F.floor((p - q) * F.log(p / q) * 1e9 + 0.5)
+                    .cast("long").alias("psi_nano"))
+            .orderBy("bin"))

@@ -292,3 +292,67 @@ def skew_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:
                     .alias("x_uniform_pct"))
             .orderBy(F.col("n_rows").desc(), key)
             .limit(top))
+
+
+def _mg_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries (k counters), emitted as the
+    union of surviving candidate items. Bounded memory: each task holds at
+    most ``k`` counters regardless of partition size, and the output is at
+    most ``k`` rows per partition.
+
+    Guarantee (the classical MG bound): an item whose count within a
+    partition exceeds n_p/(k+1) always survives that partition's summary,
+    so any item with GLOBAL count > n/(k+1) survives in at least one
+    partition — the union is a guaranteed superset of the true heavy
+    hitters at threshold n/(k+1)."""
+    from pyspark.sql.types import StructField, StructType
+
+    field = items.schema[col]
+    out_schema = StructType([StructField("item", field.dataType, True)])
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            # vectorized per batch: value_counts, then MG-merge the batch
+            # histogram into the running summary and decrement-prune
+            vc = pdf[col].value_counts(dropna=True)
+            for item, cnt in vc.items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > k:
+                # subtract the (k+1)-th largest count from everyone and
+                # drop non-positives — the batched form of MG's decrement
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - cut for i, c in counters.items()
+                            if c - cut > 0}
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    return items.select(col).mapInPandas(summarize, schema=out_schema)
+
+
+def heavy_hitters(items: DataFrame, col: str, k: int = 50) -> DataFrame:
+    """EXACT heavy hitters at threshold n/(k+1) in two bounded passes —
+    the scalable replacement for a full groupBy+count when the domain is
+    huge (e.g. every token of a 100 TB corpus) but only the frequent items
+    matter.
+
+    Pass 1 streams each partition once through a Misra-Gries summary of
+    ``k`` counters (``_mg_candidates``) — no shuffle, O(k) memory/task,
+    <= k rows out per partition. Pass 2 re-counts ONLY the candidate set
+    (broadcast semi-join thins the scan before any shuffle; the groupBy
+    then carries at most k x partitions distinct keys) and keeps items
+    with exact count * (k+1) > n. Because the candidate union provably
+    contains every such item, the result equals the exact full-histogram
+    answer — SQL-oracle-checkable despite never building the histogram.
+
+    Returns (item, cnt) ordered by cnt desc, item."""
+    cands = _mg_candidates(items, col, k).distinct()
+    total = items.agg(F.count(col).alias("_n"))
+    exact = (items.join(F.broadcast(cands.withColumnRenamed("item", col)),
+                        col, "left_semi")
+             .groupBy(col).agg(F.count("*").alias("cnt")))
+    return (exact.join(F.broadcast(total))
+            .filter(F.col("cnt") * (k + 1) > F.col("_n"))
+            .select(F.col(col).alias("item"), "cnt")
+            .orderBy(F.col("cnt").desc(), "item"))

@@ -936,3 +936,34 @@ def ivfpq_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 .orderBy("query_id", "rank"))
     finally:
         res.unpersist()
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
+             rank_col: str = "rank", k: int = 10, c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid
+    retriever combining a lexical ranking (BM25) with a dense-embedding
+    ranking without score calibration: each list contributes
+    1 / (c + rank) per item and the fused order is the summed score.
+
+    Each input is a ranked candidate list (id_col, rank_col with rank
+    starting at 1) — top-k lists, so tiny by the time they reach the
+    fusion regardless of corpus size; the heavy lifting happened in the
+    retrievers. Contributions are floor(1e9 / (c + rank)) nano-ints, so
+    the fused scores are exact integers (fold-order-free sums an external
+    SQL oracle reproduces bit-for-bit).
+
+    Returns (id_col, rrf_nano, n_lists) ordered by rrf_nano desc, id."""
+    contribs = [
+        r.select(F.col(id_col),
+                 F.floor(F.lit(int(1e9)) / (F.col(rank_col) + F.lit(c)))
+                 .cast("long").alias("contrib"))
+        for r in rankings
+    ]
+    u = contribs[0]
+    for nxt in contribs[1:]:
+        u = u.unionByName(nxt)
+    return (u.groupBy(id_col)
+            .agg(F.sum("contrib").alias("rrf_nano"),
+                 F.count("*").alias("n_lists"))
+            .orderBy(F.col("rrf_nano").desc(), id_col)
+            .limit(k))

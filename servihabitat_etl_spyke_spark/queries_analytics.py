@@ -591,3 +591,41 @@ def scale_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.scale import skew_report
     orders = load_table(spark, sf_dir, "orders")
     return skew_report(orders, "o_custkey", top=10)
+
+
+@query("profile_drift_psi", oracle="""
+WITH refs AS (
+  SELECT least(9, greatest(0, CAST(floor((value - 0.0) / 500.0 * 10)
+                                   AS BIGINT))) AS bin
+  FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+curs AS (
+  SELECT least(9, greatest(0, CAST(floor((value - 0.0) / 500.0 * 10)
+                                   AS BIGINT))) AS bin
+  FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+rb AS (SELECT bin, count(*) AS n_ref FROM refs GROUP BY bin),
+cb AS (SELECT bin, count(*) AS n_cur FROM curs GROUP BY bin),
+allb AS (SELECT unnest(range(0, 10)) AS bin),
+j AS (SELECT allb.bin, coalesce(n_ref, 0) AS n_ref,
+             coalesce(n_cur, 0) AS n_cur
+      FROM allb LEFT JOIN rb ON allb.bin = rb.bin
+                LEFT JOIN cb ON allb.bin = cb.bin),
+t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+SELECT bin, n_ref, n_cur,
+       CAST(floor(((n_ref + 0.5) / (tr + 5.0) - (n_cur + 0.5) / (tc + 5.0))
+            * ln(((n_ref + 0.5) / (tr + 5.0)) / ((n_cur + 0.5) / (tc + 5.0)))
+            * 1000000000.0 + 0.5) AS BIGINT) AS psi_nano
+FROM j, t ORDER BY bin
+""")
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift between the first and second half
+    of the event stream's `value` distribution — the between-batches
+    drift monitor run before a new crawl is admitted into training data.
+    Fixed-width bins keep binning a pure projection (one scan per side,
+    10-row aggregations); Laplace-smoothed per-bin PSI terms are
+    nano-quantized so the oracle reproduces them bit-for-bit. Sum
+    psi_nano for the headline PSI."""
+    from .operators.profile import psi_drift
+    events = load_table(spark, sf_dir, "events")
+    ref = events.filter(F.col("ts") < "2024-01-16")
+    cur = events.filter(F.col("ts") >= "2024-01-16")
+    return psi_drift(ref, cur, "value", lo=0.0, hi=500.0, bins=10)

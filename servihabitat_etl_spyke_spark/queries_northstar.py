@@ -1653,3 +1653,128 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.ivfpq_search(emb, queries, k=10, kc=4, n_probe=2,
                             m=16, ks=64, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: containment dedup, hybrid retrieval, heavy hitters
+# ---------------------------------------------------------------------------
+
+@query("dedup_containment", oracle=f"""
+WITH {_SH_SQL},
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, common, sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM common
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+),
+directed AS (
+  SELECT id_a AS contained_id, id_b AS container_id,
+         round(common * 1.0 / n_a, 6) AS containment FROM scored
+  UNION ALL
+  SELECT id_b, id_a, round(common * 1.0 / n_b, 6) FROM scored
+)
+SELECT contained_id, container_id, containment
+FROM directed WHERE containment >= 0.6
+ORDER BY contained_id, container_id
+""")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs (|A∩B| / |A| >= 0.6) — the
+    quote-inclusion detector symmetric Jaccard misses: a short doc pasted
+    into a long one scores ~1.0 here while its Jaccard is diluted below
+    any useful threshold. Same inverted-index join as `neardup_jaccard`;
+    both directions scored row-locally from one pair-overlap count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (D.containment_pairs(docs, threshold=0.6)
+            .orderBy("contained_id", "container_id"))
+
+
+@query("text_heavy_hitters", oracle="""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT item, count(*) AS cnt FROM toks, tot GROUP BY item, n
+HAVING count(*) * 31 > n ORDER BY cnt DESC, item
+""")
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token heavy hitters (count > n/31) without a full histogram:
+    pass 1 is a shuffle-free per-partition Misra-Gries summary (30
+    counters/task, <= 30 candidate rows out per partition), pass 2
+    re-counts only the broadcast candidate set. The Misra-Gries bound
+    makes the candidate union a guaranteed superset at this threshold, so
+    the result is exact — the oracle verifies it against the full
+    groupBy-count it never ran. The domain-sized shuffle a plain
+    groupBy+count would pay on a 100 TB corpus never happens."""
+    from .operators.scale import heavy_hitters
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("item"))
+    return heavy_hitters(toks, "item", k=30)
+
+
+@query("retrieval_hybrid_rrf", oracle="""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl FROM base
+), hits AS (
+  SELECT doc_id, dl,
+         unnest(list_filter(toks, t -> t IN ('table', 'hash', 'join'))) AS tok
+  FROM base
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl FROM hits GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+), nanos AS (
+  SELECT t.doc_id,
+         CAST(floor(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+              * (t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * t.dl
+                                             / (s.sum_dl / s.n))))
+              * 1000000000 + 0.5) AS BIGINT) AS nano
+  FROM tf t, dfreq d, stats s WHERE t.tok = d.tok
+), bm AS (
+  SELECT doc_id, CAST(sum(nano) AS BIGINT) AS score_nano
+  FROM nanos GROUP BY doc_id
+), bm_top AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score_nano DESC, doc_id) AS rank
+    FROM bm) WHERE rank <= 30
+), qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+dense_top AS (
+  SELECT doc_id, rank FROM (
+    SELECT e.vec_id AS doc_id,
+           row_number() OVER (
+             ORDER BY list_cosine_similarity(qv.v, e.embedding) DESC,
+                      e.vec_id) AS rank
+    FROM embeddings e, qv WHERE e.vec_id <> 0) WHERE rank <= 30
+), contribs AS (
+  SELECT doc_id, CAST(floor(1000000000 / (rank + 60)) AS BIGINT) AS contrib
+  FROM bm_top
+  UNION ALL
+  SELECT doc_id, CAST(floor(1000000000 / (rank + 60)) AS BIGINT) FROM dense_top
+)
+SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_nano,
+       count(*) AS n_lists
+FROM contribs GROUP BY doc_id
+ORDER BY rrf_nano DESC, doc_id LIMIT 10
+""")
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-30 (lexical) fused with dense-embedding
+    cosine top-30 (vec 0 as the query) by reciprocal-rank fusion — the
+    standard two-tower retriever composition, no score calibration
+    needed. Nano-int contributions keep the fused scores integer-exact.
+    Each retriever's heavy work stays in its own scale path; fusion sees
+    only two top-k lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = TX.bm25_topk(docs, ["table", "hash", "join"], k=30)
+    w = W.orderBy(F.col("score_nano").desc(), "doc_id")
+    bm_r = bm.select("doc_id", F.row_number().over(w).alias("rank"))
+    dense = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=30)
+    dense_r = dense.select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return SIM.rrf_fuse([bm_r, dense_r], id_col="doc_id", k=10)

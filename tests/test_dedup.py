@@ -388,3 +388,39 @@ def test_duplicate_spans_matches_local_bruteforce(spark):
     got = {(r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
            for r in duplicate_spans(docs, min_len=L).collect()}
     assert got == want and want, (len(got), len(want))
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc embedded verbatim in a long one: containment ~1.0,
+    Jaccard tiny — the asymmetric detector finds it, the symmetric one
+    (at any useful threshold) does not."""
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        containment_pairs, jaccard_pairs)
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(80))
+    big = filler + " " + small
+    other = " ".join(f"x{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], "doc_id long, text string")
+
+    cont = {(r["contained_id"], r["container_id"]): r["containment"]
+            for r in containment_pairs(docs, threshold=0.6).collect()}
+    assert (1, 2) in cont
+    assert cont[(1, 2)] == 1.0              # every shingle of 1 is in 2
+    assert (2, 1) not in cont               # asymmetric: big not in small
+    assert (1, 3) not in cont and (3, 1) not in cont
+
+    jac = jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []                        # symmetric Jaccard misses it
+
+
+def test_containment_directions_independent(spark):
+    from servihabitat_etl_spyke_spark.operators.dedup import containment_pairs
+
+    # identical docs: both directions = 1.0
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string")
+    got = sorted((r["contained_id"], r["container_id"], r["containment"])
+                 for r in containment_pairs(docs, threshold=0.9).collect())
+    assert got == [(1, 2, 1.0), (2, 1, 1.0)]

@@ -816,3 +816,30 @@ def test_ivfpq_recall(spark, sf_dir):
         exact = set(ids[np.argpartition(d, 10)[:10]].tolist())
         recalls.append(len(exact & approx.get(qid, set())) / 10)
     assert sum(recalls) / len(recalls) >= 0.35, sum(recalls) / len(recalls)
+
+
+def test_rrf_fuse_math_and_order(spark):
+    """RRF contributions are exact floor(1e9/(c+rank)) nano-ints; an item
+    ranked in both lists outranks single-list items, and the fused order
+    matches the hand-computed scores."""
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                              "doc_id long, rank long")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "doc_id long, rank long")
+    got = [(r["doc_id"], r["rrf_nano"], r["n_lists"])
+           for r in SIM.rrf_fuse([a, b], id_col="doc_id", k=10).collect()]
+
+    def c(rank):
+        return int(1e9) // (60 + rank)
+
+    want = sorted([(10, c(1), 1), (20, c(2) + c(1), 2), (30, c(3), 1),
+                   (40, c(2), 1)], key=lambda t: (-t[1], t[0]))
+    assert got == want
+    assert got[0][0] == 20                  # in both lists -> wins
+
+
+def test_rrf_fuse_limit_and_single_list(spark):
+    rows = [(i, i + 1) for i in range(25)]
+    a = spark.createDataFrame(rows, "doc_id long, rank long")
+    got = SIM.rrf_fuse([a], id_col="doc_id", k=5).collect()
+    assert [r["doc_id"] for r in got] == [0, 1, 2, 3, 4]
+    assert all(r["n_lists"] == 1 for r in got)

@@ -220,6 +220,14 @@ _ALLOWED_HAZARDS = {
     "text_cluster_topics": {"bnlj", "single_part"},
     # table-total/key-count scalar (1 row) broadcast over the key counts
     "scale_skew_report": {"bnlj", "single_part"},
+    # corpus-token-total scalar (1 row) broadcast over the exact recount
+    # of the Misra-Gries candidate set
+    "text_heavy_hitters": {"bnlj", "single_part"},
+    # two snapshot-total scalars (1 row) broadcast over the 10-bin table
+    "profile_drift_psi": {"bnlj", "single_part"},
+    # fusion of two <=30-row top-k lists: brute-force dense baseline
+    # (bnlj, same as ann_cosine_topk) + rank windows over tiny lists
+    "retrieval_hybrid_rrf": {"bnlj", "single_part"},
     # single-row global aggregates (final agg of partials — tiny by then)
     "q6_revenue_delta": {"single_part"},
     "q14_promo_ratio": {"single_part"},

@@ -223,3 +223,71 @@ def test_bloom_prefilter_no_false_negatives_and_thins(spark, sf_dir):
     assert n_thin >= n_match                  # no false negatives
     # ~1/7 of keys match; the bloom should drop the bulk of the misses
     assert n_thin < n_probe * 0.5, (n_thin, n_probe)
+
+
+def test_heavy_hitters_exact_vs_full_histogram(spark):
+    """The two-pass MG+recount answer equals the full groupBy histogram
+    filtered at the same threshold — on a skewed domain where most items
+    are below it (the case where the candidate pass earns its keep)."""
+    from servihabitat_etl_spyke_spark.operators.scale import heavy_hitters
+
+    # zipf-ish: item i appears 1000 // (i + 1) times, i in [0, 200)
+    rows = [(f"item_{i}",) for i in range(200) for _ in range(1000 // (i + 1))]
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    k = 10
+    got = [(r["item"], r["cnt"]) for r in heavy_hitters(df, "item", k=k).collect()]
+
+    n = len(rows)
+    from collections import Counter
+    exact = Counter(r[0] for r in rows)
+    want = sorted(((i, c) for i, c in exact.items() if c * (k + 1) > n),
+                  key=lambda t: (-t[1], t[0]))
+    assert got == want
+    assert len(got) > 0                      # the threshold is attainable
+
+
+def test_mg_candidate_pass_is_bounded_and_superset(spark):
+    from servihabitat_etl_spyke_spark.operators.scale import _mg_candidates
+
+    rows = [("hot",)] * 500 + [(f"cold_{i}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    k = 5
+    cands = [r["item"] for r in _mg_candidates(df, "item", k).collect()]
+    # <= k rows per partition out of the summary pass
+    assert len(cands) <= k * df.rdd.getNumPartitions()
+    # any item with global count > n/(k+1) must survive
+    assert "hot" in cands
+
+
+def test_psi_drift_zero_on_identical_and_positive_on_shift(spark):
+    from servihabitat_etl_spyke_spark.operators.profile import psi_drift
+
+    base = spark.range(2000).select((F.col("id") % 100).cast("double")
+                                    .alias("v"))
+    same = psi_drift(base, base, "v", lo=0.0, hi=100.0, bins=10).collect()
+    assert len(same) == 10
+    assert all(r["psi_nano"] == 0 for r in same)      # p == q exactly
+    assert [r["bin"] for r in same] == list(range(10))
+
+    shifted = base.select((F.col("v") + 50.0).alias("v"))
+    drift = psi_drift(base, shifted, "v", lo=0.0, hi=100.0, bins=10).collect()
+    total = sum(r["psi_nano"] for r in drift) / 1e9
+    assert total > 0.25, total               # half the mass moved: drifted
+
+    # out-of-range values land in the edge bins, never vanish
+    assert sum(r["n_cur"] for r in drift) == 2000
+
+
+def test_psi_drift_counts_match_exact_binning(spark):
+    from servihabitat_etl_spyke_spark.operators.profile import psi_drift
+
+    vals = [0.0, 9.99, 10.0, 55.5, 99.9, 120.0, -5.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = psi_drift(df, df, "v", lo=0.0, hi=100.0, bins=10).collect()
+    got = {r["bin"]: r["n_ref"] for r in rows}
+    # manual fixed-width binning with edge clamping
+    import math
+    want: dict[int, int] = {b: 0 for b in range(10)}
+    for v in vals:
+        want[min(9, max(0, math.floor(v / 100.0 * 10)))] += 1
+    assert got == want
