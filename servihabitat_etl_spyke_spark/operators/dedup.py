@@ -348,6 +348,45 @@ def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.5,
     return verify_pairs(docs, cand, threshold, id_col, text_col, n)
 
 
+def sorted_neighborhood_pairs(docs: DataFrame, threshold: float = 0.3,
+                              window: int = 3, key_len: int = 12,
+                              id_col: str = "doc_id", text_col: str = "text",
+                              n: int = 3) -> DataFrame:
+    """Multi-pass sorted-neighborhood near-dup (Hernández & Stolfo 1995) —
+    the classic entity-resolution blocking alternative to LSH: sort the
+    corpus by a cheap blocking key and compare each record only to its
+    ``window - 1`` successors. Two passes with complementary keys (the
+    normalized text PREFIX, then the REVERSED-text prefix ≈ the suffix)
+    so a dup whose edit falls inside one key region is still caught by
+    the other — the standard multi-pass answer to SNM's boundary misses.
+
+    Scale shape: each pass is one hash-partitioned window over (key,
+    id) — no global sort, no SinglePartition — emitting <= window-1
+    candidate rows per doc, O(n·w) candidates total regardless of key
+    collisions' shape. Verification reuses `verify_pairs` (exact Jaccard,
+    candidates only). Deterministic end to end, so exact-SQL-oracle-able
+    — unlike MinHash this family has no probabilistic recall knob; its
+    recall is set by the key choice, which is the documented trade."""
+    norm = F.lower(F.col(text_col))
+    cand = None
+    for key in (F.substring(norm, 1, key_len),
+                F.substring(F.reverse(norm), 1, key_len)):
+        keyed = docs.select(F.col(id_col), key.alias("snm_key"))
+        w = W.partitionBy("snm_key").orderBy(id_col)
+        # window exprs can't sit inside a generator: materialize the
+        # neighbor array first, explode in a second projection
+        nbrs = keyed.select(
+            F.col(id_col).alias("id_a"),
+            F.array(*[F.lead(id_col, i).over(w)
+                      for i in range(1, window)]).alias("_nbrs"))
+        c = (nbrs.select("id_a", F.explode("_nbrs").alias("id_b"))
+             .filter(F.col("id_b").isNotNull()))
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct().persist()
+    cand.count()
+    return verify_pairs(docs, cand, threshold, id_col, text_col, n)
+
+
 def incremental_neardup(new_docs: DataFrame, stored_docs: DataFrame,
                         stored_sig: DataFrame | None = None,
                         threshold: float = 0.5, k: int = 16,

@@ -670,6 +670,29 @@ def sample_audio_windows(blobs: DataFrame, win: int = 64, hop: int = 32,
                          "rms double"))
 
 
+def _fp_bit_matrix(ch0: np.ndarray, win: int, hop: int,
+                   bands: int) -> np.ndarray:
+    """Haitsma-Kalker bit matrix for one channel-0 sample array: one row
+    of ``bands - 1`` delta-sign bits per frame transition (shape
+    (n_frames - 1, bands - 1); empty if under two frames). Shared by the
+    digest fingerprint and the word-level near-dup index so both see
+    bit-identical frames."""
+    n_frames = (len(ch0) - win) // hop + 1 if len(ch0) >= win else 0
+    rows, prev = [], None
+    for t in range(n_frames):
+        seg = ch0[t * hop: t * hop + win]
+        mag = np.abs(np.fft.rfft(seg))
+        bounds = np.linspace(1, len(mag), bands + 1).astype(int)
+        e = np.array([(mag[bounds[b]:bounds[b + 1]] ** 2).sum()
+                      for b in range(bands)])
+        if prev is not None:
+            d = (e[:-1] - e[1:]) - (prev[:-1] - prev[1:])
+            rows.append((d > 0).astype(np.uint8))
+        prev = e
+    return (np.stack(rows) if rows
+            else np.empty((0, bands - 1), dtype=np.uint8))
+
+
 def audio_fingerprint(blobs: DataFrame, win: int = 64, hop: int = 32,
                       bands: int = 9,
                       id_col: str = "doc_id") -> DataFrame:
@@ -695,26 +718,10 @@ def audio_fingerprint(blobs: DataFrame, win: int = 64, hop: int = 32,
             for did, content in zip(pdf[id_col], pdf["content"]):
                 samples, _sr = decode_wav(bytes(content))
                 ch0 = samples[:, 0].astype(np.float64)
-                n_frames = ((len(ch0) - win) // hop + 1
-                            if len(ch0) >= win else 0)
-                bits_rows = []
-                prev = None
-                for t in range(n_frames):
-                    seg = ch0[t * hop: t * hop + win]
-                    mag = np.abs(np.fft.rfft(seg))          # win//2+1 bins
-                    # fold bins into equal-ish bands (skip DC bin)
-                    bounds = np.linspace(1, len(mag), bands + 1).astype(int)
-                    e = np.array([
-                        (mag[bounds[b]:bounds[b + 1]] ** 2).sum()
-                        for b in range(bands)])
-                    if prev is not None:
-                        d = (e[:-1] - e[1:]) - (prev[:-1] - prev[1:])
-                        bits_rows.append((d > 0).astype(np.uint8))
-                    prev = e
+                mat = _fp_bit_matrix(ch0, win, hop, bands)
                 ids.append(did)
-                nfr.append(len(bits_rows))
-                if bits_rows:
-                    mat = np.stack(bits_rows)
+                nfr.append(len(mat))
+                if len(mat):
                     digs.append(hashlib.md5(
                         np.packbits(mat).tobytes()).hexdigest())
                     firsts.append(int(
@@ -732,6 +739,90 @@ def audio_fingerprint(blobs: DataFrame, win: int = 64, hop: int = 32,
     return blobs.mapInPandas(
         fp, schema=(f"{id_col} long, n_fp_frames long, fp_digest string, "
                     "fp_first long"))
+
+
+def audio_gain(blobs: DataFrame, factor: float,
+               id_col: str = "doc_id") -> DataFrame:
+    """Gain adjustment: decode, scale the int16 samples (clipped), and
+    re-encode — the transform that makes 're-encoded at a different
+    volume' test material, and a real normalization stage in its own
+    right. Pure map, Arrow-batched."""
+
+    def scale(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                samples, sr = decode_wav(bytes(content))
+                scaled = np.clip(samples.astype(np.float64) * factor,
+                                 -32768, 32767).astype(np.int16)
+                out.append(encode_wav(scaled, sr))
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "content": out,
+                "media_type": pdf["media_type"].to_numpy(),
+            })
+
+    return blobs.mapInPandas(
+        scale, schema=f"{id_col} long, content binary, media_type string")
+
+
+def audio_fp_words(blobs: DataFrame, win: int = 64, hop: int = 32,
+                   bands: int = 9, word_frames: int = 4,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Word-level fingerprint index: every OVERLAPPING run of
+    ``word_frames`` consecutive fingerprint frames packs its
+    (bands-1)-bit rows into one integer word — the Haitsma-Kalker
+    sub-fingerprint block, emitted per position but keyed by VALUE.
+    Because the join key is the word value, matching is alignment-free:
+    a copy offset by any multiple of ``hop`` still produces identical
+    words from the shared region. Distinct (id, word) rows out; pure map
+    stage."""
+
+    def words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nbits = (bands - 1) * word_frames
+        if nbits > 62:
+            raise ValueError(f"word too wide: {nbits} bits")
+        weights = 1 << np.arange(nbits, dtype=np.int64)
+        for pdf in batches:
+            ids, ws = [], []
+            for did, content in zip(pdf[id_col], pdf["content"]):
+                samples, _sr = decode_wav(bytes(content))
+                mat = _fp_bit_matrix(samples[:, 0].astype(np.float64),
+                                     win, hop, bands)
+                seen = set()
+                for t in range(len(mat) - word_frames + 1):
+                    w = int((mat[t:t + word_frames].flatten()
+                             * weights).sum())
+                    seen.add(w)
+                ids.extend([did] * len(seen))
+                ws.extend(sorted(seen))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "word": pd.Series(ws, dtype="int64")})
+
+    return blobs.mapInPandas(words, schema=f"{id_col} long, word long")
+
+
+def audio_fp_neardup(blobs: DataFrame, min_shared: int = 3,
+                     win: int = 64, hop: int = 32, bands: int = 9,
+                     word_frames: int = 4,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Audio NEAR-dup pairs via the word-level fingerprint inverted
+    index — the acoustic counterpart of `dhash_neardup` (image) and
+    `video_dhash_neardup`: blobs sharing >= ``min_shared`` distinct
+    sub-fingerprint words are near-duplicates. Catches re-encoded
+    (volume-changed: the delta-sign bits are gain-invariant) and
+    hop-aligned clipped copies that the exact `fp_digest` groupBy misses.
+    Inverted-index equi-join on word value — candidate pairs bounded by
+    word co-occurrence, never all-pairs."""
+    w = audio_fp_words(blobs, win, hop, bands, word_frames, id_col)
+    a = w.select(F.col(id_col).alias("id_a"), "word")
+    b = w.select(F.col(id_col).alias("id_b"), "word")
+    return (a.join(b, "word")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared_words"))
+            .filter(F.col("n_shared_words") >= min_shared))
 
 
 # ---------------------------------------------------------------------------

@@ -1778,3 +1778,68 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=30)
     dense_r = dense.select(F.col("neighbor_id").alias("doc_id"), "rank")
     return SIM.rrf_fuse([bm_r, dense_r], id_col="doc_id", k=10)
+
+
+@query("dedup_sorted_neighborhood", oracle=f"""
+WITH {_SH_SQL},
+k1 AS (SELECT doc_id, substr(lower(text), 1, 12) AS snm_key FROM documents),
+k2 AS (SELECT doc_id, substr(reverse(lower(text)), 1, 12) AS snm_key
+       FROM documents),
+r1 AS (SELECT doc_id, snm_key,
+              row_number() OVER (PARTITION BY snm_key ORDER BY doc_id) AS rn
+       FROM k1),
+r2 AS (SELECT doc_id, snm_key,
+              row_number() OVER (PARTITION BY snm_key ORDER BY doc_id) AS rn
+       FROM k2),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM r1 a JOIN r1 b
+      ON a.snm_key = b.snm_key AND b.rn > a.rn AND b.rn <= a.rn + 2
+    UNION ALL
+    SELECT a.doc_id, b.doc_id FROM r2 a JOIN r2 b
+      ON a.snm_key = b.snm_key AND b.rn > a.rn AND b.rn <= a.rn + 2)
+),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS common
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.3
+ORDER BY id_a, id_b
+""")
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood near-dup (prefix + reversed-prefix
+    blocking keys, window 3, exact-Jaccard verify on candidates) — the
+    deterministic ER-blocking alternative to MinHash-LSH, fully
+    SQL-oracle-able because it has no probabilistic recall knob. Each
+    pass is one hash-partitioned window; candidates are O(n·window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (D.sorted_neighborhood_pairs(docs, threshold=0.3)
+            .orderBy("id_a", "id_b"))
+
+
+@query("multimodal_audio_neardup")  # FFT float path -> rows-only; pytest
+def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs over the media lake plus planted half-volume
+    re-encodes (docs with id % 7 == 3, re-keyed +100000): word-level
+    Haitsma-Kalker sub-fingerprints joined by value. The gain-invariant
+    delta-sign bits make each planted copy share its source's words.
+    Note the fixture is adversarially rich: `render_doc_wav`'s keystream
+    is one master mod-65536 sequence phase-shifted per doc, so docs whose
+    shift lands on a hop boundary ARE genuine time-shifted copies — the
+    alignment-free index correctly surfaces those organic pairs too
+    (deterministic count). rfft is a float transform (not
+    SQL-expressible) -> rows-only; gain invariance, clipped-copy
+    alignment, and discrimination proven in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = MM.attach_audio(docs)
+    src = docs.filter(F.col("doc_id") % 7 == 3)
+    copies = (MM.audio_gain(MM.attach_audio(src), 0.5)
+              .withColumn("doc_id", F.col("doc_id") + 100000))
+    return (MM.audio_fp_neardup(blobs.unionByName(copies), min_shared=3)
+            .orderBy("id_a", "id_b"))

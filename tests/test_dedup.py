@@ -424,3 +424,40 @@ def test_containment_directions_independent(spark):
     got = sorted((r["contained_id"], r["container_id"], r["containment"])
                  for r in containment_pairs(docs, threshold=0.9).collect())
     assert got == [(1, 2, 1.0), (2, 1, 1.0)]
+
+
+def test_sorted_neighborhood_finds_prefix_dups_and_documents_miss(spark):
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        sorted_neighborhood_pairs)
+
+    body = " ".join(f"tok{i}" for i in range(30))
+    near = body.replace("tok15", "changed")
+    # 3/4: the same pair but with BOTH the prefix and the suffix region
+    # rewritten -> neither blocking pass co-locates them (the documented
+    # SNM recall trade vs LSH)
+    disguised = "zz qq pp " + near + " yy xx ww"
+    docs = spark.createDataFrame(
+        [(1, body), (2, near), (3, body), (4, disguised),
+         (5, "completely different text about other things entirely")],
+        "doc_id long, text string")
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in sorted_neighborhood_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.8          # same prefix: found
+    assert (1, 3) in got and got[(1, 3)] == 1.0         # identical: found
+    assert (3, 4) not in got and (1, 4) not in got      # disguised: missed
+    assert not any(5 in p for p in got)
+
+
+def test_sorted_neighborhood_reverse_pass_catches_suffix_match(spark):
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        sorted_neighborhood_pairs)
+
+    body = " ".join(f"tok{i}" for i in range(30))
+    # different prefix, same suffix -> only the reversed-key pass blocks it
+    prefixed = "zz qq pp " + body
+    docs = spark.createDataFrame(
+        [(1, body), (2, prefixed)], "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"])
+           for r in sorted_neighborhood_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in got

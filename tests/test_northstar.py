@@ -843,3 +843,54 @@ def test_rrf_fuse_limit_and_single_list(spark):
     got = SIM.rrf_fuse([a], id_col="doc_id", k=5).collect()
     assert [r["doc_id"] for r in got] == [0, 1, 2, 3, 4]
     assert all(r["n_lists"] == 1 for r in got)
+
+
+def test_audio_fp_neardup_gain_invariant_and_discriminating(spark):
+    """A half-volume re-encode shares its source's sub-fingerprint words
+    (delta-sign bits are gain-invariant); unrelated tracks do not pair."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 300), (2, "y" * 410)], "doc_id long, text string")
+    blobs = MM.attach_audio(docs)
+    copies = (MM.audio_gain(MM.attach_audio(
+        docs.filter(F.col("doc_id") == 1)), 0.5)
+        .withColumn("doc_id", F.col("doc_id") + 100))
+    got = {(r["id_a"], r["id_b"]): r["n_shared_words"]
+           for r in MM.audio_fp_neardup(
+               blobs.unionByName(copies), min_shared=3).collect()}
+    assert (1, 101) in got          # planted pair found
+    assert (1, 2) not in got and (2, 101) not in got
+
+
+def test_audio_fp_neardup_alignment_free_on_hop_clipped_copy(spark):
+    """A copy with the first 2*hop samples cut still matches: words are
+    joined by VALUE, so the shared region's frames line up regardless of
+    the offset."""
+    import numpy as np
+    import pandas as pd
+
+    from servihabitat_etl_spyke_spark.operators.multimodal import (
+        decode_wav, encode_wav, render_doc_wav)
+
+    full = render_doc_wav(4, "z" * 470)          # 1-channel, long
+    samples, sr = decode_wav(full)
+    clipped = encode_wav(samples[64:], sr)       # cut 2 hops off the front
+    other = render_doc_wav(9, "w" * 200)
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "content": [full, clipped, other],
+                        "media_type": ["audio/wav"] * 3})
+    blobs = spark.createDataFrame(pdf)
+    got = {(r["id_a"], r["id_b"])
+           for r in MM.audio_fp_neardup(blobs, min_shared=3).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_audio_fp_words_distinct_and_deterministic(spark):
+    docs = spark.createDataFrame([(5, "q" * 350)], "doc_id long, text string")
+    w1 = sorted(r["word"] for r in
+                MM.audio_fp_words(MM.attach_audio(docs)).collect())
+    w2 = sorted(r["word"] for r in
+                MM.audio_fp_words(MM.attach_audio(docs)).collect())
+    assert w1 == w2 and len(w1) == len(set(w1)) and len(w1) >= 3
