@@ -84,6 +84,9 @@ def psi_drift(ref: DataFrame, cur: DataFrame, col: str,
     result for the headline PSI.
 
     Returns one row per bin: (bin, n_ref, n_cur, psi_nano)."""
+    if not (hi > lo) or bins < 1:
+        raise ValueError(f"psi_drift: need hi > lo and bins >= 1 "
+                         f"(got lo={lo}, hi={hi}, bins={bins})")
     span = float(hi) - float(lo)
 
     def binned(df: DataFrame, out: str) -> DataFrame:

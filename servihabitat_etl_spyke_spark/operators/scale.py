@@ -347,6 +347,8 @@ def heavy_hitters(items: DataFrame, col: str, k: int = 50) -> DataFrame:
     answer — SQL-oracle-checkable despite never building the histogram.
 
     Returns (item, cnt) ordered by cnt desc, item."""
+    if k < 1:
+        raise ValueError(f"heavy_hitters: k must be >= 1, got {k}")
     cands = _mg_candidates(items, col, k).distinct()
     total = items.agg(F.count(col).alias("_n"))
     exact = (items.join(F.broadcast(cands.withColumnRenamed("item", col)),

@@ -953,6 +953,8 @@ def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
     SQL oracle reproduces bit-for-bit).
 
     Returns (id_col, rrf_nano, n_lists) ordered by rrf_nano desc, id."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
     contribs = [
         r.select(F.col(id_col),
                  F.floor(F.lit(int(1e9)) / (F.col(rank_col) + F.lit(c)))

@@ -291,3 +291,19 @@ def test_psi_drift_counts_match_exact_binning(spark):
     for v in vals:
         want[min(9, max(0, math.floor(v / 100.0 * 10)))] += 1
     assert got == want
+
+
+def test_new_operator_arg_guards(spark):
+    import pytest as _pt
+
+    from servihabitat_etl_spyke_spark.operators.profile import psi_drift
+    from servihabitat_etl_spyke_spark.operators.scale import heavy_hitters
+    from servihabitat_etl_spyke_spark.operators.similarity import rrf_fuse
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with _pt.raises(ValueError, match="hi > lo"):
+        psi_drift(df, df, "v", lo=5.0, hi=5.0)
+    with _pt.raises(ValueError, match="k must be"):
+        heavy_hitters(df, "v", k=0)
+    with _pt.raises(ValueError, match="at least one"):
+        rrf_fuse([])
