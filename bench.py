@@ -106,6 +106,12 @@ HEADLINE = [
     "profile_drift_psi",
     "dedup_sorted_neighborhood",
     "multimodal_audio_neardup",
+    # round-3 late additions: DSIR importance resampling, corpus-overlap
+    # sketch, metadata-filtered vector search (no earlier baseline)
+    "curate_dsir_weights",
+    "curate_dsir_sample",
+    "dedup_corpus_overlap",
+    "ann_filtered_topk",
 ]
 
 

@@ -467,3 +467,99 @@ def contamination_score(train: DataFrame, evalset: DataFrame, n: int = 8,
                     F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
                     F.floor(F.coalesce("n_shared", F.lit(0)) * 1000
                             / F.col("n_grams")).alias("contam_permille")))
+
+
+# -- DSIR: importance resampling toward a target domain ----------------------
+
+
+def _ngram_multiset(toks: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (no dedup) — DSIR's features are
+    counts, so a doc repeating a target-domain phrase weighs more than
+    one mentioning it once. Floor of 1 gram for shorter-than-n docs
+    (same convention as ``shingles_from_tokens``)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame, buckets: int = 1024,
+                 n: int = 2, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Hashed n-gram importance weights (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every raw-corpus doc by how much it looks
+    like the target domain, log w(x) = sum over the doc's hashed n-grams
+    of log p_target(b) - log q_raw(b), with Laplace-smoothed bucket
+    unigram distributions. The standard cheap "select pretraining data
+    that resembles Wikipedia/books" pass.
+
+    Per-bucket log-ratio terms are nano-quantized to integers before the
+    per-doc sum, so results are fold-order-free and an external SQL
+    oracle reproduces them bit-for-bit.
+
+    Returns (id, n_grams, logw_nano).
+
+    Scale: the two distribution tables aggregate to ``buckets`` rows each
+    (map-side partial counts); the per-doc sum is one broadcast join of a
+    buckets-row table onto the exploded feature stream + one groupBy on
+    the doc id. The raw corpus is scanned once; nothing n^2, nothing
+    driver-side."""
+    from .dedup import _hash32, tokenized
+
+    def feats(docs: DataFrame) -> DataFrame:
+        return (tokenized(docs, id_col, text_col)
+                .select(F.col(id_col),
+                        F.explode(_ngram_multiset(F.col("_toks"), n))
+                        .alias("_g"))
+                .select(F.col(id_col),
+                        (_hash32(F.col("_g")) % buckets).alias("_b")))
+
+    raw_f = feats(raw)
+    # bucket spine 0..buckets-1 so unseen buckets still get smoothed terms
+    spine = raw.sparkSession.range(buckets).select(
+        F.col("id").cast("long").alias("_b"))
+
+    def dist(f: DataFrame, cnt: str, tot: str) -> DataFrame:
+        per_b = f.groupBy("_b").agg(F.count("*").alias(cnt))
+        total = f.agg(F.count("*").alias(tot))
+        return (spine.join(per_b, "_b", "left")
+                .select("_b", F.coalesce(cnt, F.lit(0)).alias(cnt))
+                .join(F.broadcast(total)))
+
+    p = dist(feats(target), "_tc", "_T")
+    q = dist(raw_f, "_rc", "_R")
+    terms = (p.join(q, "_b")
+             .select("_b",
+                     F.floor((F.log(F.col("_tc") + 1)
+                              - F.log(F.col("_T") + F.lit(buckets))
+                              - F.log(F.col("_rc") + 1)
+                              + F.log(F.col("_R") + F.lit(buckets)))
+                             * F.lit(1e9) + F.lit(0.5))
+                     .cast("long").alias("_t")))
+    return (raw_f.join(F.broadcast(terms), "_b")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum("_t").alias("logw_nano")))
+
+
+def dsir_resample(weights: DataFrame, n_keep: int, seed: int = 7,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Gumbel-top-k resampling over DSIR log-weights: adding independent
+    Gumbel noise to each log-weight and keeping the top k draws exactly
+    k docs ~ softmax(log w) without replacement — the sampling step of
+    the DSIR recipe. The per-doc uniform is md5-derived from (seed, id),
+    so the draw is reproducible across runs AND engines; the noisy key is
+    nano-quantized so ordering is integer-exact.
+
+    Returns (id, n_grams, logw_nano, key_nano) — the k selected docs,
+    highest key first. orderBy+limit compiles to TakeOrdered (per-
+    partition top-k + driver merge of k-row heaps), never a global
+    sort."""
+    from .dedup import _hash32
+    u = (_hash32(F.col(id_col).cast("string"), seed=seed) + F.lit(0.5)) \
+        / F.lit(float(1 << 32))
+    gumbel_nano = F.floor(-F.log(-F.log(u)) * F.lit(1e9) + F.lit(0.5)) \
+        .cast("long")
+    return (weights
+            .withColumn("key_nano", F.col("logw_nano") + gumbel_nano)
+            .orderBy(F.col("key_nano").desc(), id_col)
+            .limit(n_keep))

@@ -949,3 +949,45 @@ def remove_duplicate_spans(docs: DataFrame, spans: DataFrame | None = None,
         .alias("text_deduped"),
         F.size(kept).alias("n_tokens_kept"),
         (F.size("_t") - F.size(kept)).alias("n_tokens_removed"))
+
+
+# -- corpus-level overlap sketch ---------------------------------------------
+
+
+def corpus_signature(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 3) -> DataFrame:
+    """One MinHash signature for an entire CORPUS: per hash function the
+    min over every shingle in the corpus (1 row, columns mh0..mh{k-1}).
+    min over per-doc mins == min over the corpus shingle set, so this
+    rides the row-local per-doc signature stage plus ONE aggregation with
+    map-side partials — the corpus never shuffles, only k longs per task.
+
+    The corpus-level sketch is what you persist per crawl snapshot /
+    dataset release to answer "how much does release B overlap release A"
+    without ever co-scanning the two."""
+    sig = minhash_signatures(docs, k=k, id_col=id_col, text_col=text_col,
+                             n=n)
+    return sig.agg(*[F.min(f"mh{i}").alias(f"mh{i}") for i in range(k)])
+
+
+def corpus_overlap(a: DataFrame, b: DataFrame, k: int = 16,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n: int = 3) -> DataFrame:
+    """Estimated shingle-set Jaccard between two corpora from their
+    k-permutation sketches: the fraction of hash functions whose
+    corpus-min agrees is an unbiased Jaccard estimate (standard MinHash
+    argument, per-function collision probability = J). Integer output
+    (n_equal, permille floor) keeps the result engine-bit-identical.
+
+    Returns 1 row: (k, n_equal, jaccard_est_permille)."""
+    sa = corpus_signature(a, k=k, id_col=id_col, text_col=text_col, n=n)
+    sb = corpus_signature(b, k=k, id_col=id_col, text_col=text_col, n=n)
+    sb = sb.select(*[F.col(f"mh{i}").alias(f"nh{i}") for i in range(k)])
+    eq = sum((F.col(f"mh{i}") == F.col(f"nh{i}")).cast("int")
+             for i in range(k))
+    return (sa.join(F.broadcast(sb))
+            .select(F.lit(k).alias("k"),
+                    eq.alias("n_equal"))
+            .select("k", "n_equal",
+                    F.floor(F.col("n_equal") * 1000 / F.lit(k))
+                    .alias("jaccard_est_permille")))

@@ -63,7 +63,11 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
         n_tok.alias("n_tokens"),
         F.round(F.length(text) / n_tok, 4).alias("chars_per_token"),
         F.round(_count_in(toks, STOPWORDS) / n_tok, 6).alias("stopword_ratio"),
-        F.round(F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+        # every [^\w\s] match is exactly one char, so the match count
+        # equals the chars removed by replacing them — same value as
+        # len(regexp_extract_all(...)) without materializing the array
+        F.round((F.length(text)
+                 - F.length(F.regexp_replace(text, r"[^\w\s]", "")))
                 / F.length(text), 6).alias("punct_ratio"),
         F.round(F.size(F.filter(toks, lambda t: t == F.upper(t)))
                 / n_tok, 6).alias("uppercase_token_ratio"),

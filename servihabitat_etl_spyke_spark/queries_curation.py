@@ -671,3 +671,72 @@ def curate_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 97 != 0)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     return C.contamination_score(train, ev, n=4).orderBy("doc_id")
+
+
+_DSIR_W_SQL = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM toks),
+feats AS (SELECT doc_id,
+                 ('0x' || substr(md5(g), 1, 8))::UBIGINT::BIGINT % 1024 AS b
+          FROM grams),
+tfeats AS (SELECT b FROM feats JOIN documents USING (doc_id)
+           WHERE lang = 'en'),
+tc AS (SELECT b, count(*) AS tc FROM tfeats GROUP BY b),
+rc AS (SELECT b, count(*) AS rc FROM feats GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM tfeats) AS T,
+               (SELECT count(*) FROM feats) AS R),
+terms AS (
+  SELECT s.b,
+         CAST(floor((ln(COALESCE(tc, 0) + 1) - ln(T + 1024)
+                     - ln(COALESCE(rc, 0) + 1) + ln(R + 1024))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS trm
+  FROM range(1024) s(b)
+  LEFT JOIN tc ON tc.b = s.b
+  LEFT JOIN rc ON rc.b = s.b, tot),
+w AS (SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(trm) AS BIGINT) AS logw_nano
+      FROM feats JOIN terms USING (b) GROUP BY doc_id)
+"""
+
+
+@query("curate_dsir_weights", oracle=f"""
+WITH {_DSIR_W_SQL}
+SELECT doc_id, n_grams, logw_nano FROM w ORDER BY doc_id
+""")
+def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every corpus doc
+    by hashed-bigram log-likelihood ratio toward the English-language
+    target slice — the 'select crawl data that resembles the target
+    domain' pass. Nano-int per-bucket terms make the per-doc sums
+    integer-exact across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return (C.dsir_weights(docs, target, buckets=1024, n=2)
+            .orderBy("doc_id"))
+
+
+@query("curate_dsir_sample", oracle=f"""
+WITH {_DSIR_W_SQL},
+keyed AS (
+  SELECT doc_id, n_grams, logw_nano,
+         logw_nano + CAST(floor(-ln(-ln(
+             (('0x' || substr(md5('7:' || doc_id), 1, 8))
+              ::UBIGINT::BIGINT + 0.5) / 4294967296.0))
+             * 1000000000.0 + 0.5) AS BIGINT) AS key_nano
+  FROM w)
+SELECT doc_id, n_grams, logw_nano, key_nano FROM keyed
+ORDER BY key_nano DESC, doc_id LIMIT 100
+""")
+def curate_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection step: Gumbel-top-k over the importance weights
+    draws exactly 100 docs ~ softmax(log w) without replacement,
+    md5-seeded so the sample is reproducible across runs and engines.
+    orderBy+limit compiles to TakeOrdered — no single-partition sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = C.dsir_weights(docs, target, buckets=1024, n=2)
+    return C.dsir_resample(w, n_keep=100, seed=7)

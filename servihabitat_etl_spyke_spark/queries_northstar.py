@@ -1843,3 +1843,74 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("doc_id", F.col("doc_id") + 100000))
     return (MM.audio_fp_neardup(blobs.unionByName(copies), min_shared=3)
             .orderBy("id_a", "id_b"))
+
+
+def _corpus_overlap_oracle(k: int = 16) -> str:
+    from .operators.dedup import _MH_PRIME, _mh_params
+    av, bv = _mh_params(k)
+    mins = ",\n         ".join(
+        f"min(({av[i]} * h + {bv[i]}) % {_MH_PRIME}) AS mh{i}"
+        for i in range(k))
+    eq = " + ".join(f"CAST(am.mh{i} = bm.mh{i} AS INT)" for i in range(k))
+    return f"""
+WITH {_SH_SQL},
+hashed AS (SELECT doc_id, {_H32.format(v='shingle')} AS h FROM sh),
+am AS (SELECT {mins} FROM hashed WHERE doc_id % 5 <> 0),
+bm AS (SELECT {mins} FROM hashed WHERE doc_id % 5 = 0)
+SELECT {k} AS k, {eq} AS n_equal,
+       CAST(floor(({eq}) * 1000 / {k}) AS BIGINT) AS jaccard_est_permille
+FROM am, bm
+"""
+
+
+@query("dedup_corpus_overlap", oracle=_corpus_overlap_oracle())
+def dedup_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus overlap WITHOUT co-scanning: the stored corpus
+    (doc_id % 5 != 0) and the new crawl batch (doc_id % 5 == 0) each
+    reduce to a 16-permutation corpus-level MinHash sketch (row-local
+    signatures + one map-side-partial min aggregation, k longs per
+    task); the fraction of agreeing components estimates the shingle-set
+    Jaccard between the releases. The sketch is what a snapshot store
+    persists per release so overlap questions never re-read old data.
+    Oracle replays the identical md5-derived hash family in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    crawl = docs.filter(F.col("doc_id") % 5 == 0)
+    return D.corpus_overlap(corpus, crawl, k=16)
+
+
+@query("ann_filtered_topk", oracle="""
+WITH allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.embedding) AS s
+  FROM embeddings e
+  JOIN allowed a ON e.vec_id = a.doc_id, q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+""")
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search: cosine top-10 restricted to
+    English-language docs — the 'vector search with a WHERE clause'
+    shape every retrieval stack needs. The predicate lands as a
+    broadcast semi-join BEFORE any distance is computed, so the
+    filtered candidate set (not the full corpus) pays the scoring cost;
+    at scale the same composition pushes the filter under an IVF/LSH
+    bucket probe."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    allowed = docs.filter(F.col("lang") == "en").select("doc_id")
+    corpus = emb.join(F.broadcast(allowed),
+                      emb.vec_id == allowed.doc_id, "left_semi")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk(corpus, queries, k=10)

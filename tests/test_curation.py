@@ -483,3 +483,51 @@ def test_grouped_split_no_group_straddles_splits(spark):
     # deterministic re-run
     again = C.grouped_split(df, "g", val_bp=2000, test_bp=2000).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    # target domain: docs about cooking; raw corpus mixes cooking docs
+    # with code-flavored docs. Cooking docs must score higher.
+    cooking = [
+        "stir the sauce and simmer the onions with butter and garlic",
+        "bake the bread then season the roast with thyme and pepper",
+        "whisk the eggs and fold the flour into the batter gently",
+    ]
+    code = [
+        "def main args return parse the input tokens and exit",
+        "class node left right value insert delete traverse tree",
+    ]
+    raw_rows = [(i, t) for i, t in enumerate(cooking + code)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(cooking)],
+        "doc_id long, text string")
+    w = {r["doc_id"]: r["logw_nano"]
+         for r in C.dsir_weights(raw, target, buckets=256).collect()}
+    assert len(w) == 5
+    worst_cooking = min(w[i] for i in range(3))
+    best_code = max(w[i] for i in (3, 4))
+    assert worst_cooking > best_code
+    # deterministic re-run
+    again = {r["doc_id"]: r["logw_nano"]
+             for r in C.dsir_weights(raw, target, buckets=256).collect()}
+    assert again == w
+
+
+def test_dsir_resample_draws_exactly_k_reproducibly(spark):
+    rows = [(i, f"word{i % 7} common text filler number {i}")
+            for i in range(60)]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = raw.filter("doc_id % 7 = 0")
+    w = C.dsir_weights(raw, target, buckets=128)
+    got = C.dsir_resample(w, n_keep=10, seed=7).collect()
+    assert len(got) == 10
+    # keys strictly ordered in the output, ids unique
+    keys = [r["key_nano"] for r in got]
+    assert keys == sorted(keys, reverse=True)
+    assert len({r["doc_id"] for r in got}) == 10
+    again = C.dsir_resample(w, n_keep=10, seed=7).collect()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in got]
+    # a different seed draws a different sample (overwhelmingly likely)
+    other = C.dsir_resample(w, n_keep=10, seed=8).collect()
+    assert [r["doc_id"] for r in other] != [r["doc_id"] for r in got]

@@ -461,3 +461,35 @@ def test_sorted_neighborhood_reverse_pass_catches_suffix_match(spark):
     got = {(r["id_a"], r["id_b"])
            for r in sorted_neighborhood_pairs(docs, threshold=0.3).collect()}
     assert (1, 2) in got
+
+
+def test_corpus_overlap_identical_and_disjoint(spark):
+    from servihabitat_etl_spyke_spark.operators import dedup as D
+    rows_a = [(i, f"alpha beta gamma delta epsilon token{i} zeta eta")
+              for i in range(30)]
+    rows_b = [(100 + i, f"one two three four five item{i} six seven")
+              for i in range(30)]
+    a = spark.createDataFrame(rows_a, "doc_id long, text string")
+    b = spark.createDataFrame(rows_b, "doc_id long, text string")
+    same = D.corpus_overlap(a, a, k=16).collect()[0]
+    assert same["n_equal"] == 16
+    assert same["jaccard_est_permille"] == 1000
+    diff = D.corpus_overlap(a, b, k=16).collect()[0]
+    # disjoint shingle sets: expected agreement ~J=0; allow sketch noise
+    assert diff["n_equal"] <= 2
+
+
+def test_corpus_overlap_estimates_true_jaccard(spark):
+    from servihabitat_etl_spyke_spark.operators import dedup as D
+    # corpus B = half of A plus fresh docs -> true shingle Jaccard ~1/3
+    shared = [(i, f"shared run of text number {i} with stable words here")
+              for i in range(40)]
+    only_a = [(200 + i, f"alpha only document {i} talks about unique topics")
+              for i in range(40)]
+    only_b = [(400 + i, f"beta exclusive piece {i} covering other matters")
+              for i in range(40)]
+    a = spark.createDataFrame(shared + only_a, "doc_id long, text string")
+    b = spark.createDataFrame(shared + only_b, "doc_id long, text string")
+    est = D.corpus_overlap(a, b, k=64).collect()[0]
+    # true J ~ 1/3; with k=64 the binomial std is ~6 permille points
+    assert 150 <= est["jaccard_est_permille"] <= 550

@@ -225,6 +225,17 @@ _ALLOWED_HAZARDS = {
     "text_heavy_hitters": {"bnlj", "single_part"},
     # two snapshot-total scalars (1 row) broadcast over the 10-bin table
     "profile_drift_psi": {"bnlj", "single_part"},
+    # gram-total scalars (1 row each side) broadcast onto the
+    # buckets-row distribution tables; the corpus stream itself only
+    # ever equi-joins the broadcast bucket-term table
+    "curate_dsir_weights": {"bnlj", "single_part"},
+    "curate_dsir_sample": {"bnlj", "single_part"},
+    # two 1-row corpus sketches compared: the only "join" in the query
+    # is 1 row x 1 row by construction
+    "dedup_corpus_overlap": {"bnlj", "single_part"},
+    # brute-force cosine baseline (same as ann_cosine_topk) with the
+    # metadata predicate semi-joined in front of the scoring stage
+    "ann_filtered_topk": {"bnlj"},
     # fusion of two <=30-row top-k lists: brute-force dense baseline
     # (bnlj, same as ann_cosine_topk) + rank windows over tiny lists
     "retrieval_hybrid_rrf": {"bnlj", "single_part"},
