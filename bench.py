@@ -112,6 +112,8 @@ HEADLINE = [
     "curate_dsir_sample",
     "dedup_corpus_overlap",
     "ann_filtered_topk",
+    "curate_sample_exact_k",
+    "curate_token_budget_mix",
 ]
 
 

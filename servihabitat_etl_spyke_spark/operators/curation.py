@@ -563,3 +563,53 @@ def dsir_resample(weights: DataFrame, n_keep: int, seed: int = 7,
             .withColumn("key_nano", F.col("logw_nano") + gumbel_nano)
             .orderBy(F.col("key_nano").desc(), id_col)
             .limit(n_keep))
+
+
+def sample_exact_k(df: DataFrame, k: int, strata_col: str,
+                   key_col: str) -> DataFrame:
+    """EXACTLY k rows per stratum, uniform without replacement: rank rows
+    within each stratum by their md5-derived hash (a random permutation
+    that is identical on every run and engine) and keep the first k —
+    the deterministic reservoir-sample used to build fixed-size eval /
+    calibration sets per language or source. Strata smaller than k keep
+    all their rows. Rate-based sampling (:func:`stratified_sample`) hits
+    a target only in expectation; this is the exact-count variant.
+
+    Adds ``sample_rank`` (1-based within the stratum's hash order).
+
+    Shape: ONE shuffle on the stratum key for the per-stratum window;
+    no global sort, no driver round-trip. Hash ties broken by the key
+    itself so the permutation is total and reproducible."""
+    h = _unit_uniform(F.col(key_col)) * 100000 \
+        + (F.col(key_col).cast("long") % 100000)
+    w = W.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col))
+    return (df.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k))
+
+
+def token_budget_mix(df: DataFrame, budget_per_stratum: int,
+                     strata_col: str, key_col: str,
+                     tokens_col: str) -> DataFrame:
+    """Greedy per-stratum TOKEN-budget mixture: walk each stratum in the
+    deterministic hash order and keep docs while the running token total
+    stays under the budget (the first doc always fits) — how a training
+    mix is assembled when the recipe says "20 B tokens of code, 5 B of
+    wiki", where row counts are the wrong unit because doc lengths vary
+    by orders of magnitude across sources.
+
+    Keeps a doc iff the cumulative token count of all hash-earlier docs
+    in its stratum is < ``budget_per_stratum``: integer cumulative sum,
+    engine-bit-identical. Adds ``tokens_before`` (that prefix sum).
+
+    Shape: one shuffle on the stratum key, one running-sum window within
+    it — parallel across strata; at 100 TB strata are the mixture's
+    sources, so the widest window is one source's docs ordered by an
+    integer, exactly the shard-assignment shape already proven there."""
+    h = _unit_uniform(F.col(key_col)) * 100000 \
+        + (F.col(key_col).cast("long") % 100000)
+    w = (W.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col))
+         .rowsBetween(W.unboundedPreceding, -1))
+    return (df.withColumn(
+        "tokens_before",
+        F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long"))
+        .filter(F.col("tokens_before") < budget_per_stratum))

@@ -740,3 +740,53 @@ def curate_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = docs.filter(F.col("lang") == "en")
     w = C.dsir_weights(docs, target, buckets=1024, n=2)
     return C.dsir_resample(w, n_keep=100, seed=7)
+
+
+_HK_SQL = ("(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+           "::UBIGINT::BIGINT % 10000) * 100000 + doc_id % 100000")
+
+
+@query("curate_sample_exact_k", oracle=f"""
+WITH h AS (SELECT doc_id, lang, {_HK_SQL} AS hk FROM documents),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY hk, doc_id) AS sample_rank
+      FROM h)
+SELECT doc_id, lang, sample_rank FROM r
+WHERE sample_rank <= 20 ORDER BY lang, sample_rank
+""")
+def curate_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-docs-per-language uniform sample (deterministic
+    md5-hash permutation ranked within each stratum) — the fixed-size
+    eval-set builder. One stratum-keyed shuffle, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (C.sample_exact_k(docs, k=20, strata_col="lang",
+                             key_col="doc_id")
+            .select("doc_id", "lang", "sample_rank")
+            .orderBy("lang", "sample_rank"))
+
+
+@query("curate_token_budget_mix", oracle=f"""
+WITH h AS (SELECT doc_id, source, n_chars, {_HK_SQL} AS hk
+           FROM documents),
+c AS (SELECT doc_id, source, n_chars,
+             CAST(COALESCE(sum(n_chars) OVER (
+                 PARTITION BY source ORDER BY hk, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS tokens_before
+      FROM h)
+SELECT doc_id, source, n_chars, tokens_before FROM c
+WHERE tokens_before < 30000 ORDER BY doc_id
+""")
+def curate_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-budget mixture: keep docs in the deterministic
+    hash order while each source's running char total stays under
+    30000 — the 'N tokens of each source' mix assembly where row counts
+    are the wrong unit. One shuffle on the source key; integer prefix
+    sums are engine-bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (C.token_budget_mix(docs, budget_per_stratum=30000,
+                               strata_col="source", key_col="doc_id",
+                               tokens_col="n_chars")
+            .select("doc_id", "source", "n_chars", "tokens_before")
+            .orderBy("doc_id"))

@@ -531,3 +531,38 @@ def test_dsir_resample_draws_exactly_k_reproducibly(spark):
     # a different seed draws a different sample (overwhelmingly likely)
     other = C.dsir_resample(w, n_keep=10, seed=8).collect()
     assert [r["doc_id"] for r in other] != [r["doc_id"] for r in got]
+
+
+def test_sample_exact_k_counts_and_determinism(spark):
+    rows = [(i, f"s{i % 3}") for i in range(200)] + [(900, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = C.sample_exact_k(df, k=10, strata_col="g",
+                           key_col="doc_id").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["g"], []).append(r["sample_rank"])
+    assert all(sorted(v) == list(range(1, 11)) for g, v in per.items()
+               if g != "tiny")
+    # stratum smaller than k keeps everything
+    assert per["tiny"] == [1]
+    again = C.sample_exact_k(df, k=10, strata_col="g",
+                             key_col="doc_id").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_token_budget_mix_respects_budget(spark):
+    rows = [(i, f"s{i % 2}", 40) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, ntok long")
+    out = C.token_budget_mix(df, budget_per_stratum=200, strata_col="g",
+                             key_col="doc_id", tokens_col="ntok").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["g"], []).append(r)
+    for g, kept in per.items():
+        # 40-token docs against a 200 budget: exactly 5 kept per stratum
+        assert len(kept) == 5
+        assert all(r["tokens_before"] < 200 for r in kept)
+    # an over-budget single doc still enters (first doc always fits)
+    one = spark.createDataFrame([(1, "a", 10_000)],
+                                "doc_id long, g string, ntok long")
+    assert C.token_budget_mix(one, 200, "g", "doc_id", "ntok").count() == 1
