@@ -114,6 +114,8 @@ HEADLINE = [
     "ann_filtered_topk",
     "curate_sample_exact_k",
     "curate_token_budget_mix",
+    "curate_gopher_filter",
+    "text_ctfidf_terms",
 ]
 
 

@@ -8,6 +8,7 @@ hot path scans 100 TB without touching Python.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import spread
 
@@ -760,3 +761,107 @@ def cluster_documents(docs: DataFrame, k: int = 8, dim: int = 64,
                         F.col("centroid_id").alias("cluster_id")))
     finally:
         vecs.unpersist()
+
+
+def gopher_filter(docs: DataFrame, min_tokens: int = 50,
+                  max_tokens: int = 100000,
+                  min_mean_word_len: float = 3.0,
+                  max_mean_word_len: float = 10.0,
+                  min_stopword_count: int = 2,
+                  max_top_token_frac: float = 0.2,
+                  max_dup_3gram_frac: float = 0.3,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021, App. A1.1 shape)
+    as ONE row-local verdict: length bounds, mean word length bounds,
+    minimum stopword count, most-frequent-token share, duplicate-3-gram
+    fraction — each rule a boolean column plus the conjunction ``keep``.
+    The standard pre-model heuristic gate a pretraining pipeline runs
+    before any classifier scoring.
+
+    All signals are integer/integer arithmetic over one token-array
+    projection — no shuffle, no UDF; every ratio is bit-identical across
+    engines, and the rule thresholds compare against exact fractions
+    (n * den cmp num form is avoided because the int/int doubles are
+    already exact enough: numerator/denominator pairs are < 2^53)."""
+    toks, dist, g3 = F.col("_toks"), F.col("_dist"), F.col("_g3")
+    n_tok = F.size(toks)
+    counts = F.transform(
+        dist, lambda x: F.size(F.filter(toks, lambda y: y == x)))
+    base = (spread(docs, id_col)
+            .select(F.col(id_col), F.col(text_col),
+                    F.split(F.col(text_col), " ").alias("_toks"))
+            .select(F.col(id_col), "_toks",
+                    F.array_distinct("_toks").alias("_dist"),
+                    F.transform(
+                        F.sequence(F.lit(1),
+                                   F.greatest(F.size(toks) - 2, F.lit(1))),
+                        lambda i: F.array_join(F.slice(toks, i, 3), " "))
+                    .alias("_g3"),
+                    F.aggregate(F.transform(F.col("_toks"), F.length),
+                                F.lit(0),
+                                lambda a, x: a + x).alias("_tok_chars"))
+            .select(
+                F.col(id_col),
+                n_tok.alias("n_tokens"),
+                (F.col("_tok_chars") / n_tok).alias("mean_word_len"),
+                _count_in(toks, STOPWORDS).alias("n_stopwords"),
+                (F.array_max(counts) / n_tok).alias("top_token_frac"),
+                (1 - F.size(F.array_distinct(g3)) / F.size(g3))
+                .alias("dup_3gram_frac")))
+    rules = base.select(
+        "*",
+        ((F.col("n_tokens") >= min_tokens)
+         & (F.col("n_tokens") <= max_tokens)).alias("r_len"),
+        ((F.col("mean_word_len") >= min_mean_word_len)
+         & (F.col("mean_word_len") <= max_mean_word_len))
+        .alias("r_word_len"),
+        (F.col("n_stopwords") >= min_stopword_count).alias("r_stopwords"),
+        (F.col("top_token_frac") <= max_top_token_frac)
+        .alias("r_top_token"),
+        (F.col("dup_3gram_frac") <= max_dup_3gram_frac)
+        .alias("r_dup_3gram"))
+    return rules.withColumn(
+        "keep",
+        F.col("r_len") & F.col("r_word_len") & F.col("r_stopwords")
+        & F.col("r_top_token") & F.col("r_dup_3gram"))
+
+
+def ctfidf_terms(docs: DataFrame, group_col: str, top: int = 5,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF statistic): for each
+    group (topic / source / language) the terms that CHARACTERIZE it —
+    tf of the term within the group scaled by log(1 + A / f_t), where
+    A is the mean group token mass and f_t the term's corpus-wide count.
+    The dataset-card "what is this slice about" summary.
+
+    Scores are nano-quantized to integers before ranking (ln is
+    correctly-rounded-enough everywhere, and the tf multiplier is an
+    exact integer), ties broken by term, so top-k per group is
+    deterministic and engine-reproducible.
+
+    Shape: one explode -> (group, term) counts (map-side partials), a
+    terms-wide marginal (one more agg over the same counts), the 1-row
+    corpus mean broadcast, and a per-group top-k window over ~|terms|
+    rows per group — never the corpus."""
+    toks = (docs.select(F.col(group_col).alias("grp"),
+                        F.explode(F.split(F.col(text_col), " "))
+                        .alias("term")))
+    gt = toks.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    ft = gt.groupBy("term").agg(F.sum("tf").alias("f_t"))
+    a = (gt.groupBy("grp").agg(F.sum("tf").alias("_m"))
+         .agg(F.avg("_m").alias("_A")))
+    scored = (gt.join(ft, "term")
+              .join(F.broadcast(a))
+              .select("grp", "term", "tf",
+                      F.floor(F.col("tf")
+                              * F.log(F.lit(1.0)
+                                      + F.col("_A") / F.col("f_t"))
+                              * F.lit(1e9) + F.lit(0.5))
+                      .cast("long").alias("ctfidf_nano")))
+    w = W.partitionBy("grp").orderBy(F.col("ctfidf_nano").desc(), "term")
+    return (scored.withColumn("term_rank", F.row_number().over(w))
+            .filter(F.col("term_rank") <= top)
+            .select(F.col("grp").alias(group_col), "term", "tf",
+                    "ctfidf_nano", "term_rank"))

@@ -790,3 +790,81 @@ def curate_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                                tokens_col="n_chars")
             .select("doc_id", "source", "n_chars", "tokens_before")
             .orderBy("doc_id"))
+
+
+@query("curate_gopher_filter", oracle="""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id, t,
+       list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                      i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         AS g3
+      FROM s),
+m AS (SELECT doc_id, len(t) AS n_tokens,
+       list_sum(list_transform(t, x -> length(x)))
+         / CAST(len(t) AS DOUBLE) AS mean_word_len,
+       len(list_filter(t, x -> list_contains(
+           ['the','a','of','and','is','in','to','it'], x))) AS n_stopwords,
+       list_max(list_transform(list_distinct(t),
+                x -> len(list_filter(t, y -> y = x))))
+         / CAST(len(t) AS DOUBLE) AS top_token_frac,
+       1 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)
+         AS dup_3gram_frac
+      FROM g)
+SELECT doc_id, n_tokens, mean_word_len, n_stopwords, top_token_frac,
+       dup_3gram_frac,
+       n_tokens >= 30 AND n_tokens <= 100000 AS r_len,
+       mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_word_len,
+       n_stopwords >= 2 AS r_stopwords,
+       top_token_frac <= 0.12 AS r_top_token,
+       dup_3gram_frac <= 0.05 AS r_dup_3gram,
+       (n_tokens >= 30 AND n_tokens <= 100000)
+         AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         AND n_stopwords >= 2 AND top_token_frac <= 0.12
+         AND dup_3gram_frac <= 0.05 AS keep
+FROM m ORDER BY doc_id
+""")
+def curate_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher heuristic-rule quality gate (Rae et al. 2021 shape) as
+    one row-local verdict: length / mean-word-length / stopword /
+    top-token-share / duplicate-3-gram rules, each surfaced as a boolean
+    plus the conjunction — the standard pre-classifier filter pass.
+    Every signal is int/int arithmetic over one token projection, so
+    both engines produce bit-identical doubles; keeps 65% of the sf0.01
+    corpus (every rule fires somewhere)."""
+    from .operators.text import gopher_filter
+    docs = load_table(spark, sf_dir, "documents")
+    return (gopher_filter(docs, min_tokens=30, max_top_token_frac=0.12,
+                          max_dup_3gram_frac=0.05)
+            .orderBy("doc_id"))
+
+
+@query("text_ctfidf_terms", oracle="""
+WITH toks AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+gt AS (SELECT grp, term, count(*) AS tf FROM toks GROUP BY grp, term),
+ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f_t FROM gt GROUP BY term),
+a AS (SELECT avg(m) AS A FROM (
+        SELECT CAST(sum(tf) AS DOUBLE) AS m FROM gt GROUP BY grp)),
+scored AS (
+  SELECT grp, term, tf,
+         CAST(floor(tf * ln(1.0 + A / f_t) * 1000000000.0 + 0.5)
+              AS BIGINT) AS ctfidf_nano
+  FROM gt JOIN ft USING (term), a),
+ranked AS (
+  SELECT grp, term, tf, ctfidf_nano,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY ctfidf_nano DESC, term) AS term_rank
+  FROM scored)
+SELECT grp AS source, term, tf, ctfidf_nano, term_rank FROM ranked
+WHERE term_rank <= 5 ORDER BY source, term_rank
+""")
+def text_ctfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per source via class-based TF-IDF (the
+    BERTopic c-TF-IDF statistic): within-group term counts scaled by
+    log(1 + A/f_t) against the corpus-wide marginal — the dataset-card
+    'what is this slice about' summary. Nano-int scores, term tiebreak:
+    deterministic top-5 per group."""
+    from .operators.text import ctfidf_terms
+    docs = load_table(spark, sf_dir, "documents")
+    return (ctfidf_terms(docs, group_col="source", top=5)
+            .orderBy("source", "term_rank"))

@@ -566,3 +566,46 @@ def test_token_budget_mix_respects_budget(spark):
     one = spark.createDataFrame([(1, "a", 10_000)],
                                 "doc_id long, g string, ntok long")
     assert C.token_budget_mix(one, 200, "g", "doc_id", "ntok").count() == 1
+
+
+def test_gopher_filter_rules_fire_individually(spark):
+    from servihabitat_etl_spyke_spark.operators.text import gopher_filter
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog near the old barn "
+            "and it runs fast to the deep green forest tonight"),   # keeps
+        (2, "short text only"),                                     # r_len
+        (3, "the the the the the the the the the the the the the the "
+            "the the the the the the the the"),                     # top_token
+        (4, " ".join(["alpha beta gamma"] * 12)),                   # dup_3gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           gopher_filter(df, min_tokens=20, min_stopword_count=2,
+                         max_top_token_frac=0.3,
+                         max_dup_3gram_frac=0.3).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["r_len"] and not out[2]["keep"]
+    assert not out[3]["r_top_token"] and not out[3]["keep"]
+    assert not out[4]["r_dup_3gram"] and not out[4]["keep"]
+
+
+def test_ctfidf_surfaces_group_characteristic_terms(spark):
+    from servihabitat_etl_spyke_spark.operators.text import ctfidf_terms
+    rows = (
+        [(i, "cook", "recipe sauce onion butter stir pan") for i in range(8)]
+        + [(100 + i, "code", "compile parse token stack heap loop")
+           for i in range(8)]
+        + [(200 + i, "cook", "shared words appear here too") for i in range(2)]
+        + [(300 + i, "code", "shared words appear here too") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    out = ctfidf_terms(df.withColumnRenamed("src", "source"),
+                       group_col="source", top=3).collect()
+    top = {}
+    for r in out:
+        top.setdefault(r["source"], []).append(r["term"])
+    # the shared filler never outranks the group-exclusive vocabulary
+    assert set(top["cook"]) <= {"recipe", "sauce", "onion", "butter",
+                                "stir", "pan"}
+    assert set(top["code"]) <= {"compile", "parse", "token", "stack",
+                                "heap", "loop"}

@@ -233,6 +233,9 @@ _ALLOWED_HAZARDS = {
     # two 1-row corpus sketches compared: the only "join" in the query
     # is 1 row x 1 row by construction
     "dedup_corpus_overlap": {"bnlj", "single_part"},
+    # mean-group-token-mass scalar (1 row) broadcast onto the per-group
+    # term counts
+    "text_ctfidf_terms": {"bnlj", "single_part"},
     # brute-force cosine baseline (same as ann_cosine_topk) with the
     # metadata predicate semi-joined in front of the scoring stage
     "ann_filtered_topk": {"bnlj"},
