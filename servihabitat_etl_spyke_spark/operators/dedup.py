@@ -596,8 +596,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
              .union(pairs.select(F.col(id_b).alias("u"),
                                  F.col(id_a).alias("v")))
-             .repartition("u")
              .localCheckpoint())
+    # size the iterative loop's parallelism to the edge table (same
+    # rationale as graph.pagerank): per-task fixed overhead dominates
+    # each round when the default width would hold a few hundred edges
+    # per partition; the width scales back up with the edge count
+    width = max(1, min(edges.sparkSession.sparkContext.defaultParallelism,
+                       edges.count() // 65536 + 1))
+    edges = edges.repartition(width, "u").localCheckpoint()
     labels = edges.groupBy("u").agg(
         F.least(F.first("u"), F.min("v")).alias("label"))
     changed = 0

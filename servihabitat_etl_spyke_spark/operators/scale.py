@@ -358,3 +358,51 @@ def heavy_hitters(items: DataFrame, col: str, k: int = 50) -> DataFrame:
             .filter(F.col("cnt") * (k + 1) > F.col("_n"))
             .select(F.col(col).alias("item"), "cnt")
             .orderBy(F.col("cnt").desc(), "item"))
+
+
+# -- count-min sketch ---------------------------------------------------------
+
+
+def cms_sketch(items: DataFrame, col: str, d: int = 4,
+               w: int = 512) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of an item stream
+    as a d x w counter table: row r counts items at column
+    md5-hash_r(item) % w. The sketch is (a) FIXED-SIZE regardless of
+    domain cardinality — d*w rows out of one aggregation with map-side
+    partials, the full-domain histogram shuffle never happens — and (b)
+    MERGEABLE: sketches of two shards/snapshots/stream windows add
+    cell-wise, so per-partition partials, per-day sketches, and
+    cross-release merges all compose. Estimates overcount only (never
+    under), by <= e*N/w with probability 1 - (1/2)^d.
+
+    Deterministic md5-derived hash rows, so an external SQL oracle
+    builds the bit-identical sketch. Returns (r, c, cnt) — absent cells
+    are zero."""
+    from ..operators.dedup import _hash32
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 (_hash32(F.col(col), seed=r) % w).alias("c"))
+        for r in range(d)]))
+    return (items.select(rows.alias("_rc"))
+            .select("_rc.r", "_rc.c")
+            .groupBy("r", "c").agg(F.count("*").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str = "item",
+                 d: int = 4, w: int = 512) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch: per probe item
+    the MIN over its d cells (0 when a cell is absent). The probe table
+    is tiny by nature (you ask about specific items), so the d-cell
+    lookup is a broadcast equi-join against the d*w-row sketch.
+
+    Returns (item, est) — an upper bound on the true count."""
+    from ..operators.dedup import _hash32
+    cells = F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 (_hash32(F.col(col), seed=r) % w).alias("c"))
+        for r in range(d)]))
+    probe_cells = (probes.select(F.col(col), cells.alias("_rc"))
+                   .select(col, "_rc.r", "_rc.c"))
+    return (probe_cells.join(sketch, ["r", "c"], "left")
+            .groupBy(col)
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est")))

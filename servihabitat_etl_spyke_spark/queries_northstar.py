@@ -1914,3 +1914,52 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       emb.vec_id == allowed.doc_id, "left_semi")
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.cosine_topk(corpus, queries, k=10)
+
+
+@query("text_cms_estimate", oracle="""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+cells AS (
+  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))
+            ::UBIGINT::BIGINT % 512 AS c
+  FROM toks, range(4) t(r)),
+sk AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
+probes(item) AS (VALUES ('table'), ('hash'), ('join'), ('scan'),
+                        ('the'), ('quantumfoam')),
+pc AS (SELECT item, r,
+       ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || item), 1, 8))
+         ::UBIGINT::BIGINT % 512 AS c
+       FROM probes, range(4) t(r)),
+est AS (SELECT item, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS est
+        FROM pc LEFT JOIN sk USING (r, c) GROUP BY item),
+tc AS (SELECT tok AS item, CAST(count(*) AS BIGINT) AS true_cnt
+       FROM toks GROUP BY tok)
+SELECT e.item, est, COALESCE(true_cnt, 0) AS true_cnt,
+       est - COALESCE(true_cnt, 0) AS overcount
+FROM est e LEFT JOIN tc USING (item) ORDER BY item
+""")
+def text_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream (d=4, w=512 — a
+    FIXED 2048-cell table out of one map-side-partial aggregation, the
+    domain-sized histogram shuffle never happens) probed for five known
+    tokens + one absent one, with the exact counts joined back so the
+    never-undercount property is visible in the result. Sketches are
+    cell-wise mergeable across shards/snapshots/stream windows — the
+    frequency monitor you keep per release. md5-derived hash rows make
+    the sketch (and so the estimates) engine-bit-identical."""
+    from .operators import scale as SC
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    sk = SC.cms_sketch(toks, "tok", d=4, w=512)
+    probes = spark.createDataFrame(
+        [("table",), ("hash",), ("join",), ("scan",), ("the",),
+         ("quantumfoam",)], "item string")
+    est = SC.cms_estimate(sk, probes, col="item", d=4, w=512)
+    true = (toks.groupBy(F.col("tok").alias("item"))
+            .agg(F.count("*").alias("true_cnt")))
+    return (est.join(true, "item", "left")
+            .select("item", "est",
+                    F.coalesce("true_cnt", F.lit(0)).alias("true_cnt"),
+                    (F.col("est") - F.coalesce("true_cnt", F.lit(0)))
+                    .alias("overcount"))
+            .orderBy("item"))

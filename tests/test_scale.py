@@ -307,3 +307,29 @@ def test_new_operator_arg_guards(spark):
         heavy_hitters(df, "v", k=0)
     with _pt.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    from servihabitat_etl_spyke_spark.operators import scale as SC
+    from pyspark.sql import functions as F
+    rows = [(f"tok{i % 17}",) for i in range(400)] + [("rare",)]
+    df = spark.createDataFrame(rows, "tok string")
+    sk = SC.cms_sketch(df, "tok", d=4, w=64)
+    probes = spark.createDataFrame(
+        [("tok3",), ("rare",), ("absent",)], "item string")
+    est = {r["item"]: r["est"]
+           for r in SC.cms_estimate(sk, probes, d=4, w=64).collect()}
+    true = {r["tok"]: r["cnt"] for r in
+            df.groupBy("tok").agg(F.count("*").alias("cnt")).collect()}
+    assert est["tok3"] >= true["tok3"]
+    assert est["rare"] >= 1
+    assert est["absent"] >= 0
+    # mergeability: sketch(a) + sketch(b) cell-wise == sketch(a union b)
+    half1 = SC.cms_sketch(df.filter(F.col("tok") < "tok5"), "tok", d=4, w=64)
+    half2 = SC.cms_sketch(df.filter(~(F.col("tok") < "tok5")), "tok",
+                          d=4, w=64)
+    merged = (half1.unionByName(half2).groupBy("r", "c")
+              .agg(F.sum("cnt").alias("cnt")))
+    whole = SC.cms_sketch(df, "tok", d=4, w=64)
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, whole.collect())))
