@@ -111,3 +111,45 @@ def stream_rollup_upsert(stream: DataFrame, path: str, checkpoint: str, *,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_cms_upsert(stream: DataFrame, path: str, checkpoint: str, *,
+                      item_col: str = "item", d: int = 4, w: int = 512,
+                      available_now: bool = True):
+    """Streaming count-min sketch maintenance: each micro-batch folds to
+    its own d x w partial sketch (``scale.cms_sketch``) and MERGES into
+    the stored sketch by cell-wise addition — the mergeability that makes
+    CMS the right frequency monitor for an endless stream: state is a
+    FIXED 2048-cell table no matter how many distinct items flow
+    through, and the stored sketch equals the batch sketch of everything
+    seen (stream == batch twin test asserts cell equality).
+
+    Same MERGE-into-parquet emulation as ``stream_rollup_upsert``; at
+    scale the sink is a transactional table and this is one MERGE INTO
+    keyed by (r, c)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.scale import cms_sketch
+
+    def apply_batch(batch: DataFrame, _bid: int) -> None:
+        spark = batch.sparkSession
+        part = cms_sketch(batch, item_col, d=d, w=w)
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            merged = (existing.unionByName(part)
+                      .groupBy("r", "c")
+                      .agg(F.sum("cnt").alias("cnt")))
+            tmp = path.rstrip("/") + "._tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        else:
+            part.write.mode("overwrite").parquet(path)
+
+    writer = (stream.writeStream
+              .foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -366,3 +366,31 @@ def test_stream_incremental_neardup_matches_batch(spark, sf_dir, tmp_path):
             if (r["id_a"] % 5 == 0) != (r["id_b"] % 5 == 0)}
     assert got == want
     assert want, "fixture must contain cross pairs for the twin to prove"
+
+
+def test_stream_cms_upsert_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """The incrementally maintained CMS equals the one-shot batch sketch
+    of the same stream (cell-wise mergeability), and a replay into the
+    same store doubles every cell."""
+    from servihabitat_etl_spyke_spark.operators.scale import cms_sketch
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        stream_cms_upsert)
+    stream = read_event_stream(spark, sf_dir).select(
+        F.col("event_type").alias("item"))
+    q = stream_cms_upsert(stream, str(tmp_path / "cms"),
+                          str(tmp_path / "ckpt"), d=4, w=64)
+    q.awaitTermination(120)
+    got = sorted(map(tuple,
+                     spark.read.parquet(str(tmp_path / "cms")).collect()))
+    batch = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("item"))
+    want = sorted(map(tuple, cms_sketch(batch, "item", d=4, w=64).collect()))
+    assert got == want and len(got) > 0
+    q2 = stream_cms_upsert(
+        read_event_stream(spark, sf_dir).select(
+            F.col("event_type").alias("item")),
+        str(tmp_path / "cms"), str(tmp_path / "ckpt2"), d=4, w=64)
+    q2.awaitTermination(120)
+    got2 = sorted(map(tuple,
+                      spark.read.parquet(str(tmp_path / "cms")).collect()))
+    assert got2 == [(r, c, 2 * cnt) for r, c, cnt in got]
