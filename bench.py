@@ -117,6 +117,7 @@ HEADLINE = [
     "curate_gopher_filter",
     "text_ctfidf_terms",
     "text_cms_estimate",
+    "dedup_prefix_filter",
 ]
 
 

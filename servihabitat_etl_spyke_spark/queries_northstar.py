@@ -1963,3 +1963,32 @@ def text_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("est") - F.coalesce("true_cnt", F.lit(0)))
                     .alias("overcount"))
             .orderBy("item"))
+
+
+@query("dedup_prefix_filter", oracle=f"""
+WITH {_SH_SQL},
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.2
+ORDER BY id_a, id_b
+""")
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard pairs by PREFIX FILTERING (PPJoin/AllPairs
+    principle): only each doc's rarest-first prefix of length
+    |x| - ceil(t|x|) + 1 enters the candidate join, so the frequent
+    shingles that generate almost all of the full inverted index's
+    candidates never join — structurally fewer candidates, IDENTICAL
+    result. The oracle is therefore the very same SQL as
+    `neardup_jaccard`: two different algorithms, one exact answer —
+    the strongest correctness statement the harness can make."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (D.prefix_filter_pairs(docs, threshold=0.2)
+            .orderBy("id_a", "id_b"))

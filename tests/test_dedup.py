@@ -493,3 +493,30 @@ def test_corpus_overlap_estimates_true_jaccard(spark):
     est = D.corpus_overlap(a, b, k=64).collect()[0]
     # true J ~ 1/3; with k=64 the binomial std is ~6 permille points
     assert 150 <= est["jaccard_est_permille"] <= 550
+
+
+def test_prefix_filter_matches_full_join_with_fewer_candidates(spark):
+    from pyspark.sql import functions as F
+    from servihabitat_etl_spyke_spark.operators import dedup as D
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "common filler words shared across docs")
+    rows = [(i, base + f" unique{i} tail{i} extra{i}") for i in range(30)]
+    rows += [(100 + i, f"totally different text {i} about other things "
+              f"entirely new tokens {i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = sorted(map(tuple,
+                      D.jaccard_pairs(docs, threshold=0.3).collect()))
+    pf = sorted(map(tuple,
+                    D.prefix_filter_pairs(docs, threshold=0.3).collect()))
+    assert pf == full and len(full) > 0
+    # the prefix index is strictly smaller than the full shingle table
+    sh = D.shingle_table(docs)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    from pyspark.sql.window import Window as W
+    ranked = (sh.join(freq, "shingle")
+              .withColumn("_pos", F.row_number().over(
+                  W.partitionBy("doc_id").orderBy("_df", "shingle")))
+              .withColumn("_sz", F.count("*").over(W.partitionBy("doc_id"))))
+    plen = F.col("_sz") - F.ceil(F.col("_sz") * F.lit(0.3)) + 1
+    n_prefix = ranked.filter(F.col("_pos") <= plen).count()
+    assert n_prefix < sh.count()
