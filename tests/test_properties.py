@@ -284,3 +284,30 @@ def test_bpe_training_is_order_free(texts):
     re-shuffled corpus trains the identical tokenizer."""
     from servihabitat_etl_spyke_spark.operators.text import train_bpe
     assert train_bpe(texts, 12) == train_bpe(list(reversed(texts)), 12)
+
+
+# -- prefix-filter completeness --------------------------------------------------
+
+_doc_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta",
+                     "eta", "theta", "x1", "x2", "x3", "x4"]),
+    min_size=3, max_size=12)
+
+
+@given(texts=st.lists(_doc_words, min_size=4, max_size=10),
+       t=st.sampled_from([0.2, 0.4, 0.6]))
+@settings(max_examples=6, deadline=None)
+def test_prefix_filter_never_loses_a_pair(texts, t):
+    """PPJoin completeness on random corpora: the prefix-filtered join's
+    pair set equals the full inverted-index join's at every threshold —
+    the lemma (any pair at Jaccard >= t collides in its rarest-first
+    prefixes) exercised adversarially, including duplicate docs, subset
+    docs, and heavy shingle skew."""
+    from servihabitat_etl_spyke_spark.operators import dedup as D
+    spark = get_spark("tests")
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = sorted(map(tuple, D.jaccard_pairs(docs, threshold=t).collect()))
+    pf = sorted(map(tuple,
+                    D.prefix_filter_pairs(docs, threshold=t).collect()))
+    assert pf == full
