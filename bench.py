@@ -118,6 +118,7 @@ HEADLINE = [
     "text_ctfidf_terms",
     "text_cms_estimate",
     "dedup_prefix_filter",
+    "multimodal_audio_dedup",
 ]
 
 

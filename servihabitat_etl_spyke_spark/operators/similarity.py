@@ -265,6 +265,14 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
             new = [list(c) for c in cents]  # empty clusters keep centroid
             for r in stats:
                 new[r["cid"]][r["pos"]] = r["s"] / r["n"]
+            # early stop when no centroid component moved: Lloyd's is
+            # monotone, an unchanged model means every later round is a
+            # no-op — the check is free (the model is already driver-side)
+            # and saves whole cluster rounds whenever seeds were good.
+            # Full-batch only: a minibatch resamples per round, so equal
+            # models between rounds don't imply convergence there.
+            if sample_frac is None and new == cents:
+                break
             cents = new
     finally:
         pts.unpersist()

@@ -1992,3 +1992,26 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (D.prefix_filter_pairs(docs, threshold=0.2)
             .orderBy("id_a", "id_b"))
+
+
+@query("multimodal_audio_dedup")  # FFT float path -> rows-only; pytest
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio-dedup pipeline END TO END (the acoustic counterpart of
+    `multimodal_video_dedup`): decode + Haitsma-Kalker sub-fingerprint
+    words (pure map stage) -> alignment-free word-value inverted-index
+    join including the planted half-volume re-encodes -> connected
+    components over the near-dup pairs -> per-cluster canonical = the
+    smallest id, so every re-encode maps to its source. Returns
+    (doc_id, cluster_id, is_canonical) for every doc in some near-dup
+    pair. Same shuffle budget as its stages: the word equi-join and the
+    CC label propagation over pair ids only — blobs never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = MM.attach_audio(docs)
+    src = docs.filter(F.col("doc_id") % 7 == 3)
+    copies = (MM.audio_gain(MM.attach_audio(src), 0.5)
+              .withColumn("doc_id", F.col("doc_id") + 100000))
+    pairs = MM.audio_fp_neardup(blobs.unionByName(copies), min_shared=3)
+    comp = D.connected_components(pairs)
+    return (comp.withColumn("is_canonical",
+                            F.col("doc_id") == F.col("cluster_id"))
+            .orderBy("doc_id"))

@@ -520,3 +520,20 @@ def test_prefix_filter_matches_full_join_with_fewer_candidates(spark):
     plen = F.col("_sz") - F.ceil(F.col("_sz") * F.lit(0.3)) + 1
     n_prefix = ranked.filter(F.col("_pos") <= plen).count()
     assert n_prefix < sh.count()
+
+
+def test_audio_dedup_pipeline_maps_reencodes_to_sources(spark, sf_dir):
+    """Every planted half-volume re-encode (+100000 id) must land in the
+    same cluster as its source, and the source (smaller id) must be the
+    canonical representative."""
+    from servihabitat_etl_spyke_spark.queries import QUERIES
+    out = QUERIES["multimodal_audio_dedup"](spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    copies = [r for r in out if r["doc_id"] >= 100000]
+    assert copies, "planted re-encodes must appear in the pair graph"
+    for r in copies:
+        src = r["doc_id"] - 100000
+        assert src in by_id
+        assert by_id[src]["cluster_id"] == r["cluster_id"]
+        assert r["cluster_id"] <= src
+        assert not r["is_canonical"]
