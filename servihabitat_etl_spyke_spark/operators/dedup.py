@@ -593,10 +593,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     large-star/small-star algorithm halves rounds; the propagation loop
     here is the simple, shuffle-minimal form that covers real dedup
     graphs."""
-    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-             .union(pairs.select(F.col(id_b).alias("u"),
-                                 F.col(id_a).alias("v")))
-             .localCheckpoint())
+    # materialize the pair table ONCE before mirroring: the union's two
+    # branches are separate subplans, so an expensive pairs pipeline
+    # (LSH join, fingerprint index, ...) would otherwise execute twice
+    p = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+         .localCheckpoint())
+    edges = p.union(p.select(F.col("v").alias("u"),
+                             F.col("u").alias("v")))
     # size the iterative loop's parallelism to the edge table (same
     # rationale as graph.pagerank): per-task fixed overhead dominates
     # each round when the default width would hold a few hundred edges
@@ -1025,6 +1028,10 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.2,
     window to rank + cut prefixes, one prefix equi-join for candidates,
     then row-local exact-Jaccard verification over candidates only
     (:func:`verify_pairs` — the corpus never hash-shuffles)."""
+    # (the shingle table feeds the frequency count AND the ranking join;
+    # measured: materializing it costs more than the recompute it saves
+    # — both consumers shuffle it anyway, so only the scan-side
+    # projection duplicates)
     sh = shingle_table(docs, id_col, text_col, n)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     ranked = (sh.join(freq, "shingle")
@@ -1034,7 +1041,12 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.2,
                   W.partitionBy(id_col))))
     plen = (F.col("_sz")
             - F.ceil(F.col("_sz") * F.lit(float(threshold))) + 1)
-    prefix = ranked.filter(F.col("_pos") <= plen).select(id_col, "shingle")
+    # materialize the prefix index before self-joining it: the join's
+    # two branches are separate subplans, so the whole
+    # count+join+window pipeline above would otherwise execute twice
+    # (in practice the AllPairs prefix index IS a materialized artifact)
+    prefix = (ranked.filter(F.col("_pos") <= plen)
+              .select(id_col, "shingle").localCheckpoint())
     a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
     b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
     cand = (a.join(b, "shingle")
@@ -1044,3 +1056,53 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.2,
     cand.count()
     return verify_pairs(docs, cand, threshold=threshold,
                         id_col=id_col, text_col=text_col, n=n)
+
+
+def simhash_neardup(docs: DataFrame, max_hamming: int = 3, bands: int = 4,
+                    bits: int = 32, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 3) -> DataFrame:
+    """SimHash near-dup pairs the Manku-Jain-Sarma way (WWW 2007, the
+    Google web-crawl dedup design): fingerprints split into ``bands``
+    contiguous key blocks; two fingerprints within Hamming distance
+    ``max_hamming`` < bands MUST agree exactly on at least one block
+    (pigeonhole), so the banded equi-join is EXACT — candidates verify
+    with one ``bit_count(a XOR b)``. The text twin of the image/video
+    dHash joins: same join shape, same guarantee.
+
+    Returns (id_a, id_b, hamming). Scale: fingerprints are row-local;
+    the only shuffles are the block-key equi-join (each doc appears in
+    ``bands`` buckets) and the verified-pair dedup."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"simhash_neardup: max_hamming={max_hamming} >= bands={bands} "
+            f"voids the pigeonhole guarantee — pairs may differ in every "
+            f"block and be missed; raise bands above max_hamming")
+    if bits % bands:
+        raise ValueError(f"simhash_neardup: bits={bits} not divisible "
+                         f"by bands={bands}")
+    # materialize fingerprints before the self-join (two subplan
+    # branches) — the bit-vote fold is the expensive stage and the
+    # (id, long) table it produces is tiny
+    fp = simhash(docs, bits=bits, id_col=id_col, text_col=text_col,
+                 n=n).localCheckpoint()
+    bb = bits // bands
+    mask = (1 << bb) - 1
+    keyed = fp.select(
+        F.col(id_col), "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.shiftright("simhash", bi * bb)
+                     .bitwiseAND(F.lit(mask)).alias("key"))
+            for bi in range(bands)])).alias("_bk")) \
+        .select(id_col, "simhash", "_bk.band", "_bk.key")
+    a = keyed.select(F.col(id_col).alias("id_a"),
+                     F.col("simhash").alias("sh_a"), "band", "key")
+    b = keyed.select(F.col(id_col).alias("id_b"),
+                     F.col("simhash").alias("sh_b"), "band", "key")
+    return (a.join(b, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())

@@ -1977,20 +1977,25 @@ SELECT id_a, id_b,
 FROM common
 JOIN sizes sa ON id_a = sa.doc_id
 JOIN sizes sb ON id_b = sb.doc_id
-WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.2
+WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.6
 ORDER BY id_a, id_b
 """)
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT Jaccard pairs by PREFIX FILTERING (PPJoin/AllPairs
-    principle): only each doc's rarest-first prefix of length
-    |x| - ceil(t|x|) + 1 enters the candidate join, so the frequent
-    shingles that generate almost all of the full inverted index's
-    candidates never join — structurally fewer candidates, IDENTICAL
-    result. The oracle is therefore the very same SQL as
-    `neardup_jaccard`: two different algorithms, one exact answer —
-    the strongest correctness statement the harness can make."""
+    """EXACT Jaccard pairs at threshold 0.6 by PREFIX FILTERING
+    (PPJoin/AllPairs principle): only each doc's rarest-first prefix of
+    length |x| - ceil(t|x|) + 1 enters the candidate join, so the
+    frequent shingles that generate almost all of the full inverted
+    index's candidates never join — at t=0.6 the sf0.01 candidate set
+    is 165 pairs against the full join's ~800k-pair stream, IDENTICAL
+    result. (Prefix filtering is a HIGH-threshold technique by
+    construction: the prefix is the (1-t) fraction of each doc, so low
+    thresholds keep most shingles and prune nothing — use the full
+    inverted index or MinHash-LSH there.) The oracle is the very same
+    SQL shape as `neardup_jaccard` at 0.6: two different algorithms,
+    one exact answer — the strongest correctness statement the harness
+    can make."""
     docs = load_table(spark, sf_dir, "documents")
-    return (D.prefix_filter_pairs(docs, threshold=0.2)
+    return (D.prefix_filter_pairs(docs, threshold=0.6)
             .orderBy("id_a", "id_b"))
 
 
@@ -2015,3 +2020,36 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (comp.withColumn("is_canonical",
                             F.col("doc_id") == F.col("cluster_id"))
             .orderBy("doc_id"))
+
+
+def _simhash_pairs_oracle() -> str:
+    fp = _simhash_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH fp AS ({fp}),
+keyed AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * 8)) & 255 AS key
+  FROM fp, (SELECT unnest(range(4)) AS band) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM cand
+WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS the Manku-Jain-Sarma way (WWW 2007 — the
+    Google crawl-dedup design): 32-bit fingerprints split into four
+    8-bit blocks; Hamming <= 3 < 4 blocks means at least one block
+    agrees exactly (pigeonhole), so the banded equi-join is EXACT and
+    verification is one bit_count(XOR). The text twin of the image /
+    video dHash band joins — one join shape across all three
+    modalities. 20 real pairs at sf0.01; the oracle replays fingerprint
+    votes, banding, and Hamming verify bit-exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (D.simhash_neardup(docs, max_hamming=3, bands=4)
+            .orderBy("id_a", "id_b"))

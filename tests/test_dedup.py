@@ -537,3 +537,24 @@ def test_audio_dedup_pipeline_maps_reencodes_to_sources(spark, sf_dir):
         assert by_id[src]["cluster_id"] == r["cluster_id"]
         assert r["cluster_id"] <= src
         assert not r["is_canonical"]
+
+
+def test_simhash_neardup_guards_and_finds_planted_copy(spark):
+    import pytest
+    from servihabitat_etl_spyke_spark.operators import dedup as D
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(1, base),
+            (2, base.replace("sigma", "sigmaX")),   # near-copy
+            (3, "entirely different text about other topics and words "
+                "with no overlap at all in any shingle range")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_neardup(docs, max_hamming=6,
+                                        bands=8).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    with pytest.raises(ValueError):
+        D.simhash_neardup(docs, max_hamming=4, bands=4)
+    with pytest.raises(ValueError):
+        D.simhash_neardup(docs, bands=5)
