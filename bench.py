@@ -119,6 +119,7 @@ HEADLINE = [
     "text_cms_estimate",
     "dedup_prefix_filter",
     "multimodal_audio_dedup",
+    "dedup_simhash_pairs",
 ]
 
 
