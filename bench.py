@@ -120,6 +120,8 @@ HEADLINE = [
     "dedup_prefix_filter",
     "multimodal_audio_dedup",
     "dedup_simhash_pairs",
+    "dedup_clusters_star",
+    "curate_weighted_sample",
 ]
 
 

@@ -613,3 +613,34 @@ def token_budget_mix(df: DataFrame, budget_per_stratum: int,
         "tokens_before",
         F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long"))
         .filter(F.col("tokens_before") < budget_per_stratum))
+
+
+def weighted_sample_k(df: DataFrame, k: int, weight_col: str,
+                      key_col: str, seed: int = 11) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k rows
+    (Efraimidis-Spirakis 2006 A-ES): each row draws u from its
+    md5-derived uniform and ranks by u^(1/w) — the top k are a sample
+    where inclusion probability is proportional to weight, with no
+    replacement and no sequential pass. Used to draw docs proportional
+    to token mass (long docs count more) for eval panels / distillation
+    pools.
+
+    Ranking uses the monotone log form ln(u)/w (same order, no
+    underflow for large weights), nano-quantized so the selection is
+    integer-exact across engines. Weights must be positive integers.
+
+    Adds ``es_key_nano``. orderBy+limit = TakeOrdered: per-partition
+    k-row heaps, no global sort."""
+    u = (_hash32_of(F.col(key_col), seed) + F.lit(0.5)) \
+        / F.lit(float(1 << 32))
+    key = F.floor(F.log(u) / F.col(weight_col) * F.lit(1e9) + F.lit(0.5)) \
+        .cast("long")
+    return (df.filter(F.col(weight_col) > 0)
+            .withColumn("es_key_nano", key)
+            .orderBy(F.col("es_key_nano").desc(), key_col)
+            .limit(k))
+
+
+def _hash32_of(key, seed: int):
+    from .dedup import _hash32
+    return _hash32(key.cast("string"), seed=seed)

@@ -1106,3 +1106,81 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = 3, bands: int = 4,
                     .alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b",
+                              max_iter: int = 25) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the O(log^2 n)-round variant that stays fast when a
+    component's DIAMETER is large (billion-doc chains), where plain
+    min-label propagation (:func:`connected_components`) needs
+    O(diameter) rounds:
+
+    - large-star: every node links its larger neighbors to its local
+      minimum (min of itself and its neighborhood);
+    - small-star: every node links its smaller-or-equal neighbors and
+      itself to that local minimum.
+
+    Both operations preserve connectivity and strictly shrink the
+    potential; at fixpoint the edge set is a star forest — every node
+    points at its component minimum. Same output contract as
+    :func:`connected_components`: (doc_id, cluster_id = min reachable
+    id), only nodes appearing in some pair.
+
+    Each half-round is one neighbor-min aggregation + one join, both on
+    the node key — no collect, lineage truncated per round. Convergence
+    = edge multiset unchanged (order-free count + xor-hash checksum, a
+    2-value aggregate per round)."""
+    spark = pairs.sparkSession
+    e = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .localCheckpoint())
+    if e.isEmpty():
+        return spark.createDataFrame([], "doc_id long, cluster_id long")
+
+    def _sig(edges: DataFrame) -> tuple:
+        # pmod folds the full-range hash into [0, 2^31) so the sum can't
+        # overflow a long under ANSI mode (n_edges * 2^31 << 2^63)
+        r = (edges.agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64("a", "b"),
+                         F.lit((1 << 31) - 1))).alias("h")).collect()[0])
+        return (r["n"], r["h"])
+
+    def _halfround(edges: DataFrame, large: bool) -> DataFrame:
+        # full neighbor view: every undirected edge seen from both ends
+        nbr = edges.union(edges.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b")))
+        mins = (nbr.groupBy("a")
+                .agg(F.least(F.first("a"), F.min("b")).alias("m")))
+        j = nbr.join(mins, "a")
+        if large:
+            out = (j.filter(F.col("b") > F.col("a"))
+                   .select(F.col("b").alias("a"), F.col("m").alias("b")))
+        else:
+            out = (j.filter(F.col("b") <= F.col("a"))
+                   .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                   .union(mins.select(F.col("a"), F.col("m").alias("b"))))
+        return (out.filter(F.col("a") != F.col("b"))
+                .distinct().localCheckpoint())
+
+    sig = _sig(e.select(F.least("a", "b").alias("a"),
+                        F.greatest("a", "b").alias("b")).distinct())
+    for _ in range(max_iter):
+        e = _halfround(e, large=True)
+        e = _halfround(e, large=False)
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            f"rounds")
+    roots = e.select(F.col("b").alias("doc_id"),
+                     F.col("b").alias("cluster_id")).distinct()
+    return (e.select(F.col("a").alias("doc_id"),
+                     F.col("b").alias("cluster_id"))
+            .union(roots).distinct())

@@ -868,3 +868,27 @@ def text_ctfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (ctfidf_terms(docs, group_col="source", top=5)
             .orderBy("source", "term_rank"))
+
+
+@query("curate_weighted_sample", oracle="""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         CAST(floor(ln((('0x' || substr(md5('11:' || doc_id), 1, 8))
+                        ::UBIGINT::BIGINT + 0.5) / 4294967296.0)
+                    / n_chars * 1000000000.0 + 0.5) AS BIGINT)
+           AS es_key_nano
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars, es_key_nano FROM keyed
+ORDER BY es_key_nano DESC, doc_id LIMIT 100
+""")
+def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100-doc sample with inclusion probability proportional to
+    document LENGTH (Efraimidis-Spirakis A-ES keys over the md5
+    uniform): the token-mass-proportional draw used for eval panels —
+    row-uniform sampling under-represents the long docs that dominate
+    training token counts. Deterministic across runs and engines;
+    TakeOrdered, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (C.weighted_sample_k(docs, k=100, weight_col="n_chars",
+                                key_col="doc_id")
+            .select("doc_id", "n_chars", "es_key_nano"))

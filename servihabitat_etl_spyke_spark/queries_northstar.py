@@ -2053,3 +2053,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (D.simhash_neardup(docs, max_hamming=3, bands=4)
             .orderBy("id_a", "id_b"))
+
+
+@query("dedup_clusters_star", oracle=_cluster_oracle())
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters by the ALTERNATING LARGE-STAR / SMALL-STAR
+    algorithm (Kiveris et al. 2014) over the same MinHash-LSH pair
+    graph as `dedup_clusters` — the O(log^2 n)-round variant that stays
+    fast when component DIAMETER explodes (billion-doc chains), where
+    min-label propagation pays O(diameter) rounds. Same recursive-CTE
+    oracle as `dedup_clusters`: two different distributed algorithms,
+    one exact hash-checked answer."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_neardup(docs, threshold=0.5)
+    return D.connected_components_star(pairs).orderBy("doc_id")

@@ -609,3 +609,21 @@ def test_ctfidf_surfaces_group_characteristic_terms(spark):
                                 "stir", "pan"}
     assert set(top["code"]) <= {"compile", "parse", "token", "stack",
                                 "heap", "loop"}
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    rows = [(i, 1) for i in range(200)] + [(900, 100000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    for seed in (1, 2, 3):
+        got = C.weighted_sample_k(df, k=20, weight_col="w",
+                                  key_col="doc_id", seed=seed).collect()
+        assert len(got) == 20
+        # the overwhelming-weight row is effectively always drawn
+        assert any(r["doc_id"] == 900 for r in got)
+    # deterministic for a fixed seed; zero/negative weights excluded
+    a = C.weighted_sample_k(df, 20, "w", "doc_id", seed=5).collect()
+    b = C.weighted_sample_k(df, 20, "w", "doc_id", seed=5).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    zw = spark.createDataFrame([(1, 0), (2, 3)], "doc_id long, w long")
+    kept = C.weighted_sample_k(zw, 5, "w", "doc_id").collect()
+    assert [r["doc_id"] for r in kept] == [2]

@@ -558,3 +558,31 @@ def test_simhash_neardup_guards_and_finds_planted_copy(spark):
         D.simhash_neardup(docs, max_hamming=4, bands=4)
     with pytest.raises(ValueError):
         D.simhash_neardup(docs, bands=5)
+
+
+def test_cc_star_matches_label_propagation(spark):
+    import random
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        connected_components, connected_components_star)
+    rnd = random.Random(7)
+    # long chain (the adversarial case for label propagation), two dense
+    # blobs, islands, and random noise edges
+    edges = [(i, i + 1) for i in range(0, 40)]                 # chain 0..40
+    edges += [(100 + rnd.randrange(8), 100 + rnd.randrange(8))
+              for _ in range(20)]                              # dense blob
+    edges += [(200, 201), (300, 301)]                          # islands
+    edges += [(rnd.randrange(50), rnd.randrange(50)) for _ in range(15)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = sorted(map(tuple, connected_components(df, max_iter=60).collect()))
+    got = sorted(map(tuple, connected_components_star(df).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_cc_star_empty_and_selfloop_only(spark):
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        connected_components_star)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty).count() == 0
+    loops = spark.createDataFrame([(5, 5)], "id_a long, id_b long")
+    assert connected_components_star(loops).count() == 0
