@@ -122,6 +122,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_clusters_star",
     "curate_weighted_sample",
+    "profile_hll_distinct",
 ]
 
 

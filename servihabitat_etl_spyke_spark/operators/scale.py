@@ -406,3 +406,67 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str = "item",
     return (probe_cells.join(sketch, ["r", "c"], "left")
             .groupBy(col)
             .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est")))
+
+
+# -- hyperloglog register table ----------------------------------------------
+
+
+def hll_registers(items: DataFrame, col: str, b: int = 8) -> DataFrame:
+    """HyperLogLog register TABLE (Flajolet et al. 2007): each item's
+    32-bit md5 hash splits into a ``b``-bit bucket and a rank = leading-
+    zero count of the remainder + 1; registers are max(rank) per bucket
+    — at most 2^b rows out of one map-side-partial aggregation.
+
+    Spark's `approx_count_distinct` gives the estimate but hides the
+    sketch; the TABLE is the mergeable artifact you persist per
+    shard/snapshot/day (merge = unionByName + groupBy max) so
+    "distinct tokens this month" never re-reads a day. Deterministic
+    md5 hashing — the oracle rebuilds registers bit-identically.
+
+    Returns (bucket, rank)."""
+    from ..operators.dedup import _hash32
+    h = _hash32(F.col(col))
+    rest_bits = 32 - b
+    rest = F.pmod(h, F.lit(1 << rest_bits))
+    # rank = leading zeros of `rest` within rest_bits, + 1; rest == 0
+    # means all zeros -> rank = rest_bits + 1. The highest-set-bit
+    # position comes from the BINARY-STRING length (conv base 2), which
+    # is integer-exact in every engine — floor(log2(x)) is one libm ulp
+    # away from flipping at exact powers of two
+    hibit = F.when(rest > 0,
+                   F.length(F.conv(rest, 10, 2))).otherwise(F.lit(0))
+    rank = (F.lit(rest_bits) + 1 - hibit).cast("int")
+    return (items.select(F.shiftright(h, rest_bits).alias("bucket"),
+                         rank.alias("rank"))
+            .groupBy("bucket").agg(F.max("rank").alias("rank")))
+
+
+def hll_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
+    """Cardinality estimate from an HLL register table: the standard
+    alpha_m * m^2 / sum(2^-M_j) harmonic form with the small-range
+    linear-counting correction (empty buckets counted via the fixed
+    2^b spine). 1-row output (n_buckets_used, est) with the estimate
+    floored to an integer — deterministic, so even the approximation is
+    SQL-oracle-checkable."""
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    max_rank = 32 - b + 1
+    spine = registers.sparkSession.range(m).select(
+        F.col("id").cast("int").alias("bucket"))
+    full = (spine.join(registers, "bucket", "left")
+            .select(F.coalesce("rank", F.lit(0)).alias("rank")))
+    # the harmonic sum scaled by 2^max_rank is an INTEGER (rank <=
+    # max_rank), so the register fold is fold-order-free and both
+    # engines divide the identical double constant by the identical
+    # integer — no float-sum hashing hazard
+    agg = full.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rank} - rank)"))
+        .alias("_zs"),
+        F.sum((F.col("rank") == 0).cast("int")).alias("_v"))
+    raw = F.lit(float(alpha * m * m * (1 << max_rank))) / F.col("_zs")
+    # linear counting below the 2.5m threshold when empty buckets exist
+    est = F.when((raw <= F.lit(2.5 * m)) & (F.col("_v") > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v"))) \
+        .otherwise(raw)
+    return agg.select((F.lit(m) - F.col("_v")).alias("n_buckets_used"),
+                      F.floor(est).cast("long").alias("est"))

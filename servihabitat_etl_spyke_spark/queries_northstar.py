@@ -2067,3 +2067,57 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_neardup(docs, threshold=0.5)
     return D.connected_components_star(pairs).orderBy("doc_id")
+
+
+@query("profile_hll_distinct", oracle="""
+WITH h AS (
+  SELECT ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS h
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+r AS (
+  SELECT h >> 24 AS bucket,
+         CAST(25 - CASE WHEN h % 16777216 > 0
+                        THEN length(bin(h % 16777216)) ELSE 0 END
+              AS INT) AS rank
+  FROM h),
+regs AS (SELECT bucket, max(rank) AS rank FROM r GROUP BY bucket),
+filled AS (
+  SELECT s.bucket, COALESCE(regs.rank, 0) AS rank
+  FROM range(256) s(bucket) LEFT JOIN regs ON regs.bucket = s.bucket),
+agg AS (
+  SELECT CAST(sum(1::BIGINT << (25 - rank)) AS BIGINT) AS zs,
+         CAST(sum(CASE WHEN rank = 0 THEN 1 ELSE 0 END) AS INT) AS v
+  FROM filled),
+est AS (
+  SELECT 256 - v AS n_buckets_used,
+         CAST(floor(CASE WHEN 1579498136381.3938 / zs <= 640.0 AND v > 0
+                         THEN 256.0 * ln(256.0 / v)
+                         ELSE 1579498136381.3938 / zs END)
+              AS BIGINT) AS est
+  FROM agg),
+td AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS true_distinct
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+SELECT n_buckets_used, est, true_distinct,
+       CAST(floor(abs(est - true_distinct) * 1000.0 / true_distinct)
+            AS BIGINT) AS err_permille
+FROM est, td
+""")
+def profile_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate from a PERSISTED register
+    table (b=8, 256 registers out of one map-side-partial aggregation —
+    the mergeable per-shard/per-snapshot sketch `approx_count_distinct`
+    computes but hides), with the exact distinct count joined back so
+    the error is visible. Binary-string-length ranks and an
+    integer-scaled harmonic sum make the whole estimate — approximation
+    included — engine-bit-identical and hash-oracled."""
+    from .operators import scale as SC
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    regs = SC.hll_registers(toks, "tok", b=8)
+    est = SC.hll_estimate(regs, b=8)
+    true = toks.agg(F.countDistinct("tok").alias("true_distinct"))
+    return (est.join(F.broadcast(true))
+            .select("n_buckets_used", "est", "true_distinct",
+                    F.floor(F.abs(F.col("est") - F.col("true_distinct"))
+                            * 1000.0 / F.col("true_distinct"))
+                    .cast("long").alias("err_permille")))

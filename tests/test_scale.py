@@ -333,3 +333,21 @@ def test_cms_never_undercounts_and_merges(spark):
     whole = SC.cms_sketch(df, "tok", d=4, w=64)
     assert (sorted(map(tuple, merged.collect()))
             == sorted(map(tuple, whole.collect())))
+
+
+def test_hll_registers_merge_and_estimate_accuracy(spark):
+    from pyspark.sql import functions as F
+    from servihabitat_etl_spyke_spark.operators import scale as SC
+    rows = [(f"item{i}",) for i in range(5000)] * 3   # heavy duplication
+    df = spark.createDataFrame(rows, "tok string")
+    regs = SC.hll_registers(df, "tok", b=8)
+    est = SC.hll_estimate(regs, b=8).collect()[0]["est"]
+    # b=8 -> ~6.5% standard error; allow 3 sigma
+    assert abs(est - 5000) / 5000 < 0.20
+    # mergeability: max-merge of two halves == whole
+    h1 = SC.hll_registers(df.filter(F.col("tok") < "item3"), "tok", b=8)
+    h2 = SC.hll_registers(df.filter(~(F.col("tok") < "item3")), "tok", b=8)
+    merged = (h1.unionByName(h2).groupBy("bucket")
+              .agg(F.max("rank").alias("rank")))
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, regs.collect())))
