@@ -153,3 +153,40 @@ def stream_cms_upsert(stream: DataFrame, path: str, checkpoint: str, *,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_hll_upsert(stream: DataFrame, path: str, checkpoint: str, *,
+                      item_col: str = "item", b: int = 8,
+                      available_now: bool = True):
+    """Streaming HyperLogLog maintenance: each micro-batch folds to its
+    own register table (``scale.hll_registers``) and MERGEs into the
+    stored sketch by per-bucket max — "distinct items ever seen" over an
+    endless stream with 2^b rows of state, and the stored table equals
+    the batch sketch of everything seen (twin test asserts register
+    equality). Same MERGE-into-parquet emulation as the CMS sink."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.scale import hll_registers
+
+    def apply_batch(batch: DataFrame, _bid: int) -> None:
+        spark = batch.sparkSession
+        part = hll_registers(batch, item_col, b=b)
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            merged = (existing.unionByName(part)
+                      .groupBy("bucket")
+                      .agg(F.max("rank").alias("rank")))
+            tmp = path.rstrip("/") + "._tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        else:
+            part.write.mode("overwrite").parquet(path)
+
+    writer = (stream.writeStream
+              .foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

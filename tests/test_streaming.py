@@ -394,3 +394,31 @@ def test_stream_cms_upsert_matches_batch_sketch(spark, sf_dir, tmp_path):
     got2 = sorted(map(tuple,
                       spark.read.parquet(str(tmp_path / "cms")).collect()))
     assert got2 == [(r, c, 2 * cnt) for r, c, cnt in got]
+
+
+def test_stream_hll_upsert_matches_batch_registers(spark, sf_dir, tmp_path):
+    """The incrementally maintained HLL register table equals the batch
+    sketch of the whole stream (per-bucket max-mergeability), and a
+    replay leaves it UNCHANGED — max is idempotent, unlike counts."""
+    from servihabitat_etl_spyke_spark.operators.scale import hll_registers
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        stream_hll_upsert)
+    stream = read_event_stream(spark, sf_dir).select(
+        F.col("event_type").alias("item"))
+    q = stream_hll_upsert(stream, str(tmp_path / "hll"),
+                          str(tmp_path / "ckpt"), b=6)
+    q.awaitTermination(120)
+    got = sorted(map(tuple,
+                     spark.read.parquet(str(tmp_path / "hll")).collect()))
+    batch = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("item"))
+    want = sorted(map(tuple, hll_registers(batch, "item", b=6).collect()))
+    assert got == want and len(got) > 0
+    q2 = stream_hll_upsert(
+        read_event_stream(spark, sf_dir).select(
+            F.col("event_type").alias("item")),
+        str(tmp_path / "hll"), str(tmp_path / "ckpt2"), b=6)
+    q2.awaitTermination(120)
+    got2 = sorted(map(tuple,
+                      spark.read.parquet(str(tmp_path / "hll")).collect()))
+    assert got2 == got
