@@ -123,6 +123,7 @@ HEADLINE = [
     "dedup_clusters_star",
     "curate_weighted_sample",
     "profile_hll_distinct",
+    "snapshot_diff",
 ]
 
 

@@ -2121,3 +2121,46 @@ def profile_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.abs(F.col("est") - F.col("true_distinct"))
                             * 1000.0 / F.col("true_distinct"))
                     .cast("long").alias("err_permille")))
+
+
+@query("snapshot_diff", oracle="""
+WITH m AS (
+  SELECT doc_id, text,
+         doc_id % 3 <> 0 AS in_v1,
+         doc_id % 4 <> 0 AS in_v2
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN NOT in_v1 THEN 'added'
+            WHEN NOT in_v2 THEN 'removed'
+            ELSE 'changed' END AS change
+FROM m
+WHERE (in_v1 AND NOT in_v2) OR (in_v2 AND NOT in_v1)
+   OR (in_v1 AND in_v2 AND doc_id % 5 = 0 AND upper(text) <> text)
+ORDER BY doc_id
+""")
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-over-release ROW DIFF over snapshot-versioned storage:
+    v1 commits one slice of the corpus, v2 overwrite-commits a shifted
+    slice with some docs edited — `snapshot_diff` reports every key as
+    added / removed / changed from ONE full-outer join of (key, digest)
+    projections; unchanged keys never leave the join. The audit that
+    turns time travel into a release report. Oracle derives the same
+    verdicts from the membership/edit rules directly."""
+    import tempfile
+
+    from .sources.snapshots import SnapshotStore
+    from .sources.snapshots import snapshot_diff as _diff
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    v1 = docs.filter(F.col("doc_id") % 3 != 0)
+    v2 = (docs.filter(F.col("doc_id") % 4 != 0)
+          .withColumn("text", F.when(F.col("doc_id") % 5 == 0,
+                                     F.upper(F.col("text")))
+                      .otherwise(F.col("text"))))
+    store = SnapshotStore(tempfile.mkdtemp(prefix="snapdiff_"))
+    s1 = store.commit(v1)
+    s2 = store.commit(v2, mode="overwrite")
+    return (_diff(spark, store, key_col="doc_id",
+                  from_snapshot=s1, to_snapshot=s2)
+            .orderBy("doc_id"))

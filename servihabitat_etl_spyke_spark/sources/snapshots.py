@@ -145,3 +145,48 @@ class SnapshotStore:
             return self.read(spark).limit(0)
         return spark.read.parquet(*[os.path.join(self.path, d)
                                     for d in new])
+
+
+def snapshot_diff(spark: SparkSession, store: "SnapshotStore",
+                  key_col: str, from_snapshot: int,
+                  to_snapshot: int | None = None,
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Row-level diff between two snapshots of a store: one row per key
+    that was ``added``, ``removed``, or ``changed`` between the two
+    reads (unchanged keys are dropped). The audit/"what moved between
+    releases" op next to time travel — feed it to CDC consumers or a
+    release report.
+
+    ``compare_cols`` limits change detection to those columns (default:
+    every non-key column common to both sides, by name).
+
+    Shape: ONE full-outer equi-join on the key, comparing md5 digests of
+    the compared columns — no collect, no per-column join; digests are
+    computed in each side's scan projection so the join carries
+    (key, digest) only."""
+    from pyspark.sql import functions as F
+
+    old = store.read(spark, snapshot=from_snapshot)
+    new = store.read(spark, snapshot=to_snapshot)
+    if compare_cols is None:
+        compare_cols = sorted(
+            (set(old.columns) & set(new.columns)) - {key_col})
+
+    def digested(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(key_col),
+            F.md5(F.concat_ws("\x1f",
+                              *[F.coalesce(F.col(c).cast("string"),
+                                           F.lit("\x00"))
+                                for c in compare_cols])).alias(f"_d_{tag}"))
+
+    o = digested(old, "old")
+    n = digested(new, "new")
+    j = o.join(n, key_col, "full_outer")
+    return (j.select(
+        F.col(key_col),
+        F.when(F.col("_d_old").isNull(), F.lit("added"))
+         .when(F.col("_d_new").isNull(), F.lit("removed"))
+         .when(F.col("_d_old") != F.col("_d_new"), F.lit("changed"))
+         .otherwise(F.lit("unchanged")).alias("change"))
+        .filter(F.col("change") != "unchanged"))

@@ -209,3 +209,26 @@ def test_snapshot_additive_schema_evolution(spark, sf_dir):
     assert rows == {1: None, 2: 9.5}
     # time travel to snapshot 1 sees the original schema only
     assert store.read(spark, snapshot=1).columns == ["id", "v"]
+
+
+def test_snapshot_diff_classifies_adds_removes_changes(spark, tmp_path):
+    from servihabitat_etl_spyke_spark.sources.snapshots import (
+        SnapshotStore, snapshot_diff)
+    store = SnapshotStore(str(tmp_path / "sd"))
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, s string, v long")
+    v2 = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 99), (4, "d", 40)],
+        "k long, s string, v long")
+    s1 = store.commit(v1)
+    s2 = store.commit(v2, mode="overwrite")
+    got = {r["k"]: r["change"] for r in
+           snapshot_diff(spark, store, "k", s1, s2).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+    # compare_cols narrows change detection: v-only edits invisible
+    # when only s is compared
+    got2 = {r["k"]: r["change"] for r in
+            snapshot_diff(spark, store, "k", s1, s2,
+                          compare_cols=["s"]).collect()}
+    assert got2 == {1: "removed", 4: "added"}
