@@ -236,6 +236,9 @@ _ALLOWED_HAZARDS = {
     # mean-group-token-mass scalar (1 row) broadcast onto the per-group
     # term counts
     "text_ctfidf_terms": {"bnlj", "single_part"},
+    # 1-row estimate x 1-row exact-distinct comparison join; register
+    # fold is 2^b rows by construction
+    "profile_hll_distinct": {"bnlj", "single_part"},
     # brute-force cosine baseline (same as ann_cosine_topk) with the
     # metadata predicate semi-joined in front of the scoring stage
     "ann_filtered_topk": {"bnlj"},
