@@ -124,6 +124,7 @@ HEADLINE = [
     "curate_weighted_sample",
     "profile_hll_distinct",
     "snapshot_diff",
+    "profile_kmv_distinct",
 ]
 
 

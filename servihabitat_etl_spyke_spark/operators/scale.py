@@ -470,3 +470,58 @@ def hll_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
         .otherwise(raw)
     return agg.select((F.lit(m) - F.col("_v")).alias("n_buckets_used"),
                       F.floor(est).cast("long").alias("est"))
+
+
+# -- KMV bottom-k sketch ------------------------------------------------------
+
+
+def kmv_sketch(items: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values sketch (Bar-Yossef et al. 2002): the k smallest
+    md5 hashes over the DISTINCT values of a column. Mergeable —
+    bottomk(A + B) == bottomk(bottomk(A) + bottomk(B)) — and doubles as
+    (a) a distinct-cardinality estimator ((k-1) * 2^32 / h_k) and (b) a
+    uniform without-replacement sample of the distinct values (hash
+    order is a random permutation).
+
+    Shape: the same two-phase discipline as :func:`heavy_hitters` — a
+    shuffle-free per-partition pass emits each partition's own bottom-k
+    of its LOCAL distinct values (<= k rows per task, pandas dedup +
+    nsmallest), and the tiny union of partials reduces with one
+    TakeOrdered. The distinct-domain-wide shuffle a `distinct()` would
+    pay never happens; per-partition bottom-k loses nothing because the
+    global bottom-k is a subset of the union of local bottom-ks.
+
+    Returns (value, h) — the sketch rows, h ascending order not
+    guaranteed (order on read)."""
+    import pandas as pd
+
+    from ..operators.dedup import _hash32
+
+    hashed = items.select(F.col(col).cast("string").alias("value"),
+                          _hash32(F.col(col).cast("string")).alias("h"))
+
+    def partial(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pdf.drop_duplicates("value")
+            best = cur if best is None else pd.concat([best, cur])
+            best = (best.drop_duplicates("value")
+                    .nsmallest(k, "h", keep="first"))
+        if best is not None:
+            yield best
+
+    partials = hashed.mapInPandas(partial, schema="value string, h long")
+    return partials.distinct().orderBy("h", "value").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: (k-1) * 2^32 / h_k
+    with h_k the k-th smallest hash; when fewer than k distinct values
+    exist the sketch IS the distinct set and the count is exact.
+    Integer arithmetic end to end — hash-oracle-safe."""
+    agg = sketch.agg(F.count("*").alias("n_sketch"),
+                     F.max("h").alias("_hk"))
+    est = F.when(F.col("n_sketch") < k, F.col("n_sketch")) \
+        .otherwise(F.floor((F.col("n_sketch") - 1) * F.lit(1 << 32)
+                           / F.col("_hk")).cast("long"))
+    return agg.select("n_sketch", est.cast("long").alias("est"))

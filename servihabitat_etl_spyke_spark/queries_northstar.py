@@ -2164,3 +2164,47 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_diff(spark, store, key_col="doc_id",
                   from_snapshot=s1, to_snapshot=s2)
             .orderBy("doc_id"))
+
+
+@query("profile_kmv_distinct", oracle="""
+WITH d AS (
+  SELECT DISTINCT tok AS value
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+h AS (SELECT value,
+             ('0x' || substr(md5(value), 1, 8))::UBIGINT::BIGINT AS h
+      FROM d),
+sk AS (SELECT value, h FROM h ORDER BY h, value LIMIT 256),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_sketch,
+               max(h) AS hk FROM sk),
+est AS (SELECT n_sketch,
+               CASE WHEN n_sketch < 256 THEN n_sketch
+                    ELSE CAST(floor((n_sketch - 1) * 4294967296.0 / hk)
+                              AS BIGINT) END AS est
+        FROM agg),
+td AS (SELECT CAST(count(*) AS BIGINT) AS true_distinct FROM d)
+SELECT n_sketch, est, true_distinct,
+       CAST(floor(abs(est - true_distinct) * 1000.0 / true_distinct)
+            AS BIGINT) AS err_permille
+FROM est, td
+""")
+def profile_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch over the corpus vocabulary: the
+    256 smallest md5 hashes of distinct tokens — built with the same
+    two-phase shuffle-free discipline as `text_heavy_hitters` (each
+    partition emits its LOCAL bottom-k; the global bottom-k is a subset
+    of the partial union, so nothing is lost and the domain-sized
+    distinct shuffle never happens). The sketch merges across
+    shards/releases by union + re-bottom-k and doubles as a uniform
+    sample of the vocabulary. Exact distinct count joined back; fully
+    deterministic, so estimate AND error are hash-oracled."""
+    from .operators import scale as SC
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    sk = SC.kmv_sketch(toks, "tok", k=256)
+    est = SC.kmv_estimate(sk, k=256)
+    d = toks.distinct().agg(F.count("*").alias("true_distinct"))
+    return (est.join(F.broadcast(d))
+            .select("n_sketch", "est", "true_distinct",
+                    F.floor(F.abs(F.col("est") - F.col("true_distinct"))
+                            * 1000.0 / F.col("true_distinct"))
+                    .cast("long").alias("err_permille")))

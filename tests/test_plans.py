@@ -239,6 +239,9 @@ _ALLOWED_HAZARDS = {
     # 1-row estimate x 1-row exact-distinct comparison join; register
     # fold is 2^b rows by construction
     "profile_hll_distinct": {"bnlj", "single_part"},
+    # 1-row estimate x 1-row exact-distinct comparison join; sketch is
+    # <= k rows by construction (TakeOrdered over per-partition partials)
+    "profile_kmv_distinct": {"bnlj", "single_part"},
     # brute-force cosine baseline (same as ann_cosine_topk) with the
     # metadata predicate semi-joined in front of the scoring stage
     "ann_filtered_topk": {"bnlj"},

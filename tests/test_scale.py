@@ -351,3 +351,27 @@ def test_hll_registers_merge_and_estimate_accuracy(spark):
               .agg(F.max("rank").alias("rank")))
     assert (sorted(map(tuple, merged.collect()))
             == sorted(map(tuple, regs.collect())))
+
+
+def test_kmv_sketch_merges_and_estimates(spark):
+    from pyspark.sql import functions as F
+    from servihabitat_etl_spyke_spark.operators import scale as SC
+    rows = [(f"v{i}",) for i in range(4000)] * 2
+    df = spark.createDataFrame(rows, "tok string")
+    sk = SC.kmv_sketch(df, "tok", k=128)
+    assert sk.count() == 128
+    est = SC.kmv_estimate(sk, k=128).collect()[0]["est"]
+    # k=128 -> ~9% std error; 3 sigma bound
+    assert abs(est - 4000) / 4000 < 0.30
+    # mergeability: bottomk(bottomk(A) + bottomk(B)) == bottomk(A + B)
+    a = SC.kmv_sketch(df.filter(F.col("tok") < "v3"), "tok", k=128)
+    b = SC.kmv_sketch(df.filter(~(F.col("tok") < "v3")), "tok", k=128)
+    merged = (a.unionByName(b).distinct()
+              .orderBy("h", "value").limit(128))
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, sk.collect())))
+    # under-k domain: the sketch IS the distinct set, estimate exact
+    small = spark.createDataFrame([("x",), ("y",), ("x",)], "tok string")
+    got = SC.kmv_estimate(SC.kmv_sketch(small, "tok", k=128),
+                          k=128).collect()[0]
+    assert got["n_sketch"] == 2 and got["est"] == 2
