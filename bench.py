@@ -125,6 +125,7 @@ HEADLINE = [
     "profile_hll_distinct",
     "snapshot_diff",
     "profile_kmv_distinct",
+    "ann_knn_classify",
 ]
 
 

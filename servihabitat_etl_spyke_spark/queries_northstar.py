@@ -2208,3 +2208,65 @@ def profile_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.abs(F.col("est") - F.col("true_distinct"))
                             * 1000.0 / F.col("true_distinct"))
                     .cast("long").alias("err_permille")))
+
+
+@query("ann_knn_classify", oracle="""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS s
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored),
+nbr AS (
+  SELECT r.query_id, e.label AS nlabel
+  FROM ranked r JOIN embeddings e ON r.neighbor_id = e.vec_id
+  WHERE r.rank <= 10),
+votes AS (
+  SELECT query_id, nlabel, count(*) AS cnt
+  FROM nbr GROUP BY query_id, nlabel),
+pred AS (
+  SELECT query_id, nlabel AS pred_label FROM (
+    SELECT query_id, nlabel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cnt DESC, nlabel) AS rnk
+    FROM votes) WHERE rnk = 1),
+joined AS (
+  SELECT e.label, CAST(p.pred_label = e.label AS INT) AS ok
+  FROM pred p JOIN embeddings e ON p.query_id = e.vec_id)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(ok) AS BIGINT) AS n_correct,
+       CAST(floor(sum(ok) * 1000.0 / count(*)) AS BIGINT) AS acc_permille
+FROM joined GROUP BY label ORDER BY label
+""")
+def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classification over the labeled embedding table
+    — the standard 'are these embeddings any good' eval: every vector is
+    classified by the majority label of its 10 nearest cosine neighbors
+    (ties to the smallest label), and per-class accuracy comes back as
+    integer permille. Uses the exact kNN graph as the oracle-checkable
+    baseline; the IVF graph composes identically at scale (same
+    consumer, `knn_graph_ivf` edges). Exact-integer output, hash-checked
+    end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = SIM.knn_graph(emb, k=10)
+    nbr = edges.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("label").alias("nlabel")), "neighbor_id")
+    votes = nbr.groupBy("query_id", "nlabel").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("query_id").orderBy(F.col("cnt").desc(), "nlabel")
+    pred = (votes.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("query_id", F.col("nlabel").alias("pred_label")))
+    joined = pred.join(
+        emb.select(F.col("vec_id").alias("query_id"), "label"), "query_id")
+    return (joined.groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.sum((F.col("pred_label") == F.col("label"))
+                       .cast("int")).alias("n_correct"))
+            .select("label", "n", "n_correct",
+                    F.floor(F.col("n_correct") * 1000.0 / F.col("n"))
+                    .cast("long").alias("acc_permille"))
+            .orderBy("label"))
