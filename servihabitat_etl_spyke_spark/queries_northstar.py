@@ -2251,7 +2251,13 @@ def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer, `knn_graph_ivf` edges). Exact-integer output, hash-checked
     end to end."""
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = SIM.knn_graph(emb, k=10)
+    return _knn_classify_over(SIM.knn_graph(emb, k=10), emb)
+
+
+def _knn_classify_over(edges: DataFrame, emb: DataFrame) -> DataFrame:
+    """Majority-vote classification + per-class accuracy over ANY
+    (query_id, neighbor_id) edge table — shared by the exact-graph
+    oracle baseline and the IVF scale composition."""
     nbr = edges.join(
         emb.select(F.col("vec_id").alias("neighbor_id"),
                    F.col("label").alias("nlabel")), "neighbor_id")
@@ -2270,3 +2276,16 @@ def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.col("n_correct") * 1000.0 / F.col("n"))
                     .cast("long").alias("acc_permille"))
             .orderBy("label"))
+
+
+@query("ann_knn_classify_ivf")  # approximate graph -> rows-only; pytest
+def ann_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME leave-one-out kNN classification consumer fed by the
+    cluster-pruned `knn_graph_ivf` — the 100 TB composition: no
+    driver-side matrix, k-means codebook centroids-only to the driver,
+    cell equi-join graph build. Approximate neighbors -> rows-only;
+    pytest asserts per-class accuracy lands within a few points of the
+    exact composition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _knn_classify_over(
+        SIM.knn_graph_ivf(emb, k=10, kc=4, n_probe=2, iters=3), emb)

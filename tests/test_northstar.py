@@ -894,3 +894,15 @@ def test_audio_fp_words_distinct_and_deterministic(spark):
     w2 = sorted(r["word"] for r in
                 MM.audio_fp_words(MM.attach_audio(docs)).collect())
     assert w1 == w2 and len(w1) == len(set(w1)) and len(w1) >= 3
+
+
+def test_knn_classify_ivf_tracks_exact(spark, sf_dir):
+    from servihabitat_etl_spyke_spark.queries import QUERIES
+    exact = {r["label"]: r["acc_permille"] for r in
+             QUERIES["ann_knn_classify"](spark, sf_dir).collect()}
+    ivf = {r["label"]: r["acc_permille"] for r in
+           QUERIES["ann_knn_classify_ivf"](spark, sf_dir).collect()}
+    assert set(ivf) == set(exact)
+    # pruned-graph accuracy tracks the exact composition per class
+    for lbl, acc in exact.items():
+        assert abs(ivf[lbl] - acc) <= 250, (lbl, acc, ivf[lbl])
