@@ -126,6 +126,7 @@ HEADLINE = [
     "snapshot_diff",
     "profile_kmv_distinct",
     "ann_knn_classify",
+    "ann_knn_classify_ivf",
 ]
 
 
