@@ -127,6 +127,7 @@ HEADLINE = [
     "profile_kmv_distinct",
     "ann_knn_classify",
     "ann_knn_classify_ivf",
+    "dedup_clusters_incremental",
 ]
 
 

@@ -1184,3 +1184,39 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
     return (e.select(F.col("a").alias("doc_id"),
                      F.col("b").alias("cluster_id"))
             .union(roots).distinct())
+
+
+def connected_components_incremental(labels: DataFrame,
+                                     new_pairs: DataFrame,
+                                     id_a: str = "id_a",
+                                     id_b: str = "id_b",
+                                     max_iter: int = 25) -> DataFrame:
+    """INCREMENTAL connected components: fold a new batch of near-dup
+    pairs (today's crawl) into an existing (doc_id, cluster_id)
+    assignment WITHOUT re-reading historical pairs. A stored label is
+    itself connectivity evidence — doc_id ~ cluster_id — so the union of
+    label-edges and the new pairs is a graph whose components equal the
+    full recompute's, while its SIZE is O(docs_in_clusters + new_pairs):
+    the historical pair set (quadratically larger in dense clusters, and
+    possibly no longer retained) never participates.
+
+    Propagation restarts from the near-converged star shape, so
+    incremental rounds are few even when new pairs bridge old clusters.
+    Returns the updated (doc_id, cluster_id) covering every doc seen in
+    either input. Exactly equal to recomputing over all pairs ever seen
+    (pytest + shared oracle)."""
+    label_edges = (labels
+                   .filter(F.col("doc_id") != F.col("cluster_id"))
+                   .select(F.col("doc_id").alias(id_a),
+                           F.col("cluster_id").alias(id_b)))
+    singletons = (labels
+                  .filter(F.col("doc_id") == F.col("cluster_id"))
+                  .select("doc_id", "cluster_id"))
+    merged = connected_components(
+        label_edges.unionByName(new_pairs.select(F.col(id_a), F.col(id_b))),
+        id_a=id_a, id_b=id_b, max_iter=max_iter)
+    # singleton clusters reappear unless their docs were touched by a
+    # new pair or an old label edge
+    untouched = singletons.join(merged.select("doc_id"), "doc_id",
+                                "left_anti")
+    return merged.unionByName(untouched)

@@ -2289,3 +2289,26 @@ def ann_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return _knn_classify_over(
         SIM.knn_graph_ivf(emb, k=10, kc=4, n_probe=2, iters=3), emb)
+
+
+@query("dedup_clusters_incremental", oracle=_cluster_oracle())
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAILY-CRAWL clustering cycle: yesterday's cluster assignment
+    (CC over the stored corpus's pairs, doc_id % 5 != 0) is updated with
+    ONLY the new crawl's pairs (incremental LSH against the persisted
+    signatures — `dedup_incremental`'s join), via
+    `connected_components_incremental`: stored labels re-enter as
+    doc~cluster edges, so the historical pair set never participates
+    and the update graph is O(clustered docs + new pairs). The oracle is
+    `dedup_clusters`' full-recompute recursive CTE — the incremental
+    path must land byte-identically on the full answer, which is the
+    whole point of the operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    labels1 = D.connected_components(D.minhash_lsh_neardup(old,
+                                                          threshold=0.5))
+    stored_sig = D.minhash_signatures(old)
+    new_pairs = D.incremental_neardup(new, old, stored_sig, threshold=0.5)
+    return (D.connected_components_incremental(labels1, new_pairs)
+            .orderBy("doc_id"))

@@ -586,3 +586,26 @@ def test_cc_star_empty_and_selfloop_only(spark):
     assert connected_components_star(empty).count() == 0
     loops = spark.createDataFrame([(5, 5)], "id_a long, id_b long")
     assert connected_components_star(loops).count() == 0
+
+
+def test_cc_incremental_equals_full_recompute(spark):
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        connected_components, connected_components_incremental)
+    day1 = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    # day 2 bridges two old clusters, extends one, adds a fresh one
+    day2 = [(3, 10), (21, 22), (30, 31)]
+    d1 = spark.createDataFrame(day1, "id_a long, id_b long")
+    d2 = spark.createDataFrame(day2, "id_a long, id_b long")
+    labels1 = connected_components(d1)
+    # a singleton doc known to the catalog but in no pair
+    labels1 = labels1.unionByName(
+        spark.createDataFrame([(99, 99)], "doc_id long, cluster_id long"))
+    inc = sorted(map(tuple,
+                     connected_components_incremental(labels1, d2)
+                     .collect()))
+    full = sorted(map(tuple, connected_components(
+        d1.unionByName(d2)).collect()))
+    # the incremental result must equal the full recompute on every doc
+    # that appears in some pair, plus preserve the untouched singleton
+    assert [t for t in inc if t[0] != 99] == full
+    assert (99, 99) in inc
