@@ -865,3 +865,103 @@ def ctfidf_terms(docs: DataFrame, group_col: str, top: int = 5,
             .filter(F.col("term_rank") <= top)
             .select(F.col("grp").alias(group_col), "term", "tf",
                     "ctfidf_nano", "term_rank"))
+
+
+def train_hashed_classifier(docs: DataFrame, label_col: str,
+                            buckets: int = 1024, iters: int = 10,
+                            lr: float = 0.5, l2: float = 1e-3,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> list[float]:
+    """TRAIN the hashed bag-of-bigram quality classifier (logistic
+    regression by full-batch gradient descent) — the training half of
+    :func:`hashed_classifier_score`'s inference path. The fastText-style
+    cheap model-based filter pipeline end to end: label a small seed set
+    (e.g. "looks like wiki"), train here, score the corpus with
+    :func:`apply_trained_classifier`.
+
+    Per iteration: ONE broadcast join of the (buckets)-row weight table
+    onto the exploded feature stream, a per-doc aggregation for the
+    logit, and a per-bucket aggregation for the gradient — only the
+    buckets-row gradient reaches the driver (it IS the model update).
+    Features are mean-pooled hashed-bigram counts, so magnitudes are
+    bounded regardless of doc length. Float aggregation is fold-order
+    dependent -> the trained model is approximate by nature (tests
+    assert accuracy, not bit-equality).
+
+    Returns the weight list (index = bucket)."""
+    import math
+
+    from .dedup import _hash32, tokenized
+
+    feats = (tokenized(docs, id_col, text_col,
+                       extra_cols=[label_col])
+             .select(F.col(id_col), F.col(label_col).cast("int").alias("_y"),
+                     F.explode(F.transform(
+                         F.sequence(F.lit(1),
+                                    F.greatest(F.size("_toks") - 1,
+                                               F.lit(1))),
+                         lambda i: F.array_join(F.slice(F.col("_toks"),
+                                                        i, 2), " ")))
+                     .alias("_g")))
+    feats = (feats.select(id_col, "_y",
+                          (_hash32(F.col("_g")) % buckets).alias("_b"))
+             .groupBy(id_col, "_y", "_b").agg(F.count("*").alias("_c")))
+    per_doc = feats.groupBy(id_col).agg(F.sum("_c").alias("_n"))
+    x = (feats.join(per_doc, id_col)
+         .select(id_col, "_y", "_b", (F.col("_c") / F.col("_n"))
+                 .alias("_x"))
+         .persist())
+    n_docs = x.select(id_col).distinct().count()
+
+    spark = docs.sparkSession
+    w = [0.0] * buckets
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(b, wv) for b, wv in enumerate(w)], "_b long, _w double")
+        scored = (x.join(F.broadcast(wdf), "_b")
+                  .groupBy(id_col, "_y")
+                  .agg(F.sum(F.col("_x") * F.col("_w")).alias("_s")))
+        resid = scored.select(
+            id_col, "_y",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_s")))
+             - F.col("_y")).alias("_r"))
+        grad = (x.join(resid.select(id_col, "_r"), id_col)
+                .groupBy("_b")
+                .agg(F.sum(F.col("_x") * F.col("_r")).alias("_g"))
+                .collect())
+        g = {r["_b"]: r["_g"] for r in grad}
+        w = [wv - lr * (g.get(b, 0.0) / n_docs + l2 * wv)
+             for b, wv in enumerate(w)]
+    x.unpersist()
+    return w
+
+
+def apply_trained_classifier(docs: DataFrame, weights: list[float],
+                             buckets: int | None = None,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Score docs with a TRAINED hashed-bigram model: the same broadcast
+    weight-literal expression tree :func:`hashed_classifier_score`
+    documents as the trained drop-in — mean-pooled hashed-bigram
+    weights -> logit -> keep. Row-local except one per-doc aggregation
+    over the doc's own feature array; no shuffle of the corpus.
+
+    Returns (id, logit, keep)."""
+    from .dedup import _hash32, tokenized
+
+    buckets = buckets or len(weights)
+    if len(weights) != buckets:
+        raise ValueError("weights length must equal buckets")
+    warr = F.lit(weights)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_toks") - 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i, 2), " "))
+    wsum = F.aggregate(
+        F.col("_gr"), F.lit(0.0),
+        lambda acc, gc: acc + F.element_at(
+            warr, (_hash32(gc) % buckets + 1).cast("int")))
+    return (tokenized(docs, id_col, text_col)
+            .select(F.col(id_col), grams.alias("_gr"))
+            .select(F.col(id_col),
+                    (wsum / F.size("_gr")).alias("logit"))
+            .withColumn("keep", F.col("logit") > 0))

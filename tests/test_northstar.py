@@ -906,3 +906,32 @@ def test_knn_classify_ivf_tracks_exact(spark, sf_dir):
     # pruned-graph accuracy tracks the exact composition per class
     for lbl, acc in exact.items():
         assert abs(ivf[lbl] - acc) <= 250, (lbl, acc, ivf[lbl])
+
+
+def test_trained_classifier_separates_domains(spark):
+    from servihabitat_etl_spyke_spark.operators.text import (
+        apply_trained_classifier, train_hashed_classifier)
+    pos = [(i, "stir the sauce simmer onions butter garlic bake bread "
+               "season roast thyme pepper whisk eggs", True)
+           for i in range(24)]
+    neg = [(100 + i, "def main args return parse input tokens exit class "
+                     "node left right insert delete tree", False)
+           for i in range(24)]
+    docs = spark.createDataFrame(pos + neg,
+                                 "doc_id long, text string, y boolean")
+    w = train_hashed_classifier(docs, "y", buckets=256, iters=12, lr=1.0)
+    assert len(w) == 256 and any(abs(v) > 0 for v in w)
+    scored = {r["doc_id"]: r["keep"] for r in
+              apply_trained_classifier(docs, w).collect()}
+    acc = (sum(scored[i] for i in range(24))
+           + sum(not scored[100 + i] for i in range(24))) / 48
+    assert acc >= 0.95, acc
+    # held-out docs built from in-vocabulary bigrams classify correctly
+    # (bigram features generalize through shared phrases, not new ones)
+    held = spark.createDataFrame(
+        [(900, "stir the sauce simmer onions butter"),
+         (901, "class node left right insert delete")],
+        "doc_id long, text string")
+    hs = {r["doc_id"]: r["keep"] for r in
+          apply_trained_classifier(held, w).collect()}
+    assert hs[900] and not hs[901]
