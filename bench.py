@@ -147,9 +147,16 @@ def main() -> None:
             base_times = json.load(fh).get("queries", {})
 
     timings: dict[str, float] = {}
+    # per-attempt transparency: every timed attempt is recorded so a
+    # query that only clears the 2x regression gate after backoff
+    # retries is distinguishable (in BENCH_DETAIL.json) from a
+    # first-try pass — the gate can't silently launder a real
+    # regression behind a lucky retry
+    attempt_log: dict[str, list[float]] = {}
     names = [n for n in HEADLINE if n in QUERIES]
     for name in names:
         best = float("inf")
+        attempt_log[name] = []
         # best of 2, plus a 3rd attempt if the best still exceeds 3s OR
         # sits over 2x its own pinned baseline (the regression gate):
         # this VM shows 3-30x noise spikes from outside load, and a query
@@ -176,7 +183,9 @@ def main() -> None:
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            attempt_log[name].append(round(elapsed, 3))
+            best = min(best, elapsed)
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -197,6 +206,9 @@ def main() -> None:
     # >2x are singled out (bench noise on this VM is 3-4x on single runs,
     # so a flagged query means "re-measure / profile", not proof).
     detail = dict(out)
+    detail["attempts"] = attempt_log
+    detail["gated_by_retry"] = sorted(
+        n for n, ts in attempt_log.items() if len(ts) > 3)
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
     if os.path.exists(base_path):

@@ -1039,8 +1039,15 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.2,
                   W.partitionBy(id_col).orderBy("_df", "shingle")))
               .withColumn("_sz", F.count("*").over(
                   W.partitionBy(id_col))))
+    # ceil(t * sz) in INTEGER arithmetic: float ceil can round a
+    # mathematically-integral t*sz (e.g. t=0.2, sz=5 -> 1.0000000000000002)
+    # up one, shortening the prefix below the lossless bound and silently
+    # dropping boundary pairs. Quantize t to basis points and ceil via
+    # (sz*t_bp + 9999) div 10000 — exact for any threshold given to 4dp.
+    t_bp = round(float(threshold) * 10000)
     plen = (F.col("_sz")
-            - F.ceil(F.col("_sz") * F.lit(float(threshold))) + 1)
+            - F.floor((F.col("_sz") * F.lit(t_bp) + F.lit(9999))
+                      / F.lit(10000)).cast("int") + 1)
     # materialize the prefix index before self-joining it: the join's
     # two branches are separate subplans, so the whole
     # count+join+window pipeline above would otherwise execute twice

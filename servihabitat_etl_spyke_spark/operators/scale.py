@@ -505,8 +505,12 @@ def kmv_sketch(items: DataFrame, col: str, k: int = 256) -> DataFrame:
         for pdf in batches:
             cur = pdf.drop_duplicates("value")
             best = cur if best is None else pd.concat([best, cur])
+            # sort by (h, value) — the GLOBAL tie-break order — before
+            # cutting to k: nsmallest(keep='first') breaks 32-bit hash
+            # ties by arrival order, which could keep a value locally
+            # that the global ORDER BY h, value LIMIT k would drop
             best = (best.drop_duplicates("value")
-                    .nsmallest(k, "h", keep="first"))
+                    .sort_values(["h", "value"]).head(k))
         if best is not None:
             yield best
 

@@ -784,15 +784,29 @@ def gopher_filter(docs: DataFrame, min_tokens: int = 50,
     engines, and the rule thresholds compare against exact fractions
     (n * den cmp num form is avoided because the int/int doubles are
     already exact enough: numerator/denominator pairs are < 2^53)."""
-    toks, dist, g3 = F.col("_toks"), F.col("_dist"), F.col("_g3")
+    toks, g3 = F.col("_toks"), F.col("_g3")
     n_tok = F.size(toks)
-    counts = F.transform(
-        dist, lambda x: F.size(F.filter(toks, lambda y: y == x)))
+    # most-frequent-token count via ONE linear pass over the SORTED
+    # token array (max run length in sorted order == max multiplicity).
+    # The naive transform(distinct, filter(toks)) form is
+    # O(n_tokens * n_distinct) per row — ~1e10 row-local comparisons on
+    # a max_tokens-sized doc — and stalls single tasks at scale.
+    def _run(acc, x):
+        return F.when(acc["prev"].eqNullSafe(x),
+                      acc["run"] + 1).otherwise(F.lit(1))
+
+    top_count = F.aggregate(
+        F.array_sort(toks),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"), _run(acc, x).alias("run"),
+            F.greatest(acc["best"], _run(acc, x)).alias("best")),
+        lambda acc: acc["best"])
     base = (spread(docs, id_col)
             .select(F.col(id_col), F.col(text_col),
                     F.split(F.col(text_col), " ").alias("_toks"))
             .select(F.col(id_col), "_toks",
-                    F.array_distinct("_toks").alias("_dist"),
                     F.transform(
                         F.sequence(F.lit(1),
                                    F.greatest(F.size(toks) - 2, F.lit(1))),
@@ -806,7 +820,7 @@ def gopher_filter(docs: DataFrame, min_tokens: int = 50,
                 n_tok.alias("n_tokens"),
                 (F.col("_tok_chars") / n_tok).alias("mean_word_len"),
                 _count_in(toks, STOPWORDS).alias("n_stopwords"),
-                (F.array_max(counts) / n_tok).alias("top_token_frac"),
+                (top_count / n_tok).alias("top_token_frac"),
                 (1 - F.size(F.array_distinct(g3)) / F.size(g3))
                 .alias("dup_3gram_frac")))
     rules = base.select(

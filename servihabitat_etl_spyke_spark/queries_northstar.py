@@ -1142,10 +1142,16 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     application is iterative string rewriting — not SQL-expressible, so
     the driver records rows-only; tests pin the classic
     low/lower/lowest merge behavior and digest determinism."""
+    # the driver-side collect is O(1) in corpus size: deterministic
+    # every-10th-doc filter, ordered, CAPPED at 2000 docs — a fraction
+    # alone would still be 10 TB at a 100 TB corpus; the cap makes the
+    # sample a constant while keeping the selection deterministic
+    # (training quality is insensitive past a few thousand docs)
     sample = [r["text"] for r in
               load_table(spark, sf_dir, "documents")
               .filter(F.col("doc_id") % 10 == 0)
-              .select("doc_id", "text").orderBy("doc_id").collect()]
+              .select("doc_id", "text").orderBy("doc_id")
+              .limit(2000).collect()]
     merges = TX.train_bpe(sample, n_merges=16)
     docs = load_table(spark, sf_dir, "documents")
     return TX.apply_bpe(docs, merges).orderBy("doc_id")

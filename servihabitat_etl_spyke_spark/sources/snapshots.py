@@ -173,12 +173,19 @@ def snapshot_diff(spark: SparkSession, store: "SnapshotStore",
             (set(old.columns) & set(new.columns)) - {key_col})
 
     def digested(df: DataFrame, tag: str) -> DataFrame:
+        # hash each column INDIVIDUALLY, then hash the concatenation of
+        # the fixed-width digests: a raw concat_ws('\x1f') digest lets a
+        # value containing the separator (or a literal sentinel vs NULL)
+        # alias column boundaries, reporting two different rows as equal.
+        # Pieces are 32 lowercase-hex chars or the non-hex '-' NULL
+        # marker, so the tokenization — hence the row encoding — is
+        # unambiguous.
+        pieces = [F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-"))
+                  for c in compare_cols]
         return df.select(
             F.col(key_col),
-            F.md5(F.concat_ws("\x1f",
-                              *[F.coalesce(F.col(c).cast("string"),
-                                           F.lit("\x00"))
-                                for c in compare_cols])).alias(f"_d_{tag}"))
+            F.md5(F.concat(*pieces) if pieces else F.lit(""))
+            .alias(f"_d_{tag}"))
 
     o = digested(old, "old")
     n = digested(new, "new")
