@@ -65,33 +65,37 @@ def _driver_verified() -> frozenset:
 _DRIVER_VERIFIED = _driver_verified()
 
 # This round's 50-slot driver window, highest-value never-checked suites.
+# (r3's window — dedup/ANN/text/curation/multimodal/TPC-H-completion — went
+# 50/50 green in CORRECTNESS_r03.json and auto-retired via _DRIVER_VERIFIED;
+# r4 prioritizes the ORACLED never-checked names: streaming, flow/source,
+# scale-kit, profile/sketch, snapshot, remaining curation, and the new
+# connected-components variants. Rows-only twins queue behind these.)
 _WINDOW = [
-    # dedup suite
-    "dedup_exact", "neardup_jaccard", "dedup_minhash_lsh",
-    "dedup_incremental", "dedup_clusters", "dedup_canonical",
-    "dedup_simhash", "dedup_embedding",
-    # ANN / graph suite (exact oracle baselines; IVF twins are rows-only)
-    "ann_cosine_topk", "ann_knn_graph", "ann_hard_negatives",
-    "graph_knn_degrees",
-    # text-analysis suite
-    "text_quality", "text_token_count", "text_lang_id", "text_fingerprint",
-    "text_repetition_stats", "text_lm_score", "text_bigram_lm_score",
-    "text_classifier_score", "bm25_topk", "text_phrase_search",
-    "text_collocations", "text_bpe_pair_counts",
-    # curation suite
-    "curate_pii_redact", "curate_decontaminate", "curate_stratified_sample",
-    "curate_chunk_tokens", "curate_pack_greedy", "curate_pipeline",
-    "curate_passage_dedup", "curate_grouped_split", "curate_shard_assign",
-    "curate_temperature_mix",
-    # multimodal suite (oracled entries)
-    "multimodal_meta", "multimodal_image_dhash", "multimodal_image_neardup",
-    "multimodal_audio_features", "multimodal_video_scenes",
-    # TPC-H completions
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    "q12_late_priority", "q13_customer_distribution", "q15_top_supplier",
-    "q19_disjunctive_bands", "q21_sole_late_supplier", "q22_dormant_customers",
-    # new this round
-    "multimodal_video_dedup", "dedup_snapshot_incremental",
+    # streaming suite (batch twins of the stateful/windowed sinks)
+    "topic_wildcard_match", "cdc_notifications", "ephemeral_split",
+    "env_fanout", "state_machine_fold", "state_machine_entries",
+    "queue_priority_drain", "queue_delayed_release", "window_sliding",
+    "session_window_batch", "late_data_watermark",
+    # flow / source / engine suite
+    "flow_map_filter", "sub_on_change", "fn_to_json", "llm_enrich_stub",
+    "sheets_ingest", "sheets_keyed_upsert", "catalog_introspect",
+    "switch_route", "range_banding", "runtime_model_ddl",
+    "runtime_model_bootstrap", "runtime_model_sheet",
+    # scale-kit / profile / snapshot suite
+    "scale_zorder_key", "scale_bucketed_join", "scale_skew_report",
+    "profile_columns", "profile_drift_psi", "corpus_profile",
+    "profile_hll_distinct", "profile_kmv_distinct",
+    "snapshot_time_travel", "snapshot_diff",
+    # agg / window completions
+    "agg_pivot", "agg_unpivot", "window_distribution",
+    # curation completions
+    "curate_url_normalize", "curate_domain_cap", "curate_domain_stats",
+    "curate_contamination_score", "curate_dsir_weights", "curate_dsir_sample",
+    "curate_sample_exact_k", "curate_token_budget_mix", "curate_gopher_filter",
+    "curate_weighted_sample",
+    # new dedup variants (star CC at scale, incremental CC, prefix filter)
+    "dedup_clusters_star", "dedup_clusters_incremental",
+    "dedup_prefix_filter", "dedup_simhash_pairs",
 ]
 
 

@@ -128,6 +128,12 @@ HEADLINE = [
     "ann_knn_classify",
     "ann_knn_classify_ivf",
     "dedup_clusters_incremental",
+    # round-4 additions: skew-proof SemDeDup LSH prune, sheet-backed
+    # list-query parity, streaming-dedup batch twin
+    "dedup_semantic_lsh",
+    "sheet_model_list_page",
+    "sheet_model_range_filter",
+    "stream_dedup_batch",
 ]
 
 

@@ -746,6 +746,74 @@ def semantic_dedup(corpus: DataFrame, k: int = 8, threshold: float = 0.9,
                     F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")))
 
 
+def semantic_dedup_lsh(corpus: DataFrame, k: int = 8, threshold: float = 0.9,
+                       iters: int = 3, bands: int = 8, rows: int = 4,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """:func:`semantic_dedup` with the in-cluster prune re-expressed as a
+    banded hyperplane-LSH candidate join — the skew-proof variant. The
+    exact form runs one GEMM per cluster, which assumes cluster sizes
+    stay bounded; with a skewed cluster (real corpora: one dominant
+    mode) that single task goes quadratic. Here candidates come from an
+    equi-join on (centroid_id, band, key) — each vector appears in
+    ``bands`` buckets, buckets split big clusters by signature, and the
+    exact cosine verification touches candidate pairs only, so the plan
+    is hash-join-shaped regardless of cluster skew.
+
+    Same output contract as :func:`semantic_dedup`: (id, centroid_id,
+    keep), lowest id in a near-dup set survives. Approximate by nature —
+    a pair missed by every band stays unpruned (recall tuned by
+    (bands, rows); at cos 0.9, 8x4 gives ~0.998 candidate recall) — so
+    keep-flags are a superset of the exact operator's."""
+    from .similarity import (_hyperplanes, assign_to_centroids, dot,
+                             kmeans_fit)
+    cents = kmeans_fit(corpus, k=k, iters=iters,
+                       id_col=id_col, vec_col=vec_col)
+    units = _unit_vectors(corpus, id_col, vec_col)
+    assigned = (assign_to_centroids(corpus, cents, id_col=id_col,
+                                    vec_col=vec_col)
+                .select(id_col, "centroid_id")
+                .join(units, id_col)
+                .persist())
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(bands * rows, dim)
+
+    def band_key(bi: int) -> Column:
+        bits = None
+        for ri in range(rows):
+            d = dot(F.col("uvec"),
+                    F.array(*[F.lit(x) for x in planes[bi * rows + ri]]))
+            bit = F.when(d >= 0, F.lit(1 << ri)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        return bits.cast("long")
+
+    banded = assigned.select(
+        F.col(id_col), "centroid_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"), band_key(bi).alias("key"))
+            for bi in range(bands)])).alias("bk")
+    ).select(id_col, "centroid_id", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
+                   & (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    ua = assigned.select(F.col(id_col).alias("id_a"),
+                         F.col("uvec").alias("ua"))
+    ub = assigned.select(F.col(id_col).alias("id_b"),
+                         F.col("uvec").alias("ub"))
+    drops = (cand.join(ua, "id_a").join(ub, "id_b")
+             .filter(dot(F.col("ua"), F.col("ub")) >= threshold)
+             .select(F.col("id_b").alias(id_col)).distinct())
+    return (assigned
+            .join(drops.withColumn("_drop", F.lit(True)), id_col, "left")
+            .select(F.col(id_col), F.col("centroid_id"),
+                    F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")))
+
+
 # -- content-defined chunking (rolling-hash boundaries) -----------------------
 
 #: Gear table: one deterministic 64-bit constant per byte value (md5-derived,

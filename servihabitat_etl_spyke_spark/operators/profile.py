@@ -26,12 +26,12 @@ _SCHEMA = ("col_name string, dtype string, n_rows long, n_nulls long, "
            "min_str string, max_str string")
 
 
-def profile_table(df: DataFrame, columns: list[str] | None = None,
-                  approx: bool = False) -> DataFrame:
-    """One row per profiled column: (col_name, dtype, n_rows, n_nulls,
-    n_distinct, min_num, max_num, min_str, max_str). Numeric columns
-    report min/max as double; string columns as strings; other types
-    (timestamps, arrays, …) report cardinality/nulls only."""
+def profile_agg(df: DataFrame, columns: list[str] | None = None,
+                approx: bool = False) -> DataFrame:
+    """The ONE aggregation behind :func:`profile_table`, returned lazily
+    (a single wide row) — exposed so plan tests can pin the invariant
+    that the whole profile is one scan feeding one aggregate, no matter
+    how many columns are profiled."""
     types = dict((f.name, f.dataType.typeName()) for f in df.schema.fields)
     names = sorted(columns if columns is not None else types)
     for n in names:
@@ -50,7 +50,18 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
         elif types[n] == "string":
             aggs += [F.min(c).alias(f"{n}__mns"),
                      F.max(c).alias(f"{n}__mxs")]
-    row = df.agg(*aggs).first().asDict()
+    return df.agg(*aggs)
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  approx: bool = False) -> DataFrame:
+    """One row per profiled column: (col_name, dtype, n_rows, n_nulls,
+    n_distinct, min_num, max_num, min_str, max_str). Numeric columns
+    report min/max as double; string columns as strings; other types
+    (timestamps, arrays, …) report cardinality/nulls only."""
+    types = dict((f.name, f.dataType.typeName()) for f in df.schema.fields)
+    names = sorted(columns if columns is not None else types)
+    row = profile_agg(df, names, approx).first().asDict()
 
     def _num(key):
         v = row.get(key)

@@ -1189,6 +1189,21 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id"))
 
 
+@query("dedup_semantic_lsh")  # k-means + LSH -> rows-only; recall pytest
+def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the in-cluster prune as a banded hyperplane-LSH
+    candidate join instead of a per-cluster GEMM — the skew-proof 100 TB
+    path: a dominant cluster no longer concentrates a quadratic scan in
+    one task because candidates come from a (centroid, band, key)
+    equi-join. Approximate (recall tuned by bands x rows; pytest pins
+    recall vs the exact prune); rows-only at the driver like its exact
+    twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (D.semantic_dedup_lsh(emb, k=8, threshold=0.45, iters=3,
+                                 bands=8, rows=4)
+            .orderBy("vec_id"))
+
+
 @query("dedup_cdc_chunks")  # rolling-hash boundaries -> rows-only; pytest
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (FastCDC-style gear rolling hash) over the

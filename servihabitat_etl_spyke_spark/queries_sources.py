@@ -245,6 +245,84 @@ def runtime_model_sheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.list("partner_sheet", order_by="n_nationkey", all_rows=True)
 
 
+@query("sheet_model_list_page", oracle="""
+WITH sheet AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS c_custkey,
+         CAST(c_name AS VARCHAR) AS c_name,
+         CAST(c_mktsegment AS VARCHAR) AS c_mktsegment,
+         CAST(c_nationkey AS VARCHAR) AS c_nationkey
+  FROM customer
+)
+SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM sheet
+WHERE c_mktsegment = 'BUILDING'
+ORDER BY c_custkey
+LIMIT 20 OFFSET 40
+""")
+def sheet_model_list_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 + O1/O2/O3 over a SHEET-backed runtime model — the loose-typing
+    parity trap (SURVEY §4.3.1): every column is string (sheets have no
+    types), so the equality filter compares strings and the default
+    ordering on the id column is LEXICOGRAPHIC ('1' < '10' < '100' <
+    '2'), which reshuffles page boundaries vs a typed store. Deep page
+    fetch (page=2 at 20/page) through the standard list path
+    (objectsAPI.ts:169 list endpoint over googleSheetClient.ts rows);
+    the oracle replays the bootstrap with VARCHAR casts."""
+    from .engine import Engine
+    eng = Engine(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    eng.create_model({
+        "name": "customer_sheet",
+        "keys": {
+            "c_custkey": {"type": "string", "modifiers": [{"name": "id"}]},
+            "c_name": {"type": "string"},
+            "c_mktsegment": {"type": "string"},
+            "c_nationkey": {"type": "string"},
+        },
+    }, data=cust, storage="sheet")
+    return eng.list("customer_sheet",
+                    filter={"c_mktsegment": "BUILDING"},
+                    page=2, items_per_page=20)
+
+
+@query("sheet_model_range_filter", oracle="""
+WITH sheet AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS c_custkey,
+         CAST(c_name AS VARCHAR) AS c_name,
+         CAST(c_mktsegment AS VARCHAR) AS c_mktsegment,
+         CAST(c_nationkey AS VARCHAR) AS c_nationkey
+  FROM customer
+)
+SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM sheet
+WHERE c_nationkey >= '1' AND c_nationkey <= '2'
+ORDER BY c_nationkey DESC, c_custkey
+LIMIT 50
+""")
+def sheet_model_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 over a sheet-backed model: the {from,to} range filter runs on
+    STRING values, so '1'..'2' means LEXICOGRAPHIC — nation keys 1,
+    10-19, 2 qualify while 20-24 don't, exactly how a sheet-backed
+    store (all cells text) behaves in the reference. Desc ordering on
+    the string column with the string id as tiebreak."""
+    from .engine import Engine
+    eng = Engine(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    eng.create_model({
+        "name": "customer_sheet_r",
+        "keys": {
+            "c_custkey": {"type": "string", "modifiers": [{"name": "id"}]},
+            "c_name": {"type": "string"},
+            "c_mktsegment": {"type": "string"},
+            "c_nationkey": {"type": "string"},
+        },
+    }, data=cust, storage="sheet")
+    return eng.list("customer_sheet_r",
+                    filter={"c_nationkey": {"from": "1", "to": "2"}},
+                    order_by="c_nationkey", order_direction="desc",
+                    items_per_page=50)
+
+
 # ---------------------------------------------------------------------------
 # Snapshot-versioned storage (time travel / reproducible dataset versions)
 # ---------------------------------------------------------------------------

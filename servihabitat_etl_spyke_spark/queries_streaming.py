@@ -326,3 +326,26 @@ def late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = seq.filter(
         F.col("ts") < F.col("high_water") - F.expr("INTERVAL 10 MINUTES"))
     return late.select("user_id", "event_id").orderBy("user_id", "event_id")
+
+
+@query("stream_dedup_batch", oracle="""
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type FROM events
+  UNION ALL
+  SELECT event_id, user_id, event_type FROM events
+) GROUP BY event_id, user_id, event_type
+ORDER BY event_id
+""")
+def stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.sinks.stream_dedup``
+    (dropDuplicatesWithinWatermark): the exact-dedup semantics the
+    streaming sink enforces — a re-delivered event suppressed, one
+    survivor per key — run over a deterministically DOUBLED event feed
+    (the table unioned with itself, the same re-delivery shape
+    tests/test_streaming.py drives through the real readStream path).
+    Key-only projection makes the survivor identity well-defined, so the
+    oracle is a plain GROUP BY."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    doubled = ev.unionAll(ev)
+    return doubled.dropDuplicates(["event_id"]).orderBy("event_id")

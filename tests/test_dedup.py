@@ -133,6 +133,56 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
     assert out[101]["centroid_id"] == out[1]["centroid_id"]
 
 
+def test_semantic_dedup_lsh_matches_exact_prune(spark):
+    """The LSH prune must recover the exact prune's drop set on planted
+    duplicates (identical/scaled copies hash to identical signatures, so
+    every band collides — recall 1.0 on exact dups), and must never drop
+    a vector the exact operator keeps (drops come from verified cosine,
+    so false positives are impossible)."""
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        semantic_dedup, semantic_dedup_lsh)
+
+    def onehot(i):
+        return [1.0 if j == i else 0.0 for j in range(8)]
+
+    rows = ([(i, onehot(i)) for i in range(6)]
+            + [(100, onehot(0)),
+               (101, [2.0 * x for x in onehot(1)]),
+               (102, [0.0] * 8)])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {r["vec_id"]: r["keep"] for r in
+             semantic_dedup(emb, k=3, threshold=0.99, iters=2).collect()}
+    lsh = {r["vec_id"]: r["keep"] for r in
+           semantic_dedup_lsh(emb, k=3, threshold=0.99, iters=2,
+                              bands=8, rows=4).collect()}
+    assert set(lsh) == set(exact)           # same population (zero-norm out)
+    # exact-duplicate directions are always caught (signatures identical)
+    assert lsh[100] is False and lsh[101] is False
+    # no false drops: anything LSH drops, exact drops too
+    assert all(exact[v] is False for v, k in lsh.items() if k is False)
+
+
+def test_semantic_dedup_lsh_recall_on_corpus(spark, sf_dir):
+    """Recall of the LSH prune vs the exact prune on the real embeddings
+    table: at 8 bands x 4 rows and cos 0.45 the candidate recall bound is
+    high enough that the drop sets should match near-exactly."""
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        semantic_dedup, semantic_dedup_lsh)
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_drops = {r["vec_id"] for r in
+                   semantic_dedup(emb, k=8, threshold=0.45, iters=2)
+                   .filter("NOT keep").collect()}
+    lsh_drops = {r["vec_id"] for r in
+                 semantic_dedup_lsh(emb, k=8, threshold=0.45, iters=2,
+                                    bands=8, rows=4)
+                 .filter("NOT keep").collect()}
+    assert lsh_drops <= exact_drops         # verified cosine => no extras
+    if exact_drops:
+        recall = len(lsh_drops) / len(exact_drops)
+        assert recall >= 0.9, (recall, len(exact_drops))
+
+
 def test_cdc_boundaries_tile_and_respect_bounds():
     import numpy as np
 

@@ -178,6 +178,26 @@ def test_rowlocal_curation_ops_scan_once_no_join(spark, sf_dir):
         assert "HashAggregate" not in tree, name
 
 
+def test_profile_columns_single_scan_single_aggregate(spark, sf_dir):
+    """profile_columns is the widest aggregation in the repo (one stat
+    bundle per column) but must stay ONE FileScan feeding ONE two-phase
+    aggregate — per-column scans or a join-of-aggregates here would turn
+    a single pass over a 100 TB table into n_columns passes. Pinned so a
+    future 'fix' can't quietly restructure it."""
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.operators.profile import profile_agg
+    df = load_table(spark, sf_dir, "orders")
+    plan = profile_agg(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    # exact multi-column countDistinct plans via ONE Expand pipeline:
+    # partial/merge stages of the same aggregate, never per-column scans
+    assert "Join" not in tree
+    assert tree.count("Expand") <= 1
+
+
 def test_pack_greedy_single_window_shuffle(spark, sf_dir):
     plan = plan_of(spark, "curate_pack_greedy", sf_dir)
     tree = plan.split("\n\n")[0]
@@ -210,6 +230,7 @@ _ALLOWED_HAZARDS = {
     "multimodal_embed_ann": {"bnlj"},
     # k-row centroid-matrix broadcast (k-means assignment cross join)
     "dedup_semantic": {"bnlj"},
+    "dedup_semantic_lsh": {"bnlj"},
     # corpus-count scalar (1 row) broadcast over the shingle counts
     "text_boilerplate_ngrams": {"bnlj", "single_part"},
     # corpus stats (N, total length) 1-row broadcast over the tf table
