@@ -574,7 +574,8 @@ def embedding_neardup_lsh(corpus: DataFrame, threshold: float = 0.45,
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         star_threshold: int = 5_000_000) -> DataFrame:
     """Cluster near-dup pairs into connected components: (doc_id,
     cluster_id) where cluster_id is the minimum doc id reachable through
     the pair graph — the canonical-representative step every dedup
@@ -589,10 +590,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     the plan doesn't grow unboundedly. Only vertices that appear in some
     pair are emitted — singleton docs are their own cluster by definition.
 
-    At extreme skew (a single billion-doc component) the alternating
-    large-star/small-star algorithm halves rounds; the propagation loop
-    here is the simple, shuffle-minimal form that covers real dedup
-    graphs."""
+    Above ``star_threshold`` undirected edges the call auto-delegates to
+    :func:`connected_components_star` (alternating large-star/small-star,
+    rounds independent of component diameter) — identical labels, so the
+    switch is invisible to callers; the propagation loop below is the
+    simple, shuffle-minimal form that covers real dedup graph sizes."""
     # materialize the pair table ONCE before mirroring: the union's two
     # branches are separate subplans, so an expensive pairs pipeline
     # (LSH join, fingerprint index, ...) would otherwise execute twice
@@ -600,12 +602,24 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
          .localCheckpoint())
     edges = p.union(p.select(F.col("v").alias("u"),
                              F.col("u").alias("v")))
+    n_edges = edges.count()
+    # AUTO-SWITCH: past `star_threshold` edges the graph is big enough
+    # that a high-diameter component (billion-doc chains do happen in
+    # crawl dedup) would blow the O(diameter) round count — delegate to
+    # the alternating large-star/small-star variant, whose rounds are
+    # O(log^2 n) INDEPENDENT of diameter (Kiveris et al. 2014 §4). Both
+    # algorithms produce identical (doc_id, min-reachable-id) labels, so
+    # the switch is invisible to callers and to the shared oracle. The
+    # checkpointed pair table is reused, not recomputed.
+    if n_edges > 2 * star_threshold:   # n_edges counts both directions
+        return connected_components_star(p, id_a="u", id_b="v",
+                                         max_iter=max_iter)
     # size the iterative loop's parallelism to the edge table (same
     # rationale as graph.pagerank): per-task fixed overhead dominates
     # each round when the default width would hold a few hundred edges
     # per partition; the width scales back up with the edge count
     width = max(1, min(edges.sparkSession.sparkContext.defaultParallelism,
-                       edges.count() // 65536 + 1))
+                       n_edges // 65536 + 1))
     edges = edges.repartition(width, "u").localCheckpoint()
     labels = edges.groupBy("u").agg(
         F.least(F.first("u"), F.min("v")).alias("label"))

@@ -21,6 +21,22 @@ def test_connected_components_chain_and_island(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_auto_switch_matches_simple(spark):
+    """star_threshold=0 forces the auto-delegation to the star variant;
+    labels must be identical to the simple propagation on the same graph
+    (chain + island, so both diameter and multi-component paths run)."""
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        connected_components)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    simple = {r["doc_id"]: r["cluster_id"]
+              for r in connected_components(pairs).collect()}
+    starred = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(
+                   pairs, star_threshold=0).collect()}
+    assert starred == simple == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_connected_components_long_path_converges(spark):
     from servihabitat_etl_spyke_spark.operators.dedup import (
         connected_components)
