@@ -134,6 +134,9 @@ HEADLINE = [
     "sheet_model_list_page",
     "sheet_model_range_filter",
     "stream_dedup_batch",
+    "dedup_minhash_windowed",
+    "profile_quantiles",
+    "text_classifier_pr_sweep",
 ]
 
 

@@ -348,6 +348,49 @@ def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.5,
     return verify_pairs(docs, cand, threshold, id_col, text_col, n)
 
 
+def minhash_lsh_neardup_windowed(docs: DataFrame, day_col: str,
+                                 window: int = 7, threshold: float = 0.5,
+                                 k: int = 16, bands: int = 4, rows: int = 4,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 n: int = 3) -> DataFrame:
+    """TIME-BOUNDED near-dup: :func:`minhash_lsh_neardup` restricted to
+    pairs whose ``day_col`` values differ by at most ``window`` days —
+    the rolling-crawl dedup shape (a re-crawl is only a duplicate of a
+    RECENT snapshot; a page legitimately re-published a year later is a
+    new document).
+
+    Each doc enters TWO time buckets (``day // window`` and the next
+    one), so any pair within ``window`` days shares at least one bucket
+    (consecutive-bucket pigeonhole — LOSSLESS, proof: d2-d1 <= W implies
+    d2//W <= d1//W + 1); the exact ``|Δday| <= window`` filter then runs
+    on the bucket-joined candidates. Scale: the band self-join gains the
+    bucket equi-key, cutting candidate volume by ~(corpus lifetime /
+    window) — the term that otherwise grows quadratically as a crawl
+    store accumulates years of snapshots."""
+    sig = minhash_signatures(docs, k, id_col, text_col, n)
+    days = docs.select(F.col(id_col), F.col(day_col).alias("_day"))
+    bucketed = (band_signatures(sig, bands, rows, id_col)
+                .join(days, id_col)
+                .select(
+                    F.col(id_col), "band", "key", "_day",
+                    F.explode(F.array(
+                        F.floor(F.col("_day") / window),
+                        F.floor(F.col("_day") / window) + 1)).alias("_tb")))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a._tb") == F.col("b._tb"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .filter(F.abs(F.col("a._day") - F.col("b._day")) <= window)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct()
+            .persist())
+    cand.count()
+    return verify_pairs(docs, cand, threshold, id_col, text_col, n)
+
+
 def sorted_neighborhood_pairs(docs: DataFrame, threshold: float = 0.3,
                               window: int = 3, key_len: int = 12,
                               id_col: str = "doc_id", text_col: str = "text",

@@ -78,6 +78,43 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
     return df.sparkSession.createDataFrame(out, _SCHEMA)
 
 
+def quantile_profile(df: DataFrame, cols: list[str],
+                     probs: list[float] | None = None,
+                     approx: bool = False) -> DataFrame:
+    """Column quantiles in ONE aggregation over one scan: one row per
+    column, one value per requested probability — the distribution
+    summary a pipeline health report pins next to min/max/nulls.
+
+    Exact by default (Spark's sort-based ``percentile``, linear
+    interpolation — the same percentile_cont definition DuckDB's
+    ``quantile_cont`` implements, so an external oracle verifies
+    bit-for-bit after e4 quantization). Exact percentile buffers a
+    value->count map per column per partition — fine for the numeric
+    measure columns it's meant for; for huge-cardinality columns at full
+    scale pass ``approx=True`` and each quantile becomes a fixed-memory
+    ``percentile_approx`` sketch (no oracle — the sketch is
+    Spark-specific).
+
+    Values are e4-quantized longs (floor(v * 10000 + 0.5)) — integer
+    end to end, hash-oracle-safe."""
+    probs = probs if probs is not None else [0.25, 0.5, 0.75, 0.95, 0.99]
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    fn = ((lambda c: F.percentile_approx(c, parr, 10000)) if approx
+          else (lambda c: F.percentile(c, parr)))
+    agg = df.agg(*[fn(F.col(c)).alias(f"{c}__q") for c in cols])
+    # reshape the single wide row -> one row per column WITHOUT
+    # re-executing the aggregate per column (explode of literal structs)
+    return (agg.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            *[F.floor(F.element_at(F.col(f"{c}__q"), i + 1) * 10000
+                      + F.lit(0.5)).cast("long")
+              .alias(f"p{int(p * 1000)}_e4")
+              for i, p in enumerate(probs)])
+        for c in cols])).alias("r"))
+        .select("r.*"))
+
+
 def psi_drift(ref: DataFrame, cur: DataFrame, col: str,
               lo: float, hi: float, bins: int = 10) -> DataFrame:
     """Population Stability Index between a reference snapshot's column

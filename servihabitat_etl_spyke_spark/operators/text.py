@@ -346,6 +346,53 @@ def hashed_classifier_score(docs: DataFrame, buckets: int = 4096,
             .withColumn("keep", F.col("logit") > 0))
 
 
+def classifier_pr_sweep(scored: DataFrame, label_col: str,
+                        score_col: str = "logit",
+                        thresholds_micro: tuple[int, ...] = (
+                            -500_000, -250_000, -100_000, -50_000, 0,
+                            50_000, 100_000, 250_000, 500_000)) -> DataFrame:
+    """Quality-classifier CALIBRATION: precision / recall at a grid of
+    decision thresholds against a boolean reference label — the sweep a
+    pipeline runs before picking the keep/drop cutoff that hits a target
+    data budget. One row per threshold: (th_micro, tp, fp, fn,
+    precision_ppm, recall_ppm).
+
+    ONE aggregation over one scan: each threshold contributes three
+    conditional sums to a single wide agg row (thresholds are a fixed
+    small grid, so the agg stays a codegen'd projection — no explode of
+    the corpus, no per-threshold pass), reshaped to long form with a
+    literal-struct explode exactly like profile.quantile_profile.
+    Integer counts and ppm ratios end to end — hash-oracle-safe."""
+    y = F.col(label_col)
+    aggs = []
+    for t in thresholds_micro:
+        pred = F.col(score_col) >= F.lit(t) / F.lit(1e6)
+        aggs += [
+            F.sum(F.when(pred & y, 1).otherwise(0)).alias(f"tp_{t}"),
+            F.sum(F.when(pred & ~y, 1).otherwise(0)).alias(f"fp_{t}"),
+            F.sum(F.when(~pred & y, 1).otherwise(0)).alias(f"fn_{t}"),
+        ]
+    agg = scored.agg(*aggs)
+
+    def _ppm(num, den):
+        return (F.when(den == 0, F.lit(0))
+                .otherwise(F.floor(num * F.lit(1_000_000) / den))
+                .cast("long"))
+
+    return (agg.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(t).alias("th_micro"),
+            F.col(f"tp_{t}").cast("long").alias("tp"),
+            F.col(f"fp_{t}").cast("long").alias("fp"),
+            F.col(f"fn_{t}").cast("long").alias("fn"),
+            _ppm(F.col(f"tp_{t}"),
+                 F.col(f"tp_{t}") + F.col(f"fp_{t}")).alias("precision_ppm"),
+            _ppm(F.col(f"tp_{t}"),
+                 F.col(f"tp_{t}") + F.col(f"fn_{t}")).alias("recall_ppm"))
+        for t in thresholds_micro])).alias("r"))
+        .select("r.*"))
+
+
 # -- BM25 ranked retrieval ----------------------------------------------------
 
 

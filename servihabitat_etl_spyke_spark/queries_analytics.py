@@ -571,6 +571,33 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("col_name"))
 
 
+def _quantile_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    probs = [0.25, 0.5, 0.75, 0.95, 0.99]
+    parts = []
+    for c in cols:
+        qs = ", ".join(
+            f"CAST(floor(quantile_cont({c}, {p}) * 10000 + 0.5) AS BIGINT)"
+            f" AS p{int(p * 1000)}_e4" for p in probs)
+        parts.append(f"SELECT '{c}' AS col_name, {qs} FROM lineitem")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+@query("profile_quantiles", oracle=_quantile_oracle())
+def profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact column quantiles (p25/p50/p75/p95/p99) of the lineitem
+    measure columns in ONE aggregation over one scan — Spark's
+    sort-based percentile is the same percentile_cont interpolation
+    DuckDB's quantile_cont computes, so the e4-quantized values match
+    bit-for-bit. approx=True (percentile_approx) is the fixed-memory
+    path for huge-cardinality columns at full scale."""
+    from .operators.profile import quantile_profile
+    li = load_table(spark, sf_dir, "lineitem")
+    return (quantile_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount"])
+        .orderBy("col_name"))
+
+
 @query("scale_skew_report", oracle="""
 WITH counts AS (
   SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY o_custkey

@@ -185,6 +185,34 @@ ORDER BY id_a, id_b
 """
 
 
+def _windowed_oracle(window: int = 7, lifetime: int = 45) -> str:
+    """Full minhash pair set restricted to pairs within `window` days of
+    each other, crawl day derived as doc_id % lifetime."""
+    body = _minhash_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH pairs AS ({body})
+SELECT id_a, id_b, jaccard FROM pairs
+WHERE abs((id_a % {lifetime}) - (id_b % {lifetime})) <= {window}
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_minhash_windowed", oracle=_windowed_oracle())
+def dedup_minhash_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded near-dup: MinHash-LSH pairs restricted to docs whose
+    crawl days fall within 7 days of each other — each doc enters two
+    window-sized time buckets, so the in-window pair set is EXACTLY the
+    full pair set filtered by |Δday| <= 7 (consecutive-bucket
+    pigeonhole), while candidate volume scales with the window, not the
+    corpus lifetime. Crawl day is derived deterministically (doc_id %
+    45) so the oracle replays it."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .withColumn("crawl_day", F.col("doc_id") % 45))
+    return (D.minhash_lsh_neardup_windowed(docs, "crawl_day", window=7,
+                                           threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
 @query("dedup_incremental", oracle=_incremental_oracle())
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: the 20% of docs with id % 5 == 0 arrive as a
@@ -1039,6 +1067,53 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector drops in as a broadcast array literal with the same plan."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.hashed_classifier_score(docs).orderBy("doc_id")
+
+
+@query("text_classifier_pr_sweep", oracle="""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (SELECT doc_id, len(t) AS n_tokens,
+             CAST(list_sum(list_transform(t, x ->
+               CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % 4096 AS BIGINT)
+                 % 1997 - 998)) AS BIGINT) AS weight_sum
+      FROM s),
+lab AS (SELECT w.doc_id, weight_sum / (n_tokens * 998.0) AS logit,
+               d.n_chars >= 200 AS y
+        FROM w JOIN documents d ON w.doc_id = d.doc_id),
+t(th_micro) AS (VALUES (-500000), (-250000), (-100000), (-50000), (0),
+                       (50000), (100000), (250000), (500000)),
+c AS (SELECT th_micro,
+             sum(CASE WHEN logit >= th_micro / 1000000.0 AND y
+                 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN logit >= th_micro / 1000000.0 AND NOT y
+                 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN logit < th_micro / 1000000.0 AND y
+                 THEN 1 ELSE 0 END) AS fn
+      FROM lab CROSS JOIN t GROUP BY th_micro)
+SELECT CAST(th_micro AS INT) AS th_micro,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CAST(CASE WHEN tp + fp = 0 THEN 0
+            ELSE floor(tp * 1000000.0 / (tp + fp)) END AS BIGINT)
+         AS precision_ppm,
+       CAST(CASE WHEN tp + fn = 0 THEN 0
+            ELSE floor(tp * 1000000.0 / (tp + fn)) END AS BIGINT)
+         AS recall_ppm
+FROM c ORDER BY th_micro
+""")
+def text_classifier_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration: precision/recall of the hashed-classifier
+    logit against a length-based reference label (n_chars >= 200) at a
+    9-point threshold grid — the sweep that picks the keep/drop cutoff
+    for a target data budget. One scan, one wide conditional aggregate
+    (3 sums per threshold), integer ppm output; the oracle replays
+    inference + sweep with a CROSS JOIN over the threshold VALUES."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (TX.hashed_classifier_score(docs)
+              .join(docs.select("doc_id",
+                                (F.col("n_chars") >= 200).alias("y")),
+                    "doc_id"))
+    return (TX.classifier_pr_sweep(scored, label_col="y")
+            .orderBy("th_micro"))
 
 
 @query("bm25_topk", oracle="""

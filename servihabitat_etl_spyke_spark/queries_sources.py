@@ -279,6 +279,9 @@ def sheet_model_list_page(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment": {"type": "string"},
             "c_nationkey": {"type": "string"},
         },
+        # without a declared ordering, pagination would window over scan
+        # order — the lexicographic id default is the whole point here
+        "defaultOrderBy": "c_custkey",
     }, data=cust, storage="sheet")
     return eng.list("customer_sheet",
                     filter={"c_mktsegment": "BUILDING"},

@@ -675,3 +675,25 @@ def test_cc_incremental_equals_full_recompute(spark):
     # that appears in some pair, plus preserve the untouched singleton
     assert [t for t in inc if t[0] != 99] == full
     assert (99, 99) in inc
+
+
+def test_minhash_windowed_equals_filtered_full_pairs(spark, sf_dir):
+    """The two-bucket trick is lossless: windowed pairs == full LSH pair
+    set filtered to |Δday| <= window, for a window that splits the
+    planted duplicates across bucket boundaries."""
+    from pyspark.sql import functions as F
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        minhash_lsh_neardup, minhash_lsh_neardup_windowed)
+    docs = (load_table(spark, sf_dir, "documents")
+            .withColumn("crawl_day", F.col("doc_id") % 45))
+    full = {(r["id_a"], r["id_b"])
+            for r in minhash_lsh_neardup(docs, threshold=0.5).collect()}
+    days = {r["doc_id"]: r["crawl_day"]
+            for r in docs.select("doc_id", "crawl_day").collect()}
+    expect = {(a, b) for a, b in full if abs(days[a] - days[b]) <= 7}
+    got = {(r["id_a"], r["id_b"])
+           for r in minhash_lsh_neardup_windowed(
+               docs, "crawl_day", window=7, threshold=0.5).collect()}
+    assert got == expect
+    assert got < full          # the window genuinely cuts pairs

@@ -935,3 +935,42 @@ def test_trained_classifier_separates_domains(spark):
     hs = {r["doc_id"]: r["keep"] for r in
           apply_trained_classifier(held, w).collect()}
     assert hs[900] and not hs[901]
+
+
+def test_classifier_pr_sweep_exact_counts(spark):
+    """Hand-checked confusion counts on a 4-row frame: scores
+    (0.5, 0.5, -0.5, -0.5), labels (T, F, T, F). At t=0: tp=1 fp=1 fn=1
+    -> precision=recall=500000 ppm. At t=0.25: same. At t=-0.5: all
+    predicted positive -> tp=2 fp=2 fn=0."""
+    from servihabitat_etl_spyke_spark.operators.text import (
+        classifier_pr_sweep)
+    df = spark.createDataFrame(
+        [(0.5, True), (0.5, False), (-0.5, True), (-0.5, False)],
+        "logit double, y boolean")
+    out = {r["th_micro"]: r for r in
+           classifier_pr_sweep(df, label_col="y").collect()}
+    assert (out[0]["tp"], out[0]["fp"], out[0]["fn"]) == (1, 1, 1)
+    assert out[0]["precision_ppm"] == 500000
+    assert out[0]["recall_ppm"] == 500000
+    assert (out[-500000]["tp"], out[-500000]["fp"],
+            out[-500000]["fn"]) == (2, 2, 0)
+    assert out[-500000]["recall_ppm"] == 1000000
+    # threshold == top score: inclusive compare keeps both 0.5 rows
+    assert (out[500000]["tp"], out[500000]["fp"]) == (1, 1)
+    assert out[500000]["precision_ppm"] == 500000
+
+
+def test_quantile_profile_exact_interpolation(spark):
+    """percentile_cont semantics on [0,10,20,30,40]: p25 = 10, p50 = 20,
+    p75 = 30 (exact index), p95 = 38, p99 = 39.6 (interpolated)."""
+    from servihabitat_etl_spyke_spark.operators.profile import (
+        quantile_profile)
+    df = spark.createDataFrame([(float(x),) for x in (0, 10, 20, 30, 40)],
+                               "v double")
+    r = quantile_profile(df, ["v"]).collect()[0]
+    assert r["col_name"] == "v"
+    assert r["p250_e4"] == 100000
+    assert r["p500_e4"] == 200000
+    assert r["p750_e4"] == 300000
+    assert r["p950_e4"] == 380000
+    assert r["p990_e4"] == 396000

@@ -257,6 +257,11 @@ _ALLOWED_HAZARDS = {
     # mean-group-token-mass scalar (1 row) broadcast onto the per-group
     # term counts
     "text_ctfidf_terms": {"bnlj", "single_part"},
+    # GLOBAL (ungrouped) aggregations: map-side partials are fully
+    # distributed; only the one-row final merge is single-partition —
+    # that row IS the result (quantile vector / confusion counts)
+    "profile_quantiles": {"single_part"},
+    "text_classifier_pr_sweep": {"single_part"},
     # 1-row estimate x 1-row exact-distinct comparison join; register
     # fold is 2^b rows by construction
     "profile_hll_distinct": {"bnlj", "single_part"},
