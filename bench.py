@@ -137,6 +137,8 @@ HEADLINE = [
     "dedup_minhash_windowed",
     "profile_quantiles",
     "text_classifier_pr_sweep",
+    "text_distinct_ngrams",
+    "retrieval_mmr_topk",
 ]
 
 

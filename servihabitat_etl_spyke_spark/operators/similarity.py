@@ -977,3 +977,78 @@ def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
                  F.count("*").alias("n_lists"))
             .orderBy(F.col("rrf_nano").desc(), id_col)
             .limit(k))
+
+
+def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 10,
+               pool: int = 50, lam: float = 0.7,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick, per query, the candidate maximizing
+    ``lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s)`` —
+    the rerank that stops a retriever from returning k near-copies of
+    the same passage (a dedup-adjacent retrieval op: redundancy is
+    penalized at query time instead of removed at index time).
+
+    Shape: the candidate POOL per query comes from :func:`cosine_topk`
+    (bounded at ``pool`` rows/query — the expensive corpus scan happens
+    there, under its own exact/LSH/IVF scale story); the greedy rerank
+    is inherently sequential in k but only ever sees one query's pool,
+    so it runs as ONE applyInPandas group per query (a pool x dim numpy
+    problem, microseconds) with queries reranking in parallel. Ties
+    break to the lower neighbor id; scores emitted nano-quantized.
+
+    Returns (query_id, neighbor_id, rank, mmr_nano)."""
+    import numpy as np
+    import pandas as pd
+
+    cands = cosine_topk(corpus, queries, k=pool,
+                        id_col=id_col, vec_col=vec_col)
+    nvec = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("nv"))
+    qvec = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("qv"))
+    pooled = (cands.join(nvec, "neighbor_id")
+              .join(F.broadcast(qvec), "query_id"))
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        X = np.array(list(pdf["nv"]), dtype=np.float64)
+        Xn = np.linalg.norm(X, axis=1, keepdims=True)
+        Xn[Xn == 0] = 1.0
+        X = X / Xn
+        q = np.array(pdf["qv"].iloc[0], dtype=np.float64)
+        qn = np.linalg.norm(q)
+        q = q / (qn if qn else 1.0)
+        rel = X @ q
+        sims = X @ X.T
+        chosen: list[int] = []
+        scores: list[float] = []
+        remaining = np.ones(len(ids), dtype=bool)
+        for _ in range(min(k, len(ids))):
+            if chosen:
+                red = sims[:, chosen].max(axis=1)
+            else:
+                red = np.zeros(len(ids))
+            mmr = lam * rel - (1.0 - lam) * red
+            mmr_masked = np.where(remaining, mmr, -np.inf)
+            best = mmr_masked.max()
+            # deterministic tie-break: lowest neighbor id among maxima
+            cand_idx = np.nonzero(mmr_masked == best)[0]
+            pick = cand_idx[np.argmin(ids[cand_idx])]
+            chosen.append(int(pick))
+            scores.append(float(best))
+            remaining[pick] = False
+        return pd.DataFrame({
+            "query_id": pdf["query_id"].iloc[0],
+            "neighbor_id": ids[chosen],
+            "rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+            "mmr_nano": np.floor(np.array(scores) * 1e9
+                                 + 0.5).astype(np.int64),
+        })
+
+    return (pooled.groupBy("query_id").applyInPandas(
+        _mmr, schema="query_id long, neighbor_id long, rank int, "
+                     "mmr_nano long")
+        .orderBy("query_id", "rank"))

@@ -346,6 +346,51 @@ def hashed_classifier_score(docs: DataFrame, buckets: int = 4096,
             .withColumn("keep", F.col("logit") > 0))
 
 
+def distinct_ngram_ratios(docs: DataFrame, group_col: str = "source",
+                          ns: tuple[int, ...] = (1, 2, 3),
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Corpus DIVERSITY per group: for each n in ``ns``, total n-grams,
+    distinct n-grams, and the distinct/total ratio (permille) — the
+    distinct-n statistic that flags template-generated or
+    self-repetitive corpora (low ratio = low diversity), watched per
+    source before mixing. One row per (group, n).
+
+    Shape: all requested n-gram orders are built ROW-LOCALLY into one
+    tagged array, so the corpus scans ONCE and explodes once; the only
+    shuffle is the (group, n)-keyed count + exact distinct. At full
+    scale swap countDistinct for approx_count_distinct the same way
+    profile_table does."""
+    toks = F.col("_toks")
+
+    def grams(n: int) -> Column:
+        if n == 1:
+            g = toks
+        else:
+            g = F.transform(
+                F.sequence(F.lit(1),
+                           F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+                lambda i: F.array_join(F.slice(toks, i, n), " "))
+        return F.transform(g, lambda x: F.struct(
+            F.lit(n).alias("n"), x.alias("gram")))
+
+    tagged = (spread(docs, id_col)
+              .select(F.col(group_col).alias("grp"),
+                      tokens(F.col(text_col)).alias("_toks"))
+              .select("grp",
+                      F.explode(F.concat(*[grams(n) for n in ns]))
+                      .alias("g"))
+              .select("grp", "g.n", "g.gram"))
+    return (tagged.groupBy("grp", "n")
+            .agg(F.count("*").alias("total_grams"),
+                 F.countDistinct("gram").alias("distinct_grams"))
+            .select(F.col("grp").alias(group_col), "n",
+                    "total_grams", "distinct_grams",
+                    F.floor(F.col("distinct_grams") * 1000
+                            / F.col("total_grams")).cast("long")
+                    .alias("distinct_permille")))
+
+
 def classifier_pr_sweep(scored: DataFrame, label_col: str,
                         score_col: str = "logit",
                         thresholds_micro: tuple[int, ...] = (

@@ -1069,6 +1069,51 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.hashed_classifier_score(docs).orderBy("doc_id")
 
 
+@query("retrieval_mmr_topk")  # greedy rerank -> rows-only; pytest-proven
+def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 for 5 query vectors over a 50-candidate
+    cosine pool — redundancy penalized at query time (the retrieval twin
+    of index-time near-dup removal). The greedy argmax is iterative, so
+    the driver records rows-only; pytest pins the planted-redundancy
+    behavior (a near-copy of the top hit is deferred below a diverse
+    candidate) and lam=1 equivalence with the relevance-only ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.mmr_rerank(emb, queries, k=10, pool=50, lam=0.7)
+
+
+@query("text_distinct_ngrams", oracle="""
+WITH t AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT source, 1 AS n, unnest(tk) AS gram FROM t
+  UNION ALL
+  SELECT source, 2 AS n,
+         unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                i -> tk[i] || ' ' || tk[i + 1])) AS gram FROM t
+  UNION ALL
+  SELECT source, 3 AS n,
+         unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+           AS gram FROM t
+)
+SELECT source, CAST(n AS INT) AS n,
+       count(*) AS total_grams,
+       count(DISTINCT gram) AS distinct_grams,
+       CAST(floor(count(DISTINCT gram) * 1000 / count(*)) AS BIGINT)
+         AS distinct_permille
+FROM g GROUP BY source, n ORDER BY source, n
+""")
+def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity per source: distinct-n ratios for n = 1, 2, 3 —
+    the template-generation / self-repetition detector a mixing recipe
+    consults per source. One scan (all gram orders built row-locally
+    into one tagged array), one explode, one grouped exact-distinct
+    aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (TX.distinct_ngram_ratios(docs, group_col="source")
+            .orderBy("source", "n"))
+
+
 @query("text_classifier_pr_sweep", oracle="""
 WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 w AS (SELECT doc_id, len(t) AS n_tokens,

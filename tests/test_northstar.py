@@ -974,3 +974,41 @@ def test_quantile_profile_exact_interpolation(spark):
     assert r["p750_e4"] == 300000
     assert r["p950_e4"] == 380000
     assert r["p990_e4"] == 396000
+
+
+def test_mmr_defers_planted_near_copy(spark):
+    """Corpus: d1 highly relevant, d2 a near-copy of d1, d3 moderately
+    relevant but diverse. Relevance-only ranks (d1, d2, d3); MMR with a
+    diversity weight must rank the diverse d3 above the redundant d2."""
+    from servihabitat_etl_spyke_spark.operators.similarity import (
+        cosine_topk, mmr_rerank)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # query
+        (1, [0.99, 0.14, 0.0]),        # top hit
+        (2, [0.99, 0.141, 0.0]),       # near-copy of 1
+        (3, [0.7, 0.0, 0.71]),         # diverse, less relevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0")
+    rel = [r["neighbor_id"] for r in
+           cosine_topk(emb, q, k=3).collect()]
+    assert rel == [1, 2, 3]
+    mmr = [r["neighbor_id"] for r in
+           mmr_rerank(emb, q, k=3, pool=3, lam=0.5).collect()]
+    assert mmr == [1, 3, 2]
+
+
+def test_mmr_lam1_equals_relevance_ranking(spark, sf_dir):
+    """With lam=1 the redundancy term vanishes: MMR order must equal the
+    pure cosine ranking over the same pool."""
+    from pyspark.sql import functions as F
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.operators.similarity import (
+        cosine_topk, mmr_rerank)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    base = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in cosine_topk(emb, q, k=5).collect()}
+    mmr = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in mmr_rerank(emb, q, k=5, pool=20, lam=1.0).collect()}
+    assert mmr == base

@@ -224,6 +224,10 @@ _ALLOWED_HAZARDS = {
     # exact brute-force similarity baselines (documented O(n^2); the LSH /
     # IVF variants are the scale path) + tiny centroid cross joins
     "ann_cosine_topk": {"bnlj"},
+    # MMR's candidate pool comes from the exact cosine_topk baseline
+    # (same documented O(n^2) scan; swap in the IVF/LSH retriever for
+    # the pooled stage at scale — the rerank itself is pool-sized)
+    "retrieval_mmr_topk": {"bnlj"},
     "ann_ivf_topk": {"bnlj"},
     "ann_ivf_kmeans_topk": {"bnlj"},
     "dedup_embedding": {"bnlj"},
