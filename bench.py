@@ -139,6 +139,7 @@ HEADLINE = [
     "text_classifier_pr_sweep",
     "text_distinct_ngrams",
     "retrieval_mmr_topk",
+    "scale_topk_per_group",
 ]
 
 

@@ -529,3 +529,43 @@ def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
         .otherwise(F.floor((F.col("n_sketch") - 1) * F.lit(1 << 32)
                            / F.col("_hk")).cast("long"))
     return agg.select("n_sketch", est.cast("long").alias("est"))
+
+
+def topk_per_group(df: DataFrame, group_col: str, order_col: str,
+                   id_col: str, k: int = 3) -> DataFrame:
+    """Top-k rows per group WITHOUT shuffling the full table: each
+    partition first reduces to its own per-group top-k (shuffle-free
+    mapInPandas partial, the same two-phase discipline as
+    :func:`heavy_hitters` / :func:`kmv_sketch`), and only the
+    <= k * n_partitions survivors per group enter the ranking-window
+    shuffle. Exact: the global top-k is a subset of the union of
+    partition top-ks, and the deterministic (order desc, id asc) order
+    makes partial and final agree on ties.
+
+    The ranking-window formulation shuffles EVERY row to its group's
+    reducer — at 100 TB that is the whole table through the wire for a
+    3-row-per-group answer; here the shuffle input is bounded by
+    k * partitions * groups rows.
+
+    Returns the same (group, order, id, rnk) rows as the window form —
+    both satisfy the identical SQL oracle."""
+    import pandas as pd
+
+    proj = df.select(group_col, order_col, id_col)
+
+    def partial(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat([best, pdf])
+            cur = cur.sort_values([group_col, order_col, id_col],
+                                  ascending=[True, False, True])
+            best = cur.groupby(group_col, sort=False).head(k)
+        if best is not None:
+            yield best
+
+    partials = proj.mapInPandas(partial, schema=proj.schema)
+    w = W.partitionBy(group_col).orderBy(F.col(order_col).desc(), id_col)
+    return (partials
+            .select(group_col, id_col, order_col,
+                    F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= k))

@@ -355,6 +355,28 @@ def queue_fifo_lifo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@query("scale_topk_per_group", oracle="""
+SELECT event_type, event_id, value, rnk FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events
+) WHERE rnk <= 3 ORDER BY event_type, rnk
+""")
+def scale_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase top-k per group (operators/scale.py::topk_per_group):
+    shuffle-free per-partition top-k partials, then the ranking window
+    over only the <= k * partitions survivors per group — the window
+    formulation's full-table shuffle never happens. The oracle is the
+    PLAIN ranking window (same as `window_topk_per_group`) — proving the
+    partial pass changes only the shuffle volume, never the result."""
+    from .operators.scale import topk_per_group
+    ev = load_table(spark, sf_dir, "events")
+    return (topk_per_group(ev, "event_type", "value", "event_id", k=3)
+            .select("event_type", "event_id", "value", "rnk")
+            .orderBy("event_type", "rnk"))
+
+
 @query("scale_global_rownum", oracle="""
 SELECT l_orderkey, l_linenumber,
        row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn

