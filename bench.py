@@ -140,6 +140,7 @@ HEADLINE = [
     "text_distinct_ngrams",
     "retrieval_mmr_topk",
     "scale_topk_per_group",
+    "curate_mad_outliers",
 ]
 
 

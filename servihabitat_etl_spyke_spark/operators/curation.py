@@ -644,3 +644,32 @@ def weighted_sample_k(df: DataFrame, k: int, weight_col: str,
 def _hash32_of(key, seed: int):
     from .dedup import _hash32
     return _hash32(key.cast("string"), seed=seed)
+
+
+def mad_outlier_filter(df: DataFrame, col: str, k: float = 3.0,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Robust outlier gate on a numeric quality feature: flag rows more
+    than ``k`` median-absolute-deviations from the median — the
+    length/score sanity filter that, unlike mean±k·σ, is not dragged by
+    the very outliers it is meant to catch (50% breakdown point).
+
+    Two tiny aggregations (median, then MAD of the deviations — the
+    second depends on the first, so two passes are inherent) each
+    produce ONE row that broadcasts back over the corpus; the flagging
+    itself is a row-local comparison. Deviations are e4-quantized longs
+    so the keep decision is engine-bit-identical.
+
+    Returns (id, value, dev_e4, keep)."""
+    med_row = df.agg(F.percentile(F.col(col), F.lit(0.5)).alias("_med"))
+    with_med = df.select(F.col(id_col), F.col(col)).join(
+        F.broadcast(med_row))
+    dev = F.floor(F.abs(F.col(col) - F.col("_med")) * 10000
+                  + F.lit(0.5)).cast("long")
+    devs = with_med.select(F.col(id_col), F.col(col), dev.alias("_dev"))
+    mad_row = devs.agg(
+        F.percentile(F.col("_dev"), F.lit(0.5)).alias("_mad"))
+    return (devs.join(F.broadcast(mad_row))
+            .select(F.col(id_col), F.col(col),
+                    F.col("_dev").alias("dev_e4"),
+                    (F.col("_dev") <= F.lit(float(k)) * F.col("_mad"))
+                    .alias("keep")))

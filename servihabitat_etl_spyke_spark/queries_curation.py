@@ -892,3 +892,25 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (C.weighted_sample_k(docs, k=100, weight_col="n_chars",
                                 key_col="doc_id")
             .select("doc_id", "n_chars", "es_key_nano"))
+
+
+@query("curate_mad_outliers", oracle="""
+WITH med AS (SELECT quantile_cont(n_chars, 0.5) AS m FROM documents),
+devs AS (SELECT doc_id, n_chars,
+                CAST(floor(abs(n_chars - m) * 10000 + 0.5) AS BIGINT)
+                  AS dev_e4
+         FROM documents, med),
+mad AS (SELECT quantile_cont(dev_e4, 0.5) AS md FROM devs)
+SELECT doc_id, n_chars, dev_e4, dev_e4 <= 3.0 * md AS keep
+FROM devs, mad ORDER BY doc_id
+""")
+def curate_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier gate on document length: rows more
+    than 3 median-absolute-deviations from the median length are
+    flagged — the distribution-sanity filter that a handful of giant or
+    empty documents cannot drag, unlike mean±kσ. Two 1-row aggregations
+    broadcast back over the corpus; e4-quantized deviations keep the
+    keep decision engine-bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (C.mad_outlier_filter(docs, "n_chars", k=3.0)
+            .orderBy("doc_id"))

@@ -627,3 +627,16 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     zw = spark.createDataFrame([(1, 0), (2, 3)], "doc_id long, w long")
     kept = C.weighted_sample_k(zw, 5, "w", "doc_id").collect()
     assert [r["doc_id"] for r in kept] == [2]
+
+
+def test_mad_outlier_filter_flags_planted_outlier(spark):
+    """Tight cluster around 100 plus one wild value: only the wild value
+    falls outside 3 MADs; mean±3σ would have been dragged toward it."""
+    from servihabitat_etl_spyke_spark.operators.curation import (
+        mad_outlier_filter)
+    rows = [(i, v) for i, v in enumerate([98, 99, 100, 100, 101, 102, 5000])]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = {r["doc_id"]: r["keep"] for r in
+           mad_outlier_filter(df, "n_chars").collect()}
+    assert out[6] is False
+    assert all(out[i] for i in range(6))

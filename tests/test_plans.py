@@ -266,6 +266,9 @@ _ALLOWED_HAZARDS = {
     # that row IS the result (quantile vector / confusion counts)
     "profile_quantiles": {"single_part"},
     "text_classifier_pr_sweep": {"single_part"},
+    # median + MAD: two 1-row robust-statistic aggregations broadcast
+    # back over the corpus (the established 1-row-scalar join shape)
+    "curate_mad_outliers": {"bnlj", "single_part"},
     # 1-row estimate x 1-row exact-distinct comparison join; register
     # fold is 2^b rows by construction
     "profile_hll_distinct": {"bnlj", "single_part"},
