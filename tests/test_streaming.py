@@ -422,3 +422,23 @@ def test_stream_hll_upsert_matches_batch_registers(spark, sf_dir, tmp_path):
     got2 = sorted(map(tuple,
                       spark.read.parquet(str(tmp_path / "hll")).collect()))
     assert got2 == got
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    """session_window through the REAL readStream path (watermarked,
+    availableNow) must equal the batch session_window aggregation — the
+    one window family that still lacked a streaming run."""
+    from servihabitat_etl_spyke_spark.streaming.windows import (
+        session_window_agg)
+    stream = read_event_stream(spark, sf_dir)
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+           .agg(F.count("*").alias("n_events")))
+    got = _run_stream(agg, "ev_session", tmp_path, output_mode="complete")
+    batch = session_window_agg(load_table(spark, sf_dir, "events"),
+                               gap="30 minutes")
+    g = {(r["session_window"]["start"], r["user_id"]): r["n_events"]
+         for r in got.collect()}
+    b = {(r["session_window"]["start"], r["user_id"]): r["n_events"]
+         for r in batch.collect()}
+    assert g == b and len(g) > 0
