@@ -141,6 +141,8 @@ HEADLINE = [
     "retrieval_mmr_topk",
     "scale_topk_per_group",
     "curate_mad_outliers",
+    "dedup_overlap_matrix",
+    "profile_quantiles_by_group",
 ]
 
 

@@ -1127,6 +1127,40 @@ def corpus_overlap(a: DataFrame, b: DataFrame, k: int = 16,
                     .alias("jaccard_est_permille")))
 
 
+def corpus_overlap_matrix(docs: DataFrame, group_col: str = "source",
+                          k: int = 16, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 3) -> DataFrame:
+    """Pairwise shingle-Jaccard estimates between EVERY pair of corpus
+    groups (sources / releases / languages) from per-group MinHash
+    sketches — the mixing-recipe diagnostic that answers "which sources
+    duplicate each other" without ever co-scanning two groups. One row
+    per unordered pair: (source_a, source_b, k, n_equal,
+    jaccard_est_permille).
+
+    Shape: the per-doc row-local signature stage plus ONE grouped
+    aggregation (min per hash function per group — min over per-doc
+    mins == min over the group's shingle set), then a pairwise join of
+    the GROUP-count-sized sketch table (tiny by contract). Integer
+    output, engine-bit-identical."""
+    sig = minhash_signatures(docs, k=k, id_col=id_col, text_col=text_col,
+                             n=n)
+    grouped = (sig.join(docs.select(id_col, group_col), id_col)
+               .groupBy(group_col)
+               .agg(*[F.min(f"mh{i}").alias(f"mh{i}") for i in range(k)]))
+    a = grouped.select(F.col(group_col).alias("source_a"),
+                       *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
+    b = grouped.select(F.col(group_col).alias("source_b"),
+                       *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
+    eq = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+             for i in range(k))
+    return (a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+            .select("source_a", "source_b",
+                    F.lit(k).alias("k"), eq.alias("n_equal"))
+            .select("source_a", "source_b", "k", "n_equal",
+                    F.floor(F.col("n_equal") * 1000 / F.lit(k))
+                    .alias("jaccard_est_permille")))
+
+
 # -- prefix-filtered set-similarity join (PPJoin family) ---------------------
 
 

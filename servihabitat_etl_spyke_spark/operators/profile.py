@@ -115,6 +115,25 @@ def quantile_profile(df: DataFrame, cols: list[str],
         .select("r.*"))
 
 
+def quantile_profile_grouped(df: DataFrame, group_col: str, col: str,
+                             probs: list[float] | None = None,
+                             approx: bool = False) -> DataFrame:
+    """Per-GROUP exact quantiles of one numeric column — the stratified
+    twin of :func:`quantile_profile` (length distribution per source /
+    language before mixing). One grouped aggregation over one scan; the
+    same exact-vs-approx trade and e4 quantization."""
+    probs = probs if probs is not None else [0.25, 0.5, 0.75, 0.95, 0.99]
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    fn = (F.percentile_approx(F.col(col), parr, 10000) if approx
+          else F.percentile(F.col(col), parr))
+    agg = df.groupBy(group_col).agg(fn.alias("_q"))
+    return agg.select(
+        F.col(group_col),
+        *[F.floor(F.element_at("_q", i + 1) * 10000 + F.lit(0.5))
+          .cast("long").alias(f"p{int(p * 1000)}_e4")
+          for i, p in enumerate(probs)])
+
+
 def psi_drift(ref: DataFrame, cur: DataFrame, col: str,
               lo: float, hi: float, bins: int = 10) -> DataFrame:
     """Population Stability Index between a reference snapshot's column

@@ -620,6 +620,32 @@ def profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("col_name"))
 
 
+@query("profile_quantiles_by_group", oracle="""
+SELECT source,
+       CAST(floor(quantile_cont(n_chars, 0.25) * 10000 + 0.5) AS BIGINT)
+         AS p250_e4,
+       CAST(floor(quantile_cont(n_chars, 0.5) * 10000 + 0.5) AS BIGINT)
+         AS p500_e4,
+       CAST(floor(quantile_cont(n_chars, 0.75) * 10000 + 0.5) AS BIGINT)
+         AS p750_e4,
+       CAST(floor(quantile_cont(n_chars, 0.95) * 10000 + 0.5) AS BIGINT)
+         AS p950_e4,
+       CAST(floor(quantile_cont(n_chars, 0.99) * 10000 + 0.5) AS BIGINT)
+         AS p990_e4
+FROM documents GROUP BY source ORDER BY source
+""")
+def profile_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles — the stratified
+    distribution check a mixing recipe consults (a source whose p99
+    dwarfs its p50 needs chunking before packing). One grouped
+    aggregation over one scan; same percentile_cont/e4 contract as
+    `profile_quantiles`."""
+    from .operators.profile import quantile_profile_grouped
+    docs = load_table(spark, sf_dir, "documents")
+    return (quantile_profile_grouped(docs, "source", "n_chars")
+            .orderBy("source"))
+
+
 @query("scale_skew_report", oracle="""
 WITH counts AS (
   SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY o_custkey

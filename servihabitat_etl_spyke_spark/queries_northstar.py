@@ -1069,6 +1069,46 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.hashed_classifier_score(docs).orderBy("doc_id")
 
 
+def _overlap_matrix_oracle(k: int = 16) -> str:
+    from .operators.dedup import _MH_PRIME, _mh_params
+    av, bv = _mh_params(k)
+    mins = ",\n         ".join(
+        f"min(({av[i]} * h + {bv[i]}) % {_MH_PRIME}) AS mh{i}"
+        for i in range(k))
+    eq = " + ".join(f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(k))
+    return f"""
+WITH s AS (
+  SELECT DISTINCT d.source, x.shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+             AS shingle
+    FROM documents) x JOIN documents d USING (doc_id)
+),
+hashed AS (SELECT source, {_H32.format(v='shingle')} AS h FROM s),
+sig AS (SELECT source, {mins} FROM hashed GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, {eq} AS n_equal
+  FROM sig a JOIN sig b ON a.source < b.source)
+SELECT source_a, source_b, {k} AS k, CAST(n_equal AS INT) AS n_equal,
+       CAST(floor(n_equal * 1000 / {k}) AS BIGINT) AS jaccard_est_permille
+FROM pairs ORDER BY source_a, source_b
+"""
+
+
+@query("dedup_overlap_matrix", oracle=_overlap_matrix_oracle())
+def dedup_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-Jaccard estimates between every pair of SOURCES
+    from per-source MinHash sketches — "which sources duplicate each
+    other" for a mixing recipe, answered from k longs per source without
+    co-scanning any two groups. The oracle replays the identical
+    universal-hash sketch per source, so even the ESTIMATES hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (D.corpus_overlap_matrix(docs, group_col="source", k=16)
+            .orderBy("source_a", "source_b"))
+
+
 @query("retrieval_mmr_topk")  # greedy rerank -> rows-only; pytest-proven
 def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-10 for 5 query vectors over a 50-candidate

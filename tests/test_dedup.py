@@ -697,3 +697,20 @@ def test_minhash_windowed_equals_filtered_full_pairs(spark, sf_dir):
                docs, "crawl_day", window=7, threshold=0.5).collect()}
     assert got == expect
     assert got < full          # the window genuinely cuts pairs
+
+
+def test_corpus_overlap_matrix_identical_and_disjoint_groups(spark):
+    """Two groups with IDENTICAL shingle sets must estimate 1000 permille
+    (every corpus-min agrees); a disjoint third group must sit far below."""
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        corpus_overlap_matrix)
+    base = [f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}" for i in range(0, 40, 5)]
+    other = [f"z{i} z{i+1} z{i+2} z{i+3} z{i+4}" for i in range(0, 40, 5)]
+    rows = ([(i, t, "a") for i, t in enumerate(base)]
+            + [(100 + i, t, "b") for i, t in enumerate(base)]
+            + [(200 + i, t, "c") for i, t in enumerate(other)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r["jaccard_est_permille"]
+           for r in corpus_overlap_matrix(docs, "source", k=16).collect()}
+    assert out[("a", "b")] == 1000
+    assert out[("a", "c")] < 500 and out[("b", "c")] < 500

@@ -258,6 +258,9 @@ _ALLOWED_HAZARDS = {
     # two 1-row corpus sketches compared: the only "join" in the query
     # is 1 row x 1 row by construction
     "dedup_corpus_overlap": {"bnlj", "single_part"},
+    # pairwise join of the GROUP-count-sized sketch table (one row per
+    # source — tiny by contract)
+    "dedup_overlap_matrix": {"bnlj"},
     # mean-group-token-mass scalar (1 row) broadcast onto the per-group
     # term counts
     "text_ctfidf_terms": {"bnlj", "single_part"},
