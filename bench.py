@@ -143,6 +143,7 @@ HEADLINE = [
     "curate_mad_outliers",
     "dedup_overlap_matrix",
     "profile_quantiles_by_group",
+    "curate_decontaminate_bloom",
 ]
 
 

@@ -646,6 +646,36 @@ def _hash32_of(key, seed: int):
     return _hash32(key.cast("string"), seed=seed)
 
 
+def decontaminate_bloom(train: DataFrame, evalset: DataFrame, n: int = 8,
+                        n_bits: int = 1 << 20, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """:func:`decontaminate` for eval sets TOO BIG to broadcast as an
+    exact hash set: the eval gram set compresses to a Bloom bitset
+    (~1.2 bytes/gram) carried in every task closure, the exploded train
+    grams thin by the miss rate BEFORE any shuffle, and the surviving
+    sliver verifies against the exact eval grams in an ordinary shuffle
+    join. Bloom membership has NO false negatives, so the answer is
+    byte-identical to the broadcast plan's — the two queries share one
+    SQL oracle (the repo's two-plans-one-answer discipline).
+
+    At 100 TB the win is shuffle volume: the unfiltered explode-join
+    would shuffle every training gram; here only grams that might match
+    (true matches + the false-positive rate) reach the wire."""
+    from .dedup import shingles_from_tokens, tokenized
+    from .scale import bloom_bitmap, bloom_prefilter
+    grams = shingles_from_tokens(F.col("_toks"), n)
+    ev = (evalset.select(F.split(F.col(text_col), " ").alias("_toks"))
+          .select(F.explode(grams).alias("gram"))
+          .distinct())
+    tr = (tokenized(train, id_col, text_col)
+          .select(F.col(id_col), F.explode(grams).alias("gram")))
+    bm = bloom_bitmap(ev, "gram", n_bits=n_bits)
+    thinned = bloom_prefilter(tr, bm, "gram")
+    return (thinned.join(ev, "gram")
+            .groupBy(id_col)
+            .agg(F.countDistinct("gram").alias("n_shared")))
+
+
 def mad_outlier_filter(df: DataFrame, col: str, k: float = 3.0,
                        id_col: str = "doc_id") -> DataFrame:
     """Robust outlier gate on a numeric quality feature: flag rows more

@@ -914,3 +914,27 @@ def curate_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (C.mad_outlier_filter(docs, "n_chars", k=3.0)
             .orderBy("doc_id"))
+
+
+@query("curate_decontaminate_bloom", oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + 3), ' ') AS gram
+  FROM toks, UNNEST(range(1, greatest(len(t) - 3, 1) + 1)) AS u(i)),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
+FROM grams g JOIN ev USING (gram)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id ORDER BY g.doc_id
+""")
+def curate_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via the Bloom pre-filter path — the plan for when
+    the eval gram set outgrows a broadcast: grams thin against a
+    task-closure bitset BEFORE the shuffle verification join. No false
+    negatives, so the oracle is IDENTICAL to `curate_decontaminate` —
+    two physical strategies, one answer, both hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return C.decontaminate_bloom(train, ev, n=4).orderBy("doc_id")

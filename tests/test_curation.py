@@ -640,3 +640,18 @@ def test_mad_outlier_filter_flags_planted_outlier(spark):
            mad_outlier_filter(df, "n_chars").collect()}
     assert out[6] is False
     assert all(out[i] for i in range(6))
+
+
+def test_decontaminate_bloom_equals_broadcast_plan(spark, sf_dir):
+    """Bloom pre-filtering has no false negatives and the verification
+    join removes false positives — the two plans must agree row for row."""
+    from pyspark.sql import functions as F
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.operators.curation import (
+        decontaminate, decontaminate_bloom)
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    exact = sorted(map(tuple, decontaminate(train, ev, n=4).collect()))
+    bloom = sorted(map(tuple, decontaminate_bloom(train, ev, n=4).collect()))
+    assert bloom == exact and len(exact) > 0
