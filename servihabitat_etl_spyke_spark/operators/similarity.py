@@ -1052,3 +1052,45 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 10,
         _mmr, schema="query_id long, neighbor_id long, rank int, "
                      "mmr_nano long")
         .orderBy("query_id", "rank"))
+
+
+def jl_project(corpus: DataFrame, out_dim: int = 8, seed: int = 7,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Johnson-Lindenstrauss sparse random projection (Achlioptas 2003):
+    entries of R are sqrt(3/out_dim) * {+1 w.p. 1/6, 0 w.p. 2/3,
+    -1 w.p. 1/6}, drawn DETERMINISTICALLY from md5(seed, i, j) — so,
+    unlike PCA, there is NO training pass and no data dependence: a new
+    shard, a new day's crawl, or a streaming batch projects with the
+    exact same matrix, which is what makes this the append-friendly
+    reduction in front of ANN (PCA's fit would drift as data arrives).
+
+    Row-local numpy GEMM per Arrow batch against the closure-carried
+    (dim x out_dim) matrix — zero shuffle, scales with input partitions.
+    Returns (id, projected array<double>)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    dim = len(corpus.select(vec_col).first()[0])
+
+    def entry(i: int, j: int) -> float:
+        h = int.from_bytes(
+            hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()[:8], "big")
+        r = h % 6
+        return 1.0 if r == 0 else (-1.0 if r == 1 else 0.0)
+
+    R = np.array([[entry(i, j) for j in range(out_dim)]
+                  for i in range(dim)]) * float(np.sqrt(3.0 / out_dim))
+
+    def project(batches):
+        for pdf in batches:
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            P = X @ R
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "projected": list(P)})
+
+    return (corpus.select(id_col, vec_col)
+            .mapInPandas(project,
+                         schema=f"{id_col} long, projected array<double>"))

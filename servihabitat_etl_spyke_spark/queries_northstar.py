@@ -1109,6 +1109,17 @@ def dedup_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source_a", "source_b"))
 
 
+@query("embed_jl_project")  # float GEMM -> rows-only; JL-property pytest
+def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sparse random projection of the embedding
+    table to 8 dims — the training-free, data-independent reduction
+    whose matrix never changes as shards append (PCA's fit would drift).
+    Row-local GEMM, zero shuffle; rows-only at the driver (float
+    transform), with the distance-preservation property pytest-pinned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.jl_project(emb, out_dim=8).orderBy("vec_id")
+
+
 @query("retrieval_mmr_topk")  # greedy rerank -> rows-only; pytest-proven
 def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-10 for 5 query vectors over a 50-candidate

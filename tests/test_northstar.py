@@ -1012,3 +1012,43 @@ def test_mmr_lam1_equals_relevance_ranking(spark, sf_dir):
     mmr = {(r["query_id"], r["rank"]): r["neighbor_id"]
            for r in mmr_rerank(emb, q, k=5, pool=20, lam=1.0).collect()}
     assert mmr == base
+
+
+def test_jl_projection_preserves_distance_structure(spark, sf_dir):
+    """JL with a sparse Achlioptas matrix: projected pairwise squared
+    distances must correlate strongly with the originals (exact-epsilon
+    bounds need larger out_dim than a toy table warrants, so pin the
+    rank-order property: correlation and determinism)."""
+    import numpy as np
+    from servihabitat_etl_spyke_spark.operators.similarity import jl_project
+    # structured vectors whose pairwise distances span two orders of
+    # magnitude (isotropic near-random tables concentrate all pairwise
+    # distances, which would test noise, not the projection)
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(8, 16))
+    rows = []
+    vid = 0
+    for scale in (0.1, 1.0, 4.0, 16.0):
+        for c in range(8):
+            for _ in range(2):
+                v = base[c] * scale + rng.normal(scale=0.01, size=16)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    orig = {r[0]: np.array(r[1], dtype=float) for r in rows}
+    proj1 = {r["vec_id"]: np.array(r["projected"], dtype=float)
+             for r in jl_project(emb, out_dim=8).collect()}
+    proj2 = {r["vec_id"]: np.array(r["projected"], dtype=float)
+             for r in jl_project(emb, out_dim=8).collect()}
+    ids = sorted(orig)
+    # deterministic: same matrix every invocation
+    for v in ids:
+        assert np.array_equal(proj1[v], proj2[v])
+    d_orig, d_proj = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids), 5):
+            a, b = ids[i], ids[j]
+            d_orig.append(np.sum((orig[a] - orig[b]) ** 2))
+            d_proj.append(np.sum((proj1[a] - proj1[b]) ** 2))
+    corr = np.corrcoef(d_orig, d_proj)[0, 1]
+    assert corr > 0.8, corr
