@@ -144,6 +144,8 @@ HEADLINE = [
     "dedup_overlap_matrix",
     "profile_quantiles_by_group",
     "curate_decontaminate_bloom",
+    "embed_jl_project",
+    "multimodal_image_phash",
 ]
 
 

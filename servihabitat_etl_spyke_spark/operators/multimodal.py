@@ -328,6 +328,54 @@ def dhash_bits(px: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
     return int((bits << np.arange(bits.size, dtype=np.uint64)).sum())
 
 
+def phash_bits(px: np.ndarray, size: int = 32, keep: int = 8) -> int:
+    """DCT perceptual hash (pHash): grayscale, resize to size x size,
+    2-D DCT-II (two numpy matmuls against the cosine basis — no scipy
+    needed), keep the top-left ``keep x keep`` low-frequency block, one
+    bit per coefficient — above the block's MEDIAN (DC excluded from the
+    median so a flat offset can't flip every bit). Median thresholding
+    makes the hash invariant to affine luminance changes (brightness /
+    contrast), which dHash's neighbor comparison is not; low-frequency
+    coefficients make it robust to blur and recompression."""
+    gray = px.astype(np.float64).sum(axis=2)
+    g = gray[:, :, None].repeat(3, axis=2)
+    small = resize_pixels(g, size, size)[:, :, 0].astype(np.float64)
+    n = size
+    k = np.arange(n)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    dct = basis @ small @ basis.T
+    block = dct[:keep, :keep].reshape(-1)
+    med = np.median(block[1:])                      # exclude DC
+    bits = (block > med).astype(np.uint64)
+    return int((bits << np.arange(bits.size, dtype=np.uint64)).sum())
+
+
+def image_phash(blobs: DataFrame, size: int = 32, keep: int = 8,
+                id_col: str = "doc_id") -> DataFrame:
+    """DCT perceptual hashing over decoded pixels: (id, phash, width,
+    height) — the luminance-affine-invariant complement of
+    :func:`image_dhash`; near-dup via the SAME banded Hamming join
+    (:func:`dhash_neardup` with hash_col='phash'). Pure map stage."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, hts = [], [], [], []
+            for did, content in zip(pdf[id_col], pdf["content"]):
+                px = decode_image(bytes(content))
+                ids.append(did)
+                hs.append(phash_bits(px, size, keep))
+                hts.append(px.shape[0])
+                ws.append(px.shape[1])
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "phash": pd.Series(hs, dtype="uint64")
+                                .astype("int64"),
+                                "width": pd.Series(ws, dtype="int32"),
+                                "height": pd.Series(hts, dtype="int32")})
+
+    return blobs.mapInPandas(
+        hashes, schema=f"{id_col} long, phash long, width int, height int")
+
+
 def image_dhash(blobs: DataFrame, hash_w: int = 8, hash_h: int = 8,
                 id_col: str = "doc_id") -> DataFrame:
     """Perceptual image hashing over decoded pixels (dHash, 64-bit):

@@ -982,6 +982,23 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+@query("multimodal_image_phash")  # float DCT -> rows-only; invariance pytest
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hashes (pHash) over the decoded BMPs: 2-D DCT-II
+    of the 32x32 luminance grid, top-left 8x8 block, one bit per
+    coefficient above the block median — invariant to affine luminance
+    changes (brightness/contrast), which dHash's neighbor comparison is
+    not, and robust to blur/recompression via the low-frequency cut.
+    Float DCT -> rows-only at the driver; invariance and discrimination
+    pytest-pinned. Near-dup pairs ride the SAME banded Hamming join as
+    dHash (`dhash_neardup(hash_col='phash')`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = MM.attach_binary(docs)
+    return (MM.image_phash(blobs)
+            .select("doc_id", "phash", "width", "height")
+            .orderBy("doc_id"))
+
+
 @query("multimodal_image_neardup", oracle=_dhash_halves_cte() + """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.dhash_lo, b.dhash_lo))

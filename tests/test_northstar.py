@@ -1052,3 +1052,33 @@ def test_jl_projection_preserves_distance_structure(spark, sf_dir):
             d_proj.append(np.sum((proj1[a] - proj1[b]) ** 2))
     corr = np.corrcoef(d_orig, d_proj)[0, 1]
     assert corr > 0.8, corr
+
+
+def test_phash_luminance_invariance_and_discrimination():
+    """pHash must be bit-identical under exact 2x contrast halving (all
+    pixel values even -> halving is exact, multiplicative scaling
+    preserves every above-median comparison) and far from an unrelated
+    image's hash."""
+    rng = np.random.default_rng(5)
+    px = (rng.integers(0, 128, size=(40, 56, 3), dtype=np.uint8) * 2)
+    half = (px // 2).astype(np.uint8)
+    other = (rng.integers(0, 128, size=(40, 56, 3), dtype=np.uint8) * 2)
+    h1 = MM.phash_bits(px)
+    h2 = MM.phash_bits(half)
+    h3 = MM.phash_bits(other)
+    assert h1 == h2
+    assert bin(h1 ^ h3).count("1") > 10
+
+
+def test_image_phash_spark_matches_local(spark, sf_dir):
+    """The distributed map stage must agree with a local recompute over
+    the same encoded bytes."""
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(4)
+    blobs = MM.attach_binary(docs)
+    out = {r["doc_id"]: r["phash"] for r in MM.image_phash(blobs).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, text in texts.items():
+        px = MM.decode_image(MM.render_doc_bmp(did, text))
+        expect = MM.phash_bits(px)
+        # the stored column is signed 64-bit; compare as unsigned
+        assert out[did] % (1 << 64) == expect % (1 << 64)
