@@ -333,10 +333,12 @@ def phash_bits(px: np.ndarray, size: int = 32, keep: int = 8) -> int:
     2-D DCT-II (two numpy matmuls against the cosine basis — no scipy
     needed), keep the top-left ``keep x keep`` low-frequency block, one
     bit per coefficient — above the block's MEDIAN (DC excluded from the
-    median so a flat offset can't flip every bit). Median thresholding
-    makes the hash invariant to affine luminance changes (brightness /
-    contrast), which dHash's neighbor comparison is not; low-frequency
-    coefficients make it robust to blur and recompression."""
+    median so a flat offset can't flip every bit). Like dHash it is
+    invariant to affine luminance changes (median thresholding); its
+    EDGE over dHash is that only low-frequency structure enters the
+    hash, so high-frequency perturbations — noise, sharpening,
+    recompression artifacts, fine detail edits — that flip dHash's
+    local gradient bits leave pHash's coefficients (and bits) alone."""
     gray = px.astype(np.float64).sum(axis=2)
     g = gray[:, :, None].repeat(3, axis=2)
     small = resize_pixels(g, size, size)[:, :, 0].astype(np.float64)
@@ -353,8 +355,8 @@ def phash_bits(px: np.ndarray, size: int = 32, keep: int = 8) -> int:
 def image_phash(blobs: DataFrame, size: int = 32, keep: int = 8,
                 id_col: str = "doc_id") -> DataFrame:
     """DCT perceptual hashing over decoded pixels: (id, phash, width,
-    height) — the luminance-affine-invariant complement of
-    :func:`image_dhash`; near-dup via the SAME banded Hamming join
+    height) — the low-frequency (noise/recompression-robust) complement
+    of :func:`image_dhash`; near-dup via the SAME banded Hamming join
     (:func:`dhash_neardup` with hash_col='phash'). Pure map stage."""
 
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

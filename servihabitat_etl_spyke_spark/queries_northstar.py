@@ -986,10 +986,10 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DCT perceptual hashes (pHash) over the decoded BMPs: 2-D DCT-II
     of the 32x32 luminance grid, top-left 8x8 block, one bit per
-    coefficient above the block median — invariant to affine luminance
-    changes (brightness/contrast), which dHash's neighbor comparison is
-    not, and robust to blur/recompression via the low-frequency cut.
-    Float DCT -> rows-only at the driver; invariance and discrimination
+    coefficient above the block median — only LOW-FREQUENCY structure
+    enters the hash, so noise/sharpening/recompression artifacts that
+    flip dHash's local gradient bits leave pHash alone. Float DCT ->
+    rows-only at the driver; invariance and discrimination
     pytest-pinned. Near-dup pairs ride the SAME banded Hamming join as
     dHash (`dhash_neardup(hash_col='phash')`)."""
     docs = load_table(spark, sf_dir, "documents")
