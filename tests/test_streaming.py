@@ -442,3 +442,22 @@ def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
     b = {(r["session_window"]["start"], r["user_id"]): r["n_events"]
          for r in batch.collect()}
     assert g == b and len(g) > 0
+
+
+def test_sliding_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Hopping windows through the real readStream path must equal the
+    batch sliding_counts aggregation (every event lands in
+    duration/slide overlapping windows either way)."""
+    from servihabitat_etl_spyke_spark.streaming.windows import sliding_counts
+    stream = read_event_stream(spark, sf_dir)
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+           .agg(F.count("*").alias("cnt")))
+    got = _run_stream(agg, "ev_slide", tmp_path, output_mode="complete")
+    batch = sliding_counts(load_table(spark, sf_dir, "events"),
+                           "1 hour", "30 minutes")
+    g = {(r["window"]["start"], r["event_type"]): r["cnt"]
+         for r in got.collect()}
+    b = {(r["window"]["start"], r["event_type"]): r["cnt"]
+         for r in batch.collect()}
+    assert g == b and len(g) > 0
