@@ -146,6 +146,7 @@ HEADLINE = [
     "curate_decontaminate_bloom",
     "embed_jl_project",
     "multimodal_image_phash",
+    "text_normalize",
 ]
 
 

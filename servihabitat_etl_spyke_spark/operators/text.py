@@ -346,6 +346,27 @@ def hashed_classifier_score(docs: DataFrame, buckets: int = 4096,
             .withColumn("keep", F.col("logit") > 0))
 
 
+def normalize_text(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Canonical text normalization ahead of exact/near dedup: lowercase,
+    strip every character outside [a-z0-9 ], collapse whitespace runs,
+    trim — so casing/punctuation variants of the same content collide in
+    the digest instead of surviving as distinct rows. The standard
+    pre-dedup canonicalization (C4/CCNet pipelines normalize before
+    hashing for exactly this reason).
+
+    Pure row-local projection — regexp_replace in codegen, no UDF, no
+    shuffle; rides the scan stage of whatever consumes it.
+
+    Returns (id, text_norm, n_chars_norm)."""
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+        " +", " "))
+    return (spread(docs, id_col)
+            .select(F.col(id_col), norm.alias("text_norm"))
+            .withColumn("n_chars_norm", F.length("text_norm")))
+
+
 def distinct_ngram_ratios(docs: DataFrame, group_col: str = "source",
                           ns: tuple[int, ...] = (1, 2, 3),
                           id_col: str = "doc_id",

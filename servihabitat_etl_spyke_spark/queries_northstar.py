@@ -1150,6 +1150,26 @@ def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.mmr_rerank(emb, queries, k=10, pool=50, lam=0.7)
 
 
+@query("text_normalize", oracle="""
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         ' +', ' ', 'g')) AS text_norm,
+       length(trim(regexp_replace(
+         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         ' +', ' ', 'g'))) AS n_chars_norm
+FROM documents ORDER BY doc_id
+""")
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical pre-dedup normalization (lowercase, strip
+    non-alphanumerics, collapse whitespace, trim) as a pure codegen
+    projection — casing/punctuation variants of the same content now
+    collide in downstream digests. Exactly replayed by the oracle's
+    regexp pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.normalize_text(docs).orderBy("doc_id")
+
+
 @query("text_distinct_ngrams", oracle="""
 WITH t AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
 g AS (
