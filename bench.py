@@ -147,6 +147,8 @@ HEADLINE = [
     "embed_jl_project",
     "multimodal_image_phash",
     "text_normalize",
+    "dedup_exact_normalized",
+    "ann_jl_rerank_topk",
 ]
 
 

@@ -141,6 +141,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(docs).orderBy("digest")
 
 
+@query("dedup_exact_normalized", oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           ' +', ' ', 'g')) AS text_norm
+  FROM documents)
+SELECT md5(text_norm) AS digest, min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM norm GROUP BY md5(text_norm) ORDER BY digest
+""")
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over NORMALIZED text — the composed pipeline
+    (normalize -> digest groupBy) that catches casing/punctuation
+    variants raw digests treat as distinct. Both stages are codegen
+    projections feeding one aggregation; the oracle replays
+    normalization inside the digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    normed = TX.normalize_text(docs)
+    return (D.exact_dedup(normed, text_col="text_norm")
+            .orderBy("digest"))
+
+
 @query("neardup_jaccard", oracle=f"""
 WITH {_SH_SQL},
 common AS (
@@ -1135,6 +1158,37 @@ def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform), with the distance-preservation property pytest-pinned."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.jl_project(emb, out_dim=8).orderBy("vec_id")
+
+
+@query("ann_jl_rerank_topk")  # projected retrieve + rerank -> rows-only
+def ann_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: candidates found in the 12-dim JL-projected
+    space (half the dot-product cost; at scale the projected table is
+    what gets LSH/IVF-indexed), then EXACT cosine rerank over the
+    original vectors restricted to the candidate pool — the standard
+    retrieve-then-rerank split that keeps full-precision math off the
+    corpus-wide scan. Approximate by the projection; recall vs the
+    exact top-k is pytest-pinned; rows-only at the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = (SIM.jl_project(emb, out_dim=12)
+            .withColumnRenamed("projected", "embedding"))
+    qp = proj.filter(F.col("vec_id") < 5)
+    pool = SIM.cosine_topk(proj, qp, k=50)
+    cand = pool.select("query_id", "neighbor_id")
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("nv"))
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    scored = (cand.join(nv, "neighbor_id")
+              .join(F.broadcast(qv), "query_id")
+              .select("query_id", "neighbor_id",
+                      SIM.cosine(F.col("qv"), F.col("nv")).alias("score")))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                          "neighbor_id")
+    return (scored.select("query_id", "neighbor_id",
+                          F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= 10)
+            .orderBy("query_id", "rank"))
 
 
 @query("retrieval_mmr_topk")  # greedy rerank -> rows-only; pytest-proven

@@ -1082,3 +1082,18 @@ def test_image_phash_spark_matches_local(spark, sf_dir):
         expect = MM.phash_bits(px)
         # the stored column is signed 64-bit; compare as unsigned
         assert out[did] % (1 << 64) == expect % (1 << 64)
+
+
+def test_jl_rerank_recall_vs_exact(spark, sf_dir):
+    """Retrieve-in-projected-space + exact rerank: the pool comes from
+    12 of 16 dims on near-isotropic vectors, so demand solid but not
+    perfect recall of the exact top-10."""
+    from servihabitat_etl_spyke_spark.queries import QUERIES
+    exact = _topk_sets(SIM.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5),
+        k=10))
+    got = _topk_sets(QUERIES["ann_jl_rerank_topk"](spark, sf_dir))
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q])
+               for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls

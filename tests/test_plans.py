@@ -228,6 +228,10 @@ _ALLOWED_HAZARDS = {
     # (same documented O(n^2) scan; swap in the IVF/LSH retriever for
     # the pooled stage at scale — the rerank itself is pool-sized)
     "retrieval_mmr_topk": {"bnlj"},
+    # candidate pool from the exact scorer over the PROJECTED table
+    # (same documented baseline shape; the projected table is what an
+    # LSH/IVF index replaces at scale)
+    "ann_jl_rerank_topk": {"bnlj"},
     "ann_ivf_topk": {"bnlj"},
     "ann_ivf_kmeans_topk": {"bnlj"},
     "dedup_embedding": {"bnlj"},
