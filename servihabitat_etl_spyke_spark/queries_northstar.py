@@ -1155,9 +1155,18 @@ def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     table to 8 dims — the training-free, data-independent reduction
     whose matrix never changes as shards append (PCA's fit would drift).
     Row-local GEMM, zero shuffle; rows-only at the driver (float
-    transform), with the distance-preservation property pytest-pinned."""
+    transform), with the distance-preservation property pytest-pinned.
+    Output: the first two projected coordinates as 1e-6-quantized
+    scalars — the driver harness canonicalizes via pandas and cannot
+    hash array cells (same contract as `embed_pca`)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.jl_project(emb, out_dim=8).orderBy("vec_id")
+    proj = SIM.jl_project(emb, out_dim=8)
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (proj.select(
+        "vec_id",
+        q6(F.element_at("projected", 1)).alias("jl1_q"),
+        q6(F.element_at("projected", 2)).alias("jl2_q"))
+        .orderBy("vec_id"))
 
 
 @query("ann_jl_rerank_topk")  # projected retrieve + rerank -> rows-only
