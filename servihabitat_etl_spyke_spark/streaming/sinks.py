@@ -190,3 +190,59 @@ def stream_hll_upsert(stream: DataFrame, path: str, checkpoint: str, *,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_topk_upsert(stream: DataFrame, path: str, checkpoint: str, *,
+                       group_col: str = "event_type",
+                       order_col: str = "value",
+                       id_col: str = "event_id", k: int = 3,
+                       available_now: bool = True):
+    """Continuous per-group top-k maintenance (the live leaderboard
+    sink): each micro-batch reduces to ITS OWN per-group top-k, merges
+    with the stored top-k, and re-cuts to k — valid because top-k is
+    mergeable exactly the way partial aggregates are: topk(A ∪ B) ==
+    topk(topk(A) ∪ topk(B)). Stored state is k rows per group forever,
+    no matter how many events flow through; the deterministic
+    (order desc, id asc) cut makes the stored result equal the batch
+    top-k of everything seen (stream == batch twin test).
+
+    Same MERGE-into-parquet emulation as ``stream_rollup_upsert``; at
+    scale the sink is a transactional table and this is one MERGE INTO
+    keyed by (group, rank)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    def _cut(df: DataFrame) -> DataFrame:
+        # id-dedup BEFORE the cut: a replayed micro-batch re-merges the
+        # same rows, and without this two copies of one event would
+        # occupy two rank slots — with it the merge is IDEMPOTENT
+        # (re-delivery is a no-op), a strictly stronger property than
+        # the additive sketches can offer
+        w = (W.partitionBy(group_col)
+             .orderBy(F.col(order_col).desc(), id_col))
+        return (df.dropDuplicates([group_col, id_col])
+                .select(group_col, id_col, order_col,
+                        F.row_number().over(w).alias("rnk"))
+                .filter(F.col("rnk") <= k)
+                .drop("rnk"))
+
+    def apply_batch(batch: DataFrame, _bid: int) -> None:
+        spark = batch.sparkSession
+        part = _cut(batch.select(group_col, id_col, order_col))
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            merged = _cut(existing.unionByName(part))
+            tmp = path.rstrip("/") + "._tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        else:
+            part.write.mode("overwrite").parquet(path)
+
+    writer = (stream.writeStream
+              .foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

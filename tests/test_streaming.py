@@ -461,3 +461,40 @@ def test_sliding_window_stream_matches_batch(spark, sf_dir, tmp_path):
     b = {(r["window"]["start"], r["event_type"]): r["cnt"]
          for r in batch.collect()}
     assert g == b and len(g) > 0
+
+
+def test_stream_topk_upsert_matches_batch(spark, sf_dir, tmp_path):
+    """The continuously-maintained per-group top-k store must equal the
+    batch top-k of everything streamed (mergeability: topk(A ∪ B) ==
+    topk(topk(A) ∪ topk(B))), and re-merging the stored state with an
+    already-seen batch must be a no-op (idempotent replay)."""
+    from pyspark.sql.window import Window as W
+    from servihabitat_etl_spyke_spark.streaming.events import (
+        read_event_stream)
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        stream_topk_upsert)
+    stream = read_event_stream(spark, sf_dir).select(
+        "event_type", "event_id", "value")
+    q = stream_topk_upsert(stream, str(tmp_path / "topk"),
+                           str(tmp_path / "ck"), k=3)
+    q.awaitTermination(120)
+    got = sorted(map(tuple,
+                     spark.read.parquet(str(tmp_path / "topk"))
+                     .select("event_type", "event_id", "value").collect()))
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(),
+                                            "event_id")
+    ref = sorted(map(tuple, ev.select(
+        "event_type", "event_id", "value",
+        F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3).drop("rnk").collect()))
+    assert got == ref and len(got) > 0
+    # idempotent replay: streaming the SAME events again changes nothing
+    q2 = stream_topk_upsert(read_event_stream(spark, sf_dir).select(
+        "event_type", "event_id", "value"), str(tmp_path / "topk"),
+        str(tmp_path / "ck2"), k=3)
+    q2.awaitTermination(120)
+    again = sorted(map(tuple,
+                       spark.read.parquet(str(tmp_path / "topk"))
+                       .select("event_type", "event_id", "value").collect()))
+    assert again == ref
