@@ -149,6 +149,8 @@ HEADLINE = [
     "text_normalize",
     "dedup_exact_normalized",
     "ann_jl_rerank_topk",
+    "text_token_entropy",
+    "text_compression_ratio",
 ]
 
 

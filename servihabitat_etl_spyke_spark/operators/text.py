@@ -412,6 +412,87 @@ def distinct_ngram_ratios(docs: DataFrame, group_col: str = "source",
                     .alias("distinct_permille")))
 
 
+def token_entropy(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-doc Shannon entropy of the TOKEN distribution — the
+    randomness/templating signal next to repetition stats: near-zero
+    entropy means one token dominates (boilerplate, generated filler),
+    maximal entropy means every token unique. Computed ROW-LOCALLY with
+    the sorted-run trick: H = ln(n) - (Σ c·ln c)/n where c are token
+    multiplicities, and Σ c·ln c accumulates in ONE linear pass over the
+    sorted token array (run boundaries close each multiplicity) — no
+    explode, no per-doc groupBy, no O(n·distinct) nested scan.
+
+    Returns (id, n_tokens, entropy_nano) — nano-quantized so an
+    external SQL oracle reproduces it bit-for-bit."""
+    toks = F.col("_toks")
+    n_tok = F.size(toks)
+
+    def _run(acc, x):
+        return F.when(acc["prev"].eqNullSafe(x),
+                      acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+
+    def _acc(acc, x):
+        # when a run ends, fold c*ln(c) for the closed run into the sum
+        return F.when(
+            acc["prev"].isNull() | acc["prev"].eqNullSafe(x), acc["s"]) \
+            .otherwise(acc["s"] + acc["run"] * F.log(acc["run"]))
+
+    folded = F.aggregate(
+        F.array_sort(toks),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0.0).alias("s")),
+        lambda acc, x: F.struct(
+            x.alias("prev"), _run(acc, x).alias("run"),
+            _acc(acc, x).alias("s")),
+        lambda acc: acc["s"] + F.when(
+            acc["run"] > 0, acc["run"] * F.log(acc["run"])).otherwise(0.0))
+    return (spread(docs, id_col)
+            .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+            .select(F.col(id_col), n_tok.alias("n_tokens"),
+                    folded.alias("_clnc"))
+            .select(F.col(id_col), "n_tokens",
+                    F.floor((F.log("n_tokens")
+                             - F.col("_clnc") / F.col("n_tokens"))
+                            * 1e9 + F.lit(0.5)).cast("long")
+                    .alias("entropy_nano")))
+
+
+def compression_ratio(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-doc zlib compression ratio — the classic cheap quality signal
+    (highly compressible text is repetitive boilerplate or generated
+    filler; incompressible text is noise/binary junk; natural prose sits
+    in a stable band). Arrow-batched zlib over utf-8 bytes (level 6,
+    deterministic for a given zlib), permille-quantized.
+
+    Returns (id, n_bytes, n_compressed, ratio_permille)."""
+    import zlib
+
+    import pandas as pd
+
+    def ratios(batches):
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t is not None else b""
+                   for t in pdf[text_col]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            nb = [len(b) for b in raw]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_bytes": pd.Series(nb, dtype="int64"),
+                "n_compressed": pd.Series(comp, dtype="int64"),
+                "ratio_permille": pd.Series(
+                    [c * 1000 // b if b else 0
+                     for c, b in zip(comp, nb)], dtype="int64"),
+            })
+
+    return (docs.select(id_col, text_col)
+            .mapInPandas(ratios,
+                         schema=f"{id_col} long, n_bytes long, "
+                                f"n_compressed long, ratio_permille long"))
+
+
 def classifier_pr_sweep(scored: DataFrame, label_col: str,
                         score_col: str = "logit",
                         thresholds_micro: tuple[int, ...] = (

@@ -1233,6 +1233,40 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.normalize_text(docs).orderBy("doc_id")
 
 
+@query("text_token_entropy", oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+cnt AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+c AS (SELECT doc_id, tok, count(*) AS c FROM cnt GROUP BY doc_id, tok),
+n AS (SELECT doc_id, len(t) AS n FROM toks)
+SELECT n.doc_id, n.n AS n_tokens,
+       CAST(floor((ln(n.n) - sum(c.c * ln(c.c)) / n.n)
+                  * 1000000000 + 0.5) AS BIGINT) AS entropy_nano
+FROM n JOIN c ON n.doc_id = c.doc_id
+GROUP BY n.doc_id, n.n ORDER BY n.doc_id
+""")
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution — the
+    randomness/templating signal (one dominating token => boilerplate;
+    all-unique => maximal). Row-local sorted-run accumulation of
+    Σ c·ln c (one linear pass, no explode, no per-doc groupBy);
+    nano-quantized so the oracle's grouped recomputation matches
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.token_entropy(docs).orderBy("doc_id")
+
+
+@query("text_compression_ratio")  # zlib -> rows-only; property pytest
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio — the classic cheap quality gate
+    (repetitive boilerplate compresses away, noise doesn't, prose sits
+    in a stable band). Arrow-batched zlib level 6 over utf-8 bytes;
+    deterministic for a given zlib build but not SQL-expressible, so
+    the driver records rows-only; pytest pins the
+    repetitive < prose < random ordering and determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.compression_ratio(docs).orderBy("doc_id")
+
+
 @query("text_distinct_ngrams", oracle="""
 WITH t AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
 g AS (

@@ -1097,3 +1097,40 @@ def test_jl_rerank_recall_vs_exact(spark, sf_dir):
     recalls = [len(exact[q] & got.get(q, set())) / len(exact[q])
                for q in exact]
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_token_entropy_known_values(spark):
+    """Hand-checked: all-same tokens -> H = 0; all-distinct -> H = ln(n);
+    half-half -> H = ln(2)."""
+    import math
+    from servihabitat_etl_spyke_spark.operators.text import token_entropy
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert out[1]["entropy_nano"] == 0
+    assert out[2]["entropy_nano"] == math.floor(math.log(4) * 1e9 + 0.5)
+    assert out[3]["entropy_nano"] == math.floor(math.log(2) * 1e9 + 0.5)
+
+
+def test_compression_ratio_orders_repetitive_prose_random(spark):
+    """zlib ratio must order repetitive < prose-ish < random, and be
+    deterministic across invocations."""
+    import random
+    from servihabitat_etl_spyke_spark.operators.text import (
+        compression_ratio)
+    rng = random.Random(3)
+    rand_text = " ".join("".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                                 for _ in range(8)) for _ in range(100))
+    docs = spark.createDataFrame(
+        [(1, "spam " * 200),
+         (2, "the quick brown fox jumps over the lazy dog and then "
+             "keeps running through fields of green grass " * 10),
+         (3, rand_text)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["ratio_permille"] for r in
+           compression_ratio(docs).collect()}
+    again = {r["doc_id"]: r["ratio_permille"] for r in
+             compression_ratio(docs).collect()}
+    assert out == again
+    assert out[1] < out[2] < out[3]
