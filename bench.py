@@ -151,6 +151,7 @@ HEADLINE = [
     "ann_jl_rerank_topk",
     "text_token_entropy",
     "text_compression_ratio",
+    "dedup_cluster_sample",
 ]
 
 

@@ -141,6 +141,47 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(docs).orderBy("digest")
 
 
+def _cluster_sample_oracle(m: int = 2) -> str:
+    body = _cluster_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH clusters AS ({body}),
+sized AS (
+  SELECT cluster_id, count(*) AS n_members FROM clusters
+  GROUP BY cluster_id HAVING count(*) > 1),
+ranked AS (
+  SELECT c.cluster_id, s.n_members, c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY c.doc_id) AS sample_rank
+  FROM clusters c JOIN sized s USING (cluster_id))
+SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members, doc_id,
+       CAST(sample_rank AS INT) AS sample_rank
+FROM ranked WHERE sample_rank <= {m}
+ORDER BY cluster_id, sample_rank
+"""
+
+
+@query("dedup_cluster_sample", oracle=_cluster_sample_oracle())
+def dedup_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-audit sampling of the near-dup clusters: for every
+    NON-SINGLETON cluster, its size plus the first 2 member docs
+    (deterministic id order) — the spot-check table a dedup rollout
+    reviews before deleting anything. Clusters from the same MinHash
+    pair graph; one window over the cluster assignment. The oracle
+    nests the recursive-CTE components and replays the sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_neardup(docs, threshold=0.5)
+    clusters = D.connected_components(pairs)
+    sized = (clusters.groupBy("cluster_id")
+             .agg(F.count("*").alias("n_members"))
+             .filter(F.col("n_members") > 1))
+    w = W.partitionBy("cluster_id").orderBy("doc_id")
+    return (clusters.join(sized, "cluster_id")
+            .select("cluster_id", "n_members", "doc_id",
+                    F.row_number().over(w).alias("sample_rank"))
+            .filter(F.col("sample_rank") <= 2)
+            .orderBy("cluster_id", "sample_rank"))
+
+
 @query("dedup_exact_normalized", oracle="""
 WITH norm AS (
   SELECT doc_id,
