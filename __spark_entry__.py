@@ -64,38 +64,37 @@ def _driver_verified() -> frozenset:
 
 _DRIVER_VERIFIED = _driver_verified()
 
-# This round's 50-slot driver window, highest-value never-checked suites.
-# (r3's window — dedup/ANN/text/curation/multimodal/TPC-H-completion — went
-# 50/50 green in CORRECTNESS_r03.json and auto-retired via _DRIVER_VERIFIED;
-# r4 prioritizes the ORACLED never-checked names: streaming, flow/source,
-# scale-kit, profile/sketch, snapshot, remaining curation, and the new
-# connected-components variants. Rows-only twins queue behind these.)
+# This round's 50-slot driver window. (r4's window — streaming, flow/source,
+# scale-kit, profile/sketch, snapshot, curation completions, CC variants —
+# went 50/50 green in CORRECTNESS_r04.json and auto-retired via
+# _DRIVER_VERIFIED. r5 lists ALL 44 remaining ORACLED never-checked names
+# FIRST so hash-grade evidence lands before rows-only grade, then the first
+# rows-only twins fill the window; the ~22 remaining rows-only names rotate
+# into r6 automatically.)
 _WINDOW = [
-    # streaming suite (batch twins of the stateful/windowed sinks)
-    "topic_wildcard_match", "cdc_notifications", "ephemeral_split",
-    "env_fanout", "state_machine_fold", "state_machine_entries",
-    "queue_priority_drain", "queue_delayed_release", "window_sliding",
-    "session_window_batch", "late_data_watermark",
-    # flow / source / engine suite
-    "flow_map_filter", "sub_on_change", "fn_to_json", "llm_enrich_stub",
-    "sheets_ingest", "sheets_keyed_upsert", "catalog_introspect",
-    "switch_route", "range_banding", "runtime_model_ddl",
-    "runtime_model_bootstrap", "runtime_model_sheet",
-    # scale-kit / profile / snapshot suite
-    "scale_zorder_key", "scale_bucketed_join", "scale_skew_report",
-    "profile_columns", "profile_drift_psi", "corpus_profile",
-    "profile_hll_distinct", "profile_kmv_distinct",
-    "snapshot_time_travel", "snapshot_diff",
-    # agg / window completions
-    "agg_pivot", "agg_unpivot", "window_distribution",
-    # curation completions
-    "curate_url_normalize", "curate_domain_cap", "curate_domain_stats",
-    "curate_contamination_score", "curate_dsir_weights", "curate_dsir_sample",
-    "curate_sample_exact_k", "curate_token_budget_mix", "curate_gopher_filter",
-    "curate_weighted_sample",
-    # new dedup variants (star CC at scale, incremental CC, prefix filter)
-    "dedup_clusters_star", "dedup_clusters_incremental",
-    "dedup_prefix_filter", "dedup_simhash_pairs",
+    # oracled: sketch/profile/text/multimodal/dedup stragglers
+    "scale_topk_per_group", "profile_quantiles", "profile_quantiles_by_group",
+    "embed_quantize", "text_boilerplate_ngrams", "text_ctfidf_terms",
+    "curate_mad_outliers", "curate_decontaminate_bloom",
+    "dedup_cluster_sample", "dedup_exact_normalized", "dedup_minhash_windowed",
+    "multimodal_frames", "multimodal_audio_meta", "multimodal_audio_windows",
+    "dedup_overlap_matrix", "text_normalize", "text_token_entropy",
+    "text_distinct_ngrams", "text_classifier_pr_sweep",
+    "multimodal_video_meta", "multimodal_video_frames",
+    "dedup_exact_substring", "text_winnowing", "text_winnowing_pairs",
+    "dedup_cluster_sizes", "curate_split_leakage", "dedup_containment",
+    "text_heavy_hitters", "retrieval_hybrid_rrf", "dedup_sorted_neighborhood",
+    "dedup_corpus_overlap", "ann_filtered_topk", "text_cms_estimate",
+    "ann_knn_classify",
+    # oracled: sheet-backed model list path (§4.3.1 loose-typing trap)
+    "sheet_model_list_page", "sheet_model_range_filter",
+    # oracled: streaming/TPC-H/temporal completions
+    "stream_dedup_batch", "q2_min_acctbal_supplier", "asof_join_events",
+    "range_join_events", "q11_important_parts", "q16_supplier_part_counts",
+    "q20_concentrated_suppliers", "asof_forward_events",
+    # rows-only twins (recall-pytest-backed approx paths) fill the window
+    "dedup_embedding_lsh", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_knn_graph_ivf", "ann_hard_negatives_ivf", "graph_knn_degrees_ivf",
 ]
 
 

@@ -155,10 +155,50 @@ HEADLINE = [
 ]
 
 
+def _snapshot_prev_round() -> dict:
+    """Pin the PREVIOUS driver round's per-query timings in
+    BENCH_PREV.json so every bench run also reports
+    ``median_delta_vs_prev_round`` — the vs-last-round view the
+    per-round re-pin of BENCH_BASELINE.json can't provide for queries
+    new in that round (their first pin is self-referential by
+    construction). Self-maintaining: on the first bench run after the
+    driver records BENCH_r{N}.json, the committed BENCH_DETAIL.json
+    still holds round N's final timings, so it is snapshotted under
+    round N; later runs in the same round leave the pin untouched."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    import glob as _glob
+    rounds = sorted(_glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not rounds:
+        return {}
+    latest = os.path.basename(rounds[-1])[len("BENCH_r"):-len(".json")]
+    prev_path = os.path.join(here, "BENCH_PREV.json")
+    prev: dict = {}
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as fh:
+                prev = json.load(fh)
+        except ValueError:
+            prev = {}
+    if prev.get("round") != latest:
+        detail_path = os.path.join(here, "BENCH_DETAIL.json")
+        if os.path.exists(detail_path):
+            try:
+                with open(detail_path) as fh:
+                    detail = json.load(fh)
+                prev = {"round": latest, "sf": detail.get("sf"),
+                        "queries": detail.get("queries", {})}
+                with open(prev_path, "w") as fh:
+                    json.dump(prev, fh, indent=1)
+            except ValueError:
+                pass
+    return prev
+
+
 def main() -> None:
     from servihabitat_etl_spyke_spark.queries import QUERIES
     from servihabitat_etl_spyke_spark.session import get_spark
 
+    prev_round = _snapshot_prev_round()
     spark = get_spark("bench")
     # warm the JVM + parquet footers once (excluded from timing)
     QUERIES["total_count"](spark, SF_DIR).collect()
@@ -253,6 +293,20 @@ def main() -> None:
             out["regressions_over_2x"] = sorted(
                 n for n, r in deltas.items() if r > 2.0)
             detail["regressions_over_2x"] = out["regressions_over_2x"]
+
+    # vs-PREVIOUS-round delta (VERDICT r4 "What's wrong #2"): computed
+    # against the pinned BENCH_PREV.json snapshot of the last driver
+    # round's timings, so a query whose baseline pin was set in the same
+    # round it first appeared still shows an honest round-over-round
+    # number in the driver-visible headline
+    if prev_round.get("queries") and prev_round.get("sf") == sf_val:
+        pdeltas = {n: round(t / prev_round["queries"][n], 2)
+                   for n, t in timings.items()
+                   if prev_round["queries"].get(n)}
+        detail["prev_round"] = prev_round.get("round")
+        detail["delta_vs_prev_round"] = pdeltas
+        out["median_delta_vs_prev_round"] = round(
+            sorted(pdeltas.values())[len(pdeltas) // 2], 2) if pdeltas else None
 
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")

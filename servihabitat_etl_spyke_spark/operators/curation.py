@@ -664,9 +664,14 @@ def decontaminate_bloom(train: DataFrame, evalset: DataFrame, n: int = 8,
     from .dedup import shingles_from_tokens, tokenized
     from .scale import bloom_bitmap, bloom_prefilter
     grams = shingles_from_tokens(F.col("_toks"), n)
+    # materialized ONCE: ev feeds both the bloom bitmap collect and the
+    # verification join's build side — without the checkpoint the
+    # tokenize+explode+distinct pipeline would execute twice (the two
+    # consumers are separate subplans)
     ev = (evalset.select(F.split(F.col(text_col), " ").alias("_toks"))
           .select(F.explode(grams).alias("gram"))
-          .distinct())
+          .distinct()
+          .localCheckpoint())
     tr = (tokenized(train, id_col, text_col)
           .select(F.col(id_col), F.explode(grams).alias("gram")))
     bm = bloom_bitmap(ev, "gram", n_bits=n_bits)
@@ -676,30 +681,112 @@ def decontaminate_bloom(train: DataFrame, evalset: DataFrame, n: int = 8,
             .agg(F.countDistinct("gram").alias("n_shared")))
 
 
+def _median_of_counts(counts: DataFrame, val_col: str,
+                      cnt_col: str) -> float | None:
+    """Exact ``percentile_cont(0.5)`` of the distribution encoded by a
+    (value, count) HISTOGRAM — the scale-safe replacement for Spark's
+    ``percentile`` aggregate, which buffers a value→count map of the
+    whole column in a single reducer (an OOM at 100 TB). Everything here
+    runs over the histogram only: a cumulative-count window, then the
+    two order-statistic picks v[floor(r)] / v[floor(r)+1] with
+    r = (n-1)/2, interpolated exactly as percentile_cont defines — so a
+    DuckDB ``quantile_cont`` oracle still matches bit-for-bit.
+
+    Returns a driver scalar (a 1-row aggregate fetch, not a data
+    collect). The single-partition window runs over DISTINCT values
+    only; for a continuous high-cardinality column quantize first (the
+    MAD gate's inputs are integer lengths and e4-quantized
+    deviations)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(val_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = counts.select(F.col(val_col).alias("_v"),
+                        F.sum(cnt_col).over(w).alias("_cum"))
+    n_row = cum.agg(F.max("_cum").alias("_nn"))
+    cn = cum.join(F.broadcast(n_row))
+    kth = F.floor((F.col("_nn") - 1) / 2)      # zero-indexed rank floor
+    agg = cn.agg(
+        F.min(F.when(F.col("_cum") >= kth + 1, F.col("_v"))).alias("_lo"),
+        F.min(F.when(F.col("_cum") >= kth + 2, F.col("_v"))).alias("_hi"),
+        F.max("_nn").alias("_nn"))
+    frac = (F.col("_nn") - 1) / 2 - F.floor((F.col("_nn") - 1) / 2)
+    row = agg.select(
+        (F.col("_lo")
+         + frac * (F.coalesce(F.col("_hi"), F.col("_lo")) - F.col("_lo")))
+        .cast("double").alias("_m")).first()
+    return None if row is None else row["_m"]
+
+
+def _median_interp(vals, cnts) -> float:
+    """percentile_cont(0.5) of a sorted-by-value numpy histogram."""
+    import numpy as np
+
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    r = (n - 1) / 2.0
+    kth = int(r)
+    lo = float(vals[int(np.searchsorted(cum, kth + 1))])
+    hi = (float(vals[int(np.searchsorted(cum, kth + 2))])
+          if kth + 1 <= n - 1 else lo)
+    return lo + (r - kth) * (hi - lo)
+
+
 def mad_outlier_filter(df: DataFrame, col: str, k: float = 3.0,
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       max_hist_rows: int = 16_000_000) -> DataFrame:
     """Robust outlier gate on a numeric quality feature: flag rows more
     than ``k`` median-absolute-deviations from the median — the
     length/score sanity filter that, unlike mean±k·σ, is not dragged by
     the very outliers it is meant to catch (50% breakdown point).
 
-    Two tiny aggregations (median, then MAD of the deviations — the
-    second depends on the first, so two passes are inherent) each
-    produce ONE row that broadcasts back over the corpus; the flagging
-    itself is a row-local comparison. Deviations are e4-quantized longs
-    so the keep decision is engine-bit-identical.
+    The corpus is aggregated ONCE to a (value, count) HISTOGRAM — the
+    distributed map-side-combined groupBy that replaces Spark's
+    ``percentile`` aggregate (which buffers a value→count map of the
+    whole column in ONE reducer, an OOM at 100 TB). Both medians then
+    compute from that tiny table: the deviation histogram derives from
+    the value histogram by re-keying (dev is a pure function of value),
+    so the MAD costs no second corpus pass; interpolation follows
+    percentile_cont exactly, so a DuckDB ``quantile_cont`` oracle
+    matches bit-for-bit. The flagging itself is one scan with the two
+    medians inlined as literals.
+
+    The histogram is a driver-side collect of DISTINCT values only —
+    bounded for the integer/quantized quality features this gate is for
+    (lengths, permille scores); ``max_hist_rows`` fails loudly if the
+    contract is violated (quantize first, or use
+    :func:`_median_of_counts`, the same math kept engine-side).
 
     Returns (id, value, dev_e4, keep)."""
-    med_row = df.agg(F.percentile(F.col(col), F.lit(0.5)).alias("_med"))
-    with_med = df.select(F.col(id_col), F.col(col)).join(
-        F.broadcast(med_row))
-    dev = F.floor(F.abs(F.col(col) - F.col("_med")) * 10000
-                  + F.lit(0.5)).cast("long")
-    devs = with_med.select(F.col(id_col), F.col(col), dev.alias("_dev"))
-    mad_row = devs.agg(
-        F.percentile(F.col("_dev"), F.lit(0.5)).alias("_mad"))
-    return (devs.join(F.broadcast(mad_row))
-            .select(F.col(id_col), F.col(col),
-                    F.col("_dev").alias("dev_e4"),
-                    (F.col("_dev") <= F.lit(float(k)) * F.col("_mad"))
-                    .alias("keep")))
+    import math
+
+    import numpy as np
+
+    hist = (df.filter(F.col(col).isNotNull())
+            .groupBy(col).agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy(col).collect())
+    if len(hist) > max_hist_rows:
+        raise ValueError(
+            f"mad_outlier_filter: {len(hist)} distinct values in '{col}' "
+            f"exceeds max_hist_rows={max_hist_rows} — quantize the column "
+            "first or raise the bound")
+    if hist:
+        vals = np.array([r[col] for r in hist], dtype="float64")
+        cnts = np.array([r["_n"] for r in hist], dtype="int64")
+        med = _median_interp(vals, cnts)
+        # re-key the value histogram by e4-quantized |v - med| (same
+        # floor(x*1e4 + 0.5) double math the column expression uses)
+        dv = np.array([math.floor(abs(v - med) * 10000 + 0.5)
+                       for v in vals], dtype="int64")
+        order = np.argsort(dv, kind="stable")
+        dev_vals, inv = np.unique(dv[order], return_inverse=True)
+        dev_cnts = np.bincount(inv, weights=cnts[order]).astype("int64")
+        mad = _median_interp(dev_vals, dev_cnts)
+        cutoff = F.lit(float(k) * mad)
+        dev = F.floor(F.abs(F.col(col) - F.lit(med)) * 10000
+                      + F.lit(0.5)).cast("long")
+    else:
+        cutoff = F.lit(None).cast("double")
+        dev = F.lit(None).cast("long")
+    return (df.select(F.col(id_col), F.col(col),
+                      dev.alias("dev_e4"),
+                      (dev <= cutoff).alias("keep")))

@@ -655,8 +655,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # the switch is invisible to callers and to the shared oracle. The
     # checkpointed pair table is reused, not recomputed.
     if n_edges > 2 * star_threshold:   # n_edges counts both directions
-        return connected_components_star(p, id_a="u", id_b="v",
+        star = connected_components_star(p, id_a="u", id_b="v",
                                          max_iter=max_iter)
+        # the star variant drops self-pairs (a == b) before iterating, so
+        # a vertex appearing ONLY in self-pairs would vanish from its
+        # output while the propagation path below labels it as its own
+        # cluster — union those singletons back so both paths return
+        # identical label sets
+        selfs = (p.filter(F.col("u") == F.col("v"))
+                 .select(F.col("u").alias("doc_id")).distinct()
+                 .join(star, "doc_id", "left_anti")
+                 .select("doc_id", F.col("doc_id").alias("cluster_id")))
+        return star.unionByName(selfs)
     # size the iterative loop's parallelism to the edge table (same
     # rationale as graph.pagerank): per-task fixed overhead dominates
     # each round when the default width would hold a few hundred edges
@@ -1212,11 +1222,34 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.2,
     # count+join+window pipeline above would otherwise execute twice
     # (in practice the AllPairs prefix index IS a materialized artifact)
     prefix = (ranked.filter(F.col("_pos") <= plen)
-              .select(id_col, "shingle").localCheckpoint())
-    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
-    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+              .select(id_col, "shingle", "_pos", "_sz").localCheckpoint())
+    a = prefix.select(F.col(id_col).alias("id_a"),
+                      F.col("_pos").alias("pa"),
+                      F.col("_sz").alias("sa"), "shingle")
+    b = prefix.select(F.col(id_col).alias("id_b"),
+                      F.col("_pos").alias("pb"),
+                      F.col("_sz").alias("sb"), "shingle")
+    # LENGTH filter (Jaccard >= t ⇒ t·|x| <= |y| and t·|y| <= |x|) and
+    # POSITIONAL filter (Xiao et al. 2008 §3.2): at the first common
+    # shingle w (positions pa/pb under the shared global order) overlap
+    # is at most 1 + min(sa - pa, sb - pb), and a qualifying pair's
+    # first common shingle lies in BOTH prefixes, so OR-ing the check
+    # across that pair's join events is lossless. Both prune inside the
+    # join stage — BEFORE the pair-distinct shuffle — which bounds the
+    # fan-out a frequent prefix shingle can emit (the skew source: a
+    # template cluster's shared rare shingle emits |cluster|² events).
+    # Integer arithmetic throughout (t quantized to basis points; the
+    # required-overlap ceil is (t_bp·(sa+sb) + den - 1) div den with
+    # den = 10000 + t_bp, from α = ceil(t/(1+t)·(|x|+|y|))).
+    den = 10000 + t_bp
+    alpha = F.floor((F.lit(t_bp) * (F.col("sa") + F.col("sb"))
+                     + F.lit(den - 1)) / F.lit(den))
     cand = (a.join(b, "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
+            .filter((F.col("sa") * t_bp <= F.col("sb") * 10000)
+                    & (F.col("sb") * t_bp <= F.col("sa") * 10000))
+            .filter(F.lit(1) + F.least(F.col("sa") - F.col("pa"),
+                                       F.col("sb") - F.col("pb")) >= alpha)
             .select("id_a", "id_b").distinct()
             .persist())
     cand.count()

@@ -388,10 +388,18 @@ def distinct_ngram_ratios(docs: DataFrame, group_col: str = "source",
         if n == 1:
             g = toks
         else:
-            g = F.transform(
-                F.sequence(F.lit(1),
-                           F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-                lambda i: F.array_join(F.slice(toks, i, n), " "))
+            # docs shorter than n contribute ZERO n-grams (matching the
+            # oracle's range(1, greatest(len-(n-1),0)+1) semantics) — and
+            # the guard must be a when(), not a sequence floor: a floor of
+            # 0 makes sequence(1,0) DESCEND ([1,0]) and slice(toks, 0, n)
+            # throw, while dedup's floor-1 convention would emit a
+            # truncated gram the oracle doesn't have
+            g = F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "))
+            ).otherwise(F.array().cast("array<string>"))
         return F.transform(g, lambda x: F.struct(
             F.lit(n).alias("n"), x.alias("gram")))
 

@@ -17,6 +17,25 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.etl import upsert_into_path
 
 
+def _overwrite_via_tmp(df: DataFrame, path: str) -> None:
+    """Overwrite the parquet snapshot at ``path`` with ``df`` when ``df``
+    READS from ``path`` (merge-with-existing): stage to a sibling ``._tmp``
+    directory first (overwriting the source in place would corrupt the
+    read), re-read, overwrite the final path, then DELETE the tmp so no
+    stale directory leaks per sink path. A crash between the tmp write and
+    the final overwrite leaves the final path intact (last committed
+    state) plus an orphan tmp — which the next successful batch removes,
+    because the tmp write itself runs in overwrite mode. At scale the sink
+    is a transactional table and this whole dance is one MERGE INTO."""
+    import shutil
+
+    spark = df.sparkSession
+    tmp = path.rstrip("/") + "._tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def stream_keyed_upsert(stream: DataFrame, path: str, key: str,
                         checkpoint: str, *, order_col: str | None = None,
                         available_now: bool = True) -> StreamingQuery:
@@ -99,9 +118,7 @@ def stream_rollup_upsert(stream: DataFrame, path: str, checkpoint: str, *,
                       .groupBy("win_start", group_col)
                       .agg(F.sum("cnt").alias("cnt"),
                            F.sum("sum_value").alias("sum_value")))
-            tmp = path.rstrip("/") + "._tmp"
-            merged.write.mode("overwrite").parquet(tmp)
-            spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+            _overwrite_via_tmp(merged, path)
         else:
             part.write.mode("overwrite").parquet(path)
 
@@ -141,9 +158,7 @@ def stream_cms_upsert(stream: DataFrame, path: str, checkpoint: str, *,
             merged = (existing.unionByName(part)
                       .groupBy("r", "c")
                       .agg(F.sum("cnt").alias("cnt")))
-            tmp = path.rstrip("/") + "._tmp"
-            merged.write.mode("overwrite").parquet(tmp)
-            spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+            _overwrite_via_tmp(merged, path)
         else:
             part.write.mode("overwrite").parquet(path)
 
@@ -178,9 +193,7 @@ def stream_hll_upsert(stream: DataFrame, path: str, checkpoint: str, *,
             merged = (existing.unionByName(part)
                       .groupBy("bucket")
                       .agg(F.max("rank").alias("rank")))
-            tmp = path.rstrip("/") + "._tmp"
-            merged.write.mode("overwrite").parquet(tmp)
-            spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+            _overwrite_via_tmp(merged, path)
         else:
             part.write.mode("overwrite").parquet(path)
 
@@ -219,10 +232,15 @@ def stream_topk_upsert(stream: DataFrame, path: str, checkpoint: str, *,
         # same rows, and without this two copies of one event would
         # occupy two rank slots — with it the merge is IDEMPOTENT
         # (re-delivery is a no-op), a strictly stronger property than
-        # the additive sketches can offer
+        # the additive sketches can offer. The dedup keeps max(order_col)
+        # per (group, id) — dropDuplicates would keep an ARBITRARY copy
+        # when the same id re-arrives with a different value (an update,
+        # not an exact re-delivery), making the stored top-k
+        # nondeterministic; max-wins is the monotone leaderboard rule
         w = (W.partitionBy(group_col)
              .orderBy(F.col(order_col).desc(), id_col))
-        return (df.dropDuplicates([group_col, id_col])
+        return (df.groupBy(group_col, id_col)
+                .agg(F.max(order_col).alias(order_col))
                 .select(group_col, id_col, order_col,
                         F.row_number().over(w).alias("rnk"))
                 .filter(F.col("rnk") <= k)
@@ -234,9 +252,7 @@ def stream_topk_upsert(stream: DataFrame, path: str, checkpoint: str, *,
         if os.path.exists(path):
             existing = spark.read.parquet(path)
             merged = _cut(existing.unionByName(part))
-            tmp = path.rstrip("/") + "._tmp"
-            merged.write.mode("overwrite").parquet(tmp)
-            spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+            _overwrite_via_tmp(merged, path)
         else:
             part.write.mode("overwrite").parquet(path)
 

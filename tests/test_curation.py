@@ -655,3 +655,20 @@ def test_decontaminate_bloom_equals_broadcast_plan(spark, sf_dir):
     exact = sorted(map(tuple, decontaminate(train, ev, n=4).collect()))
     bloom = sorted(map(tuple, decontaminate_bloom(train, ev, n=4).collect()))
     assert bloom == exact and len(exact) > 0
+
+
+def test_mad_outlier_median_is_interpolated_and_plan_has_no_percentile(spark):
+    """_hist_median must implement percentile_cont exactly: for the
+    even-count column [1,2,3,4] the median is 2.5, so dev_e4 of value 1
+    is 15000 — a discrete (lower/nearest) median would give 10000. And
+    the plan must contain NO Percentile aggregate (the single-reducer
+    value buffer the histogram path exists to avoid)."""
+    from servihabitat_etl_spyke_spark.operators.curation import (
+        mad_outlier_filter)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate([1, 2, 3, 4])],
+                               "doc_id long, n_chars long")
+    out = mad_outlier_filter(df, "n_chars")
+    devs = {r["doc_id"]: r["dev_e4"] for r in out.collect()}
+    assert devs == {0: 15000, 1: 5000, 2: 5000, 3: 15000}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan.lower()

@@ -714,3 +714,20 @@ def test_corpus_overlap_matrix_identical_and_disjoint_groups(spark):
            for r in corpus_overlap_matrix(docs, "source", k=16).collect()}
     assert out[("a", "b")] == 1000
     assert out[("a", "c")] < 500 and out[("b", "c")] < 500
+
+
+def test_cc_auto_switch_keeps_selfpair_only_vertices(spark):
+    """A vertex appearing ONLY in self-pairs must survive the star
+    auto-switch as its own singleton cluster — the propagation path
+    labels it, so the star path must too (identical-label contract).
+    Regression: r4 ADVICE (self-pair vertices vanished from star path)."""
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        connected_components)
+    edges = [(1, 2), (2, 3), (7, 7), (9, 9), (3, 3)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = sorted(map(tuple, connected_components(df).collect()))
+    # star_threshold=0 forces the auto-switch branch on the same input
+    got = sorted(map(tuple,
+                     connected_components(df, star_threshold=0).collect()))
+    assert got == want
+    assert (7, 7) in got and (9, 9) in got and (3, 1) in got

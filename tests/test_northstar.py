@@ -1134,3 +1134,21 @@ def test_compression_ratio_orders_repetitive_prose_random(spark):
              compression_ratio(docs).collect()}
     assert out == again
     assert out[1] < out[2] < out[3]
+
+
+def test_distinct_ngrams_short_docs_no_crash_and_zero_grams(spark):
+    """Docs shorter than n contribute ZERO n-grams (oracle semantics) and
+    must not crash the slice() lambda — sequence(1,0) descends.
+    Regression: r4 ADVICE high (one-word/empty docs broke the query)."""
+    from servihabitat_etl_spyke_spark.operators.text import (
+        distinct_ngram_ratios)
+    docs = spark.createDataFrame(
+        [(1, "a", "one"), (2, "", "one"), (3, "x y z w", "one")],
+        "doc_id long, text string, source string")
+    out = {(r["n"]): r for r in
+           distinct_ngram_ratios(docs, group_col="source").collect()}
+    # unigrams: 'a' + '' (split of "" yields ['']) + 4 tokens
+    assert out[1]["total_grams"] >= 5
+    # bigrams/trigrams come ONLY from doc 3 (len 4): 3 bigrams, 2 trigrams
+    assert out[2]["total_grams"] == 3
+    assert out[3]["total_grams"] == 2

@@ -498,3 +498,34 @@ def test_stream_topk_upsert_matches_batch(spark, sf_dir, tmp_path):
                        spark.read.parquet(str(tmp_path / "topk"))
                        .select("event_type", "event_id", "value").collect()))
     assert again == ref
+
+
+def test_stream_topk_upsert_cleans_tmp_and_max_value_wins(spark, tmp_path):
+    """The merge must delete its '._tmp' staging directory after the
+    final overwrite (no stale dir leaked per sink path), and a re-arrival
+    of the SAME (group, id) with a DIFFERENT value must resolve
+    deterministically to max(value) — not an arbitrary dropDuplicates
+    survivor. Regression: r4 ADVICE (tmp leak; nondeterministic update)."""
+    import os
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        stream_topk_upsert)
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 4.0), ("a", 3, 3.0)],
+        "event_type string, event_id long, value double"
+    ).write.parquet(src1)
+    # id=3 re-arrives with a HIGHER value: must displace id=2 in the cut
+    spark.createDataFrame(
+        [("a", 3, 9.0)],
+        "event_type string, event_id long, value double").write.parquet(src2)
+    store = str(tmp_path / "topk")
+    schema = "event_type string, event_id long, value double"
+    for i, src in enumerate((src1, src2)):
+        q = stream_topk_upsert(
+            spark.readStream.schema(schema).parquet(src),
+            store, str(tmp_path / f"ck{i}"), k=2)
+        q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(store).collect()))
+    assert got == [("a", 1, 5.0), ("a", 3, 9.0)]
+    assert not os.path.exists(store + "._tmp")
