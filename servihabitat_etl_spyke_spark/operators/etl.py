@@ -243,6 +243,24 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def overwrite_via_tmp(df: DataFrame, path: str) -> None:
+    """Overwrite the parquet snapshot at ``path`` with a plan that READS
+    from ``path``: stage to a sibling ``._tmp`` first (overwriting the
+    source while the scan is live would corrupt it), re-read, overwrite
+    the final path, then DELETE the tmp so no stale directory leaks. A
+    crash between the two writes leaves the final path at its last
+    committed state plus an orphan tmp, which the next successful write
+    replaces. At scale the store is a transactional table format and
+    this is one MERGE INTO."""
+    import shutil
+
+    spark = df.sparkSession
+    tmp = path.rstrip("/") + "._tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def upsert_into_path(spark: SparkSession, incoming: DataFrame, path: str,
                      key: str = "id") -> DataFrame:
     """MERGE-into-table emulation against a parquet path: read-if-exists,
@@ -250,12 +268,80 @@ def upsert_into_path(spark: SparkSession, incoming: DataFrame, path: str,
     in production; local tests just overwrite)."""
     if os.path.exists(path):
         existing = spark.read.parquet(path)
-        snapshot = keyed_upsert(existing, incoming, key)
-        # write to a sibling tmp first: the plan still reads `path`, so the
-        # overwrite must not happen while the scan is live
-        tmp = path.rstrip("/") + "._tmp"
-        snapshot.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        overwrite_via_tmp(keyed_upsert(existing, incoming, key), path)
     else:
         keyed_upsert(None, incoming, key).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# S4 transport: keyed-batch writer with the reference's chunk/backoff contract
+# ---------------------------------------------------------------------------
+
+def make_batch_writer(send, *, batch_size: int = 25, max_retries: int = 5,
+                      retryable: tuple[str, ...] = (
+                          "ProvisionedThroughputExceededException",),
+                      sleep=None, on_give_up=None):
+    """Partition-function factory reproducing the reference's DynamoDB
+    batchWriteItems transport contract (`dynamo-connector.ts:145-185`):
+
+    - items chunk into ``batch_size`` = 25 puts (the DynamoDB batch cap);
+    - each chunk retries up to ``max_retries`` = 5 attempts;
+    - a throughput-exceeded error backs off 2^attempt SECONDS before the
+      next attempt; any other error is logged and retried IMMEDIATELY
+      (the reference increments `attempt` without waiting — reproduced,
+      not "improved", so operational behavior matches);
+    - a chunk still failing after 5 attempts is reported and SKIPPED,
+      never raised (the reference logs and moves to the next chunk).
+
+    ``send`` takes a list of row dicts and raises on transport failure —
+    a real client calls BatchWriteItem; tests inject a scripted fake.
+    Errors are matched as retryable by exception class name or a
+    ``name`` attribute (the AWS SDK error-shape). Returns the
+    partition function for :func:`dynamo_batch_write` /
+    ``df.foreachPartition`` — per-partition sequential chunks, so total
+    write concurrency = Spark partition count, which is how the
+    row-at-a-time reference loop parallelizes on a cluster."""
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    give_up = on_give_up if on_give_up is not None else (
+        lambda batch, err: print(
+            f"Failed to write batch after {max_retries} retries.", err))
+
+    def _flush(batch: list) -> None:
+        last_err = None
+        for attempt in range(max_retries):
+            try:
+                send(batch)
+                return
+            except Exception as err:  # noqa: BLE001 — transport contract
+                last_err = err
+                name = getattr(err, "name", type(err).__name__)
+                if name in retryable:
+                    do_sleep(2 ** attempt)
+        give_up(batch, last_err)
+
+    def write_partition(rows) -> None:
+        batch: list = []
+        for row in rows:
+            batch.append(row.asDict(recursive=True)
+                         if hasattr(row, "asDict") else dict(row))
+            if len(batch) >= batch_size:
+                _flush(batch)
+                batch = []
+        if batch:
+            _flush(batch)
+
+    return write_partition
+
+
+def dynamo_batch_write(df: DataFrame, send, **kwargs) -> None:
+    """S4 sink over the real transport shape: every Spark partition
+    streams its rows through :func:`make_batch_writer`'s 25-item
+    chunk/backoff loop via ``foreachPartition`` — no collect, no
+    driver-side batching; the driver only schedules tasks. ``send`` must
+    be picklable (a top-level function or a client-factory closure that
+    constructs its connection lazily INSIDE the executor — sockets don't
+    survive pickling)."""
+    df.foreachPartition(make_batch_writer(send, **kwargs))

@@ -14,26 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from ..operators.etl import overwrite_via_tmp as _overwrite_via_tmp
 from ..operators.etl import upsert_into_path
-
-
-def _overwrite_via_tmp(df: DataFrame, path: str) -> None:
-    """Overwrite the parquet snapshot at ``path`` with ``df`` when ``df``
-    READS from ``path`` (merge-with-existing): stage to a sibling ``._tmp``
-    directory first (overwriting the source in place would corrupt the
-    read), re-read, overwrite the final path, then DELETE the tmp so no
-    stale directory leaks per sink path. A crash between the tmp write and
-    the final overwrite leaves the final path intact (last committed
-    state) plus an orphan tmp — which the next successful batch removes,
-    because the tmp write itself runs in overwrite mode. At scale the sink
-    is a transactional table and this whole dance is one MERGE INTO."""
-    import shutil
-
-    spark = df.sparkSession
-    tmp = path.rstrip("/") + "._tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def stream_keyed_upsert(stream: DataFrame, path: str, key: str,

@@ -143,3 +143,87 @@ def test_keyed_upsert_tie_on_order_keeps_coherent_row(spark):
     rows = keyed_upsert(None, incoming, "id").collect()
     assert len(rows) == 1
     assert (rows[0]["x"], rows[0]["y"]) in {("a1", "b1"), ("a2", "b2")}
+
+
+class _Row(dict):
+    def asDict(self, recursive=False):
+        return dict(self)
+
+
+def test_batch_writer_chunks_in_25s_and_backs_off_exponentially():
+    """The S4 transport contract (dynamo-connector.ts:145-185): 25-item
+    chunks; throughput errors back off 2^attempt seconds; other errors
+    retry immediately; a chunk failing all 5 attempts is skipped, not
+    raised."""
+    from servihabitat_etl_spyke_spark.operators.etl import make_batch_writer
+
+    sent, sleeps, gave_up = [], [], []
+
+    class Throughput(Exception):
+        name = "ProvisionedThroughputExceededException"
+
+    # script: first chunk fails with throughput twice then succeeds;
+    # later chunks succeed immediately
+    fails = {0: 2}
+    attempts: dict[int, int] = {}
+
+    def send(batch):
+        key = len(sent)              # index of the chunk being flushed
+        n = attempts.get(key, 0)
+        attempts[key] = n + 1
+        if n < fails.get(key, 0):
+            raise Throughput()
+        sent.append(list(batch))
+
+    wp = make_batch_writer(send, sleep=sleeps.append,
+                           on_give_up=lambda b, e: gave_up.append((b, e)))
+    wp(iter([_Row(i=i) for i in range(60)]))
+    assert [len(b) for b in sent] == [25, 25, 10]
+    assert sleeps == [1, 2]          # 2^0, 2^1 before the two retries
+    assert gave_up == []
+
+
+def test_batch_writer_nonretryable_retries_without_wait_and_gives_up():
+    from servihabitat_etl_spyke_spark.operators.etl import make_batch_writer
+
+    sleeps, gave_up, attempts = [], [], {"n": 0}
+
+    def send(batch):
+        attempts["n"] += 1
+        raise RuntimeError("boom")
+
+    wp = make_batch_writer(send, sleep=sleeps.append,
+                           on_give_up=lambda b, e: gave_up.append(type(e)))
+    wp(iter([_Row(i=i) for i in range(3)]))   # one under-sized chunk
+    assert attempts["n"] == 5                 # all 5 attempts consumed
+    assert sleeps == []                       # non-retryable: no backoff
+    assert gave_up == [RuntimeError]          # reported, NOT raised
+
+
+def test_dynamo_batch_write_foreachpartition_end_to_end(spark, tmp_path):
+    """Distributed path: every row reaches the transport exactly once in
+    <=25-item chunks, with no driver-side collect (the fake client
+    appends each chunk as a file from inside the executor)."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    from servihabitat_etl_spyke_spark.operators.etl import (
+        dynamo_batch_write)
+
+    out_dir = str(tmp_path / "sent")
+    os.makedirs(out_dir)
+
+    def send(batch):
+        p = os.path.join(out_dir, uuid.uuid4().hex + ".json")
+        with open(p, "w") as fh:
+            json.dump(batch, fh)
+
+    df = spark.range(0, 103).selectExpr("id", "concat('k', id) AS k") \
+        .repartition(4)
+    dynamo_batch_write(df, send)
+    chunks = [json.load(open(p)) for p in glob.glob(out_dir + "/*.json")]
+    assert all(len(c) <= 25 for c in chunks)
+    got = sorted(r["id"] for c in chunks for r in c)
+    assert got == list(range(103))
