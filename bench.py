@@ -152,6 +152,8 @@ HEADLINE = [
     "text_token_entropy",
     "text_compression_ratio",
     "dedup_cluster_sample",
+    # round-5 additions (no earlier baseline — deltas from r06)
+    "curate_funnel_report",
 ]
 
 

@@ -790,3 +790,52 @@ def mad_outlier_filter(df: DataFrame, col: str, k: float = 3.0,
     return (df.select(F.col(id_col), F.col(col),
                       dev.alias("dev_e4"),
                       (dev <= cutoff).alias("keep")))
+
+
+# -- quality-gate funnel accounting -------------------------------------------
+
+
+def gate_funnel(df: DataFrame, gates: list[tuple[str, Column]],
+                ) -> DataFrame:
+    """Sequential quality-gate FUNNEL with first-failing-gate attribution:
+    the rollout dashboard behind every curation change. For an ordered
+    gate chain g0..g(k-1), each document is charged to the FIRST gate it
+    fails (a doc killed at stage i never counts against later gates), and
+    the report is one row per stage: (stage, gate, n_in, n_killed,
+    n_out) with n_in(0) = corpus size and n_out(i) = n_in(i+1) — the
+    numbers that say which gate actually does the killing and what a
+    threshold change would free up.
+
+    Shape: ONE corpus scan — every gate boolean evaluates row-locally in
+    a single projection (a NULL gate counts as a fail, the conservative
+    funnel convention), the aggregation is a (k+1)-row groupBy on the
+    first-fail index, and the cumulative survivor arithmetic runs over
+    that tiny stage table (a k-row single-partition window — stage
+    count, not data, bounds it). Nothing but gate indices and counts
+    ever shuffles."""
+    from pyspark.sql.window import Window as W
+
+    k = len(gates)
+    fails = [F.when(~F.coalesce(g.cast("boolean"), F.lit(False)), F.lit(i))
+             for i, (_, g) in enumerate(gates)]
+    ff = F.coalesce(*fails, F.lit(k))
+    killed = (df.select(ff.alias("_ff"))
+              .groupBy("_ff").agg(F.count(F.lit(1)).alias("_n")))
+    stages = df.sparkSession.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(gates)],
+        "stage int, gate string")
+    per = (stages.join(killed.withColumnRenamed("_ff", "stage"),
+                       "stage", "left")
+           .select("stage", "gate",
+                   F.coalesce(F.col("_n"), F.lit(0)).alias("n_killed")))
+    w = W.orderBy("stage").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per.withColumn("_cumk", F.sum("n_killed").over(w))
+    total = killed.agg(F.sum("_n").alias("_total"))
+    return (cum.join(F.broadcast(total))
+            .select("stage", "gate",
+                    (F.coalesce(F.col("_total"), F.lit(0))
+                     - F.col("_cumk") + F.col("n_killed")).alias("n_in"),
+                    F.col("n_killed"),
+                    (F.coalesce(F.col("_total"), F.lit(0))
+                     - F.col("_cumk")).alias("n_out"))
+            .orderBy("stage"))

@@ -938,3 +938,66 @@ def curate_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 97 != 0)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     return C.decontaminate_bloom(train, ev, n=4).orderBy("doc_id")
+
+
+@query("curate_funnel_report", oracle="""
+WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS t
+           FROM documents),
+m AS (SELECT doc_id, n_chars, len(t) AS nt,
+             len(list_distinct(t)) AS nd,
+             list_sum(list_transform(t, x -> len(x))) AS sl,
+             len(list_filter(t, x -> x IN ('a', 'the'))) AS nc
+      FROM d),
+ff AS (SELECT CASE
+         WHEN NOT (n_chars BETWEEN 80 AND 2000) THEN 0
+         WHEN NOT (nd * 100 >= nt * 40) THEN 1
+         WHEN NOT (sl * 10 BETWEEN nt * 40 AND nt * 50) THEN 2
+         WHEN NOT (nc * 100 <= nt * 12) THEN 3
+         ELSE 4 END AS s
+       FROM m),
+k AS (SELECT s, count(*) AS n FROM ff GROUP BY s),
+g AS (SELECT * FROM (VALUES (0, 'len_ok'), (1, 'diversity'),
+                            (2, 'word_len'), (3, 'common_ratio'))
+      AS v(stage, gate)),
+t AS (SELECT stage, gate, CAST(coalesce(n, 0) AS BIGINT) AS n_killed
+      FROM g LEFT JOIN k ON k.s = g.stage),
+c AS (SELECT stage, gate, n_killed,
+             CAST(sum(n_killed) OVER (ORDER BY stage) AS BIGINT) AS cumk,
+             (SELECT count(*) FROM m) AS total
+      FROM t)
+SELECT stage, gate,
+       CAST(total - cumk + n_killed AS BIGINT) AS n_in,
+       n_killed,
+       CAST(total - cumk AS BIGINT) AS n_out
+FROM c ORDER BY stage
+""")
+def curate_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate funnel over the corpus: four sequential row-local
+    gates (length band, lexical diversity, mean word length, common-word
+    ratio), each document charged to the FIRST gate it fails — the
+    per-gate kill-attribution dashboard a curation rollout reviews
+    before changing any threshold. All gate comparisons are
+    cross-multiplied integers (no FP ratios), so the DuckDB oracle
+    reproduces the funnel exactly.
+
+    One corpus scan (all gate booleans in one projection), a 5-row
+    first-fail groupBy, and stage arithmetic over that tiny table —
+    nothing but gate indices and counts shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = (docs.select("doc_id", "n_chars",
+                     F.split(F.col("text"), " ").alias("_toks"))
+         .select("doc_id", "n_chars",
+                 F.size("_toks").alias("nt"),
+                 F.size(F.array_distinct("_toks")).alias("nd"),
+                 F.aggregate(F.transform("_toks", lambda x: F.length(x)),
+                             F.lit(0), lambda a, b: a + b).alias("sl"),
+                 F.size(F.filter("_toks",
+                                 lambda x: x.isin("a", "the"))).alias("nc")))
+    gates = [
+        ("len_ok", F.col("n_chars").between(80, 2000)),
+        ("diversity", F.col("nd") * 100 >= F.col("nt") * 40),
+        ("word_len", (F.col("sl") * 10 >= F.col("nt") * 40)
+         & (F.col("sl") * 10 <= F.col("nt") * 50)),
+        ("common_ratio", F.col("nc") * 100 <= F.col("nt") * 12),
+    ]
+    return C.gate_funnel(m, gates)

@@ -672,3 +672,26 @@ def test_mad_outlier_median_is_interpolated_and_plan_has_no_percentile(spark):
     assert devs == {0: 15000, 1: 5000, 2: 5000, 3: 15000}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "percentile" not in plan.lower()
+
+
+def test_gate_funnel_first_fail_attribution_and_null_fails(spark):
+    """A doc failing gates 0 AND 2 is charged ONLY to gate 0; a NULL gate
+    value counts as a fail; totals telescope (n_out(i) == n_in(i+1)),
+    and a gate that kills nothing still reports a 0 row."""
+    from pyspark.sql import functions as F
+    from servihabitat_etl_spyke_spark.operators.curation import gate_funnel
+    rows = [
+        (1, 10, 5),    # fails g0 (a<20) and g2 (c<10) -> charged to g0
+        (2, 30, 5),    # fails g2 only
+        (3, 30, 50),   # passes all
+        (4, None, 50), # NULL a -> g0 fail
+        (5, 25, 50),   # passes all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, a long, c long")
+    gates = [("a_ok", F.col("a") >= 20),
+             ("b_ok", F.lit(True)),
+             ("c_ok", F.col("c") >= 10)]
+    got = [tuple(r) for r in gate_funnel(df, gates).collect()]
+    assert got == [(0, "a_ok", 5, 2, 3),
+                   (1, "b_ok", 3, 0, 3),
+                   (2, "c_ok", 3, 1, 2)]

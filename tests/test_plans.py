@@ -276,6 +276,10 @@ _ALLOWED_HAZARDS = {
     # median + MAD: two 1-row robust-statistic aggregations broadcast
     # back over the corpus (the established 1-row-scalar join shape)
     "curate_mad_outliers": {"bnlj", "single_part"},
+    # corpus-total scalar (1 row) broadcast onto the STAGE-count-sized
+    # funnel table; the cumulative window runs over those k stage rows,
+    # never over data
+    "curate_funnel_report": {"bnlj", "single_part"},
     # 1-row estimate x 1-row exact-distinct comparison join; register
     # fold is 2^b rows by construction
     "profile_hll_distinct": {"bnlj", "single_part"},
