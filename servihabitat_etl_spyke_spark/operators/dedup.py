@@ -24,6 +24,8 @@ portability is not required.)
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
@@ -844,22 +846,30 @@ def semantic_dedup_lsh(corpus: DataFrame, k: int = 8, threshold: float = 0.9,
                 .persist())
     dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(bands * rows, dim)
+    # ALL band keys in one Arrow-batched GEMM: the expression form (one
+    # zip_with fold per plane = bands*rows dim-literal trees) costs
+    # Catalyst seconds of analysis/codegen per query and evaluates
+    # interpreted per element — the same measured trade as
+    # similarity.nearest_centroid; sign-pack the (n x bands*rows) sign
+    # matrix into one key per band instead
+    from pyspark.sql.functions import pandas_udf
 
-    def band_key(bi: int) -> Column:
-        bits = None
-        for ri in range(rows):
-            d = dot(F.col("uvec"),
-                    F.array(*[F.lit(x) for x in planes[bi * rows + ri]]))
-            bit = F.when(d >= 0, F.lit(1 << ri)).otherwise(F.lit(0))
-            bits = bit if bits is None else bits + bit
-        return bits.cast("long")
+    P = np.asarray(planes, dtype="float64")             # (bands*rows, dim)
 
-    banded = assigned.select(
-        F.col(id_col), "centroid_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(bi).alias("band"), band_key(bi).alias("key"))
-            for bi in range(bands)])).alias("bk")
-    ).select(id_col, "centroid_id", "bk.band", "bk.key")
+    @pandas_udf("array<long>")
+    def _band_keys(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype="float64")   # (n, dim)
+        S = (X @ P.T) >= 0.0                             # (n, bands*rows)
+        keys = np.zeros((len(X), bands), dtype="int64")
+        for bi in range(bands):
+            for ri in range(rows):
+                keys[:, bi] |= S[:, bi * rows + ri].astype("int64") << ri
+        return pd.Series([row.tolist() for row in keys])
+
+    banded = (assigned
+              .select(F.col(id_col), "centroid_id",
+                      F.posexplode(_band_keys(F.col("uvec")))
+                      .alias("band", "key")))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
                    & (F.col("a.band") == F.col("b.band"))

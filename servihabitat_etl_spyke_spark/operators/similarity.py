@@ -219,22 +219,63 @@ def nearest_centroid(centroids: list[list[float]]) -> "Column":
     return _assign
 
 
+def _kmeans_partials(batch: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """One Lloyd's round's sufficient statistics, shuffle-free: each
+    partition GEMM-assigns its rows to the nearest centroid and emits k
+    (pid, cid, n, sum-vector) partial rows — the map-side combine of the
+    centroid update, with the reduce done driver-side over
+    partitions * k tiny rows (the model update IS driver state). Ties
+    assign to the lower cid (numpy argmin, first minimum)."""
+    C = np.asarray(cents, dtype="float64")
+    c_sq = (C * C).sum(axis=1)
+    k, dim = C.shape
+
+    def gen(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        n = np.zeros(k, dtype="int64")
+        s = np.zeros((k, dim), dtype="float64")
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            X = np.asarray(pdf["v"].tolist(), dtype="float64")
+            cid = (c_sq[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+            np.add.at(s, cid, X)
+            n += np.bincount(cid, minlength=k)
+        if seen:
+            yield pd.DataFrame({
+                "pid": np.full(k, pid, dtype="int32"),
+                "cid": np.arange(k, dtype="int32"),
+                "n": n,
+                "s": [row.tolist() for row in s],
+            })
+
+    return batch.mapInPandas(gen, schema="pid int, cid int, n long, "
+                                         "s array<double>")
+
+
 def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
                id_col: str = "vec_id",
                vec_col: str = "embedding",
                sample_frac: float | None = None) -> list[list[float]]:
-    """Lloyd's k-means, fully distributed: assignment is the row-local
-    :func:`nearest_centroid` GEMM (no shuffle), the update is one narrow
-    (cid, dim-position) aggregation over the posexploded vectors — k x dim
-    rows per iteration reach the driver (they ARE the model).
-    Deterministic seeds: the k lowest-id distinct vectors.
+    """Lloyd's k-means, fully distributed: each round is ONE shuffle-free
+    map stage — every partition assigns its rows with the ``||x||^2 -
+    2xC^T + ||c||^2`` GEMM and folds them into its own (k x dim)
+    sum/count partial, and only those partials (k rows per partition —
+    they ARE the sufficient statistics) reach the driver, reduced in
+    sorted partition order so centroids are bit-identical across runs.
+    No posexplode, no Exchange, no per-round codegen: the centroid
+    matrix ships as a numpy closure constant. Deterministic seeds: the k
+    lowest-id distinct vectors.
 
-    Scale: per iteration cost is one |corpus| x k GEMM map stage plus one
-    k*dim-wide shuffle. ``sample_frac`` is the 100 TB knob: each Lloyd's
-    round updates from an independent Bernoulli minibatch of that
-    fraction (seeded by the iteration index — rerun-identical), the
-    standard minibatch k-means trade (Sculley 2010): per-round cost drops
-    to frac * corpus while centroids converge to the same cluster
+    Scale: per iteration cost is one |corpus| x k GEMM map stage; driver
+    traffic is partitions * k rows. ``sample_frac`` is the 100 TB knob:
+    each Lloyd's round updates from an independent Bernoulli minibatch
+    of that fraction (seeded by the iteration index — rerun-identical),
+    the standard minibatch k-means trade (Sculley 2010): per-round cost
+    drops to frac * corpus while centroids converge to the same cluster
     structure, since each update still averages an unbiased sample of
     every cell."""
     # seeds: the k DISTINCT vectors with the lowest ids — duplicate seeds
@@ -255,16 +296,21 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
         for it in range(iters):
             batch = (pts if sample_frac is None
                      else pts.sample(fraction=sample_frac, seed=it))
-            stats = (batch.select(
-                        nearest_centroid(cents)(F.col("v")).alias("cid"),
-                        F.posexplode("v"))
-                     .groupBy("cid", "pos")
-                     .agg(F.count("*").alias("n"),
-                          F.sum(F.col("col").cast("double")).alias("s"))
-                     .collect())
+            partials = _kmeans_partials(batch, cents).collect()
+            # reduce in sorted (partition, cid) order: task COMPLETION
+            # order varies run to run, and FP addition isn't associative
+            # — the sort is what makes the fit bit-deterministic
+            sums = np.zeros((k, len(cents[0])), dtype="float64")
+            counts = np.zeros(k, dtype="int64")
+            for r in sorted(partials, key=lambda r: (r["pid"], r["cid"])):
+                sums[r["cid"]] += np.asarray(r["s"], dtype="float64")
+                counts[r["cid"]] += r["n"]
             new = [list(c) for c in cents]  # empty clusters keep centroid
-            for r in stats:
-                new[r["cid"]][r["pos"]] = r["s"] / r["n"]
+            for c in range(k):
+                if counts[c]:
+                    # plain Python floats: numpy.float64 leaks into
+                    # downstream createDataFrame calls otherwise
+                    new[c] = [float(s / counts[c]) for s in sums[c]]
             # early stop when no centroid component moved: Lloyd's is
             # monotone, an unchanged model means every later round is a
             # no-op — the check is free (the model is already driver-side)
