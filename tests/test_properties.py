@@ -311,3 +311,41 @@ def test_prefix_filter_never_loses_a_pair(texts, t):
     pf = sorted(map(tuple,
                     D.prefix_filter_pairs(docs, threshold=t).collect()))
     assert pf == full
+
+
+# -- histogram-exact percentile_cont (mad_outlier_filter) -----------------------
+
+
+@given(vals=st.lists(st.integers(min_value=-1000, max_value=1000),
+                     min_size=1, max_size=60),
+       reps=st.lists(st.integers(min_value=1, max_value=4),
+                     min_size=60, max_size=60))
+def test_median_interp_matches_numpy_percentile_cont(vals, reps):
+    """_median_interp over a (value, count) histogram must equal numpy's
+    linear-interpolated median of the expanded multiset — the
+    percentile_cont definition DuckDB's quantile_cont implements."""
+    import numpy as np
+    from servihabitat_etl_spyke_spark.operators.curation import (
+        _median_interp)
+    expanded = sorted(v for v, r in zip(vals, reps) for _ in range(r))
+    u, c = np.unique(np.asarray(expanded), return_counts=True)
+    got = _median_interp(u.astype("float64"), c.astype("int64"))
+    want = float(np.percentile(np.asarray(expanded, dtype="float64"), 50.0))
+    assert math.isclose(got, want, rel_tol=0, abs_tol=1e-9)
+
+
+# -- batch writer chunking contract ---------------------------------------------
+
+
+@given(n=st.integers(min_value=0, max_value=137),
+       size=st.integers(min_value=1, max_value=25))
+def test_batch_writer_chunks_cover_rows_in_order(n, size):
+    """Every row reaches the transport exactly once, in input order,
+    in chunks of at most the configured size (last chunk may be short)."""
+    from servihabitat_etl_spyke_spark.operators.etl import make_batch_writer
+    sent = []
+    wp = make_batch_writer(sent.append, batch_size=size)
+    wp(iter([{"i": i} for i in range(n)]))
+    assert all(len(b) <= size for b in sent)
+    assert all(len(b) == size for b in sent[:-1])  # only the tail is short
+    assert [r["i"] for b in sent for r in b] == list(range(n))
