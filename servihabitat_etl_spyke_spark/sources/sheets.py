@@ -56,3 +56,107 @@ def sheet_append_if_missing(sheet: DataFrame, rows: DataFrame,
     """Insert-only variant: existing keys keep their current row."""
     fresh = rows.join(sheet.select(key), on=key, how="left_anti")
     return sheet.unionByName(fresh.select(sheet.columns))
+
+
+class SheetTransport:
+    """S9 transport shape: the reference client's exact call sequence
+    (``googleSheetClient.ts:88-238``) against an injected values-API
+    ``client`` — an object with ``get(range) -> list[list[str]]``,
+    ``update(range, values)``, ``append(range, values)`` and
+    ``delete_rows(start, end)`` (the four spreadsheets.values /
+    batchUpdate calls a googleapis adapter implements; tests inject an
+    in-memory fake — no network in this environment).
+
+    Reproduced behaviors, not improved:
+
+    - ``find_element``: scan ``A:Z``, match the id column with string
+      equality, return the A1 address of the ID CELL (column letter of
+      the id field, row index + 2 — header is row 1).
+    - ``put``: update-in-place writes the WHOLE row starting at that id
+      cell (when the id field is not column A the tail of the row lands
+      shifted — the reference's behavior, kept verbatim and documented);
+      unknown keys append, bootstrapping the header row first when the
+      sheet is empty.
+    - ``delete_id``: deleteDimension of the found row — the row
+      disappears entirely, no blank left behind.
+    """
+
+    def __init__(self, client, sheet_name: str, id_field: str,
+                 obj_fields: list[str]):
+        self.client = client
+        self.sheet_name = sheet_name
+        self.id_field = id_field
+        self.obj_fields = list(obj_fields)
+
+    def _all_rows(self) -> list[list[str]]:
+        return self.client.get(f"{self.sheet_name}!A:Z") or []
+
+    def is_empty(self) -> bool:
+        rows = self.client.get(f"{self.sheet_name}!A1:Z1") or []
+        return (not rows or (len(rows) == 1 and not rows[0]))
+
+    def find_element(self, key) -> str | None:
+        rows = self._all_rows()
+        if not rows:
+            return None
+        header, body = rows[0], rows[1:]
+        if self.id_field not in header:
+            return None
+        pos = header.index(self.id_field)
+        for i, row in enumerate(body):
+            if pos < len(row) and str(row[pos]) == str(key):
+                return f"{chr(65 + pos)}{i + 2}"
+        return None
+
+    def get_elements(self) -> list[dict]:
+        rows = self._all_rows()
+        if not rows:
+            return []
+        header, body = rows[0], rows[1:]
+        return [{k: (r[i] if i < len(r) else "")
+                 for i, k in enumerate(header)} for r in body]
+
+    def get(self, key) -> dict | None:
+        for el in self.get_elements():
+            if str(el.get(self.id_field)) == str(key):
+                return el
+        return None
+
+    def put(self, values: dict) -> None:
+        key = values.get(self.id_field)
+        cols = [[str(values.get(f, "")) for f in self.obj_fields]]
+        cell = self.find_element(key)
+        if cell:
+            self.client.update(cell, cols)
+        else:
+            if self.is_empty():
+                self.client.append(f"{self.sheet_name}!A:Z",
+                                   [list(self.obj_fields)])
+            self.client.append(f"{self.sheet_name}!A:Z", cols)
+
+    def delete_id(self, key) -> None:
+        cell = self.find_element(key)
+        if cell:
+            row = int(cell[1:])
+            self.client.delete_rows(row - 1, row)
+
+
+def sheet_batch_put(df: DataFrame, client_factory, sheet_name: str,
+                    id_field: str, obj_fields: list[str]) -> None:
+    """Distributed S9 sink over the transport shape: every partition
+    drives its rows through :class:`SheetTransport.put` — the
+    reference's sequential per-object loop, parallelized the only way a
+    row-at-a-time keyed API can be (partition = independent writer;
+    Sheets has no batch-merge call). ``client_factory`` must be
+    picklable and construct the client INSIDE the executor (connections
+    don't survive pickling). For bulk loads prefer the set-oriented
+    :func:`sheet_upsert` + one write; this path exists for parity with
+    the reference's operational contract."""
+    fields = list(obj_fields)
+
+    def _write(rows) -> None:
+        tr = SheetTransport(client_factory(), sheet_name, id_field, fields)
+        for row in rows:
+            tr.put(row.asDict() if hasattr(row, "asDict") else dict(row))
+
+    df.foreachPartition(_write)

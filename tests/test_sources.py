@@ -232,3 +232,61 @@ def test_snapshot_diff_classifies_adds_removes_changes(spark, tmp_path):
             snapshot_diff(spark, store, "k", s1, s2,
                           compare_cols=["s"]).collect()}
     assert got2 == {1: "removed", 4: "added"}
+
+
+class _FakeSheetService:
+    """In-memory spreadsheets.values twin: a list-of-lists sheet plus the
+    four calls SheetTransport drives (get/update/append/delete_rows)."""
+
+    def __init__(self, rows=None):
+        self.rows = [list(r) for r in (rows or [])]
+
+    def get(self, range_):
+        if range_.endswith("!A1:Z1"):
+            return [self.rows[0]] if self.rows else []
+        return [list(r) for r in self.rows]
+
+    def update(self, cell, values):
+        col = ord(cell[0]) - 65
+        row = int(cell[1:]) - 1
+        vals = values[0]
+        cur = self.rows[row]
+        cur.extend([""] * (col + len(vals) - len(cur)))
+        cur[col:col + len(vals)] = vals
+
+    def append(self, range_, values):
+        self.rows.extend(list(v) for v in values)
+
+    def delete_rows(self, start, end):
+        del self.rows[start:end]
+
+
+def test_sheet_transport_put_update_append_and_delete():
+    """The reference call sequence (googleSheetClient.ts:198-238): first
+    put on an empty sheet bootstraps the header; a known key updates its
+    row in place; delete removes the row with no blank left."""
+    from servihabitat_etl_spyke_spark.sources.sheets import SheetTransport
+    svc = _FakeSheetService()
+    tr = SheetTransport(svc, "s1", "id", ["id", "name", "city"])
+    tr.put({"id": "1", "name": "ana", "city": "bcn"})
+    assert svc.rows == [["id", "name", "city"], ["1", "ana", "bcn"]]
+    tr.put({"id": "2", "name": "bob", "city": "mad"})
+    tr.put({"id": "1", "name": "ana2", "city": "gir"})   # in-place update
+    assert svc.rows == [["id", "name", "city"],
+                        ["1", "ana2", "gir"], ["2", "bob", "mad"]]
+    assert tr.get("2") == {"id": "2", "name": "bob", "city": "mad"}
+    tr.delete_id("1")
+    assert svc.rows == [["id", "name", "city"], ["2", "bob", "mad"]]
+    assert tr.find_element("1") is None
+
+
+def test_sheet_transport_nonfirst_id_column_reproduces_reference_shift():
+    """When the id field is NOT column A the reference writes the whole
+    row starting at the id cell — reproduced verbatim (documented
+    quirk), so a faithful adapter sees identical sheets."""
+    from servihabitat_etl_spyke_spark.sources.sheets import SheetTransport
+    svc = _FakeSheetService([["name", "id"], ["ana", "7"]])
+    tr = SheetTransport(svc, "s1", "id", ["name", "id"])
+    tr.put({"name": "ana2", "id": "7"})
+    # update lands at B2: row becomes [ana, ana2, 7] (the shift)
+    assert svc.rows[1] == ["ana", "ana2", "7"]
