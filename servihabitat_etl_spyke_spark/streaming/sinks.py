@@ -244,3 +244,78 @@ def stream_topk_upsert(stream: DataFrame, path: str, checkpoint: str, *,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_funnel_upsert(stream: DataFrame, path: str, checkpoint: str, *,
+                         gates, available_now: bool = True):
+    """Continuously-maintained quality-gate FUNNEL (the streaming twin of
+    ``curation.gate_funnel``): each micro-batch evaluates the gate chain
+    row-locally, reduces to its own per-stage first-fail kill counts,
+    and MERGES into the stored funnel by per-stage addition — valid
+    because every document is charged to exactly one stage exactly once,
+    so kill counts are additive across batches and the stored table
+    equals the batch funnel of everything seen (twin test). State is
+    stages+1 rows forever; survivor columns (n_in/n_out) derive from the
+    stored kills + total at read time, the standard
+    partial-aggregate-store / derive-on-read discipline.
+
+    Same MERGE-into-parquet emulation as the other sinks; at scale the
+    sink is a transactional table and this is one MERGE INTO keyed by
+    stage."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    k = len(gates)
+
+    def apply_batch(batch: DataFrame, _bid: int) -> None:
+        spark = batch.sparkSession
+        fails = [F.when(~F.coalesce(g.cast("boolean"), F.lit(False)),
+                        F.lit(i))
+                 for i, (_, g) in enumerate(gates)]
+        ff = F.coalesce(*fails, F.lit(k))
+        part = (batch.select(ff.alias("stage"))
+                .groupBy("stage").agg(F.count(F.lit(1)).alias("n")))
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            merged = (existing.unionByName(part)
+                      .groupBy("stage").agg(F.sum("n").alias("n")))
+            _overwrite_via_tmp(merged, path)
+        else:
+            part.write.mode("overwrite").parquet(path)
+
+    writer = (stream.writeStream
+              .foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_funnel(spark, path: str, gates) -> DataFrame:
+    """Materialize the stored streaming funnel as the full report shape
+    (stage, gate, n_in, n_killed, n_out) — the read-time derivation over
+    the stages+1 stored rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    k = len(gates)
+    stored = spark.read.parquet(path)
+    stages = spark.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(gates)],
+        "stage int, gate string")
+    per = (stages.join(stored, "stage", "left")
+           .select("stage", "gate",
+                   F.coalesce(F.col("n"), F.lit(0)).alias("n_killed")))
+    w = W.orderBy("stage").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per.withColumn("_cumk", F.sum("n_killed").over(w))
+    total = stored.agg(F.sum("n").alias("_total"))
+    from pyspark.sql.functions import broadcast
+    return (cum.join(broadcast(total))
+            .select("stage", "gate",
+                    (F.coalesce(F.col("_total"), F.lit(0))
+                     - F.col("_cumk") + F.col("n_killed")).alias("n_in"),
+                    F.col("n_killed"),
+                    (F.coalesce(F.col("_total"), F.lit(0))
+                     - F.col("_cumk")).alias("n_out"))
+            .orderBy("stage"))

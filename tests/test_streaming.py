@@ -529,3 +529,33 @@ def test_stream_topk_upsert_cleans_tmp_and_max_value_wins(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(store).collect()))
     assert got == [("a", 1, 5.0), ("a", 3, 9.0)]
     assert not os.path.exists(store + "._tmp")
+
+
+def test_stream_funnel_upsert_matches_batch_funnel(spark, tmp_path):
+    """The continuously-maintained funnel must equal the batch
+    gate_funnel of everything streamed: kill counts are additive across
+    micro-batches because each doc is charged to exactly one stage
+    exactly once."""
+    from servihabitat_etl_spyke_spark.operators.curation import gate_funnel
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        read_funnel, stream_funnel_upsert)
+
+    def mk_gates():
+        return [("a_ok", F.col("a") >= 20), ("c_ok", F.col("c") >= 10)]
+
+    rows1 = [(1, 10, 5), (2, 30, 5), (3, 30, 50)]
+    rows2 = [(4, None, 50), (5, 25, 50), (6, 31, 2)]
+    schema = "doc_id long, a long, c long"
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    spark.createDataFrame(rows1, schema).write.parquet(src1)
+    spark.createDataFrame(rows2, schema).write.parquet(src2)
+    store = str(tmp_path / "funnel")
+    for i, src in enumerate((src1, src2)):
+        q = stream_funnel_upsert(
+            spark.readStream.schema(schema).parquet(src), store,
+            str(tmp_path / f"ck{i}"), gates=mk_gates())
+        q.awaitTermination(120)
+    got = [tuple(r) for r in read_funnel(spark, store, mk_gates()).collect()]
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = [tuple(r) for r in gate_funnel(batch, mk_gates()).collect()]
+    assert got == want and len(got) == 2
