@@ -752,23 +752,41 @@ def mad_outlier_filter(df: DataFrame, col: str, k: float = 3.0,
 
     The histogram is a driver-side collect of DISTINCT values only —
     bounded for the integer/quantized quality features this gate is for
-    (lengths, permille scores); ``max_hist_rows`` fails loudly if the
-    contract is violated (quantize first, or use
-    :func:`_median_of_counts`, the same math kept engine-side).
+    (lengths, permille scores). The collect goes through
+    ``limit(max_hist_rows + 1)`` so the driver NEVER holds more than the
+    bound even on a contract-violating continuous column; past the bound
+    the medians fall back to :func:`_median_of_counts` — the same
+    percentile_cont math kept engine-side (grouped histogram +
+    distinct-value window), slower per call but memory-bounded
+    everywhere.
 
     Returns (id, value, dev_e4, keep)."""
     import math
 
     import numpy as np
 
-    hist = (df.filter(F.col(col).isNotNull())
-            .groupBy(col).agg(F.count(F.lit(1)).alias("_n"))
-            .orderBy(col).collect())
+    counts = (df.filter(F.col(col).isNotNull())
+              .groupBy(col).agg(F.count(F.lit(1)).alias("_n")))
+    # TakeOrdered fetch bounded at max_hist_rows + 1: the guard must fire
+    # BEFORE the driver materializes an unbounded histogram, not after
+    hist = counts.orderBy(col).limit(max_hist_rows + 1).collect()
     if len(hist) > max_hist_rows:
-        raise ValueError(
-            f"mad_outlier_filter: {len(hist)} distinct values in '{col}' "
-            f"exceeds max_hist_rows={max_hist_rows} — quantize the column "
-            "first or raise the bound")
+        # contract violated (continuous high-cardinality column):
+        # stay engine-side — two histogram-median passes, no driver data
+        counts = counts.localCheckpoint()
+        med = _median_of_counts(counts, col, "_n")
+        dev_col = F.floor(F.abs(F.col(col) - F.lit(med)) * 10000
+                          + F.lit(0.5)).cast("long")
+        dev_counts = (counts.select(
+            F.floor(F.abs(F.col(col) - F.lit(med)) * 10000
+                    + F.lit(0.5)).cast("long").alias("_dev"),
+            "_n").groupBy("_dev").agg(F.sum("_n").alias("_n")))
+        mad = _median_of_counts(dev_counts, "_dev", "_n")
+        return (df.select(F.col(id_col), F.col(col),
+                          dev_col.alias("dev_e4"),
+                          (dev_col <= F.lit(None if mad is None
+                                            else float(k) * mad)
+                           .cast("double")).alias("keep")))
     if hist:
         vals = np.array([r[col] for r in hist], dtype="float64")
         cnts = np.array([r["_n"] for r in hist], dtype="int64")
@@ -795,6 +813,57 @@ def mad_outlier_filter(df: DataFrame, col: str, k: float = 3.0,
 # -- quality-gate funnel accounting -------------------------------------------
 
 
+def first_fail_expr(gates: list[tuple[str, Column]]) -> Column:
+    """First-failing-gate index for an ordered gate chain: stage i for a
+    row whose earliest failed gate is g_i, len(gates) for a row passing
+    all. A NULL gate value counts as a FAIL (the conservative funnel
+    convention). Shared by the batch report and the streaming sink so
+    both charge documents identically — one place to change the
+    convention."""
+    fails = [F.when(~F.coalesce(g.cast("boolean"), F.lit(False)), F.lit(i))
+             for i, (_, g) in enumerate(gates)]
+    return F.coalesce(*fails, F.lit(len(gates)))
+
+
+def funnel_report(killed: DataFrame, gates: list[tuple[str, Column]],
+                  ) -> DataFrame:
+    """Derive the full (stage, gate, n_in, n_killed, n_out) funnel from
+    per-stage kill counts ``killed`` = (stage, n) — stage len(gates)
+    holding the survived-all bucket. All arithmetic runs over the
+    stage-count-sized table (a k-row single-partition window — gate
+    count, not data, bounds it) plus a 1-row total broadcast. Shared by
+    :func:`gate_funnel` and the streaming sink's read path so the
+    derivation can never diverge between them."""
+    from pyspark.sql.window import Window as W
+
+    stages = killed.sparkSession.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(gates)],
+        "stage int, gate string")
+    per = (stages.join(killed, "stage", "left")
+           .select("stage", "gate",
+                   F.coalesce(F.col("n"), F.lit(0)).alias("n_killed")))
+    w = W.orderBy("stage").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per.withColumn("_cumk", F.sum("n_killed").over(w))
+    total = killed.agg(F.sum("n").alias("_total"))
+    return (cum.join(F.broadcast(total))
+            .select("stage", "gate",
+                    (F.coalesce(F.col("_total"), F.lit(0))
+                     - F.col("_cumk") + F.col("n_killed")).alias("n_in"),
+                    F.col("n_killed"),
+                    (F.coalesce(F.col("_total"), F.lit(0))
+                     - F.col("_cumk")).alias("n_out"))
+            .orderBy("stage"))
+
+
+def gate_kill_counts(df: DataFrame,
+                     gates: list[tuple[str, Column]]) -> DataFrame:
+    """Per-stage first-fail kill counts (stage, n) — ONE corpus scan
+    (every gate boolean in a single projection) into a (gates+1)-row
+    groupBy; the mergeable partial the streaming funnel sink stores."""
+    return (df.select(first_fail_expr(gates).alias("stage"))
+            .groupBy("stage").agg(F.count(F.lit(1)).alias("n")))
+
+
 def gate_funnel(df: DataFrame, gates: list[tuple[str, Column]],
                 ) -> DataFrame:
     """Sequential quality-gate FUNNEL with first-failing-gate attribution:
@@ -806,36 +875,8 @@ def gate_funnel(df: DataFrame, gates: list[tuple[str, Column]],
     numbers that say which gate actually does the killing and what a
     threshold change would free up.
 
-    Shape: ONE corpus scan — every gate boolean evaluates row-locally in
-    a single projection (a NULL gate counts as a fail, the conservative
-    funnel convention), the aggregation is a (k+1)-row groupBy on the
-    first-fail index, and the cumulative survivor arithmetic runs over
-    that tiny stage table (a k-row single-partition window — stage
-    count, not data, bounds it). Nothing but gate indices and counts
-    ever shuffles."""
-    from pyspark.sql.window import Window as W
-
-    k = len(gates)
-    fails = [F.when(~F.coalesce(g.cast("boolean"), F.lit(False)), F.lit(i))
-             for i, (_, g) in enumerate(gates)]
-    ff = F.coalesce(*fails, F.lit(k))
-    killed = (df.select(ff.alias("_ff"))
-              .groupBy("_ff").agg(F.count(F.lit(1)).alias("_n")))
-    stages = df.sparkSession.createDataFrame(
-        [(i, name) for i, (name, _) in enumerate(gates)],
-        "stage int, gate string")
-    per = (stages.join(killed.withColumnRenamed("_ff", "stage"),
-                       "stage", "left")
-           .select("stage", "gate",
-                   F.coalesce(F.col("_n"), F.lit(0)).alias("n_killed")))
-    w = W.orderBy("stage").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = per.withColumn("_cumk", F.sum("n_killed").over(w))
-    total = killed.agg(F.sum("_n").alias("_total"))
-    return (cum.join(F.broadcast(total))
-            .select("stage", "gate",
-                    (F.coalesce(F.col("_total"), F.lit(0))
-                     - F.col("_cumk") + F.col("n_killed")).alias("n_in"),
-                    F.col("n_killed"),
-                    (F.coalesce(F.col("_total"), F.lit(0))
-                     - F.col("_cumk")).alias("n_out"))
-            .orderBy("stage"))
+    Composition of :func:`gate_kill_counts` (one corpus scan, counts
+    shuffle only) and :func:`funnel_report` (stage-table arithmetic);
+    the streaming twin `streaming.sinks.stream_funnel_upsert` stores the
+    same kill counts and reads through the same report derivation."""
+    return funnel_report(gate_kill_counts(df, gates), gates)

@@ -319,6 +319,10 @@ def make_batch_writer(send, *, batch_size: int = 25, max_retries: int = 5,
                 last_err = err
                 name = getattr(err, "name", type(err).__name__)
                 if name in retryable:
+                    # the backoff fires even after the FINAL attempt's
+                    # failure (a dead wait before give-up): that is the
+                    # reference's while-loop shape, reproduced — its
+                    # operational behavior is the contract here
                     do_sleep(2 ** attempt)
         give_up(batch, last_err)
 

@@ -76,7 +76,13 @@ class SheetTransport:
       cell (when the id field is not column A the tail of the row lands
       shifted — the reference's behavior, kept verbatim and documented);
       unknown keys append, bootstrapping the header row first when the
-      sheet is empty.
+      sheet is empty. The update range is the BARE cell address, exactly
+      as the reference sends it — against a real API that resolves to
+      the spreadsheet's FIRST sheet, consistent with the reference's
+      single-sheet assumption (its delete hardcodes ``sheetId: 0`` the
+      same way); a multi-sheet adapter should qualify ranges itself.
+      A ``None`` field serializes to ``''`` (the JS client sends null →
+      an empty cell), never the string ``'None'``.
     - ``delete_id``: deleteDimension of the found row — the row
       disappears entirely, no blank left behind.
     """
@@ -124,7 +130,8 @@ class SheetTransport:
 
     def put(self, values: dict) -> None:
         key = values.get(self.id_field)
-        cols = [[str(values.get(f, "")) for f in self.obj_fields]]
+        cols = [["" if values.get(f) is None else str(values[f])
+                 for f in self.obj_fields]]
         cell = self.find_element(key)
         if cell:
             self.client.update(cell, cols)
@@ -142,16 +149,25 @@ class SheetTransport:
 
 
 def sheet_batch_put(df: DataFrame, client_factory, sheet_name: str,
-                    id_field: str, obj_fields: list[str]) -> None:
+                    id_field: str, obj_fields: list[str],
+                    parallelism: int = 1) -> None:
     """Distributed S9 sink over the transport shape: every partition
     drives its rows through :class:`SheetTransport.put` — the
     reference's sequential per-object loop, parallelized the only way a
-    row-at-a-time keyed API can be (partition = independent writer;
-    Sheets has no batch-merge call). ``client_factory`` must be
+    row-at-a-time keyed API can be. ``client_factory`` must be
     picklable and construct the client INSIDE the executor (connections
-    don't survive pickling). For bulk loads prefer the set-oriented
-    :func:`sheet_upsert` + one write; this path exists for parity with
-    the reference's operational contract."""
+    don't survive pickling).
+
+    SINGLE writer by default (``parallelism=1``): put() is an
+    unsynchronized read-modify-write against shared sheet state, so
+    concurrent partitions race on the header bootstrap and on
+    find-then-append for keys present in two partitions (duplicate
+    header/data rows). The reference's loop is single-threaded for the
+    same reason, and Sheets API write quotas make one writer the
+    realistic ceiling anyway; raise ``parallelism`` only for
+    append-only, key-disjoint loads. For bulk loads prefer the
+    set-oriented :func:`sheet_upsert` + one write; this path exists for
+    parity with the reference's operational contract."""
     fields = list(obj_fields)
 
     def _write(rows) -> None:
@@ -159,4 +175,4 @@ def sheet_batch_put(df: DataFrame, client_factory, sheet_name: str,
         for row in rows:
             tr.put(row.asDict() if hasattr(row, "asDict") else dict(row))
 
-    df.foreachPartition(_write)
+    df.coalesce(parallelism).foreachPartition(_write)

@@ -266,16 +266,11 @@ def stream_funnel_upsert(stream: DataFrame, path: str, checkpoint: str, *,
 
     from pyspark.sql import functions as F
 
-    k = len(gates)
+    from ..operators.curation import gate_kill_counts
 
     def apply_batch(batch: DataFrame, _bid: int) -> None:
         spark = batch.sparkSession
-        fails = [F.when(~F.coalesce(g.cast("boolean"), F.lit(False)),
-                        F.lit(i))
-                 for i, (_, g) in enumerate(gates)]
-        ff = F.coalesce(*fails, F.lit(k))
-        part = (batch.select(ff.alias("stage"))
-                .groupBy("stage").agg(F.count(F.lit(1)).alias("n")))
+        part = gate_kill_counts(batch, gates)
         if os.path.exists(path):
             existing = spark.read.parquet(path)
             merged = (existing.unionByName(part)
@@ -294,28 +289,9 @@ def stream_funnel_upsert(stream: DataFrame, path: str, checkpoint: str, *,
 
 def read_funnel(spark, path: str, gates) -> DataFrame:
     """Materialize the stored streaming funnel as the full report shape
-    (stage, gate, n_in, n_killed, n_out) — the read-time derivation over
-    the stages+1 stored rows."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window as W
+    (stage, gate, n_in, n_killed, n_out) — the SAME derivation the batch
+    operator uses (`curation.funnel_report`), so the stream and batch
+    reports can never diverge."""
+    from ..operators.curation import funnel_report
 
-    k = len(gates)
-    stored = spark.read.parquet(path)
-    stages = spark.createDataFrame(
-        [(i, name) for i, (name, _) in enumerate(gates)],
-        "stage int, gate string")
-    per = (stages.join(stored, "stage", "left")
-           .select("stage", "gate",
-                   F.coalesce(F.col("n"), F.lit(0)).alias("n_killed")))
-    w = W.orderBy("stage").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = per.withColumn("_cumk", F.sum("n_killed").over(w))
-    total = stored.agg(F.sum("n").alias("_total"))
-    from pyspark.sql.functions import broadcast
-    return (cum.join(broadcast(total))
-            .select("stage", "gate",
-                    (F.coalesce(F.col("_total"), F.lit(0))
-                     - F.col("_cumk") + F.col("n_killed")).alias("n_in"),
-                    F.col("n_killed"),
-                    (F.coalesce(F.col("_total"), F.lit(0))
-                     - F.col("_cumk")).alias("n_out"))
-            .orderBy("stage"))
+    return funnel_report(spark.read.parquet(path), gates)

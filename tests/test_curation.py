@@ -695,3 +695,19 @@ def test_gate_funnel_first_fail_attribution_and_null_fails(spark):
     assert got == [(0, "a_ok", 5, 2, 3),
                    (1, "b_ok", 3, 0, 3),
                    (2, "c_ok", 3, 1, 2)]
+
+
+def test_mad_outlier_engine_fallback_matches_driver_path(spark):
+    """Forcing the histogram over max_hist_rows must switch to the
+    engine-side _median_of_counts path and produce the SAME rows as the
+    driver-histogram path — two physical strategies, one answer (and the
+    driver never materializes more than the bound)."""
+    from servihabitat_etl_spyke_spark.operators.curation import (
+        mad_outlier_filter)
+    rows = [(i, v) for i, v in
+            enumerate([5, 7, 9, 11, 13, 15, 17, 19, 400, 2])]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    fast = sorted(map(tuple, mad_outlier_filter(df, "n_chars").collect()))
+    slow = sorted(map(tuple, mad_outlier_filter(
+        df, "n_chars", max_hist_rows=3).collect()))
+    assert fast == slow and len(fast) == 10

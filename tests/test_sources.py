@@ -290,3 +290,13 @@ def test_sheet_transport_nonfirst_id_column_reproduces_reference_shift():
     tr.put({"name": "ana2", "id": "7"})
     # update lands at B2: row becomes [ana, ana2, 7] (the shift)
     assert svc.rows[1] == ["ana", "ana2", "7"]
+
+
+def test_sheet_transport_none_field_writes_empty_cell():
+    """A present-but-None field must land as an empty cell (the JS
+    client serializes null to empty), never the string 'None'."""
+    from servihabitat_etl_spyke_spark.sources.sheets import SheetTransport
+    svc = _FakeSheetService()
+    tr = SheetTransport(svc, "s1", "id", ["id", "name"])
+    tr.put({"id": "1", "name": None})
+    assert svc.rows == [["id", "name"], ["1", ""]]
