@@ -26,9 +26,24 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
 
+def _reserve(df: DataFrame, name: str, op: str) -> None:
+    """Fail loudly when an internal temp column would clobber a user
+    column of the same name — the silent alternative is corrupted output
+    (the temp value replaces the user's data and is then dropped)."""
+    if name in df.columns:
+        raise ValueError(
+            f"{op}: input already has a column named '{name}' "
+            f"(reserved as an internal temp column) — rename it first")
+
+
 def with_salt(df: DataFrame, salt_n: int, from_col: str) -> DataFrame:
     """Deterministic salt in [0, salt_n): hash of a secondary column (NOT
     rand() — re-runs and retried tasks must produce identical rows)."""
+    if salt_n < 1:
+        raise ValueError(f"with_salt: salt_n must be >= 1, got {salt_n} "
+                         "(pmod by 0 yields NULL salts and silently empty "
+                         "joins)")
+    _reserve(df, "_salt", "with_salt")
     return df.withColumn("_salt", F.pmod(F.hash(F.col(from_col)), F.lit(salt_n)))
 
 
@@ -71,7 +86,8 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
     sequence — dim grows salt_n-fold, so use for small-to-medium dims when
     broadcast is too big but one fact key floods a task). Output equals the
     plain join exactly."""
-    f = with_salt(fact, salt_n, salt_from)
+    f = with_salt(fact, salt_n, salt_from)   # validates salt_n + _salt
+    _reserve(dim, "_salt", "salted_join")
     d = (dim.withColumn("_salt", F.explode(
         F.sequence(F.lit(0), F.lit(salt_n - 1)))))
     out = f.join(d, [key, "_salt"]).drop("_salt")
@@ -124,7 +140,13 @@ def global_row_numbers(df: DataFrame, order_col: str,
     # window's own null placement reproduces that exactly.
     bucket = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(
         bucket if bucket is not None else F.lit(0))
-    part = df.withColumn("_b", bucket)
+    _reserve(df, "_b", "global_row_numbers")
+    # persist BEFORE the counts collect: the offsets job and the final
+    # window job must see the SAME rows — an input with any
+    # non-deterministic stage (sampling, rand-derived columns, a source
+    # that changed between jobs) would otherwise be counted under one
+    # evaluation and numbered under another, breaking contiguity
+    part = df.withColumn("_b", bucket).persist()
     counts = part.groupBy("_b").count().collect()
     offsets, acc = [], 0
     for r in sorted(counts, key=lambda r: r["_b"]):
@@ -167,6 +189,7 @@ def zorder_layout(df: DataFrame, col_a: str, col_b: str,
     sort by the interleaved :func:`zorder_key`. Write the result with
     ``df.write`` and both columns' per-file min/max ranges shrink by
     ~sqrt(n_files) versus sorting on either column alone."""
+    _reserve(df, "_zkey", "zorder_layout")
     zk = zorder_key(F.col(col_a), F.col(col_b), bits=bits).alias("_zkey")
     out = df.withColumn("_zkey", zk)
     if n_partitions:
@@ -184,14 +207,45 @@ def compact_to_target(df: DataFrame, path: str, target_mb: int = 128,
     footer reads). File count comes from the Catalyst size estimate —
     driver-side metadata only, no extra pass over the data; AQE-coalesced
     plans then write one file per partition. Returns the file count."""
-    est_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    n = max(1, int((int(est_bytes) + target_mb * 1024 * 1024 - 1)
-                   // (target_mb * 1024 * 1024)))
+    est_bytes = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    # Catalyst's sizeInBytes is an UNCOMPRESSED in-memory estimate, and a
+    # plan without source statistics reports defaultSizeInBytes
+    # (Long.MaxValue) or a product of child guesses — clamp so a
+    # stats-free join can never request billions of partitions, and treat
+    # target_mb as the in-memory slice size (on-disk snappy parquet lands
+    # smaller; callers wanting exact file sizes should measure a sample)
+    if est_bytes >= (1 << 60):
+        n = df.rdd.getNumPartitions()
+    else:
+        n = max(1, int((est_bytes + target_mb * 1024 * 1024 - 1)
+                       // (target_mb * 1024 * 1024)))
+    n = min(n, 1 << 20)
     df.repartition(n).write.mode("overwrite").format(fmt).save(path)
     return n
 
 
 # -- Bloom-filter semi-join pre-filter ----------------------------------------
+
+
+def _splitmix_positions(h, n_hashes: int, n_bits: int):
+    """Bit positions for one hash batch: ``n_hashes`` splitmix64 mixing
+    rounds of the xxhash64 keys, each yielding an index array in
+    [0, n_bits). ONE shared implementation for the build and probe sides
+    — their positions must stay bit-identical or the prefilter's
+    no-false-negatives guarantee silently breaks."""
+    import numpy as np
+
+    x = h.copy()
+    for _ in range(n_hashes):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        z = x.copy()
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        yield z % np.uint64(n_bits)
 
 
 def bloom_bitmap(keys: DataFrame, key_col: str, n_bits: int = 1 << 20,
@@ -200,27 +254,23 @@ def bloom_bitmap(keys: DataFrame, key_col: str, n_bits: int = 1 << 20,
     key column: per-partition partial bitmaps OR-merged on the driver —
     the build side streams once, only ceil(n_bits/64)*8 bytes per
     partition travel. Hash family: splitmix64-style integer mixing of
-    xxhash64(key), fully engine-deterministic."""
+    xxhash64(key), fully engine-deterministic. ``n_bits`` must be a
+    multiple of 64: the probe side re-derives it as bitmap_words * 64,
+    and a truncated tail would make build and probe disagree on
+    positions (out-of-bounds writes or false negatives)."""
     import numpy as np
     import pandas as pd
 
+    if n_bits % 64:
+        raise ValueError(f"bloom_bitmap: n_bits={n_bits} must be a "
+                         "multiple of 64")
     words = n_bits // 64
 
     def partial(batches):
         bm = np.zeros(words, dtype=np.uint64)
         for pdf in batches:
             h = pdf["_h"].to_numpy(dtype=np.uint64)
-            x = h.copy()
-            for _ in range(n_hashes):
-                # splitmix64 round per probe
-                x = x + np.uint64(0x9E3779B97F4A7C15)
-                z = x.copy()
-                z ^= z >> np.uint64(30)
-                z *= np.uint64(0xBF58476D1CE4E5B9)
-                z ^= z >> np.uint64(27)
-                z *= np.uint64(0x94D049BB133111EB)
-                z ^= z >> np.uint64(31)
-                idx = z % np.uint64(n_bits)
+            for idx in _splitmix_positions(h, n_hashes, n_bits):
                 np.bitwise_or.at(bm, (idx // np.uint64(64)).astype(np.int64),
                                  np.uint64(1) << (idx % np.uint64(64)))
         yield pd.DataFrame({"w": [bm.tobytes()]})
@@ -252,20 +302,12 @@ def bloom_prefilter(probe: DataFrame, bitmap, key_col: str,
         for pdf in batches:
             h = pdf.pop("_h").to_numpy(dtype=np.uint64)
             ok = np.ones(len(h), dtype=bool)
-            x = h.copy()
-            for _ in range(n_hashes):
-                x = x + np.uint64(0x9E3779B97F4A7C15)
-                z = x.copy()
-                z ^= z >> np.uint64(30)
-                z *= np.uint64(0xBF58476D1CE4E5B9)
-                z ^= z >> np.uint64(27)
-                z *= np.uint64(0x94D049BB133111EB)
-                z ^= z >> np.uint64(31)
-                idx = z % np.uint64(n_bits)
+            for idx in _splitmix_positions(h, n_hashes, n_bits):
                 ok &= (bm[(idx // np.uint64(64)).astype(np.int64)]
                        >> (idx % np.uint64(64))) & np.uint64(1) > 0
             yield pdf[ok]
 
+    _reserve(probe, "_h", "bloom_prefilter")
     with_h = probe.withColumn(
         "_h", F.xxhash64(F.col(key_col).cast("string")).cast("long"))
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
@@ -283,13 +325,19 @@ def skew_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     counts = df.groupBy(key).agg(F.count("*").alias("n_rows"))
     stats = counts.agg(F.sum("n_rows").alias("_total"),
                        F.count("*").alias("_n_keys"))
+    # decimal(38,0) intermediates: n_rows * n_keys * 100 wraps a LONG
+    # right at the scales this diagnostic targets (1e10-row hot key x
+    # 1e8 keys = 1e20 > 2^63), and non-ANSI Spark would return garbage
+    # silently; decimal multiply/divide is exact so the floored result
+    # (and the SQL oracle) are unchanged in range
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     return (counts.join(F.broadcast(stats))
             .select(F.col(key), "n_rows",
-                    F.floor(F.col("n_rows") * 1000 / F.col("_total"))
-                    .alias("share_permille"),
-                    F.floor(F.col("n_rows") * F.col("_n_keys") * 100
+                    F.floor(dec(F.col("n_rows")) * 1000 / F.col("_total"))
+                    .cast("long").alias("share_permille"),
+                    F.floor(dec(F.col("n_rows")) * F.col("_n_keys") * 100
                             / F.col("_total"))
-                    .alias("x_uniform_pct"))
+                    .cast("long").alias("x_uniform_pct"))
             .orderBy(F.col("n_rows").desc(), key)
             .limit(top))
 
@@ -403,7 +451,7 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str = "item",
         for r in range(d)]))
     probe_cells = (probes.select(F.col(col), cells.alias("_rc"))
                    .select(col, "_rc.r", "_rc.c"))
-    return (probe_cells.join(sketch, ["r", "c"], "left")
+    return (probe_cells.join(F.broadcast(sketch), ["r", "c"], "left")
             .groupBy(col)
             .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est")))
 
@@ -497,8 +545,13 @@ def kmv_sketch(items: DataFrame, col: str, k: int = 256) -> DataFrame:
 
     from ..operators.dedup import _hash32
 
-    hashed = items.select(F.col(col).cast("string").alias("value"),
-                          _hash32(F.col(col).cast("string")).alias("h"))
+    # NULLs are excluded, matching count(DISTINCT col) semantics: md5 of
+    # NULL hashes to NULL, which the pandas partial sorts LAST but the
+    # final orderBy sorts FIRST — a partition-layout-dependent sketch
+    # slot (and an inflated estimate) if allowed through
+    hashed = (items.filter(F.col(col).isNotNull())
+              .select(F.col(col).cast("string").alias("value"),
+                      _hash32(F.col(col).cast("string")).alias("h")))
 
     def partial(batches):
         best: pd.DataFrame | None = None
@@ -559,7 +612,9 @@ def topk_per_group(df: DataFrame, group_col: str, order_col: str,
             cur = pdf if best is None else pd.concat([best, pdf])
             cur = cur.sort_values([group_col, order_col, id_col],
                                   ascending=[True, False, True])
-            best = cur.groupby(group_col, sort=False).head(k)
+            # dropna=False: the window form ranks the NULL group as its
+            # own partition, so the partial must keep it too
+            best = cur.groupby(group_col, sort=False, dropna=False).head(k)
         if best is not None:
             yield best
 

@@ -396,3 +396,57 @@ def test_topk_per_group_matches_window_form(spark, sf_dir):
         F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 3).collect()))
     assert got == ref
+
+
+def test_topk_per_group_keeps_null_group(spark):
+    """Rows with a NULL group key must rank as their own group, exactly
+    as the window form does (regression: pandas groupby dropna default
+    silently dropped them from the partials)."""
+    from servihabitat_etl_spyke_spark.operators.scale import topk_per_group
+    rows = [("a", 5.0, 1), ("a", 4.0, 2), (None, 9.0, 3), (None, 8.0, 4),
+            (None, 7.0, 5)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    got = {(r["g"], r["id"]) for r in
+           topk_per_group(df, "g", "v", "id", k=2).collect()}
+    assert got == {("a", 1), ("a", 2), (None, 3), (None, 4)}
+
+
+def test_bloom_bitmap_rejects_unaligned_n_bits(spark):
+    """n_bits not divisible by 64 would make build and probe disagree on
+    bit positions — must raise, not corrupt."""
+    import pytest
+    from servihabitat_etl_spyke_spark.operators.scale import bloom_bitmap
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_bitmap(df, "k", n_bits=(1 << 20) + 1)
+
+
+def test_kmv_sketch_excludes_nulls(spark):
+    """NULL values must not occupy sketch slots (count-distinct
+    semantics; a NULL hash also sorts differently between the pandas
+    partial and the final orderBy, making the sketch layout-dependent)."""
+    from servihabitat_etl_spyke_spark.operators.scale import (
+        kmv_estimate, kmv_sketch)
+    rows = [(str(i),) for i in range(5)] + [(None,)] * 3
+    df = spark.createDataFrame(rows, "v string")
+    sk = kmv_sketch(df, "v", k=8)
+    vals = [r["value"] for r in sk.collect()]
+    assert None not in vals and len(vals) == 5
+    est = kmv_estimate(sk, k=8).collect()[0]
+    assert est["n_sketch"] == 5 and est["est"] == 5
+
+
+def test_reserved_temp_columns_raise_instead_of_clobbering(spark):
+    import pytest
+    from servihabitat_etl_spyke_spark.operators.scale import (
+        bloom_bitmap, bloom_prefilter, with_salt)
+    df = spark.createDataFrame([(1, 2)], "k long, _salt long")
+    with pytest.raises(ValueError, match="_salt"):
+        with_salt(df, 4, "k")
+    with pytest.raises(ValueError, match="salt_n"):
+        with_salt(spark.createDataFrame([(1,)], "k long"), 0, "k")
+    clean = spark.createDataFrame([(1,)], "k long")
+    bm = bloom_bitmap(clean, "k")
+    probe = spark.createDataFrame([(1, 9)], "k long, _h long")
+    with pytest.raises(ValueError, match="_h"):
+        bloom_prefilter(probe, bm, "k")
