@@ -41,7 +41,49 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity with a ZERO-NORM guard: an all-zero embedding
+    scores 0.0 against everything instead of NaN — Spark's IEEE double
+    division yields NaN there, and NaN sorts ABOVE every real score
+    under desc ordering, which would make one zero vector the rank-1
+    neighbor of every query (knn_graph refuses zero norms outright; the
+    column paths degrade gracefully instead)."""
+    den = norm(a) * norm(b)
+    return F.when(den > 0, dot(a, b) / den).otherwise(F.lit(0.0))
+
+
+def _topk_idx(vals, ids, t, descending=True):
+    """Deterministic local top-t selection: indices into ``vals``/``ids``
+    ordered by (val best-first, id asc). A bare argpartition keeps or
+    drops candidates TIED at the t-boundary arbitrarily (ADC distances
+    tie exactly whenever two vectors share PQ codes; duplicate
+    embeddings tie cosine), and the downstream merge window can only
+    rank survivors — so the boundary ties must be resolved here, by the
+    same (score, id) order the merge uses. argpartition preselects, all
+    boundary ties are pulled back in, and a lexsort cuts to t. NaN vals
+    rank WORST (guarded upstream; belt and braces here)."""
+    key = np.where(np.isnan(vals), np.inf, -vals if descending else vals)
+    n = len(key)
+    t = min(t, n)
+    if t == 0:
+        return np.empty(0, dtype=np.int64)
+    if n > t:
+        pre = np.argpartition(key, t - 1)[:t]
+        bound = key[pre].max()
+        cand = np.flatnonzero(key <= bound)
+    else:
+        cand = np.arange(n)
+    order = cand[np.lexsort((ids[cand], key[cand]))]
+    return order[:t]
+
+
+def _dim_of(df: DataFrame, vec_col: str, op: str) -> int:
+    """Vector dimensionality from the first row, failing loudly on an
+    empty input instead of `None[0]`'s bare TypeError."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(f"{op}: empty input (or NULL {vec_col}) — "
+                         "cannot infer vector dimensionality")
+    return len(row[0])
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -74,29 +116,30 @@ def cosine_topk_pandas(corpus: DataFrame, queries: DataFrame, k: int = 10,
     contract); each partition scores its batch against ALL queries in one
     GEMM, keeps a local top-k, and the final global top-k per query is a
     tiny shuffle of k*partitions rows."""
-    import numpy as np
-    import pandas as pd
-
     qrows = queries.select(id_col, vec_col).collect()  # queries are small by contract
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int")
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.maximum(
+        np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
 
     def score(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
             sims = mat @ qmat.T                      # (batch, nq)
             out = []
             for qi, qid in enumerate(qids):
                 s = sims[:, qi]
                 mask = ids != qid
                 cand_ids, cand_s = ids[mask], s[mask]
-                top = min(k, len(cand_ids))
-                if top == 0:
+                idx = _topk_idx(cand_s, cand_ids, k)
+                if len(idx) == 0:
                     continue
-                idx = np.argpartition(-cand_s, top - 1)[:top]
                 out.append(pd.DataFrame({
                     "query_id": qid, "neighbor_id": cand_ids[idx],
                     "score": cand_s[idx]}))
@@ -153,7 +196,7 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     probe fan-out happens on the tiny query side), so the plan stays a
     broadcast hash join. Approximate — recall measured in tests against
     :func:`cosine_topk`."""
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _dim_of(corpus, vec_col, "ann_lsh_topk")
     planes = _hyperplanes(n_planes, dim)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cvec"),
@@ -168,11 +211,14 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     else:
         probes = F.array(F.col("qbucket"))
     q = q.select("query_id", "qvec", F.explode(probes).alias("bucket"))
+    # no pair-dedup needed: each corpus row owns exactly ONE bucket and
+    # the probe values (qbucket plus qbucket XOR distinct single bits)
+    # are pairwise distinct, so a (query, neighbor) pair can match at
+    # most once — a dropDuplicates here would only add a shuffle
     scored = (c.join(F.broadcast(q), "bucket")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      cosine(F.col("qvec"), F.col("cvec")).alias("score"))
-              .dropDuplicates(["query_id", "neighbor_id"]))
+                      cosine(F.col("qvec"), F.col("cvec")).alias("score")))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
     return (scored.select("query_id", "neighbor_id",
                           F.row_number().over(w).alias("rank"))
@@ -385,7 +431,7 @@ def ivf_centroids(corpus: DataFrame, label_col: str = "label",
     """Coarse codebook: centroid per label partition (k-means stand-in —
     the synthetic `label` column IS a cluster assignment; a trained
     codebook slots into the same shape)."""
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _dim_of(corpus, vec_col, "ivf_centroids")
     sums = corpus.groupBy(label_col).agg(
         F.count("*").alias("n"),
         *[F.sum(F.element_at(vec_col, i + 1)).alias(f"s{i}") for i in range(dim)])
@@ -442,21 +488,21 @@ def dequantize(qvec: Column, scale: Column) -> Column:
 
 def pca_fit(corpus: DataFrame, k: int = 8,
             vec_col: str = "embedding") -> dict:
-    """Distributed PCA: the mean vector and scatter matrix accumulate as
-    PARTIAL per-partition numpy Gramians inside ``mapInPandas`` (each
-    partition emits one flattened dim x dim matrix + count + sum — model-
-    sized rows, like k-means), summed in one tiny aggregation; only the
-    dim x dim scatter reaches the driver for the eigendecomposition.
-    The corpus is scanned once and never shuffled.
+    """Distributed PCA in TWO narrow passes: a mean pass (per-partition
+    count + sum partials), then a CENTERED-Gramian pass — each partition
+    emits one flattened dim x dim (X-mu)^T(X-mu) partial with the mean
+    in its closure, summed on the driver for the eigendecomposition.
+    Centering before the product matters: the one-pass
+    E[xx^T] - mu mu^T form cancels catastrophically when the embedding
+    mean dwarfs its spread (values ~1e3 with std ~1e-2 leave only
+    rounding noise and indefinite covariances — negative "explained"
+    variances). Two scans, zero shuffles, model-sized driver traffic.
 
     Returns {mean: (dim,), components: (k, dim), explained: (k,)} with
     components in descending-eigenvalue order, deterministic sign
     (largest-|coord| entry made positive — eigenvectors are otherwise
     sign-ambiguous across LAPACK builds)."""
-    import numpy as np
-    import pandas as pd
-
-    def partials(batches):
+    def mean_partials(batches):
         for pdf in batches:
             X = np.array(list(pdf[vec_col]), dtype=np.float64)
             if len(X) == 0:
@@ -464,20 +510,32 @@ def pca_fit(corpus: DataFrame, k: int = 8,
             yield pd.DataFrame({
                 "n": [len(X)],
                 "s": [X.sum(axis=0).tolist()],
-                "g": [(X.T @ X).reshape(-1).tolist()],
             })
 
-    rows = corpus.select(vec_col).mapInPandas(
-        partials, schema="n long, s array<double>, g array<double>").collect()
-    n = sum(r["n"] for r in rows)
+    vecs = corpus.select(vec_col)
+    mrows = vecs.mapInPandas(
+        mean_partials, schema="n long, s array<double>").collect()
+    n = sum(r["n"] for r in mrows)
     if n < 2:
         raise ValueError("pca_fit: need at least 2 vectors")
-    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
-    g = np.sum([np.array(r["g"]) for r in rows], axis=0)
+    s = np.sum([np.array(r["s"]) for r in mrows], axis=0)
     dim = len(s)
     mean = s / n
-    # scatter -> covariance: E[xx^T] - mu mu^T (ddof 0)
-    cov = g.reshape(dim, dim) / n - np.outer(mean, mean)
+
+    def gram_partials(batches):
+        for pdf in batches:
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            Xc = X - mean
+            yield pd.DataFrame({
+                "g": [(Xc.T @ Xc).reshape(-1).tolist()],
+            })
+
+    grows = vecs.mapInPandas(
+        gram_partials, schema="g array<double>").collect()
+    g = np.sum([np.array(r["g"]) for r in grows], axis=0)
+    cov = g.reshape(dim, dim) / n
     evals, evecs = np.linalg.eigh(cov)          # ascending
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order].T                   # (k, dim)
@@ -541,6 +599,11 @@ def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
     # closure, so enforce the limit instead of silently OOMing executors.
     _MAX_CLOSURE_CELLS = 200_000_000          # ~1.5 GiB float64
     rows = corpus.select(id_col, vec_col).collect()
+    if not rows:
+        schema = "query_id long, neighbor_id long, rank int"
+        if with_score:
+            schema += ", score double"
+        return corpus.sparkSession.createDataFrame([], schema)
     all_ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     if mat.size > _MAX_CLOSURE_CELLS:
@@ -569,14 +632,13 @@ def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
                 s = sims[ri]
                 mask = all_ids != qid                   # drop self
                 cids, cs = all_ids[mask], s[mask]
-                top = min(k, len(cids))
-                if top == 0:
+                # deterministic selection AND (score desc, id asc) order
+                fin = _topk_idx(cs, cids, k)
+                if len(fin) == 0:
                     continue
-                idx = np.argpartition(-cs, top - 1)[:top]
-                # rank: score desc, neighbor id asc on ties
-                fin = idx[np.lexsort((cids[idx], -cs[idx]))]
                 frame = {"query_id": qid, "neighbor_id": cids[fin],
-                         "rank": np.arange(1, top + 1, dtype=np.int32)}
+                         "rank": np.arange(1, len(fin) + 1,
+                                           dtype=np.int32)}
                 if with_score:
                     frame["score"] = cs[fin]
                 out.append(pd.DataFrame(frame))
@@ -662,19 +724,14 @@ def knn_graph_ivf(corpus: DataFrame, k: int = 5, kc: int = 8,
         Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
         sims = Q @ M.T                                   # (nq, nm)
-        sims[qids[:, None] == mids[None, :]] = -np.inf   # drop self
-        top = min(k, M.shape[0])
-        part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
         rows = {"query_id": [], "neighbor_id": [], "score": []}
         for i in range(len(qids)):
-            idx = part[i]
-            s = sims[i, idx]
-            keep = s > -np.inf
-            idx, s = idx[keep], s[keep]
-            fin = idx[np.lexsort((mids[idx], -s))]
+            mask = mids != qids[i]                       # drop self
+            cids, cs = mids[mask], sims[i, mask]
+            fin = _topk_idx(cs, cids, k)
             rows["query_id"].extend([qids[i]] * len(fin))
-            rows["neighbor_id"].extend(mids[fin].tolist())
-            rows["score"].extend(sims[i, fin].tolist())
+            rows["neighbor_id"].extend(cids[fin].tolist())
+            rows["score"].extend(cs[fin].tolist())
         return pd.DataFrame({
             "query_id": pd.Series(rows["query_id"], dtype="int64"),
             "neighbor_id": pd.Series(rows["neighbor_id"], dtype="int64"),
@@ -710,12 +767,16 @@ def pq_train(corpus: DataFrame, m: int = 8, ks: int = 16, iters: int = 5,
     Distributed: ALL m subspace k-means run together — each Lloyd's
     round is ONE mapInPandas pass emitting per-partition (subspace,
     code, count, sum) partials (m * ks * partitions tiny rows), reduced
-    on the driver into the next codebook. Seeds: the ks lowest-id
-    vectors' subvectors (deterministic)."""
-    import numpy as np
-    import pandas as pd
-
-    first = corpus.orderBy(id_col).limit(ks).select(vec_col).collect()
+    on the driver into the next codebook. Seeds per subspace: the first
+    ks DISTINCT subvectors in id order (duplicate seeds would create
+    dead twin centroids — argmin ties to the lower cid, the twin never
+    receives points and never moves, silently shrinking the usable
+    codebook; same rationale as kmeans_fit's distinct-vector seeding).
+    A 4x-oversampled id window supplies the spares; if a subspace still
+    has fewer than ks distinct subvectors there, the tail keeps
+    duplicates (documented degradation, loudly unlikely)."""
+    first = (corpus.orderBy(id_col).limit(4 * ks)
+             .select(vec_col).collect())
     X0 = np.asarray([r[0] for r in first], dtype=np.float64)
     if len(X0) < ks:
         raise ValueError(f"pq_train: ks={ks} but only {len(X0)} vectors")
@@ -723,7 +784,17 @@ def pq_train(corpus: DataFrame, m: int = 8, ks: int = 16, iters: int = 5,
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
-    books = [X0[:, s * dsub:(s + 1) * dsub].copy() for s in range(m)]
+
+    def seed(sub: "np.ndarray") -> "np.ndarray":
+        _, idx = np.unique(sub, axis=0, return_index=True)
+        keep = np.sort(idx)[:ks]              # first-ks-distinct, id order
+        if len(keep) >= ks:
+            return sub[keep].copy()
+        extra = [i for i in range(len(sub)) if i not in set(keep.tolist())]
+        return sub[np.concatenate([keep, np.asarray(extra[:ks - len(keep)],
+                                                    dtype=np.int64)])].copy()
+
+    books = [seed(X0[:, s * dsub:(s + 1) * dsub]) for s in range(m)]
 
     pts = corpus.select(vec_col).persist()
     try:
@@ -812,6 +883,9 @@ def pq_search(codes_df: DataFrame, queries: DataFrame, codebooks: list,
     B = [np.asarray(b, dtype=np.float64) for b in codebooks]
     m, dsub = len(B), B[0].shape[1]
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int")
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
     # LUT[q, s, c] = ||Q[q, s-th sub] - B[s][c]||^2
@@ -829,16 +903,12 @@ def pq_search(codes_df: DataFrame, queries: DataFrame, codebooks: list,
             for s in range(m):
                 D += lut[:, s, codes[:, s]]
             rows = {"query_id": [], "neighbor_id": [], "adc": []}
-            top = min(k, len(ids))
             for qi in range(len(qids)):
                 d = D[qi]
                 mask = ids != qids[qi]                     # drop self
                 cids, cd = ids[mask], d[mask]
-                t = min(top, len(cids))
-                if t == 0:
-                    continue
-                idx = np.argpartition(cd, t - 1)[:t]
-                rows["query_id"].extend([qids[qi]] * t)
+                idx = _topk_idx(cd, cids, k, descending=False)
+                rows["query_id"].extend([qids[qi]] * len(idx))
                 rows["neighbor_id"].extend(cids[idx].tolist())
                 rows["adc"].extend(cd[idx].tolist())
             yield pd.DataFrame({
@@ -919,77 +989,76 @@ def ivfpq_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
     res = assigned.select(id_col, vec_col, "centroid_id").mapInPandas(
         _resid, schema=f"{id_col} long, centroid_id long, "
                        "resid array<double>")
-    res = res.persist()
-    try:
-        books = pq_train(res, m=m, ks=ks, iters=iters,
-                         id_col=id_col, vec_col="resid")
-        codes = (pq_encode(res, books, id_col=id_col, vec_col="resid")
-                 .join(res.select(id_col, "centroid_id"), id_col))
+    # localCheckpoint, NOT persist+unpersist-in-finally: the
+    # residual table feeds pq_train's collects, the codes join,
+    # AND the lazily-returned search plan — a finally-block
+    # unpersist would evict BEFORE the caller's first action and
+    # recompute the whole residual pipeline uncached
+    res = res.localCheckpoint()
+    books = pq_train(res, m=m, ks=ks, iters=iters,
+                     id_col=id_col, vec_col="resid")
+    codes = (pq_encode(res, books, id_col=id_col, vec_col="resid")
+             .join(res.select(id_col, "centroid_id"), id_col))
 
-        B = [np.asarray(b, dtype=np.float64) for b in books]
-        dsub = B[0].shape[1]
-        qrows = queries.select(id_col, vec_col).collect()
-        qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-        Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
-        # probe cells per query (closure-local)
-        qd2 = ((Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T)
-               + (C * C).sum(1)[None, :])
-        probes = np.argsort(qd2, axis=1, kind="stable")[:, :min(n_probe, kc)]
-        probe_rows = [(int(qids[i]), int(c))
-                      for i in range(len(qids)) for c in probes[i]]
-        spark = corpus.sparkSession
-        probe_df = spark.createDataFrame(probe_rows,
-                                         "query_id long, centroid_id long")
-        qmap = {int(qids[i]): Q[i] for i in range(len(qids))}
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    dsub = B[0].shape[1]
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    # probe cells per query (closure-local)
+    qd2 = ((Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T)
+           + (C * C).sum(1)[None, :])
+    probes = np.argsort(qd2, axis=1, kind="stable")[:, :min(n_probe, kc)]
+    probe_rows = [(int(qids[i]), int(c))
+                  for i in range(len(qids)) for c in probes[i]]
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(probe_rows,
+                                     "query_id long, centroid_id long")
+    qmap = {int(qids[i]): Q[i] for i in range(len(qids))}
 
-        def _scan_cell(qpdf: pd.DataFrame, mpdf: pd.DataFrame):
-            empty = pd.DataFrame({
-                "query_id": pd.Series([], dtype="int64"),
-                "neighbor_id": pd.Series([], dtype="int64"),
-                "adc": pd.Series([], dtype="float64")})
-            if qpdf.empty or mpdf.empty:
-                return empty
-            cell = int(mpdf["centroid_id"].iloc[0])
-            ids = mpdf[id_col].to_numpy(dtype=np.int64)
-            codes_m = np.asarray(mpdf["codes"].tolist(), dtype=np.int64)
-            rows = {"query_id": [], "neighbor_id": [], "adc": []}
-            for qid in qpdf["query_id"].to_numpy(dtype=np.int64):
-                qres = qmap[int(qid)] - C[cell]
-                lut = np.stack([
-                    ((qres[s * dsub:(s + 1) * dsub] ** 2).sum()
-                     - 2.0 * (B[s] @ qres[s * dsub:(s + 1) * dsub])
-                     + (B[s] ** 2).sum(1))
-                    for s in range(m)])                    # (m, ks)
-                D = lut[np.arange(m)[:, None], codes_m.T].sum(0)
-                mask = ids != qid
-                cids, cd = ids[mask], D[mask]
-                t = min(k, len(cids))
-                if t == 0:
-                    continue
-                idx = np.argpartition(cd, t - 1)[:t]
-                rows["query_id"].extend([qid] * t)
-                rows["neighbor_id"].extend(cids[idx].tolist())
-                rows["adc"].extend(cd[idx].tolist())
-            if not rows["query_id"]:
-                return empty
-            return pd.DataFrame({
-                "query_id": pd.Series(rows["query_id"], dtype="int64"),
-                "neighbor_id": pd.Series(rows["neighbor_id"],
-                                         dtype="int64"),
-                "adc": pd.Series(rows["adc"], dtype="float64")})
+    def _scan_cell(qpdf: pd.DataFrame, mpdf: pd.DataFrame):
+        empty = pd.DataFrame({
+            "query_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "adc": pd.Series([], dtype="float64")})
+        if qpdf.empty or mpdf.empty:
+            return empty
+        cell = int(mpdf["centroid_id"].iloc[0])
+        ids = mpdf[id_col].to_numpy(dtype=np.int64)
+        codes_m = np.asarray(mpdf["codes"].tolist(), dtype=np.int64)
+        rows = {"query_id": [], "neighbor_id": [], "adc": []}
+        for qid in qpdf["query_id"].to_numpy(dtype=np.int64):
+            qres = qmap[int(qid)] - C[cell]
+            lut = np.stack([
+                ((qres[s * dsub:(s + 1) * dsub] ** 2).sum()
+                 - 2.0 * (B[s] @ qres[s * dsub:(s + 1) * dsub])
+                 + (B[s] ** 2).sum(1))
+                for s in range(m)])                    # (m, ks)
+            D = lut[np.arange(m)[:, None], codes_m.T].sum(0)
+            mask = ids != qid
+            cids, cd = ids[mask], D[mask]
+            idx = _topk_idx(cd, cids, k, descending=False)
+            rows["query_id"].extend([qid] * len(idx))
+            rows["neighbor_id"].extend(cids[idx].tolist())
+            rows["adc"].extend(cd[idx].tolist())
+        if not rows["query_id"]:
+            return empty
+        return pd.DataFrame({
+            "query_id": pd.Series(rows["query_id"], dtype="int64"),
+            "neighbor_id": pd.Series(rows["neighbor_id"],
+                                     dtype="int64"),
+            "adc": pd.Series(rows["adc"], dtype="float64")})
 
-        scored = (probe_df.groupBy("centroid_id")
-                  .cogroup(codes.groupBy("centroid_id"))
-                  .applyInPandas(_scan_cell,
-                                 schema="query_id long, neighbor_id long, "
-                                        "adc double"))
-        w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
-        return (scored.select("query_id", "neighbor_id",
-                              F.row_number().over(w).alias("rank"))
-                .filter(F.col("rank") <= k)
-                .orderBy("query_id", "rank"))
-    finally:
-        res.unpersist()
+    scored = (probe_df.groupBy("centroid_id")
+              .cogroup(codes.groupBy("centroid_id"))
+              .applyInPandas(_scan_cell,
+                             schema="query_id long, neighbor_id long, "
+                                    "adc double"))
+    w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (scored.select("query_id", "neighbor_id",
+                          F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank"))
 
 
 def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
@@ -1116,10 +1185,7 @@ def jl_project(corpus: DataFrame, out_dim: int = 8, seed: int = 7,
     Returns (id, projected array<double>)."""
     import hashlib
 
-    import numpy as np
-    import pandas as pd
-
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _dim_of(corpus, vec_col, "jl_project")
 
     def entry(i: int, j: int) -> float:
         h = int.from_bytes(

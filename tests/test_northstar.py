@@ -1152,3 +1152,46 @@ def test_distinct_ngrams_short_docs_no_crash_and_zero_grams(spark):
     # bigrams/trigrams come ONLY from doc 3 (len 4): 3 bigrams, 2 trigrams
     assert out[2]["total_grams"] == 3
     assert out[3]["total_grams"] == 2
+
+
+def test_cosine_zero_norm_vector_never_ranks_first(spark):
+    """An all-zero embedding must score 0.0 (not NaN — which Spark sorts
+    ABOVE every real score under desc) and so can never displace a real
+    neighbor; the pandas scorer must agree with the column path."""
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0]),
+            (4, [0.5, 0.5])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 1")
+    col_path = [(r["neighbor_id"], r["rank"]) for r in
+                SIM.cosine_topk(emb, q, k=3).collect()]
+    pd_path = [(r["neighbor_id"], r["rank"]) for r in
+               SIM.cosine_topk_pandas(emb, q, k=3).collect()]
+    assert col_path == pd_path
+    assert col_path[0][0] == 2          # the real nearest, not the zero vec
+    assert col_path[-1][0] == 3         # zero vector ranks last (score 0)
+
+
+def test_topk_idx_resolves_boundary_ties_by_id():
+    """Candidates tied exactly at the k-boundary must be kept/dropped by
+    (score, id asc), never by argpartition's arbitrary internal order."""
+    import numpy as np
+    from servihabitat_etl_spyke_spark.operators.similarity import _topk_idx
+    ids = np.array([9, 5, 7, 3], dtype=np.int64)
+    scores = np.array([1.0, 0.5, 0.5, 0.5])
+    idx = _topk_idx(scores, ids, 2)
+    assert ids[idx].tolist() == [9, 3]      # lowest id among the tied 0.5s
+    # ascending variant (ADC distances)
+    d = np.array([0.1, 0.3, 0.3, 0.9])
+    idx = _topk_idx(d, ids, 2, descending=False)
+    assert ids[idx].tolist() == [9, 5]      # 0.3-tie resolved to id 5 < 7
+
+
+def test_ann_empty_queries_and_corpus_raise_or_return_empty(spark):
+    import pytest
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    some = spark.createDataFrame([(1, [1.0, 0.0])],
+                                 "vec_id long, embedding array<double>")
+    assert SIM.cosine_topk_pandas(some, emb, k=3).count() == 0
+    assert SIM.knn_graph(emb, k=2).count() == 0
+    with pytest.raises(ValueError, match="empty input"):
+        SIM.ann_lsh_topk(emb, some, k=2)
