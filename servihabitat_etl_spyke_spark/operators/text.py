@@ -46,6 +46,35 @@ def _count_in(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
+def _count_in_lower(toks: Column, words: list[str]) -> Column:
+    """Case-insensitive marker/stopword count: tokens lowercase before
+    the membership test — an ALL-CAPS or title-case English doc contains
+    zero literal 'the'/'and' tokens, which deflated stopword counts and
+    marker scores (standard Gopher/langid implementations lowercase
+    first). The lexicons themselves are lowercase."""
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
+
+
+def _top_token_count(toks: Column) -> Column:
+    """Most-frequent-token COUNT via one linear pass over the sorted
+    token array (max run length in sorted order == max multiplicity) —
+    the O(n log n) form; the naive transform(distinct, filter(toks))
+    scan is O(n_tokens * n_distinct) per row and stalls single tasks on
+    max-length docs."""
+    def _run(acc, x):
+        return F.when(acc["prev"].eqNullSafe(x),
+                      acc["run"] + 1).otherwise(F.lit(1))
+
+    return F.aggregate(
+        F.array_sort(toks),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"), _run(acc, x).alias("run"),
+            F.greatest(acc["best"], _run(acc, x)).alias("best")),
+        lambda acc: acc["best"])
+
+
 def quality_features(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Per-doc quality signals: lengths, token stats, stopword ratio,
@@ -63,13 +92,18 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
         F.length(text).alias("n_chars"),
         n_tok.alias("n_tokens"),
         F.round(F.length(text) / n_tok, 4).alias("chars_per_token"),
-        F.round(_count_in(toks, STOPWORDS) / n_tok, 6).alias("stopword_ratio"),
+        F.round(_count_in_lower(toks, STOPWORDS) / n_tok, 6)
+        .alias("stopword_ratio"),
         # every [^\w\s] match is exactly one char, so the match count
         # equals the chars removed by replacing them — same value as
-        # len(regexp_extract_all(...)) without materializing the array
-        F.round((F.length(text)
-                 - F.length(F.regexp_replace(text, r"[^\w\s]", "")))
-                / F.length(text), 6).alias("punct_ratio"),
+        # len(regexp_extract_all(...)) without materializing the array.
+        # Zero-length text would divide by zero (a job-killing error
+        # under ANSI mode) — an empty doc has punct ratio 0 by definition
+        F.when(F.length(text) > 0,
+               F.round((F.length(text)
+                        - F.length(F.regexp_replace(text, r"[^\w\s]", "")))
+                       / F.length(text), 6))
+        .otherwise(F.lit(0.0)).alias("punct_ratio"),
         F.round(F.size(F.filter(toks, lambda t: t == F.upper(t)))
                 / n_tok, 6).alias("uppercase_token_ratio"),
     )
@@ -78,24 +112,47 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
 def language_id(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Marker-lexicon language ID: count marker hits per language over the
-    token set; argmax wins with a fixed priority order on ties; all-zero ->
-    'und'. (The heuristic shape of fastText-style n-gram ID, expressible as
-    a pure expression tree.)"""
+    token set (case-insensitive — title-case and ALL-CAPS text must still
+    score); argmax wins with a fixed priority order on ties; all-zero ->
+    'und'. (The heuristic shape of fastText-style n-gram ID, expressible
+    as a pure expression tree.)
+
+    Space-free scripts (zh) cannot match whole whitespace tokens — an
+    unsegmented sentence is ONE token — so their markers count by
+    SUBSTRING occurrence (each marker is a single character:
+    occurrences == chars removed by deleting it).
+
+    Tokens and per-language scores are bound in their own projections:
+    inlining the split into every score and the score into every
+    when-chain branch multiplies the tokenize subtree ~2^|langs| times
+    in one projection (the file-wide bind-don't-inline discipline)."""
     docs = spread(docs, id_col)
-    toks = tokens(F.col(text_col))
-    scores = {lang: _count_in(toks, words)
-              for lang, words in LANG_MARKERS.items()}
     langs = sorted(LANG_MARKERS)              # deterministic tie order
+
+    def score_for(lang: str) -> Column:
+        words = LANG_MARKERS[lang]
+        if lang == "zh":
+            text = F.col(text_col)
+            return sum((F.length(text)
+                        - F.length(F.replace(text, F.lit(ch))))
+                       for ch in words).cast("int")
+        return _count_in_lower(F.col("_toks"), words)
+
+    scored = (docs
+              .select(F.col(id_col), F.col(text_col),
+                      tokens(F.col(text_col)).alias("_toks"))
+              .select(F.col(id_col),
+                      *[score_for(lang).alias(f"score_{lang}")
+                        for lang in langs]))
     best = F.lit("und")
     best_score = F.lit(0)
-    for lang in langs:                        # strict > keeps earlier winner on tie
-        s = scores[lang]
+    for lang in langs:    # strict > keeps earlier winner on tie; scores
+        s = F.col(f"score_{lang}")            # are cheap column refs here
         cond = s > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, s).otherwise(best_score)
-    sel = [F.col(id_col), best.alias("lang_pred")]
-    sel += [scores[lang].alias(f"score_{lang}") for lang in langs]
-    return docs.select(*sel)
+    return scored.select(F.col(id_col), best.alias("lang_pred"),
+                         *[f"score_{lang}" for lang in langs])
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
@@ -103,7 +160,12 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     """Document fingerprint: md5 of the whitespace-normalized lowercase
     text, plus a 32-bit integer bucket (for partitioned exact-dup joins)."""
     docs = spread(docs, id_col)
-    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    # trim AFTER collapsing runs: without it a doc differing only by a
+    # trailing newline (ubiquitous in scraped text) keeps a leading/
+    # trailing space in the normalized form and escapes exact-dup
+    # detection (normalize_text already trims; same rule here)
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     digest = F.md5(normalized)
     return docs.select(
         F.col(id_col),
@@ -123,24 +185,22 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     degenerate generations.
 
     Entirely row-local array algebra (no explode, no shuffle): the
-    most-frequent-token share counts occurrences per DISTINCT token with a
-    nested filter — O(distinct * n) per row, bounded by doc length — and
-    the 3-gram list keeps duplicates (the dup fraction needs the
+    most-frequent-token share is the shared linear sorted-run-length
+    fold (:func:`_top_token_count` — the naive per-distinct nested scan
+    is O(distinct * n) per row and stalls single tasks on max-length
+    docs); the 3-gram list keeps duplicates (the dup fraction needs the
     multiset). All ratios are integer/integer divisions, so any engine
     computes bit-identical doubles.
 
-    Tokens / distinct tokens / 3-gram list are each bound in their own
-    projection: an inline split() captured in a lambda re-evaluates PER
-    ELEMENT (see dedup.shingles_from_tokens), and a non-cheap expression
-    referenced twice inline is computed twice."""
-    toks, dist, g3 = F.col("_toks"), F.col("_dist"), F.col("_g3")
-    counts = F.transform(
-        dist, lambda x: F.size(F.filter(toks, lambda y: y == x)))
+    Tokens / 3-gram list are each bound in their own projection: an
+    inline split() captured in a lambda re-evaluates PER ELEMENT (see
+    dedup.shingles_from_tokens), and a non-cheap expression referenced
+    twice inline is computed twice."""
+    toks, g3 = F.col("_toks"), F.col("_g3")
     return (spread(docs, id_col)
             .select(F.col(id_col),
                     F.split(F.col(text_col), " ").alias("_toks"))
             .select(F.col(id_col), "_toks",
-                    F.array_distinct("_toks").alias("_dist"),
                     F.transform(
                         F.sequence(F.lit(1),
                                    F.greatest(F.size(toks) - 2, F.lit(1))),
@@ -149,8 +209,10 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
             .select(
                 F.col(id_col),
                 F.size(toks).alias("n_tokens"),
-                (F.size(dist) / F.size(toks)).alias("distinct_ratio"),
-                (F.array_max(counts) / F.size(toks)).alias("top_token_frac"),
+                (F.size(F.array_distinct(toks)) / F.size(toks))
+                .alias("distinct_ratio"),
+                (_top_token_count(toks) / F.size(toks))
+                .alias("top_token_frac"),
                 (1 - F.size(F.array_distinct(g3)) / F.size(g3))
                 .alias("dup_3gram_frac"),
             ))
@@ -165,7 +227,13 @@ def unigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
     One explode + one token-keyed aggregation (a single shuffle whose
     width is the vocabulary, not the corpus); the scalar total is a
     second tiny aggregation over the per-token counts, broadcast as a
-    1-row join — the exploded corpus is never re-scanned."""
+    1-row join — the exploded corpus is never re-scanned.
+
+    Cache note: the returned model DataFrame PINS a persisted
+    vocabulary-sized intermediate for the session (every scoring
+    pass re-reads it); release it with spark.catalog.clearCache()
+    or a df.unpersist() on the returned frame when done.
+    """
     counts = (docs
               .select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
               .groupBy("tok").agg(F.count("*").alias("_c"))
@@ -232,7 +300,13 @@ def bigram_lm(train: DataFrame, alpha: float = 0.4,
     Shape: pairs explode once -> (w1,w2) count; unigram counts ride the
     same exploded pass; c(w1) joins onto the bigram counts vocabulary-
     side (never corpus-side). Two aggregation shuffles, both vocabulary-
-    width."""
+    width.
+
+    Cache note: the returned model DataFrame PINS a persisted
+    vocabulary-sized intermediate for the session (every scoring
+    pass re-reads it); release it with spark.catalog.clearCache()
+    or a df.unpersist() on the returned frame when done.
+    """
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     pair_structs = F.when(n < 2, F.array().cast(
@@ -614,7 +688,13 @@ def collocations(docs: DataFrame, min_count: int = 5, top: int = 20,
     Shape: ONE exploded pass each for pair and unigram counts
     (vocabulary-width shuffles), unigram counts joined onto the pair
     vocabulary (never the corpus), scalar totals as 1-row broadcasts.
-    PMI is nano-quantized so the ranking is engine-stable."""
+    PMI is nano-quantized so the ranking is engine-stable.
+
+    Cache note: the returned model DataFrame PINS a persisted
+    vocabulary-sized intermediate for the session (every scoring
+    pass re-reads it); release it with spark.catalog.clearCache()
+    or a df.unpersist() on the returned frame when done.
+    """
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     pair_structs = F.when(n < 2, F.array().cast(
@@ -785,7 +865,10 @@ def phrase_search(docs: DataFrame, phrase: str, id_col: str = "doc_id",
     query-term-hit-sized inputs, never over the corpus. A doc matches
     once per position where all k terms line up consecutively."""
     terms = phrase.split(" ")
-    if not terms:
+    # ''.split(' ') is [''], never [] — guard the PHRASE, not the list,
+    # and refuse empty terms (doubled spaces), which would "match" the
+    # empty tokens that empty/multi-space docs contain
+    if not phrase or not all(terms):
         raise ValueError("empty phrase")
     idx = inverted_index(docs, sorted(set(terms)), id_col, text_col)
     cur = (idx.filter(F.col("term") == terms[0])
@@ -862,10 +945,18 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
             F.sequence(F.lit(0), F.size("_toks") - k),
             lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, k))))
         .alias("pos", "gram"))
+    # the contract is ENFORCED, not assumed: a doc with >= 2^20 grams
+    # would borrow from the hash field (negative pos complement) and
+    # silently corrupt every downstream winner — raise instead
+    pos_ok = F.when(
+        F.col("pos") < _POSCAP, F.col("pos")).otherwise(
+        F.raise_error(F.concat(
+            F.lit("winnow_fingerprints: doc "), F.col(id_col).cast("string"),
+            F.lit(f" has >= {_POSCAP} grams — split it or raise _POSCAP"))))
     hashed = grams.select(
         F.col(id_col), "pos",
         (_hash32(F.col("gram")) * _POSCAP
-         + (F.lit(_POSCAP - 1) - F.col("pos"))).alias("_key"))
+         + (F.lit(_POSCAP - 1) - pos_ok)).alias("_key"))
     frame = (W.partitionBy(id_col).orderBy("pos")
              .rowsBetween(0, w - 1))
     n_h = W.partitionBy(id_col)
@@ -988,23 +1079,8 @@ def gopher_filter(docs: DataFrame, min_tokens: int = 50,
     already exact enough: numerator/denominator pairs are < 2^53)."""
     toks, g3 = F.col("_toks"), F.col("_g3")
     n_tok = F.size(toks)
-    # most-frequent-token count via ONE linear pass over the SORTED
-    # token array (max run length in sorted order == max multiplicity).
-    # The naive transform(distinct, filter(toks)) form is
-    # O(n_tokens * n_distinct) per row — ~1e10 row-local comparisons on
-    # a max_tokens-sized doc — and stalls single tasks at scale.
-    def _run(acc, x):
-        return F.when(acc["prev"].eqNullSafe(x),
-                      acc["run"] + 1).otherwise(F.lit(1))
-
-    top_count = F.aggregate(
-        F.array_sort(toks),
-        F.struct(F.lit(None).cast("string").alias("prev"),
-                 F.lit(0).alias("run"), F.lit(0).alias("best")),
-        lambda acc, x: F.struct(
-            x.alias("prev"), _run(acc, x).alias("run"),
-            F.greatest(acc["best"], _run(acc, x)).alias("best")),
-        lambda acc: acc["best"])
+    # most-frequent-token count: the shared linear sorted-run fold
+    top_count = _top_token_count(toks)
     base = (spread(docs, id_col)
             .select(F.col(id_col), F.col(text_col),
                     F.split(F.col(text_col), " ").alias("_toks"))
@@ -1021,7 +1097,7 @@ def gopher_filter(docs: DataFrame, min_tokens: int = 50,
                 F.col(id_col),
                 n_tok.alias("n_tokens"),
                 (F.col("_tok_chars") / n_tok).alias("mean_word_len"),
-                _count_in(toks, STOPWORDS).alias("n_stopwords"),
+                _count_in_lower(toks, STOPWORDS).alias("n_stopwords"),
                 (top_count / n_tok).alias("top_token_frac"),
                 (1 - F.size(F.array_distinct(g3)) / F.size(g3))
                 .alias("dup_3gram_frac")))

@@ -803,7 +803,8 @@ m AS (SELECT doc_id, len(t) AS n_tokens,
        list_sum(list_transform(t, x -> length(x)))
          / CAST(len(t) AS DOUBLE) AS mean_word_len,
        len(list_filter(t, x -> list_contains(
-           ['the','a','of','and','is','in','to','it'], x))) AS n_stopwords,
+           ['the','a','of','and','is','in','to','it'], lower(x))))
+         AS n_stopwords,
        list_max(list_transform(list_distinct(t),
                 x -> len(list_filter(t, y -> y = x))))
          / CAST(len(t) AS DOUBLE) AS top_token_frac,

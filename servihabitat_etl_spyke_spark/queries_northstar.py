@@ -716,10 +716,13 @@ SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
        round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS chars_per_token,
        round(len(list_filter(string_split(text, ' '),
-             t -> list_contains(['the','a','of','and','is','in','to','it'], t)))
+             t -> list_contains(['the','a','of','and','is','in','to','it'],
+                                lower(t))))
              * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio,
-       round(len(regexp_extract_all(text, '[^\w\s]'))
-             * 1.0 / length(text), 6) AS punct_ratio,
+       CASE WHEN length(text) > 0 THEN
+         round(len(regexp_extract_all(text, '[^\w\s]'))
+               * 1.0 / length(text), 6)
+       ELSE 0.0 END AS punct_ratio,
        round(len(list_filter(string_split(text, ' '), t -> t = upper(t)))
              * 1.0 / len(string_split(text, ' ')), 6) AS uppercase_token_ratio
 FROM documents ORDER BY doc_id
@@ -749,11 +752,15 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("text_lang_id", oracle="""
 WITH scores AS (
   SELECT doc_id,
-    len(list_filter(string_split(text,' '), t -> list_contains(['der','die','und','das','ist'], t))) AS score_de,
-    len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and','is'], t))) AS score_en,
-    len(list_filter(string_split(text,' '), t -> list_contains(['el','la','de','que','y'], t))) AS score_es,
-    len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','et','est'], t))) AS score_fr,
-    len(list_filter(string_split(text,' '), t -> list_contains(['的','是','了','在','我'], t))) AS score_zh
+    len(list_filter(string_split(text,' '), t -> list_contains(['der','die','und','das','ist'], lower(t)))) AS score_de,
+    len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and','is'], lower(t)))) AS score_en,
+    len(list_filter(string_split(text,' '), t -> list_contains(['el','la','de','que','y'], lower(t)))) AS score_es,
+    len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','et','est'], lower(t)))) AS score_fr,
+    CAST((length(text) - length(replace(text, '的', '')))
+       + (length(text) - length(replace(text, '是', '')))
+       + (length(text) - length(replace(text, '了', '')))
+       + (length(text) - length(replace(text, '在', '')))
+       + (length(text) - length(replace(text, '我', ''))) AS INT) AS score_zh
   FROM documents
 )
 SELECT doc_id,
@@ -774,8 +781,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("text_fingerprint", oracle=r"""
 SELECT doc_id,
-       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
-       ('0x' || substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8))::UBIGINT::BIGINT AS bucket32
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8))::UBIGINT::BIGINT AS bucket32
 FROM documents ORDER BY doc_id
 """)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

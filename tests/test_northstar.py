@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from servihabitat_etl_spyke_spark.catalog import load_table
 from servihabitat_etl_spyke_spark.operators import multimodal as MM
 from servihabitat_etl_spyke_spark.operators import similarity as SIM
+from servihabitat_etl_spyke_spark.operators import text as TX
 from servihabitat_etl_spyke_spark.operators.dedup import (
     exact_dedup, lsh_candidate_pairs, minhash_signatures, word_shingles)
 
@@ -1195,3 +1196,49 @@ def test_ann_empty_queries_and_corpus_raise_or_return_empty(spark):
     assert SIM.knn_graph(emb, k=2).count() == 0
     with pytest.raises(ValueError, match="empty input"):
         SIM.ann_lsh_topk(emb, some, k=2)
+
+
+def test_quality_features_empty_text_and_caps_stopwords(spark):
+    """Empty text must not DIVIDE_BY_ZERO the job under ANSI mode
+    (punct_ratio defined as 0 there), and ALL-CAPS English must still
+    count stopwords (case-insensitive matching)."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "THE CAT IS ON THE MAT")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.quality_features(docs).collect()}
+    assert out[1]["punct_ratio"] == 0.0
+    assert out[2]["stopword_ratio"] > 0
+
+
+def test_language_id_case_insensitive_and_zh_substring(spark):
+    """Title-case/ALL-CAPS text scores markers (confirmed live failure
+    before the fix: 'THE CAT...' -> 'und'), and unsegmented Chinese —
+    one whitespace token — counts markers by substring occurrence."""
+    docs = spark.createDataFrame(
+        [(1, "THE CAT IS ON THE MAT"),
+         (2, "El perro y la casa que es de madera"),
+         (3, "我是学生他是老师的朋友")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.language_id(docs).collect()}
+    assert out[1]["lang_pred"] == "en" and out[1]["score_en"] >= 3
+    assert out[2]["lang_pred"] == "es"
+    assert out[3]["lang_pred"] == "zh" and out[3]["score_zh"] >= 3
+
+
+def test_fingerprint_trims_leading_trailing_whitespace(spark):
+    """Docs differing only by a trailing newline must collide (confirmed
+    live divergence before the fix)."""
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world\n"), (3, " hello  world ")],
+        "doc_id long, text string")
+    fp = {r["doc_id"]: r["fingerprint"] for r in
+          TX.fingerprint(docs).collect()}
+    assert fp[1] == fp[2] == fp[3]
+
+
+def test_phrase_search_rejects_empty_and_multispace_phrases(spark):
+    import pytest
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty phrase"):
+        TX.phrase_search(docs, "")
+    with pytest.raises(ValueError, match="empty phrase"):
+        TX.phrase_search(docs, "a  b")
