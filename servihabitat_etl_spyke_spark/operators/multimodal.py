@@ -125,8 +125,11 @@ def _ppm_parse(data: bytes) -> tuple[int, int, int, int]:
 
 
 def decode_ppm_meta(data: bytes) -> tuple[int, int]:
-    """Header-only (width, height); comments in the header are handled."""
-    w, h, _, _ = _ppm_parse(data[:256])
+    """Header-only (width, height); comments in the header are handled.
+    No prefix cap: the ^-anchored regex stops at the header anyway, and
+    a 256-byte slice made files with long comment headers fail META
+    decode while the full decode accepted them."""
+    w, h, _, _ = _ppm_parse(data)
     return w, h
 
 
@@ -163,13 +166,23 @@ def media_decode_stub(content: bytes) -> dict:
 def media_decode(content: bytes) -> dict:
     """Metadata decode: REAL header parse for BMP/PPM (O(header) bytes,
     pixels untouched — the shape that scales to metadata sweeps over 100 TB
-    of blobs), deterministic stub for unknown formats."""
+    of blobs), deterministic stub for unknown formats AND for
+    known-magic blobs whose headers don't parse — a text blob that
+    happens to start with 'BM' (or a truncated image) must not kill a
+    corpus-wide metadata sweep (struct.error is not a ValueError, so a
+    bare except ValueError missed it), and implausible parsed geometry
+    falls back rather than emitting garbage dimensions."""
     content = bytes(content)
-    if content[:2] == b"BM":
-        w, h = decode_bmp_meta(content)
-    elif content[:2] == b"P6":
-        w, h = decode_ppm_meta(content)
-    else:
+    try:
+        if content[:2] == b"BM":
+            w, h = decode_bmp_meta(content)
+        elif content[:2] == b"P6":
+            w, h = decode_ppm_meta(content)
+        else:
+            return media_decode_stub(content)
+    except (ValueError, struct.error):
+        return media_decode_stub(content)
+    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
         return media_decode_stub(content)
     return {
         "n_bytes": len(content),
@@ -186,11 +199,7 @@ def render_doc_bmp(doc_id: int, text: str) -> bytes:
     of the text. The result is a valid BMP any decoder opens."""
     w = len(text) % 24 + 4
     h = (doc_id % 16) + 4
-    need = h * w * 3
-    seed = hashlib.md5(text.encode("utf-8")).digest()
-    reps = need // len(seed) + 1
-    px = np.frombuffer((seed * reps)[:need], dtype=np.uint8).reshape(h, w, 3)
-    return encode_bmp(px)
+    return encode_bmp(_keystream_px(text, w, h))
 
 
 def attach_binary(docs: DataFrame, id_col: str = "doc_id",
@@ -303,15 +312,21 @@ def resize_images(blobs: DataFrame, target_w: int = 224, target_h: int = 224,
                 out_ids.append(did)
                 payloads.append(encode_bmp(
                     resize_pixels(px, target_w, target_h)))
+            n = len(out_ids)
             yield pd.DataFrame({id_col: pd.Series(out_ids, dtype="int64"),
                                 "content": payloads,
-                                "width": pd.Series([target_w] * len(out_ids),
+                                # the blob-table contract (media_type
+                                # column) survives the re-encode, same as
+                                # audio_gain — output is BMP by definition
+                                "media_type": ["image/bmp"] * n,
+                                "width": pd.Series([target_w] * n,
                                                    dtype="int32"),
-                                "height": pd.Series([target_h] * len(out_ids),
+                                "height": pd.Series([target_h] * n,
                                                     dtype="int32")})
 
     return blobs.mapInPandas(
-        resize, schema=f"{id_col} long, content binary, width int, height int")
+        resize, schema=f"{id_col} long, content binary, media_type string, "
+                       "width int, height int")
 
 
 def dhash_bits(px: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
@@ -321,6 +336,11 @@ def dhash_bits(px: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
     standard perceptual near-dup key: stable under resize and mild
     recompression, 64 bits by default, Hamming distance = visual
     distance."""
+    if hash_w * hash_h > 64:
+        raise ValueError(
+            f"dhash_bits: {hash_w}x{hash_h} = {hash_w * hash_h} bits "
+            "exceeds the 64-bit pack (numpy shifts wrap mod 64, which "
+            "would silently alias bit positions)")
     gray = px.astype(np.int64).sum(axis=2)          # 3x luminance, monotone
     g = gray[:, :, None].repeat(3, axis=2)          # reuse the rgb resampler
     small = resize_pixels(g, hash_w + 1, hash_h)[:, :, 0]
@@ -346,6 +366,11 @@ def phash_bits(px: np.ndarray, size: int = 32, keep: int = 8) -> int:
     k = np.arange(n)
     basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
     dct = basis @ small @ basis.T
+    if keep * keep > 64:
+        raise ValueError(
+            f"phash_bits: keep={keep} packs {keep * keep} bits — over the "
+            "64-bit pack (numpy shifts wrap mod 64, silently aliasing "
+            "bit positions)")
     block = dct[:keep, :keep].reshape(-1)
     med = np.median(block[1:])                      # exclude DC
     bits = (block > med).astype(np.uint64)
@@ -513,7 +538,10 @@ def extract_features(blobs: DataFrame, dim: int = 16,
                 raw = bytes(content)
                 try:
                     vec = image_feature_vector(decode_image(raw), dim)
-                except ValueError:
+                except (ValueError, struct.error):
+                    # struct.error is NOT a ValueError: truncated
+                    # 'BM'-prefixed blobs must land in the documented
+                    # fallback, not kill the task
                     vec = hash_feature_vector(raw, dim)
                 ids.append(did)
                 vecs.append(vec)
@@ -918,16 +946,35 @@ def decode_bmv_meta(data: bytes) -> dict:
     return {"n_frames": n_frames, "fps": fps, "width": w, "height": h}
 
 
-def decode_bmv_frame(data: bytes, i: int) -> np.ndarray:
-    """Random-access decode of frame i to an (h, w, 3) RGB array."""
+def _bmv_index(data: bytes) -> tuple:
+    """Parse the container index ONCE: (n_frames, offsets tuple)."""
     magic, n_frames, _fps = struct.unpack_from("<4sII", data, 0)
     if magic != _BMV_MAGIC:
         raise ValueError("not a BMV container")
+    return n_frames, struct.unpack_from(f"<{n_frames}Q", data, 12)
+
+
+def decode_bmv_frame(data: bytes, i: int) -> np.ndarray:
+    """Random-access decode of frame i to an (h, w, 3) RGB array.
+    For SEQUENTIAL full decodes use :func:`decode_bmv_frames` — calling
+    this per frame re-unpacks the whole offset index every time
+    (O(n_frames^2) over a video)."""
+    n_frames, offsets = _bmv_index(data)
     if not 0 <= i < n_frames:
         raise IndexError(f"frame {i} of {n_frames}")
-    offsets = list(struct.unpack_from(f"<{n_frames}Q", data, 12))
     end = offsets[i + 1] if i + 1 < n_frames else len(data)
     return decode_bmp(data[offsets[i]:end])
+
+
+def decode_bmv_frames(data: bytes):
+    """Linear sequential decode: yields (frame_idx, (h, w, 3) array) with
+    the offset index parsed ONCE — the iterator the per-frame loops in
+    scene detection / keyframe hashing use so a long video costs
+    O(frames), not O(frames^2) index unpacks."""
+    n_frames, offsets = _bmv_index(data)
+    for i in range(n_frames):
+        end = offsets[i + 1] if i + 1 < n_frames else len(data)
+        yield i, decode_bmp(data[offsets[i]:end])
 
 
 def _keystream_px(seed_text: str, w: int, h: int) -> np.ndarray:
@@ -1051,10 +1098,8 @@ def detect_scene_changes(blobs: DataFrame, threshold_milli: int = 30000,
             ids, fis, deltas, cuts = [], [], [], []
             for did, content in zip(pdf[id_col], pdf["content"]):
                 raw = bytes(content)
-                n = decode_bmv_meta(raw)["n_frames"]
                 prev = None
-                for fi in range(n):
-                    px = decode_bmv_frame(raw, fi)
+                for fi, px in decode_bmv_frames(raw):
                     mean = int(px.astype(np.int64).sum()) * 1000 // px.size
                     if prev is not None:
                         d = mean - prev
@@ -1095,10 +1140,8 @@ def video_keyframe_dhash(blobs: DataFrame, threshold_milli: int = 30000,
             ids, fis, hs = [], [], []
             for did, content in zip(pdf[id_col], pdf["content"]):
                 raw = bytes(content)
-                n = decode_bmv_meta(raw)["n_frames"]
                 prev = None
-                for fi in range(n):
-                    px = decode_bmv_frame(raw, fi)
+                for fi, px in decode_bmv_frames(raw):
                     mean = int(px.astype(np.int64).sum()) * 1000 // px.size
                     is_key = prev is None or abs(mean - prev) >= \
                         threshold_milli

@@ -1242,3 +1242,57 @@ def test_phrase_search_rejects_empty_and_multispace_phrases(spark):
         TX.phrase_search(docs, "")
     with pytest.raises(ValueError, match="empty phrase"):
         TX.phrase_search(docs, "a  b")
+
+
+def test_media_decode_contains_malformed_known_magic_blobs():
+    """Blobs that START like BMP/PPM but don't parse (text beginning
+    'BM', truncated headers, absurd dimensions) must land in the
+    deterministic stub — struct.error escaped the old handling and a
+    62-byte 'BM' text blob returned garbage width (confirmed live)."""
+    from servihabitat_etl_spyke_spark.operators.multimodal import (
+        media_decode, media_decode_stub)
+    for blob in (b"BMhello", b"BM" + b"x" * 60, b"P6 is a nice format",
+                 b"P6\n"):
+        assert media_decode(blob) == media_decode_stub(blob)
+    # a REAL bmp still parses for real
+    from servihabitat_etl_spyke_spark.operators.multimodal import (
+        render_doc_bmp)
+    real = render_doc_bmp(3, "hello world")
+    assert media_decode(real)["width"] == len("hello world") % 24 + 4
+
+
+def test_hash_bit_width_guards():
+    import numpy as np
+    import pytest
+    from servihabitat_etl_spyke_spark.operators.multimodal import (
+        dhash_bits, phash_bits)
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="64-bit"):
+        dhash_bits(px, 10, 10)
+    with pytest.raises(ValueError, match="64-bit"):
+        phash_bits(px, 32, 10)
+
+
+def test_resize_keeps_media_type_and_feeds_meta(spark):
+    """resize_images output must stay a valid blob table: media_type
+    survives the re-encode so extract_media_meta composes on top."""
+    from servihabitat_etl_spyke_spark.operators import multimodal as M
+    docs = spark.createDataFrame([(1, "hello world")],
+                                 "doc_id long, text string")
+    blobs = M.attach_binary(docs)
+    resized = M.resize_images(blobs, 16, 16)
+    assert "media_type" in resized.columns
+    meta = M.extract_media_meta(
+        resized.select("doc_id", "content", "media_type")).collect()[0]
+    assert (meta["width"], meta["height"]) == (16, 16)
+
+
+def test_ppm_meta_accepts_long_comment_headers():
+    from servihabitat_etl_spyke_spark.operators.multimodal import (
+        decode_ppm, decode_ppm_meta, encode_ppm)
+    import numpy as np
+    base = encode_ppm(np.zeros((2, 2, 3), dtype=np.uint8))
+    # inject a 300-byte comment between the magic and the dimensions
+    long_comment = b"P6\n#" + b"c" * 300 + b"\n" + base[3:]
+    assert decode_ppm(long_comment).shape == (2, 2, 3)
+    assert decode_ppm_meta(long_comment) == (2, 2)
