@@ -31,6 +31,12 @@ from pyspark.sql.window import Window as W
 
 from ..catalog import spread as _spread
 
+# Cache ownership note: several operators here persist()/localCheckpoint()
+# candidate or signature tables that the RETURNED lazy plan still reads —
+# they cannot be unpersisted before the caller's action. In a long-lived
+# session looping over many corpora, release them between iterations with
+# spark.catalog.clearCache() (bench.py does exactly this per query).
+
 # -- shared helpers ----------------------------------------------------------
 
 
@@ -104,24 +110,15 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 # -- n-gram Jaccard near-dup -----------------------------------------------------
 
 
-def jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
-                  id_col: str = "doc_id", text_col: str = "text",
-                  n: int = 3,
-                  max_shingle_doc_frac: float | None = None) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every pair sharing >=1 shingle,
-    filtered to >= threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
-
-    Inverted-index join: |pairs| is bounded by shingle co-occurrence, never
-    materializing the n^2 cross product.
-
-    ``max_shingle_doc_frac`` is the stop-shingle guard for corpora with
-    boilerplate: a shingle occurring in more than that fraction of docs
-    (headers, licences) would alone generate O(n²) candidate pairs — the
-    quadratic blowup AQE can split but not shrink. Setting e.g. 0.1 drops
-    such shingles from every doc's set BEFORE the join (one extra
-    shingle-keyed count + a broadcast anti-join; Jaccard denominators use
-    the filtered sets — standard stop-shingle semantics). Off by default
-    so the exact-oracle queries keep textbook Jaccard."""
+def _common_counts(docs: DataFrame, id_col: str, text_col: str, n: int,
+                   max_shingle_doc_frac: float | None = None):
+    """Shared inverted-index overlap core: (common(id_a, id_b), sizes) —
+    each unordered pair's shared-shingle count from ONE shingle
+    equi-join, plus the per-doc (filtered) set sizes. Extracting it
+    keeps jaccard_pairs and containment_pairs on one candidate engine,
+    so the stop-shingle guard and any future skew mitigation apply to
+    BOTH (the containment use case — quotes/licences — is the one most
+    exposed to hot-shingle blowup)."""
     sh = shingle_table(docs, id_col, text_col, n).alias("s")
     if max_shingle_doc_frac is not None:
         total = docs.agg(F.count("*").alias("_n"))
@@ -140,10 +137,33 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
                  F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("common"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("n_sh").alias("n_b"))
+    return common.join(sa, "id_a").join(sb, "id_b")
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3,
+                  max_shingle_doc_frac: float | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing >=1 shingle,
+    filtered to >= threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Inverted-index join: |pairs| is bounded by shingle co-occurrence, never
+    materializing the n^2 cross product.
+
+    ``max_shingle_doc_frac`` is the stop-shingle guard for corpora with
+    boilerplate: a shingle occurring in more than that fraction of docs
+    (headers, licences) would alone generate O(n²) candidate pairs — the
+    quadratic blowup AQE can split but not shrink. Setting e.g. 0.1 drops
+    such shingles from every doc's set BEFORE the join (one extra
+    shingle-keyed count + a broadcast anti-join; Jaccard denominators use
+    the filtered sets — standard stop-shingle semantics). Off by default
+    so the exact-oracle queries keep textbook Jaccard."""
     return (
-        common.join(sa, "id_a").join(sb, "id_b")
+        _common_counts(docs, id_col, text_col, n, max_shingle_doc_frac)
         .withColumn("jaccard", F.round(
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6))
         .filter(F.col("jaccard") >= threshold)
@@ -153,7 +173,8 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
 
 def containment_pairs(docs: DataFrame, threshold: float = 0.6,
                       id_col: str = "doc_id", text_col: str = "text",
-                      n: int = 3) -> DataFrame:
+                      n: int = 3,
+                      max_shingle_doc_frac: float | None = None) -> DataFrame:
     """ASYMMETRIC near-dup: shingle containment |A∩B| / |A| — the
     quote-inclusion detector. A short document embedded verbatim inside a
     much longer one has containment ~1.0 while its symmetric Jaccard is
@@ -164,22 +185,14 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.6,
 
     Same inverted-index shape as `jaccard_pairs` — one shingle equi-join
     counts each unordered pair's overlap once, then BOTH directions are
-    scored row-locally and filtered. Returns (contained_id, container_id,
-    containment) — a row means contained_id's shingle set is >= threshold
-    inside container_id's."""
-    sh = shingle_table(docs, id_col, text_col, n).alias("s")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                 F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    scored = common.join(sa, "id_a").join(sb, "id_b")
+    scored row-locally and filtered. Shares jaccard_pairs' candidate
+    engine (:func:`_common_counts`), including the stop-shingle guard —
+    the quote/licence corpora this detector targets are exactly the ones
+    where a boilerplate shingle goes quadratic. Returns (contained_id,
+    container_id, containment) — a row means contained_id's shingle set
+    is >= threshold inside container_id's."""
+    scored = _common_counts(docs, id_col, text_col, n,
+                            max_shingle_doc_frac)
     fwd = scored.select(
         F.col("id_a").alias("contained_id"), F.col("id_b").alias("container_id"),
         F.round(F.col("common") / F.col("n_a"), 6).alias("containment"))
@@ -412,6 +425,11 @@ def sorted_neighborhood_pairs(docs: DataFrame, threshold: float = 0.3,
     candidates only). Deterministic end to end, so exact-SQL-oracle-able
     — unlike MinHash this family has no probabilistic recall knob; its
     recall is set by the key choice, which is the documented trade."""
+    # NULL-text docs are dropped, same discipline as minhash_signatures:
+    # they would all share a NULL blocking key, pair with each other in
+    # the window, and verify at jaccard 1.0 ([NULL] ∩ [NULL]) — spurious
+    # "duplicates" between unrelated empty rows
+    docs = docs.filter(F.col(text_col).isNotNull())
     norm = F.lower(F.col(text_col))
     cand = None
     for key in (F.substring(norm, 1, key_len),
@@ -453,7 +471,10 @@ def incremental_neardup(new_docs: DataFrame, stored_docs: DataFrame,
 
     Append ``minhash_signatures(new_docs)`` to the signature store after
     each run to keep the cycle going."""
-    new_sig = minhash_signatures(new_docs, k, id_col, text_col, n)
+    # materialized: new_sig feeds its own banding AND the stored-union
+    # side — two subplans would otherwise re-shingle the new batch twice
+    new_sig = minhash_signatures(new_docs, k, id_col,
+                                 text_col, n).localCheckpoint()
     if stored_sig is None:
         stored_sig = minhash_signatures(stored_docs, k, id_col, text_col, n)
     bn = band_signatures(new_sig, bands, rows, id_col).alias("a")
@@ -488,6 +509,11 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
     (``F.aggregate``) — no explode, no 32-column shuffle. Integer votes are
     exactly associative, so this is bit-identical to the grouped form
     (NULL-text docs dropped, as the grouped form did naturally)."""
+    if bits > 32:
+        raise ValueError(
+            f"simhash: bits={bits} exceeds the 32-bit base hash — bits "
+            "32+ would be identically zero for every doc, degenerating "
+            "any banded join over the high blocks into a cross product")
     docs = docs.filter(F.col(text_col).isNotNull())
     hashed = (tokenized(docs, id_col, text_col)
               .select(F.col(id_col),
@@ -510,9 +536,12 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
 
 def simhash_buckets(fingerprints: DataFrame, half_bits: int = 16,
                     id_col: str = "doc_id") -> DataFrame:
-    """Hamming-candidate buckets: docs agreeing on either 16-bit half are
-    candidates (catches all pairs with Hamming distance <= 1 per half —
-    the standard multi-index trick)."""
+    """Hamming-candidate buckets: docs agreeing on either 16-bit half
+    are candidates. Pigeonhole over TWO blocks guarantees all pairs at
+    TOTAL Hamming distance <= 1 (one differing bit can ruin only one
+    half); a pair with one flipped bit in EACH half (distance 2)
+    matches neither index — for distance-d recall use
+    :func:`simhash_neardup` with bands > d."""
     mask = (1 << half_bits) - 1
     return fingerprints.select(
         F.col(id_col), F.col("simhash"),
@@ -580,10 +609,13 @@ def embedding_neardup_lsh(corpus: DataFrame, threshold: float = 0.45,
     self-join is on (band, key) equality, so the plan is a hash join over
     bucket keys, never an n^2 scan; verification touches candidate ids
     only (same shape as :func:`minhash_lsh_neardup`)."""
-    from .similarity import _hyperplanes, dot
-    dim = len(corpus.select(vec_col).first()[0])
+    from .similarity import _dim_of, _hyperplanes, dot
+    dim = _dim_of(corpus, vec_col, "embedding_neardup_lsh")
     planes = _hyperplanes(bands * rows, dim)
-    unit = _unit_vectors(corpus, id_col, vec_col)
+    # materialized: `unit` feeds the banded projection AND both sides of
+    # the verification join — three separate subplans would otherwise
+    # re-scan and re-normalize the corpus three times
+    unit = _unit_vectors(corpus, id_col, vec_col).localCheckpoint()
 
     def band_key(bi: int) -> Column:
         bits = None
@@ -657,18 +689,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # the switch is invisible to callers and to the shared oracle. The
     # checkpointed pair table is reused, not recomputed.
     if n_edges > 2 * star_threshold:   # n_edges counts both directions
-        star = connected_components_star(p, id_a="u", id_b="v",
+        # the star variant owns the full output contract, including
+        # self-pair-only vertices as singleton clusters
+        return connected_components_star(p, id_a="u", id_b="v",
                                          max_iter=max_iter)
-        # the star variant drops self-pairs (a == b) before iterating, so
-        # a vertex appearing ONLY in self-pairs would vanish from its
-        # output while the propagation path below labels it as its own
-        # cluster — union those singletons back so both paths return
-        # identical label sets
-        selfs = (p.filter(F.col("u") == F.col("v"))
-                 .select(F.col("u").alias("doc_id")).distinct()
-                 .join(star, "doc_id", "left_anti")
-                 .select("doc_id", F.col("doc_id").alias("cluster_id")))
-        return star.unionByName(selfs)
     # size the iterative loop's parallelism to the edge table (same
     # rationale as graph.pagerank): per-task fixed overhead dominates
     # each round when the default width would hold a few hundred edges
@@ -834,8 +858,9 @@ def semantic_dedup_lsh(corpus: DataFrame, k: int = 8, threshold: float = 0.9,
     a pair missed by every band stays unpruned (recall tuned by
     (bands, rows); at cos 0.9, 8x4 gives ~0.998 candidate recall) — so
     keep-flags are a superset of the exact operator's."""
-    from .similarity import (_hyperplanes, assign_to_centroids, dot,
-                             kmeans_fit)
+    from .similarity import (_dim_of, _hyperplanes, assign_to_centroids,
+                             dot, kmeans_fit)
+    dim = _dim_of(corpus, vec_col, "semantic_dedup_lsh")
     cents = kmeans_fit(corpus, k=k, iters=iters,
                        id_col=id_col, vec_col=vec_col)
     units = _unit_vectors(corpus, id_col, vec_col)
@@ -844,7 +869,6 @@ def semantic_dedup_lsh(corpus: DataFrame, k: int = 8, threshold: float = 0.9,
                 .select(id_col, "centroid_id")
                 .join(units, id_col)
                 .persist())
-    dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(bands * rows, dim)
     # ALL band keys in one Arrow-batched GEMM: the expression form (one
     # zip_with fold per plane = bands*rows dim-literal trees) costs
@@ -939,6 +963,12 @@ def cdc_boundaries(data: bytes, min_size: int = 128, avg_size: int = 512,
     chunk-grain dedup survive edits (rsync/LBFS/backup dedup, and crawl
     re-snapshots at corpus scale)."""
     import numpy as np
+    if avg_size < 2 or avg_size & (avg_size - 1):
+        raise ValueError(
+            f"cdc_boundaries: avg_size={avg_size} must be a power of two "
+            "— the boundary test masks the low log2(avg_size) bits, and "
+            "a non-power mask fires with the wrong probability (e.g. 500 "
+            "-> mask 0b111110011 -> ~1/128 chunks, 4x too many)")
     n = len(data)
     if n == 0:
         return []
@@ -1343,11 +1373,17 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
     = edge multiset unchanged (order-free count + xor-hash checksum, a
     2-value aggregate per round)."""
     spark = pairs.sparkSession
-    e = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-         .filter(F.col("a") != F.col("b"))
-         .localCheckpoint())
+    p0 = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    e = p0.filter(F.col("a") != F.col("b")).localCheckpoint()
+    # vertices appearing ONLY in self-pairs (a == b) must come out as
+    # their own singleton clusters — the propagation variant labels
+    # them, and the "same output contract" promise holds for DIRECT
+    # callers too, not just the auto-switch delegation site
+    selfs_only = (p0.filter(F.col("a") == F.col("b"))
+                  .select(F.col("a").alias("doc_id")).distinct())
     if e.isEmpty():
-        return spark.createDataFrame([], "doc_id long, cluster_id long")
+        return selfs_only.select(
+            "doc_id", F.col("doc_id").alias("cluster_id"))
 
     def _sig(edges: DataFrame) -> tuple:
         # pmod folds the full-range hash into [0, 2^31) so the sum can't
@@ -1390,9 +1426,12 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
             f"rounds")
     roots = e.select(F.col("b").alias("doc_id"),
                      F.col("b").alias("cluster_id")).distinct()
-    return (e.select(F.col("a").alias("doc_id"),
-                     F.col("b").alias("cluster_id"))
-            .union(roots).distinct())
+    labeled = (e.select(F.col("a").alias("doc_id"),
+                        F.col("b").alias("cluster_id"))
+               .union(roots).distinct())
+    singletons = (selfs_only.join(labeled, "doc_id", "left_anti")
+                  .select("doc_id", F.col("doc_id").alias("cluster_id")))
+    return labeled.unionByName(singletons)
 
 
 def connected_components_incremental(labels: DataFrame,

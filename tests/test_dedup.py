@@ -646,12 +646,17 @@ def test_cc_star_matches_label_propagation(spark):
 
 
 def test_cc_star_empty_and_selfloop_only(spark):
+    """The star variant owns the SAME output contract as label
+    propagation for direct callers too: a vertex appearing only in
+    self-pairs is its own singleton cluster, not silently dropped."""
     from servihabitat_etl_spyke_spark.operators.dedup import (
-        connected_components_star)
+        connected_components, connected_components_star)
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components_star(empty).count() == 0
     loops = spark.createDataFrame([(5, 5)], "id_a long, id_b long")
-    assert connected_components_star(loops).count() == 0
+    got = sorted(map(tuple, connected_components_star(loops).collect()))
+    want = sorted(map(tuple, connected_components(loops).collect()))
+    assert got == want == [(5, 5)]
 
 
 def test_cc_incremental_equals_full_recompute(spark):
@@ -731,3 +736,25 @@ def test_cc_auto_switch_keeps_selfpair_only_vertices(spark):
                      connected_components(df, star_threshold=0).collect()))
     assert got == want
     assert (7, 7) in got and (9, 9) in got and (3, 1) in got
+
+
+def test_snm_drops_null_text_and_simhash_rejects_wide_bits(spark):
+    """NULL-text docs must not pair with each other via a shared NULL
+    blocking key (jaccard([NULL],[NULL]) verified 1.0 before the fix);
+    simhash must refuse bits > its 32-bit base hash (high bits would be
+    identically zero, degenerating banded joins into cross products);
+    cdc_boundaries must refuse non-power-of-two avg_size (wrong mask
+    probability)."""
+    import pytest
+    from servihabitat_etl_spyke_spark.operators import dedup as D
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text here words"),
+         (4, "real text here words")],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.sorted_neighborhood_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) not in pairs and (3, 4) in pairs
+    with pytest.raises(ValueError, match="32-bit"):
+        D.simhash(docs, bits=64)
+    with pytest.raises(ValueError, match="power of two"):
+        D.cdc_boundaries(b"x" * 1000, avg_size=500)
