@@ -50,6 +50,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality",
     # TPC-H-shape suite (queries_tpch.py)
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "q9_product_profit",
     "q13_customer_distribution",
     "q21_sole_late_supplier",

@@ -713,3 +713,105 @@ def asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (epoch_micros(out, "cts_asof") - epoch_micros(out, "ts"))
         .alias("gap_us"))
         .orderBy("err_id"))
+
+
+@query("q3_shipping_priority", oracle="""
+SELECT l_orderkey,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+         AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (adapted): top-10 highest-revenue orders placed
+    before the cutoff but not yet fully shipped, for one market segment.
+    (The testdata has no ``o_shippriority``; ``o_orderpriority`` rides
+    along in its place — same carried-dimension shape.)
+
+    The segment filter reduces customer to ~1/5 before it joins (still
+    broadcast-sized relative to the fact side); both date filters push
+    into the orders/lineitem parquet scans, so the single fact shuffle
+    joins only pre-cutoff orders against post-cutoff lines. The final
+    top-10 is a TakeOrdered over the grouped result — no global sort.
+    ``l_orderkey`` closes the ORDER BY for hash-stable ties."""
+    cust = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < "1998-06-01")
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > "1998-06-01")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey,
+                  "left_semi")
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(round2(F.sum(rev)).alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate",
+                    "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+            .limit(10))
+
+
+@query("q5_local_supplier_volume", oracle="""
+SELECT n_name,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+         AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+            AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+""")
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where customer and supplier are
+    LOCAL to each other (same nation), one region, one year. This is the
+    classic cyclic-join query — the c_nationkey = s_nationkey equality
+    closes the customer→orders→lineitem→supplier chain into a cycle.
+
+    Region prunes nation to 1/5 on the driver side of a broadcast;
+    supplier (with its nation filter applied through the broadcast join)
+    also broadcasts, so the only shuffle joins the date-pruned orders to
+    lineitem. The nation-equality filter evaluates post-join on two
+    broadcast-carried columns — no extra exchange. ``n_name`` closes the
+    ORDER BY (revenue ties across nations are possible in principle)."""
+    reg = (load_table(spark, sf_dir, "region")
+           .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    nat = (load_table(spark, sf_dir, "nation")
+           .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_nationkey", "n_name"))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1997-01-01")
+                      & (F.col("o_orderdate") < "1998-01-01"))
+              .select("o_orderkey", "o_custkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .groupBy("n_name")
+            .agg(round2(F.sum(rev)).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "n_name"))

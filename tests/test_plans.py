@@ -157,6 +157,31 @@ def test_q20_part_prefix_pushed_to_scan(spark, sf_dir):
     assert "SortMergeJoin" not in plan.split("\n\n")[0]
 
 
+def test_q3_pushdown_and_topk(spark, sf_dir):
+    """Q3: both date filters and the segment literal must reach their
+    parquet scans, and the top-10 must be a TakeOrdered (bounded per
+    partition), never a global sort of the grouped result."""
+    plan = plan_of(spark, "q3_shipping_priority", sf_dir)
+    assert "GreaterThan(l_shipdate,1998-06-01" in plan
+    assert "LessThan(o_orderdate,1998-06-01" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan.split("\n\n")[0]
+
+
+def test_q5_cyclic_join_no_extra_exchange(spark, sf_dir):
+    """Q5 (full cyclic form): the region literal pushes to its scan, the
+    supplier/nation/region chain broadcasts, and the cyclic
+    c_nationkey = s_nationkey equality must evaluate inside the
+    broadcast join — no CartesianProduct, no sort-merge fallback at
+    test SF."""
+    plan = plan_of(spark, "q5_local_supplier_volume", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "CartesianProduct" not in tree
+    assert "SortMergeJoin" not in tree
+
+
 def test_decontaminate_eval_grams_broadcast(spark, sf_dir):
     """The eval side must broadcast — a shuffle join here would shuffle the
     full training corpus's exploded grams."""
