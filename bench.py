@@ -50,7 +50,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality",
     # TPC-H-shape suite (queries_tpch.py)
-    "q3_shipping_priority",
+    "q3_unshipped_topk",
     "q5_local_supplier_volume",
     "q9_product_profit",
     "q13_customer_distribution",

@@ -34,8 +34,12 @@ from ..catalog import spread as _spread
 # Cache ownership note: several operators here persist()/localCheckpoint()
 # candidate or signature tables that the RETURNED lazy plan still reads —
 # they cannot be unpersisted before the caller's action. In a long-lived
-# session looping over many corpora, release them between iterations with
-# spark.catalog.clearCache() (bench.py does exactly this per query).
+# session looping over many corpora: persist()'d tables are released by
+# spark.catalog.clearCache(); localCheckpoint() blocks are NOT (they are
+# RDD blocks, freed by the ContextCleaner only once the checkpointed
+# DataFrame is garbage-collected) — drop all references to a returned
+# plan between iterations so GC can reclaim them, or process each corpus
+# in its own SparkSession if executor storage must be bounded tightly.
 
 # -- shared helpers ----------------------------------------------------------
 
@@ -1373,8 +1377,12 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
     = edge multiset unchanged (order-free count + xor-hash checksum, a
     2-value aggregate per round)."""
     spark = pairs.sparkSession
-    p0 = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    e = p0.filter(F.col("a") != F.col("b")).localCheckpoint()
+    # checkpoint the INPUT once: both e and selfs_only derive from it, and
+    # an un-materialized p0 would re-run the caller's whole pair pipeline
+    # (e.g. a full LSH candidate+verify pass) a second time at action time
+    p0 = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+          .localCheckpoint())
+    e = p0.filter(F.col("a") != F.col("b"))
     # vertices appearing ONLY in self-pairs (a == b) must come out as
     # their own singleton clusters — the propagation variant labels
     # them, and the "same output contract" promise holds for DIRECT

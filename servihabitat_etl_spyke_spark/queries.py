@@ -35,6 +35,14 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # last-import-wins would silently swap the query AND its
+            # oracle under a name that earlier CORRECTNESS/BENCH rounds
+            # already recorded — corrupting cross-round tracking
+            raise ValueError(
+                f"@query({name!r}): name already registered by "
+                f"{QUERIES[name].__module__}.{QUERIES[name].__qualname__}"
+                " — pick a distinct name")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

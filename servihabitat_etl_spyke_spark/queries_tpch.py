@@ -715,7 +715,7 @@ def asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("err_id"))
 
 
-@query("q3_shipping_priority", oracle="""
+@query("q3_unshipped_topk", oracle="""
 SELECT l_orderkey,
        floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
          AS revenue,
@@ -730,7 +730,7 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """)
-def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q3_unshipped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (adapted): top-10 highest-revenue orders placed
     before the cutoff but not yet fully shipped, for one market segment.
     (The testdata has no ``o_shippriority``; ``o_orderpriority`` rides

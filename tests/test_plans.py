@@ -161,7 +161,7 @@ def test_q3_pushdown_and_topk(spark, sf_dir):
     """Q3: both date filters and the segment literal must reach their
     parquet scans, and the top-10 must be a TakeOrdered (bounded per
     partition), never a global sort of the grouped result."""
-    plan = plan_of(spark, "q3_shipping_priority", sf_dir)
+    plan = plan_of(spark, "q3_unshipped_topk", sf_dir)
     assert "GreaterThan(l_shipdate,1998-06-01" in plan
     assert "LessThan(o_orderdate,1998-06-01" in plan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
