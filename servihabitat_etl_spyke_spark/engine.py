@@ -163,8 +163,11 @@ class Engine:
         if isinstance(rows, DataFrame):
             upd = rows
         elif is_sheet:
+            # None -> '' (an EMPTY cell), never the text 'None' — the same
+            # null contract SheetTransport.put documents for the wire path
             upd = self.spark.createDataFrame(
-                [tuple(str(r[c]) for c in cur.columns) for r in rows],
+                [tuple("" if r[c] is None else str(r[c])
+                       for c in cur.columns) for r in rows],
                 ", ".join(f"`{c}` string" for c in cur.columns))
         else:
             upd = self.spark.createDataFrame(
@@ -201,8 +204,12 @@ class Engine:
         m = self._models[model_name]
         cur = self._runtime_tables[model_name]
         gone = [str(i) for i in item_ids]
+        idc = F.col(m.id_field).cast("string")
+        # NULL-id rows must survive: ~isin(...) is NULL (not true) for a
+        # NULL id and filter drops NULL predicates, so deleting one key
+        # would silently destroy every null-id row
         self._runtime_tables[model_name] = cur.filter(
-            ~F.col(m.id_field).cast("string").isin(gone))
+            idc.isNull() | ~idc.isin(gone))
         self._registry_version += 1
 
     def model(self, name: str) -> Model:
@@ -218,7 +225,8 @@ class Engine:
     @staticmethod
     def _params(*, filter: dict[str, Any] | None = None, search: str = "",
                 group: str | None = None, group_search: str | None = None,
-                order_by: str | None = None, order_direction: str = "asc",
+                order_by: str | None = None,
+                order_direction: str | None = None,
                 page: int = 0, items_per_page: int = 25,
                 all_rows: bool = False, view: str = "list") -> ListParams:
         return ListParams(

@@ -204,16 +204,39 @@ def model_from_json_description(spec: str | dict[str, Any]) -> Model:
                     f"linkTo on {kname!r} needs [model, target_key], got {p}")
             link = (p[0], p[1])
         hidden = frozenset(mods.get("hidden") or [])
+        # search(false) excludes the field from free-text search — the
+        # reference keeps every field searchable UNLESS _def.search is
+        # exactly false (ProtoModel.ts:205-211, BaseSchema.ts:209); secret
+        # fields additionally stay unsearchable (probing a masked column
+        # through search would leak its values)
+        search_off = ("search" in mods and any(
+            p is False or str(p).lower() == "false"
+            for p in mods["search"]))
+        # generate(<constant>[, force]) — the JSON description path can
+        # only carry serializable params, so a constant becomes a literal
+        # generator (the reference's function-valued generate exists only
+        # in code-declared zod schemas, out of scope for runtime DDL)
+        gen = None
+        gen_force = False
+        if "generate" in mods:
+            gp = mods["generate"]
+            if gp:
+                from pyspark.sql import functions as _F
+                gen = (lambda v=gp[0]: _F.lit(v))
+            gen_force = len(gp) > 1 and (
+                gp[1] is True or str(gp[1]).lower() == "true")
         fields[kname] = FieldSpec(
             kname,
             is_id="id" in mods,
             indexed="indexed" in mods or "id" in mods,
-            searchable="secret" not in mods,
+            searchable="secret" not in mods and not search_off,
             filterable=True,
             group_index="groupIndex" in mods,
             link_to=link,
             secret="secret" in mods,
             hidden_views=hidden,
+            generate=gen,
+            generate_force=gen_force,
         )
         # id columns are implicitly required; everything else is nullable
         # unless the description says otherwise (zod fields are required by

@@ -179,24 +179,28 @@ def run_entity_pipeline(spark: SparkSession, entity: str, src_path: str) -> Data
     raw = read_jsonl(spark, src_path)
     # ingestion order: partition-monotonic id preserves line order per file
     raw = raw.withColumn("_ingest_order", F.monotonically_increasing_id())
+    # _ingest_order rides through EVERY entity (not just promotions):
+    # keyed_upsert resolves same-key collisions within a batch by LAST
+    # write (PutItem overwrite order = file line order) and silently
+    # degrades to an arbitrary dropDuplicates winner without it; the
+    # promotions transform consumes the column, keyed_upsert strips it
     if entity == "checklists":
         # decode status as a RAW string so the sanitizer can distinguish the
         # malformed '' case from a real list before parsing
         attrs = {n: t for n, t in attrs.items() if n != "status"}
         decoded = raw.select(
+            F.col("_ingest_order"),
             *[_DYNAMO_DECODERS[t](
                 F.get_json_object("line", f"$.Item.{n}.{t}")).alias(n)
               for n, t in attrs.items()],
             F.get_json_object("line", "$.Item.status.L").alias("status_raw"),
         )
         return checklists_transform(decoded)
-    keep_order = entity == "promotions"
     cols = [F.get_json_object("line", f"$.Item.{n}.{t}").alias(f"_raw_{n}")
             for n, t in attrs.items()]
-    decoded = raw.select(
-        *([F.col("_ingest_order")] if keep_order else []), *cols)
+    decoded = raw.select(F.col("_ingest_order"), *cols)
     decoded = decoded.select(
-        *([F.col("_ingest_order")] if keep_order else []),
+        F.col("_ingest_order"),
         *[_DYNAMO_DECODERS[t](F.col(f"_raw_{n}")).alias(n)
           for n, t in attrs.items()])
     return ENTITY_TRANSFORMS[entity](decoded)

@@ -37,7 +37,9 @@ import re
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Optional
 
-from pyspark.sql import Column, DataFrame, functions as F
+import numbers
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from ..model import Model
 
@@ -70,7 +72,11 @@ class ListParams:
     filter: dict[str, Any] = dc_field(default_factory=dict)
     search: Optional[str] = None
     order_by: Optional[str] = None
-    order_direction: str = "asc"
+    # None = not sent in the request -> the model's declared default wins
+    # (``req.query.orderDirection ?? defaultOrderDirection``,
+    # generateApi.ts:182); a literal "asc" default here would shadow a
+    # model's defaultOrderDirection='desc' (the events newest-first O4)
+    order_direction: Optional[str] = None
     page: int = 0
     items_per_page: int = 25
     all: bool = False
@@ -83,7 +89,22 @@ class ListParams:
 
 
 def _eq_predicate(df: DataFrame, key: str, value: Any) -> Column:
-    # P1: string-coerced equality (ProtoModel.ts:186-188)
+    # P1: string-coerced equality (ProtoModel.ts:186-188). JS coercion
+    # differs from Python's str() — true -> 'true', integral numbers
+    # print without '.0' — so a same-family comparison runs NATIVELY
+    # (bool==bool, number==number): it reproduces the JS outcome exactly
+    # (1 matches a 1.0 double; True matches a true boolean, which the
+    # Python-side str(True)='True' vs cast 'true' never could) and keeps
+    # the predicate pushable to the parquet scan. Cross-family falls back
+    # to the cast('string') loose-typing contract.
+    dtype = df.schema[key].dataType
+    if isinstance(value, bool):
+        if isinstance(dtype, T.BooleanType):
+            return F.col(key) == F.lit(value)
+        return (F.col(key).cast("string")
+                == F.lit("true" if value else "false"))
+    if isinstance(value, numbers.Number) and isinstance(dtype, T.NumericType):
+        return F.col(key) == F.lit(value)
     return F.col(key).cast("string") == F.lit(str(value))
 
 
@@ -144,8 +165,14 @@ def apply_projection(df: DataFrame, model: Model, view: str) -> DataFrame:
 
 def apply_order(df: DataFrame, model: Model, params: ListParams) -> DataFrame:
     order_by = params.order_by or model.default_order_by
-    direction = (params.order_direction or model.default_order_direction).lower()
+    direction = (params.order_direction or model.default_order_direction
+                 or "asc").lower()
     if order_by is None or order_by not in df.columns:
+        # silently unordered, BY DESIGN: the reference sorts the already
+        # list-transformed (masked) items, so orderBy on a hidden/absent
+        # field compares undefined-vs-undefined and leaves order as-is
+        # (generateApi.ts:183-189 after parseResult) — same here, where
+        # projection runs before ordering
         return df
     col = F.col(order_by)
     primary = col.desc() if direction == "desc" else col.asc()
@@ -181,8 +208,17 @@ def group_options(df: DataFrame, key: str, search: str | None = None,
 def list_query(df: DataFrame, model: Model, params: ListParams) -> DataFrame:
     """Full list-query plan; returns the page of rows (or group options)."""
     if params.group:
-        return group_options(apply_filters(df, params), params.group,
-                             params.group_search)
+        # parity: options exist only for DECLARED group indexes
+        # (db.getGroupIndexOptions finds the key in the groupIndexes
+        # index table or returns [], db.ts:291-305) — an undeclared key
+        # (e.g. a secret column) must enumerate nothing, and the options
+        # index reflects the whole table, so request filters don't apply
+        # (generateApi.ts:212-225 returns before the filter path)
+        declared = {f.name for f in model.group_indexes()}
+        if params.group not in declared or params.group not in df.columns:
+            return (df.sparkSession.range(0)
+                    .select(F.lit(None).cast("string").alias("option")))
+        return group_options(df, params.group, params.group_search)
     df = apply_filters(df, params)
     if params.search:
         df = apply_search(df, model, params.search)

@@ -24,7 +24,11 @@ def init_table(spark: SparkSession, path: str,
     """
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
+        # overwrite, not ignore: a crash mid-seed leaves the directory
+        # existing WITHOUT the marker, and mode('ignore') would then skip
+        # the write forever while reporting seeded_now=True — the torn
+        # partial table could never self-heal
         df = spark.createDataFrame(list(initial_rows), schema)
-        df.write.mode("ignore").parquet(path)
+        df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path), True
     return spark.read.parquet(path), False

@@ -28,7 +28,12 @@ def sheet_from_rows(spark: SparkSession,
     """
     if not rows:
         raise ValueError("sheet needs at least a header row")
-    header = [str(h).strip() for h in rows[0]]
+    # remove ALL whitespace, not just edges — model keys sanitize with
+    # re.sub(r"\s","") (objectsAPI name.replace(/\s/g,'')), and a header
+    # like 'first name' must land on the same 'firstname' the declared
+    # key compiles to or the bootstrap set-comparison rejects it
+    import re as _re
+    header = [_re.sub(r"\s", "", str(h)) for h in rows[0]]
     n = len(header)
     data = [tuple((list(map(str, r)) + [""] * n)[:n]) for r in rows[1:]]
     schema = ", ".join(f"`{h}` string" for h in header)

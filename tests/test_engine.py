@@ -180,3 +180,63 @@ def test_parameterized_automation(spark, sf_dir):
     assert e.run("total_count").first()["total"] > 0   # registry unchanged
     with pytest.raises(TypeError):
         e.run("top_orders", wrong_param=1)
+
+
+def test_delete_keeps_null_id_rows(spark, sf_dir):
+    """Deleting one key must not destroy rows whose id is NULL —
+    ~isin(...) evaluates to NULL (dropped by filter) for a NULL id."""
+    from servihabitat_etl_spyke_spark.engine import Engine
+    from servihabitat_etl_spyke_spark.model import FieldSpec, model as mk
+    eng = Engine(spark, sf_dir)
+    m = mk("nulltest", FieldSpec("id", is_id=True), FieldSpec("v"))
+    df = spark.createDataFrame(
+        [("x", "keepme-x"), (None, "null-row"), ("y", "keepme-y")],
+        "id string, v string")
+    eng.create_model({"name": "nulltest", "keys": {
+        "id": {"modifiers": [{"name": "id"}]}, "v": {}}}, data=df)
+    eng.delete("nulltest", ["x"])
+    vals = {r.v for r in eng.table("nulltest").collect()}
+    assert vals == {"null-row", "keepme-y"}
+
+
+def test_sheet_put_serializes_none_as_empty(spark, sf_dir):
+    """Engine.put on a sheet model writes '' for None (an empty cell),
+    never the text 'None' — the SheetTransport null contract."""
+    from servihabitat_etl_spyke_spark.engine import Engine
+    eng = Engine(spark, sf_dir)
+    eng.create_model({"name": "s", "keys": {
+        "id": {"modifiers": [{"name": "id"}]}, "note": {}}},
+        data=[["id", "note"], ["1", "hello"]], storage="sheet")
+    eng.put("s", [{"id": "2", "note": None}])
+    got = {r.id: r.note for r in eng.table("s").collect()}
+    assert got == {"1": "hello", "2": ""}
+
+
+def test_runtime_model_search_false_and_generate_const(spark, sf_dir):
+    """JSON-description parity: search(false) excludes a field from
+    free-text search (ProtoModel.ts:205-211) and generate(<const>) fills
+    NULLs at create with the literal."""
+    from servihabitat_etl_spyke_spark.engine import Engine
+    from servihabitat_etl_spyke_spark.model import model_from_json_description
+    m = model_from_json_description({"name": "g", "keys": {
+        "id": {"modifiers": [{"name": "id"}]},
+        "body": {},
+        "raw": {"modifiers": [{"name": "search", "params": [False]}]},
+        "sdk": {"modifiers": [{"name": "generate", "params": ["esphome"]}]},
+    }})
+    assert m.fields["raw"].searchable is False
+    assert m.fields["body"].searchable is True
+    gen = m.fields["sdk"].generate
+    assert gen is not None and m.fields["sdk"].generate_force is False
+    eng = Engine(spark, sf_dir)
+    df = spark.createDataFrame(
+        [("1", "findable text", "alsofindable", None)],
+        "id string, body string, raw string, sdk string")
+    eng.register_model(m)
+    # search must not match through the search(false) column
+    from servihabitat_etl_spyke_spark.plans.listquery import (
+        ListParams, list_query)
+    hit = list_query(df, m, ListParams(search="findable", all=True))
+    assert hit.count() == 1            # matched via body
+    miss = list_query(df, m, ListParams(search="alsofindable", all=True))
+    assert miss.count() == 0           # raw is search(false)

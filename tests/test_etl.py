@@ -227,3 +227,43 @@ def test_dynamo_batch_write_foreachpartition_end_to_end(spark, tmp_path):
     assert all(len(c) <= 25 for c in chunks)
     got = sorted(r["id"] for c in chunks for r in c)
     assert got == list(range(103))
+
+
+def test_keyed_upsert_last_write_wins_all_entities(spark, tmp_path):
+    """Every entity (not just promotions) carries _ingest_order, so
+    keyed_upsert resolves same-key collisions by LAST write (PutItem
+    overwrite order = file line order) instead of an arbitrary
+    dropDuplicates winner."""
+    items = [
+        {"Item": {"id": {"S": "p1"}, "name": {"S": "old"}, "price": {"N": "10"}}},
+        {"Item": {"id": {"S": "p1"}, "name": {"S": "new"}, "price": {"N": "20"}}},
+        {"Item": {"id": {"S": "p2"}, "name": {"S": "only"}, "price": {"N": "5"}}},
+    ]
+    p = tmp_path / "products.jsonl"
+    _write_jsonl(p, items)
+    df = run_entity_pipeline(spark, "products", str(p))
+    assert "_ingest_order" in df.columns
+    out = {r["id"]: (r["name"], r["price"])
+           for r in keyed_upsert(None, df, "id").collect()}
+    assert out == {"p1": ("new", 20.0), "p2": ("only", 5.0)}
+
+
+def test_init_table_heals_torn_seed(spark, tmp_path):
+    """A crash mid-seed leaves the directory without _SUCCESS; the next
+    init_table call must REWRITE (mode 'ignore' would skip forever and
+    report the torn partial table as freshly seeded)."""
+    import os
+
+    from servihabitat_etl_spyke_spark.sources.bootstrap import init_table
+
+    path = str(tmp_path / "store")
+    os.makedirs(path)                       # torn: dir exists, no marker
+    with open(os.path.join(path, "junk"), "w") as fh:
+        fh.write("partial")
+    df, seeded = init_table(spark, path, [(1, "a"), (2, "b")],
+                            "id long, v string")
+    assert seeded is True
+    assert sorted((r.id, r.v) for r in df.collect()) == [(1, "a"), (2, "b")]
+    # second call: marker present now -> untouched no-op
+    df2, seeded2 = init_table(spark, path, [(9, "z")], "id long, v string")
+    assert seeded2 is False and df2.count() == 2

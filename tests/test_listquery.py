@@ -111,3 +111,52 @@ def test_range_filter_inclusive(spark):
     m = model("r", FieldSpec("id", is_id=True))
     out = list_query(df, m, ListParams(filter={"v": {"from": 2, "to": 5}}, all=True))
     assert sorted(r.id for r in out.collect()) == [2, 3, 4, 5]
+
+
+def test_default_order_direction_from_model(spark):
+    """The model's declared defaultOrderDirection must win when the
+    request doesn't send one (``req.query.orderDirection ??
+    defaultOrderDirection``, generateApi.ts:182) — the events
+    newest-first O4 default was dead code while ListParams defaulted to
+    the truthy 'asc'."""
+    m = model("ev", FieldSpec("id", is_id=True),
+              default_order_by="id", default_order_direction="desc")
+    df = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    out = list_query(df, m, ListParams())
+    assert [r.id for r in out.collect()] == [3, 2, 1]
+    # an explicit request direction still overrides the model default
+    out2 = list_query(df, m, ListParams(order_direction="asc"))
+    assert [r.id for r in out2.collect()] == [1, 2, 3]
+
+
+def test_group_options_only_for_declared_indexes(spark):
+    """Parity with db.getGroupIndexOptions (db.ts:291-305): options exist
+    only for DECLARED group indexes — an undeclared key (here a secret
+    column) enumerates nothing instead of leaking its distinct values."""
+    df = make_df(spark)
+    out = list_query(df, M, ListParams(group="secret_col"))
+    assert out.count() == 0
+    assert out.columns == ["option"]
+    # and the options index reflects the whole table: request filters
+    # don't narrow it (the reference group path returns before filters)
+    out2 = list_query(df, M, ListParams(group="status",
+                                        filter={"id": "1"}))
+    assert {r.option for r in out2.collect()} == {
+        "pending", "in-progress", "done"}
+
+
+def test_eq_filter_native_bool_and_number(spark):
+    """JS-coercion parity: filter True must match a boolean column
+    (data.toString() 'true', not Python's 'True') and integer 1 must
+    match a 1.0 double (JS prints integral doubles without '.0')."""
+    df = spark.createDataFrame(
+        [(1, True, 1.0), (2, False, 1.5), (3, True, 2.0)],
+        "id long, flag boolean, v double")
+    m = model("t", FieldSpec("id", is_id=True))
+    got = list_query(df, m, ListParams(filter={"flag": True}, all=True))
+    assert sorted(r.id for r in got.collect()) == [1, 3]
+    got2 = list_query(df, m, ListParams(filter={"v": 1}, all=True))
+    assert [r.id for r in got2.collect()] == [1]
+    # cross-family keeps the loose string coercion: '2' matches long 2
+    got3 = list_query(df, m, ListParams(filter={"id": "2"}, all=True))
+    assert [r.id for r in got3.collect()] == [2]
