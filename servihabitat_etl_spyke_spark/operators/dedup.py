@@ -226,7 +226,8 @@ def _mh_params(k: int) -> tuple[list[int], list[int]]:
 
 
 def minhash_signatures(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
-                       text_col: str = "text", n: int = 3) -> DataFrame:
+                       text_col: str = "text", n: int = 3,
+                       keep_shingles: bool = False) -> DataFrame:
     """k-permutation MinHash signature per doc: min over the shingle set of
     k universal-hash permutations of a 32-bit base hash — long columns
     mh0..mh{k-1}.
@@ -243,7 +244,12 @@ def minhash_signatures(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
     are integer multiply-add-mod folds over the long array — no per-
     permutation digests, no string allocation. (An earlier 4-seeded-md5
     chunked family cost 4 md5 + 16 substring transforms per shingle;
-    the arithmetic family is ~2x faster and standard practice.)"""
+    the arithmetic family is ~2x faster and standard practice.)
+
+    ``keep_shingles=True`` additionally carries the shingle array through
+    as ``_sh`` — the shape verification joins need (the streaming twin
+    reuses THIS function so stream and batch signatures can never
+    drift)."""
     # drop NULL-text docs (the explode+groupBy form dropped them naturally;
     # without this they'd carry null signatures and collide in every LSH
     # band — m null docs -> O(m^2) spurious candidate pairs)
@@ -257,8 +263,9 @@ def minhash_signatures(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
     # not re-splitting inside the lambda.
     shingled = tokenized(docs, id_col, text_col).select(
         F.col(id_col), shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
+    extra = ["_sh"] if keep_shingles else []
     hashed = shingled.select(
-        F.col(id_col),
+        F.col(id_col), *extra,
         F.transform("_sh", lambda s: _hash32(s)).alias("_h"))
 
     # closure FACTORY, not `lambda x, a=a, b=b:` parameter defaults — a
@@ -271,24 +278,28 @@ def minhash_signatures(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
 
     av, bv = _mh_params(k)
     return hashed.select(
-        F.col(id_col),
+        F.col(id_col), *extra,
         *[F.array_min(F.transform("_h", _perm(av[i], bv[i]))).alias(f"mh{i}")
           for i in range(k)])
 
 
 def band_signatures(sig: DataFrame, bands: int = 4, rows: int = 4,
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    passthrough: list[str] | None = None) -> DataFrame:
     """(id, band, key) bucket table: the signature split into ``bands``
-    groups of ``rows``, each group md5-compacted to one key."""
+    groups of ``rows``, each group md5-compacted to one key.
+    ``passthrough`` columns ride along unchanged (e.g. the ``_sh``
+    shingle array a downstream verification join needs)."""
+    extra = passthrough or []
     return sig.select(
-        F.col(id_col),
+        F.col(id_col), *extra,
         F.explode(F.array(*[
             F.struct(
                 F.lit(bi).alias("band"),
                 F.md5(F.concat_ws(",", *[F.col(f"mh{bi * rows + ri}")
                                          for ri in range(rows)])).alias("key"))
             for bi in range(bands)])).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    ).select(id_col, *extra, "bk.band", "bk.key")
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 4,

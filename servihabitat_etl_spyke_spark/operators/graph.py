@@ -66,8 +66,11 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 10,
              .distinct().repartition(width, "v").localCheckpoint())
     n = verts.count()
     if n == 0:
-        spark = edges.sparkSession
-        return spark.createDataFrame([], "v long, rank double")
+        # derive v's type from the input so the empty frame unions/joins
+        # cleanly with non-empty runs (string doc-ids would otherwise
+        # come back bigint on the empty day only)
+        return (verts.select("v")
+                .withColumn("rank", F.lit(0.0)).limit(0))
     out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
 
     # In the mirrored (undirected) graph every vertex appears as a src,

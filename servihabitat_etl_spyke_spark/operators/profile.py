@@ -157,9 +157,18 @@ def psi_drift(ref: DataFrame, cur: DataFrame, col: str,
     span = float(hi) - float(lo)
 
     def binned(df: DataFrame, out: str) -> DataFrame:
+        # non-values are EXCLUDED from the distribution: greatest()/
+        # least() skip NULLs, so a NULL would otherwise silently count
+        # into bin 0 (and NaN would clamp into the top bin), distorting
+        # the proportions PSI compares
+        from pyspark.sql import types as T
+        pred = F.col(col).isNotNull()
+        if isinstance(df.schema[col].dataType, (T.FloatType, T.DoubleType)):
+            pred = pred & ~F.isnan(F.col(col))
         b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.floor(
             (F.col(col) - F.lit(float(lo))) / F.lit(span) * bins)))
-        return (df.select(b.cast("long").alias("bin"))
+        return (df.filter(pred)
+                .select(b.cast("long").alias("bin"))
                 .groupBy("bin").agg(F.count("*").alias(out)))
 
     all_bins = ref.sparkSession.range(bins).select(F.col("id").alias("bin"))
@@ -170,11 +179,18 @@ def psi_drift(ref: DataFrame, cur: DataFrame, col: str,
               .select("bin",
                       F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
                       F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
-    totals = joined.agg(F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc"))
-    p = (F.col("n_ref") + 0.5) / (F.col("_tr") + 0.5 * bins)
-    q = (F.col("n_cur") + 0.5) / (F.col("_tc") + 0.5 * bins)
-    return (joined.join(F.broadcast(totals))
-            .select("bin", "n_ref", "n_cur",
-                    F.floor((p - q) * F.log(p / q) * 1e9 + 0.5)
-                    .cast("long").alias("psi_nano"))
+    # totals via an unpartitioned window over the bins-row frame — an
+    # aggregate-then-join-back would execute the binned(ref)/binned(cur)
+    # subplans twice (once for the broadcast total, once for the output),
+    # doubling both full-table scans; the single window partition holds
+    # exactly `bins` rows by construction
+    from pyspark.sql.window import Window as W
+    wall = W.partitionBy()
+    tr = F.sum("n_ref").over(wall)
+    tc = F.sum("n_cur").over(wall)
+    p = (F.col("n_ref") + 0.5) / (tr + 0.5 * bins)
+    q = (F.col("n_cur") + 0.5) / (tc + 0.5 * bins)
+    return (joined.select("bin", "n_ref", "n_cur",
+                          F.floor((p - q) * F.log(p / q) * 1e9 + 0.5)
+                          .cast("long").alias("psi_nano"))
             .orderBy("bin"))

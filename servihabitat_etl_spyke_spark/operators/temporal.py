@@ -104,6 +104,16 @@ def interval_join(left: DataFrame, right: DataFrame, on: list[str],
     """
     if upper_sec <= lower_sec:
         raise ValueError("interval_join requires upper_sec > lower_sec")
+    # same precondition the streaming twin (streaming/joins.py) enforces:
+    # shared non-key columns make the post-join F.col() references
+    # ambiguous — fail with a clear message instead of an analysis error
+    shared = (set(left.columns) & set(right.columns)) - set(on)
+    if shared:
+        raise ValueError(
+            f"interval_join: columns {sorted(shared)} exist on both sides "
+            "(including the timestamps) — rename/select before joining so "
+            f"{left_ts!r}/{right_ts!r} and payload references are "
+            "unambiguous")
     width_us = (upper_sec - lower_sec) * 1_000_000
     lo_us, up_us = lower_sec * 1_000_000, upper_sec * 1_000_000
     lb = (left.withColumn("__us", epoch_micros(left, left_ts))

@@ -32,6 +32,10 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``catalog.load_table`` does, so stream and batch twins agree.
     """
     path = os.path.join(sf_dir, "events.parquet")
+    # session-wide ON PURPOSE, same as the batch catalog.load_table: every
+    # reader of the TIMESTAMP(NANOS) testdata in this repo expects the
+    # nanos-as-long convention (the ts normalization below undoes it), and
+    # a set/restore here would race the stream's deferred schema use
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     if os.path.isdir(path):
@@ -59,11 +63,16 @@ def with_generated(df: DataFrame) -> DataFrame:
     """F10/F12 write-path generators: time-sortable ``id`` and ISO-8601
     ``created`` filled only where missing (``applyGenerators``,
     ProtoSchema.ts:21-33). Works on batch and streaming frames."""
+    # render in UTC before appending the literal 'Z' designator —
+    # date_format renders in the SESSION timezone, so a non-UTC session
+    # would stamp a wall-clock time with a UTC marker (an instant off by
+    # the session offset; toISOString() in the reference is always UTC)
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    utc_now = F.to_utc_timestamp(F.current_timestamp(), tz)
     gen_id = F.concat(
-        F.date_format(F.current_timestamp(), "yyyyMM-ddHHmm-ssSSS"),
+        F.date_format(utc_now, "yyyyMM-ddHHmm-ssSSS"),
         F.lit("-"), F.substring(F.uuid(), 1, 8))
-    iso_now = F.date_format(
-        F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    iso_now = F.date_format(utc_now, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
     out = df
     if "id" not in df.columns:
         out = out.withColumn("id", gen_id)

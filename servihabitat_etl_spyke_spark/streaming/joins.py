@@ -78,37 +78,19 @@ def stream_incremental_neardup(stream_docs: DataFrame,
 
     Batch-vs-stream row equality is asserted in tests (the streaming
     twin pattern of streaming/stateful.py and the multimodal twins)."""
-    from ..operators.dedup import (_MH_PRIME, _hash32, _mh_params,
-                                   band_signatures, shingles_from_tokens)
+    from ..operators.dedup import (band_signatures, minhash_signatures,
+                                   shingles_from_tokens)
 
-    docs = stream_docs.filter(F.col(text_col).isNotNull())
-    toks = docs.select(F.col(id_col),
-                       F.split(F.col(text_col), " ").alias("_toks"))
-    shingled = toks.select(
-        F.col(id_col),
-        shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
-    hashed = shingled.select(
-        F.col(id_col), "_sh",
-        F.transform("_sh", lambda s: _hash32(s)).alias("_h"))
-
-    def _perm(a: int, b: int):
-        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
-
-    av, bv = _mh_params(k)
-    sig = hashed.select(
-        F.col(id_col), "_sh",
-        *[F.array_min(F.transform("_h", _perm(av[i], bv[i])))
-          .alias(f"mh{i}") for i in range(k)])
-    banded = sig.select(
-        F.col(id_col).alias("new_id"), F.col("_sh").alias("sh_new"),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.md5(F.concat_ws(",", *[F.col(f"mh{bi * rows + ri}")
-                                         for ri in range(rows)]))
-                .alias("key"))
-            for bi in range(bands)])).alias("bk")) \
-        .select("new_id", "sh_new", "bk.band", "bk.key")
+    # THE batch signature engine, not a re-implementation: signature and
+    # band-key arithmetic must stay bit-identical to the static corpus's
+    # stored table or every candidate silently misses — sharing the
+    # functions makes drift impossible
+    sig = minhash_signatures(stream_docs, k, id_col, text_col, n,
+                             keep_shingles=True)
+    banded = (band_signatures(sig, bands, rows, id_col,
+                              passthrough=["_sh"])
+              .select(F.col(id_col).alias("new_id"),
+                      F.col("_sh").alias("sh_new"), "band", "key"))
 
     bt = band_signatures(stored_sig, bands, rows, id_col).select(
         F.col(id_col).alias("stored_id"), "band", "key")

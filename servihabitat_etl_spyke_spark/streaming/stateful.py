@@ -30,50 +30,69 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 # T5: edge detection
 # ---------------------------------------------------------------------------
 
-_EDGE_OUT = ("user_id BIGINT, event_id BIGINT, value DOUBLE, prev DOUBLE, "
-             "edge STRING")
 _EDGE_STATE = "last DOUBLE"
+
+
+def _whole_group(pdfs: Iterable[pd.DataFrame],
+                 sort_cols: list[str]) -> pd.DataFrame | None:
+    """Concatenate ALL of a group's Arrow chunks, then sort ONCE.
+
+    A group larger than ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    arrives as several pdfs with NO cross-chunk event-time ordering —
+    sorting each chunk independently would fold later events before
+    earlier ones, diverging from the batch ``lag()``/``array_sort``
+    twins. The price is holding one group's micro-batch in pandas at
+    once, which is the stated memory model of every
+    ``applyInPandasWithState`` operator here (bound micro-batch size /
+    key cardinality accordingly at scale)."""
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        return None
+    whole = frames[0] if len(frames) == 1 else pd.concat(
+        frames, ignore_index=True)
+    return whole.sort_values(sort_cols)
 
 
 def edge_detect_stream(events: DataFrame, threshold: float = 100.0,
                        key_col: str = "user_id") -> DataFrame:
     """Streaming rising/falling edge detector.
 
-    Per-key last-value state lives in the state store; each micro-batch is
-    processed as Arrow record batches (sorted within the group), emitting
-    only transition rows — identical semantics to the batch ``lag()`` twin
-    (queries.edge_detection) when run over the same data with
-    ``availableNow``.
+    Per-key last-value state lives in the state store; each micro-batch
+    is processed as one concatenated, time-sorted group (see
+    :func:`_whole_group`), emitting only transition rows — identical
+    semantics to the batch ``lag()`` twin (queries.edge_detection) when
+    run over the same data with ``availableNow``. The key column must be
+    integral (BIGINT), same contract as the state-machine twins.
     """
+    out_schema = (f"{key_col} BIGINT, event_id BIGINT, value DOUBLE, "
+                  "prev DOUBLE, edge STRING")
 
     def detect(key: tuple, pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         (last,) = state.get if state.exists else (None,)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            prev = pdf["value"].shift(1)
-            if last is not None:
-                prev.iloc[0] = last
-            rising = (prev < threshold) & (pdf["value"] >= threshold)
-            falling = (prev >= threshold) & (pdf["value"] < threshold)
-            mask = rising | falling
-            if len(pdf):
-                last = float(pdf["value"].iloc[-1])
-            if mask.any():
-                out = pd.DataFrame({
-                    "user_id": pdf.loc[mask, key_col],
-                    "event_id": pdf.loc[mask, "event_id"],
-                    "value": pdf.loc[mask, "value"].round(2),
-                    "prev": prev[mask].round(2),
-                    "edge": rising[mask].map({True: "rising",
-                                              False: "falling"}),
-                })
-                yield out
+        pdf = _whole_group(pdfs, ["ts", "event_id"])
+        if pdf is None:
+            return
+        prev = pdf["value"].shift(1)
         if last is not None:
-            state.update((last,))
+            prev.iloc[0] = last
+        rising = (prev < threshold) & (pdf["value"] >= threshold)
+        falling = (prev >= threshold) & (pdf["value"] < threshold)
+        mask = rising | falling
+        last = float(pdf["value"].iloc[-1])
+        state.update((last,))
+        if mask.any():
+            yield pd.DataFrame({
+                key_col: pdf.loc[mask, key_col],
+                "event_id": pdf.loc[mask, "event_id"],
+                "value": pdf.loc[mask, "value"].round(2),
+                "prev": prev[mask].round(2),
+                "edge": rising[mask].map({True: "rising",
+                                          False: "falling"}),
+            })
 
     return events.groupBy(key_col).applyInPandasWithState(
-        detect, _EDGE_OUT, _EDGE_STATE, "append",
+        detect, out_schema, _EDGE_STATE, "append",
         GroupStateTimeout.NoTimeout)
 
 
@@ -243,8 +262,8 @@ def state_machine_entries_stream(events: DataFrame, machine: StateMachine,
         else:
             cur, seq = machine.initial, 1
             entries = [(seq, None, cur)]
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = _whole_group(pdfs, ["ts", "event_id"])
+        if pdf is not None:
             for eid, ev in zip(pdf["event_id"], pdf[event_col]):
                 nxt = machine.step(cur, ev)
                 if nxt != cur:
@@ -286,11 +305,11 @@ def state_machine_stream(events: DataFrame, machine: StateMachine,
                 state: GroupState) -> Iterator[pd.DataFrame]:
         (cur,) = state.get if state.exists else (machine.initial,)
         n = 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = _whole_group(pdfs, ["ts", "event_id"])
+        if pdf is not None:
             for ev in pdf[event_col]:
                 cur = machine.step(cur, ev)
-            n += len(pdf)
+            n = len(pdf)
         state.update((cur,))
         yield pd.DataFrame({key_col: [key[0]], "state": [cur],
                             "n_events": [n]})

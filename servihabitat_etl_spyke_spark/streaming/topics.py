@@ -80,11 +80,17 @@ def changes_only(df: DataFrame, key_cols: list[str], value_col: str,
     message per key always emits (prev is null)."""
     from pyspark.sql.window import Window as W
     w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    # null-SAFE comparison with an explicit first-row marker: a bare
+    # `value != prev` is NULL (dropped) for a change TO null, and
+    # `prev IS NULL` can't tell "first message" from "previous value was
+    # null" — [10, NULL, 10] would both miss the real change and re-emit
+    # the unchanged 10
     prev = F.lag(F.col(value_col)).over(w)
-    return (df.withColumn("_prev", prev)
-            .filter(F.col("_prev").isNull()
-                    | (F.col(value_col) != F.col("_prev")))
-            .drop("_prev"))
+    rn = F.row_number().over(w)
+    return (df.withColumn("_prev", prev).withColumn("_rn", rn)
+            .filter((F.col("_rn") == 1)
+                    | ~F.col(value_col).eqNullSafe(F.col("_prev")))
+            .drop("_prev", "_rn"))
 
 
 def subscribe_single(df: DataFrame, pattern: str, *, order_cols: list[str],

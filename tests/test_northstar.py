@@ -1296,3 +1296,23 @@ def test_ppm_meta_accepts_long_comment_headers():
     long_comment = b"P6\n#" + b"c" * 300 + b"\n" + base[3:]
     assert decode_ppm(long_comment).shape == (2, 2, 3)
     assert decode_ppm_meta(long_comment) == (2, 2)
+
+
+def test_psi_drift_excludes_nulls_and_pagerank_empty_schema(spark):
+    """psi_drift: NULL values must not inflate bin 0 (greatest/least skip
+    NULLs, silently counting them at the low edge before the fix).
+    pagerank: the empty-graph frame inherits the edge id type, so
+    empty-day unions don't schema-clash with string vertex ids."""
+    from servihabitat_etl_spyke_spark.operators.graph import pagerank
+    from servihabitat_etl_spyke_spark.operators.profile import psi_drift
+    ref = spark.createDataFrame(
+        [(0.5,)] * 8 + [(None,)] * 4, "v double")
+    cur = spark.createDataFrame([(0.5,)] * 8, "v double")
+    out = {r.bin: (r.n_ref, r.n_cur)
+           for r in psi_drift(ref, cur, "v", 0.0, 1.0, bins=2).collect()}
+    # identical non-null distributions: bin 0 must NOT carry the nulls
+    assert out[0] == (0, 0) and out[1] == (8, 8)
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    pr = pagerank(empty)
+    assert pr.count() == 0
+    assert dict(pr.dtypes)["v"] == "string"

@@ -559,3 +559,57 @@ def test_stream_funnel_upsert_matches_batch_funnel(spark, tmp_path):
     batch = spark.createDataFrame(rows1 + rows2, schema)
     want = [tuple(r) for r in gate_funnel(batch, mk_gates()).collect()]
     assert got == want and len(got) == 2
+
+
+def test_stateful_handlers_survive_chunked_groups(spark, sf_dir, tmp_path):
+    """A group larger than arrow.maxRecordsPerBatch arrives as several
+    Arrow chunks with no cross-chunk time order; the handlers must
+    concat-then-sort the WHOLE group or they fold later events before
+    earlier ones (diverging from the batch twins)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")    # force multi-chunk groups (~190 rows/key)
+    try:
+        stream = read_event_stream(spark, sf_dir)
+        got = _run_stream(edge_detect_stream(stream),
+                          "ev_edges_chunked", tmp_path)
+        batch = QUERIES["edge_detection"](spark, sf_dir)
+        g = sorted((r.user_id, r.event_id, r.edge) for r in got.collect())
+        b = sorted((r.user_id, r.event_id, r.edge) for r in batch.collect())
+        assert g == b and len(g) > 0
+        stream2 = read_event_stream(spark, sf_dir)
+        got2 = _run_stream(state_machine_stream(stream2, USER_LIFECYCLE),
+                           "ev_sm_chunked", tmp_path, output_mode="update")
+        fold = state_machine_fold(
+            load_table(spark, sf_dir, "events"), USER_LIFECYCLE)
+        g2 = {r.user_id: r.state for r in got2.collect()}
+        b2 = {r.user_id: r.final_state for r in fold.collect()}
+        assert g2 == b2 and len(g2) > 0
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_edge_detect_stream_custom_key_col(spark, sf_dir, tmp_path):
+    """The output key column is named after key_col, not hardcoded
+    'user_id'."""
+    from servihabitat_etl_spyke_spark.streaming.events import (
+        read_event_stream)
+    stream = read_event_stream(spark, sf_dir).withColumnRenamed(
+        "user_id", "device_id")
+    out = edge_detect_stream(stream, key_col="device_id")
+    assert "device_id" in out.columns and "user_id" not in out.columns
+
+
+def test_changes_only_null_safe(spark):
+    """[10, NULL, 10] per key: the change TO null must emit, and the 10
+    after the null run must NOT re-emit (it equals the last value only
+    under null-UNSAFE comparison confusion); first row always emits."""
+    from servihabitat_etl_spyke_spark.streaming.topics import changes_only
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, None), (1, 3, 10.0), (2, 1, None), (2, 2, None)],
+        "key long, seq long, value double")
+    got = sorted((r.key, r.seq) for r in
+                 changes_only(df, ["key"], "value", ["seq"]).collect())
+    # key 1: seq1 first, seq2 change-to-null, seq3 change-back -> all 3
+    # key 2: seq1 first; seq2 null==null unchanged -> suppressed
+    assert got == [(1, 1), (1, 2), (1, 3), (2, 1)]

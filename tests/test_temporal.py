@@ -169,3 +169,17 @@ def test_asof_forward_and_tolerance(spark):
         right_cols=["rid"], direction="forward",
         tolerance_sec=5).collect()}
     assert tol == {10: 101, 11: None, 20: None}
+
+
+def test_interval_join_rejects_shared_columns(spark):
+    """Shared non-key columns (including identical ts names) must raise a
+    clear ValueError, matching the streaming twin's precondition, instead
+    of an AMBIGUOUS_REFERENCE analysis error."""
+    import pytest
+
+    from servihabitat_etl_spyke_spark.operators.temporal import interval_join
+    left = spark.createDataFrame([(1, 1.0)], "user_id long, ts double")
+    right = spark.createDataFrame([(1, 2.0)], "user_id long, ts double")
+    with pytest.raises(ValueError, match="both sides"):
+        interval_join(left, right, on=["user_id"], left_ts="ts",
+                      right_ts="ts", lower_sec=0, upper_sec=10)
