@@ -79,11 +79,17 @@ def add_object_key(df: DataFrame, key: str, value: Column) -> DataFrame:
 
 
 def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
-    """F6/F7: column renames (rewire is an alias; ETL renames are a dict)."""
-    for old, new in mapping.items():
-        if old in df.columns:
-            df = df.withColumnRenamed(old, new)
-    return df
+    """F6/F7: column renames (rewire is an alias; ETL renames are a dict).
+
+    ONE-SHOT select, not sequential withColumnRenamed: cascading renames
+    turn a swap mapping ({'a':'b','b':'a'}) into duplicate columns
+    ([a,b]->[b,b]->[a,a]) because each step re-matches names the previous
+    step just produced. The single select reads every source column under
+    its ORIGINAL name exactly once."""
+    if not any(o in df.columns for o in mapping):
+        return df
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
 
 
 # -- F10-F12: identity / time -----------------------------------------------
@@ -123,8 +129,16 @@ def uuid_version(col: Column | str) -> Column:
 
 
 def iso_now() -> Column:
-    """F12: ISO-8601 now() string (moment().toISOString() analog)."""
-    return F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    """F12: ISO-8601 now() string (moment().toISOString() analog —
+    always UTC). date_format renders in the SESSION timezone, so the
+    instant is converted to UTC wall time first; a bare format with a
+    literal 'Z' would stamp local time as UTC in non-UTC sessions."""
+    from pyspark.sql import SparkSession
+
+    tz = (SparkSession.getActiveSession()
+          .conf.get("spark.sql.session.timeZone"))
+    return F.date_format(F.to_utc_timestamp(F.current_timestamp(), tz),
+                         "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
 
 
 # -- F13: column transformer hooks -------------------------------------------
@@ -161,8 +175,13 @@ def path_prefixes(col: Column | str, sep: str = "/") -> Column:
     """F15: ``"a/b/c" -> ["a","a/b","a/b/c"]`` — the events groupIndex fn
     (eventsSchemas.ts:6) as pure array ops: transform(sequence) + slice +
     array_join. Powers multi-membership grouping (A4)."""
+    import re as _re
+
     c = F.col(col) if isinstance(col, str) else col
-    parts = F.split(c, sep)
+    # F.split takes a REGEX: escape the separator so sep='.' or '|'
+    # splits literally (array_join below already treats it literally —
+    # the two sides must agree); same discipline as split_column
+    parts = F.split(c, _re.escape(sep))
     return F.transform(
         F.sequence(F.lit(1), F.size(parts)),
         lambda i: F.array_join(F.slice(parts, F.lit(1), i), sep))

@@ -170,10 +170,15 @@ def chunk_tokens(docs: DataFrame, max_tokens: int = 64, overlap: int = 0,
 def pack_greedy(docs: DataFrame, max_tokens: int = 512,
                 group_col: str = "source", id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Assign each doc to a training-sequence bin: docs are taken in id
-    order within each group and a bin closes once it has ``max_tokens``
-    tokens (contiguous cumulative packing — a doc that crosses the
-    boundary starts the next bin's count, standard for sharded corpora).
+    """Assign each doc to a training-sequence bin by CUMULATIVE-SPAN
+    packing: docs are taken in id order within each group and doc d goes
+    to bin floor(prefix_tokens(d) / max_tokens) — each bin covers one
+    fixed ``max_tokens`` span of the group's token prefix line. Bins
+    average ``max_tokens``; a doc that straddles a span boundary stays in
+    the earlier bin, so the NEXT bin can close under capacity by up to
+    one doc's tokens (the bounded under-fill this distributed,
+    windows-only form trades against true first-fit, which is a
+    sequential fold per group).
 
     Returns (id, group, n_tokens, bin). One shuffle (window partitioned by
     group, ordered by id); packing is sequential per group but parallel
@@ -255,8 +260,11 @@ def boilerplate_ngrams(docs: DataFrame, n: int = 3,
 
 # -- URL / domain hygiene ------------------------------------------------------
 
-#: tracking query params stripped by normalize_urls (RE2-safe alternation)
-TRACKING_PARAMS_RE = r"(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*"
+#: tracking query params stripped by normalize_urls (RE2-safe alternation).
+#: Anchored at a param BOUNDARY (start-of-query or '&') so a param merely
+#: ending in a tracking name — 'href=...' contains 'ref=' — is untouched;
+#: the separator repair downstream absorbs the consumed '&'.
+TRACKING_PARAMS_RE = r"(^|&)(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*"
 
 
 def synth_url(id_col: Column, source_col: Column, lang_col: Column) -> Column:
@@ -513,14 +521,19 @@ def dsir_weights(raw: DataFrame, target: DataFrame, buckets: int = 1024,
                 .select(F.col(id_col),
                         (_hash32(F.col("_g")) % buckets).alias("_b")))
 
-    raw_f = feats(raw)
+    # materialized: raw_f feeds BOTH the q-distribution aggregate and
+    # the final per-doc scoring join — two lazy consumers would re-run
+    # the tokenize+explode pipeline (the dominant cost) twice
+    raw_f = feats(raw).localCheckpoint()
     # bucket spine 0..buckets-1 so unseen buckets still get smoothed terms
     spine = raw.sparkSession.range(buckets).select(
         F.col("id").cast("long").alias("_b"))
 
     def dist(f: DataFrame, cnt: str, tot: str) -> DataFrame:
         per_b = f.groupBy("_b").agg(F.count("*").alias(cnt))
-        total = f.agg(F.count("*").alias(tot))
+        # total from the buckets-row aggregate, NOT a second scan of f
+        total = per_b.agg(
+            F.coalesce(F.sum(cnt), F.lit(0)).cast("long").alias(tot))
         return (spine.join(per_b, "_b", "left")
                 .select("_b", F.coalesce(cnt, F.lit(0)).alias(cnt))
                 .join(F.broadcast(total)))
@@ -580,8 +593,11 @@ def sample_exact_k(df: DataFrame, k: int, strata_col: str,
     Shape: ONE shuffle on the stratum key for the per-stratum window;
     no global sort, no driver round-trip. Hash ties broken by the key
     itself so the permutation is total and reproducible."""
-    h = _unit_uniform(F.col(key_col)) * 100000 \
-        + (F.col(key_col).cast("long") % 100000)
+    # hash alone + key tiebreak: an additive cast('long') % 100000 term
+    # (the previous form) is NULL for string keys, collapsing the
+    # "random permutation" to plain key order; the key_col tiebreak
+    # already totalizes the order deterministically
+    h = _unit_uniform(F.col(key_col))
     w = W.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col))
     return (df.withColumn("sample_rank", F.row_number().over(w))
             .filter(F.col("sample_rank") <= k))
@@ -605,8 +621,7 @@ def token_budget_mix(df: DataFrame, budget_per_stratum: int,
     it — parallel across strata; at 100 TB strata are the mixture's
     sources, so the widest window is one source's docs ordered by an
     integer, exactly the shard-assignment shape already proven there."""
-    h = _unit_uniform(F.col(key_col)) * 100000 \
-        + (F.col(key_col).cast("long") % 100000)
+    h = _unit_uniform(F.col(key_col))   # see sample_exact_k's key note
     w = (W.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col))
          .rowsBetween(W.unboundedPreceding, -1))
     return (df.withColumn(

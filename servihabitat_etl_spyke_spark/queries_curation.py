@@ -473,7 +473,7 @@ s2 AS (SELECT *, regexp_extract(no_frag, '^[^?]*', 0) AS base,
               regexp_extract(no_frag, '\\?(.*)$', 1) AS query FROM s1),
 s3 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(
               regexp_replace(query,
-                '(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+                '(^|&)(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
               '&&+', '&', 'g'), '^&+', '', 'g'), '&+$', '', 'g') AS q
        FROM s2),
 s4 AS (SELECT *,
@@ -743,7 +743,7 @@ def curate_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HK_SQL = ("(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
-           "::UBIGINT::BIGINT % 10000) * 100000 + doc_id % 100000")
+           "::UBIGINT::BIGINT % 10000)")
 
 
 @query("curate_sample_exact_k", oracle=f"""

@@ -79,7 +79,12 @@ class SnapshotStore:
         snaps = self._load()
         sid = (snaps[-1]["id"] + 1) if snaps else 1
         data_dir = os.path.join(self.path, f"commit-{sid:06d}")
-        df.write.mode("error").parquet(data_dir)
+        # overwrite, not error: a crash between a past write and its
+        # manifest store leaves an ORPHAN commit-<sid> dir that is
+        # invisible to readers (only the manifest grants visibility) but
+        # would make every retry of this sid fail forever under
+        # mode('error') — clobbering the orphan is the healing action
+        df.write.mode("overwrite").parquet(data_dir)
         prev = snaps[-1]["dirs"] if (snaps and mode == "append") else []
         snaps.append({"id": sid, "mode": mode,
                       "dirs": prev + [f"commit-{sid:06d}"]})
@@ -98,7 +103,9 @@ class SnapshotStore:
         compacted snapshot is row-identical to the one it replaces
         (asserted in tests). ``target_files`` controls the coalesce
         width of the rewrite."""
-        df = self.read(spark).coalesce(target_files)
+        # merge_schema: without it the rewrite takes ONE commit's footer
+        # schema and silently drops columns added by later append commits
+        df = self.read(spark, merge_schema=True).coalesce(target_files)
         return self.commit(df, mode="overwrite")
 
     # -- reads ---------------------------------------------------------------
@@ -153,7 +160,10 @@ def snapshot_diff(spark: SparkSession, store: "SnapshotStore",
                   compare_cols: list[str] | None = None) -> DataFrame:
     """Row-level diff between two snapshots of a store: one row per key
     that was ``added``, ``removed``, or ``changed`` between the two
-    reads (unchanged keys are dropped). The audit/"what moved between
+    reads (unchanged keys are dropped). A key with several rows in one
+    snapshot is treated as a MULTISET: its digest folds every row, so
+    re-appended updates compare as one key and 'changed' means the
+    key's row multiset changed. The audit/"what moved between
     releases" op next to time travel — feed it to CDC consumers or a
     release report.
 
@@ -166,8 +176,8 @@ def snapshot_diff(spark: SparkSession, store: "SnapshotStore",
     (key, digest) only."""
     from pyspark.sql import functions as F
 
-    old = store.read(spark, snapshot=from_snapshot)
-    new = store.read(spark, snapshot=to_snapshot)
+    old = store.read(spark, snapshot=from_snapshot, merge_schema=True)
+    new = store.read(spark, snapshot=to_snapshot, merge_schema=True)
     if compare_cols is None:
         compare_cols = sorted(
             (set(old.columns) & set(new.columns)) - {key_col})
@@ -182,10 +192,16 @@ def snapshot_diff(spark: SparkSession, store: "SnapshotStore",
         # unambiguous.
         pieces = [F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-"))
                   for c in compare_cols]
-        return df.select(
-            F.col(key_col),
-            F.md5(F.concat(*pieces) if pieces else F.lit(""))
-            .alias(f"_d_{tag}"))
+        row_d = F.md5(F.concat(*pieces) if pieces else F.lit(""))
+        # fold duplicate keys (the norm in an append store, where an
+        # update is a re-append) into ONE order-free multiset digest per
+        # key — otherwise the full-outer join multiplies them into
+        # duplicate and contradictory change rows
+        return (df.select(F.col(key_col), row_d.alias("_r"))
+                .groupBy(key_col)
+                .agg(F.md5(F.concat_ws(
+                    "", F.sort_array(F.collect_list("_r"))))
+                    .alias(f"_d_{tag}")))
 
     o = digested(old, "old")
     n = digested(new, "new")

@@ -711,3 +711,47 @@ def test_mad_outlier_engine_fallback_matches_driver_path(spark):
     slow = sorted(map(tuple, mad_outlier_filter(
         df, "n_chars", max_hist_rows=3).collect()))
     assert fast == slow and len(fast) == 10
+
+
+def test_url_normalize_param_boundary(spark):
+    """'href=...' must survive tracking-param stripping: the regex is
+    anchored at a param boundary, so only whole params named
+    utm_*/gclid/fbclid/ref are removed."""
+    from servihabitat_etl_spyke_spark.operators.curation import (
+        normalize_urls)
+    df = spark.createDataFrame(
+        [(1, "https://a.com/p?href=https://b.com&id=2&ref=x"),
+         (2, "http://www.b.com/q?utm_a=1&utm_b=2&keep=3")],
+        "doc_id long, url string")
+    got = {r.doc_id: r.url_norm for r in normalize_urls(df).collect()}
+    assert got[1] == "https://a.com/p?href=https://b.com&id=2"
+    assert got[2] == "http://b.com/q?keep=3"
+
+
+def test_sample_exact_k_string_keys(spark):
+    """String keys must still get a hash-permutation sample, not plain
+    key order (the old cast('long') term was NULL for every string key,
+    degenerating selection to the first k ids)."""
+    from servihabitat_etl_spyke_spark.operators.curation import (
+        sample_exact_k)
+    rows = [(f"doc-{i:05d}", "en") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    got = sorted(r.doc_id for r in
+                 sample_exact_k(df, k=20, strata_col="lang",
+                                key_col="doc_id").collect())
+    assert len(got) == 20
+    # a degenerate key-order "sample" would be exactly the first 20 ids
+    assert got != sorted(r[0] for r in rows)[:20]
+
+
+def test_dsir_weights_string_ids_and_totals(spark):
+    """dsir_weights runs end-to-end (totals now derive from the bucket
+    aggregate; the feature stream materializes once)."""
+    from servihabitat_etl_spyke_spark.operators.curation import dsir_weights
+    docs = spark.createDataFrame(
+        [(i, "common words here " + ("wiki text " * (i % 3)))
+         for i in range(30)], "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") % 3 == 1)
+    out = dsir_weights(docs, target, buckets=64)
+    assert out.count() == 30
+    assert set(out.columns) == {"doc_id", "n_grams", "logw_nano"}

@@ -80,3 +80,18 @@ def test_rename_and_mask_and_sanitize(spark):
 def test_iso_now_shape(spark):
     v = spark.range(1).select(iso_now().alias("t")).collect()[0]["t"]
     assert re.match(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z$", v)
+
+
+def test_rename_columns_swap_and_path_prefix_regex_sep(spark):
+    """Swap mappings rename atomically (sequential withColumnRenamed
+    produced [a,a]); path_prefixes treats a regex-metachar separator
+    literally on BOTH the split and join sides."""
+    from servihabitat_etl_spyke_spark.functions.core import (
+        path_prefixes, rename_columns)
+    df = spark.createDataFrame([(1, 2)], ["a", "b"])
+    out = rename_columns(df, {"a": "b", "b": "a"})
+    assert out.columns == ["b", "a"]
+    assert out.collect()[0].asDict() == {"b": 1, "a": 2}
+    dotted = spark.createDataFrame([("x.y.z",)], ["p"])
+    got = dotted.select(path_prefixes("p", sep=".").alias("pre")).collect()
+    assert got[0]["pre"] == ["x", "x.y", "x.y.z"]

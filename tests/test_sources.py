@@ -300,3 +300,54 @@ def test_sheet_transport_none_field_writes_empty_cell():
     tr = SheetTransport(svc, "s1", "id", ["id", "name"])
     tr.put({"id": "1", "name": None})
     assert svc.rows == [["id", "name"], ["1", ""]]
+
+
+def test_snapshot_commit_heals_orphan_dir(spark, tmp_path):
+    """A crash between a commit's parquet write and its manifest store
+    leaves an orphan commit dir; the retry must overwrite it instead of
+    failing forever on mode('error')."""
+    import os
+
+    from servihabitat_etl_spyke_spark.sources.snapshots import SnapshotStore
+    store = SnapshotStore(str(tmp_path / "snap"))
+    store.commit(spark.createDataFrame([(1, "a")], "id long, v string"))
+    # simulate the torn second commit: data dir exists, manifest doesn't know
+    orphan = os.path.join(store.path, "commit-000002")
+    spark.createDataFrame([(9, "junk")], "id long, v string") \
+        .write.parquet(orphan)
+    sid = store.commit(
+        spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert sid == 2
+    got = sorted((r.id, r.v) for r in store.read(spark).collect())
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_snapshot_compact_keeps_evolved_columns(spark, tmp_path):
+    """compact() must read with mergeSchema so columns added by later
+    append commits survive the rewrite."""
+    from servihabitat_etl_spyke_spark.sources.snapshots import SnapshotStore
+    store = SnapshotStore(str(tmp_path / "snap2"))
+    store.commit(spark.createDataFrame([(1,)], "id long"))
+    store.commit(spark.createDataFrame([(2, "x")], "id long, extra string"),
+                 mode="append")
+    store.compact(spark)
+    got = store.read(spark)
+    assert "extra" in got.columns
+    vals = {r.id: r.asDict().get("extra") for r in got.collect()}
+    assert vals == {1: None, 2: "x"}
+
+
+def test_snapshot_diff_folds_duplicate_keys(spark, tmp_path):
+    """An append-mode update (same key re-appended) must yield ONE
+    'changed' row for the key, not contradictory duplicates from the
+    full-outer join."""
+    from servihabitat_etl_spyke_spark.sources.snapshots import (
+        SnapshotStore, snapshot_diff)
+    store = SnapshotStore(str(tmp_path / "snap3"))
+    s1 = store.commit(spark.createDataFrame([(1, "a"), (2, "b")],
+                                            "id long, v string"))
+    store.commit(spark.createDataFrame([(1, "a2")], "id long, v string"),
+                 mode="append")
+    out = snapshot_diff(spark, store, "id", from_snapshot=s1).collect()
+    rows = sorted((r.id, r.change) for r in out)
+    assert rows == [(1, "changed")]
