@@ -325,7 +325,10 @@ def domain_filter(df: DataFrame, blocked: list[str] | DataFrame,
         return df.join(F.broadcast(blocked.select(
             F.col(blocked.columns[0]).alias(domain_col))),
             on=domain_col, how="left_anti")
-    return df.filter(~F.col(domain_col).isin(blocked))
+    # NULL domains are NOT blocked — the anti-join path keeps them (a
+    # null key matches nothing), and ~isin alone would be NULL (dropped)
+    return df.filter(F.col(domain_col).isNull()
+                     | ~F.col(domain_col).isin(blocked))
 
 
 def per_domain_cap(df: DataFrame, cap: int, domain_col: str = "domain",

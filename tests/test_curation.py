@@ -755,3 +755,19 @@ def test_dsir_weights_string_ids_and_totals(spark):
     out = dsir_weights(docs, target, buckets=64)
     assert out.count() == 30
     assert set(out.columns) == {"doc_id", "n_grams", "logw_nano"}
+
+
+def test_domain_filter_keeps_null_domains_both_paths(spark):
+    """A NULL domain is not blocklisted: the literal-list path must keep
+    it like the anti-join path does (~isin alone evaluates NULL ->
+    dropped)."""
+    from servihabitat_etl_spyke_spark.operators.curation import (
+        domain_filter)
+    df = spark.createDataFrame(
+        [(1, "bad.com"), (2, "ok.com"), (3, None)],
+        "doc_id long, domain string")
+    lit = sorted(r.doc_id for r in
+                 domain_filter(df, ["bad.com"]).collect())
+    bl = spark.createDataFrame([("bad.com",)], ["domain"])
+    joined = sorted(r.doc_id for r in domain_filter(df, bl).collect())
+    assert lit == joined == [2, 3]
