@@ -67,8 +67,12 @@ def json_get(col: Column | str, path: str) -> Column:
 
 def to_json_pretty(col: Column) -> Column:
     """F4: value -> JSON string (reference pretty-prints; we emit canonical
-    compact JSON — a formatting, not semantic, difference)."""
-    return F.to_json(col)
+    compact JSON — a formatting, not semantic, difference).
+
+    ``ignoreNullFields=false``: JSON.stringify keeps null fields
+    ({"a":null}), and so does DuckDB's to_json — Spark's default of
+    silently dropping them would diverge on the first NULL field."""
+    return F.to_json(col, {"ignoreNullFields": "false"})
 
 
 # -- F5/F6/F7: object shaping ------------------------------------------------

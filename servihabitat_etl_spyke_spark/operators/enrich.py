@@ -63,7 +63,17 @@ def _enrich(df: DataFrame, in_col: str, out_col: str, client: Client,
         for pdf in batches:
             for start in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[start:start + batch_size].copy()
-                chunk[out_col] = client(chunk[in_col].astype(str).tolist())
+                # NULL in -> NULL out: astype(str) would turn a None/NaN
+                # prompt into the literal text 'None'/'nan' and bill a
+                # garbage request for it; SQL functions (and the DuckDB
+                # oracle's md5) propagate NULL instead
+                mask = chunk[in_col].notna()
+                vals = pd.Series([None] * len(chunk), index=chunk.index,
+                                 dtype=object)
+                if mask.any():
+                    vals[mask] = client(
+                        chunk.loc[mask, in_col].astype(str).tolist())
+                chunk[out_col] = vals
                 yield chunk
     return df.mapInPandas(run, schema=out_schema)
 

@@ -45,11 +45,16 @@ def flow_map_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH seq AS (
   SELECT user_id, event_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS prev
+                               ORDER BY ts, event_id) AS prev,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
   FROM events
 )
+-- null-SAFE, mirroring changes_only: `prev IS NULL` cannot tell "first
+-- message" from "previous value was NULL", and <> is NULL (dropped) for
+-- a change TO null
 SELECT user_id, event_id, event_type FROM seq
-WHERE prev IS NULL OR event_type <> prev
+WHERE rn = 1 OR event_type IS DISTINCT FROM prev
 ORDER BY user_id, event_id
 """)
 def sub_on_change(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import TABLES, load_table
-from .queries import query
+from .queries import query, round2
 from .sources import catalog_table, sheet_from_rows, sheet_upsert
 
 # ---------------------------------------------------------------------------
@@ -108,12 +108,12 @@ def switch_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("range_banding", oracle="""
-SELECT event_id, round(value, 2) AS value,
+SELECT event_id, floor(value * 100 + 0.5) / 100 AS value,
        CASE WHEN value > 60 + 15 THEN 'above'
             WHEN value < 60 - 15 THEN 'below' ELSE 'in-range' END AS band,
-       round(CASE WHEN value > 60 + 15 THEN value - (60 + 15)
+       floor(CASE WHEN value > 60 + 15 THEN value - (60 + 15)
                   WHEN value < 60 - 15 THEN (60 - 15) - value
-                  ELSE 0 END, 2) AS delta
+                  ELSE 0 END * 100 + 0.5) / 100 AS delta
 FROM events ORDER BY event_id
 """)
 def range_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,9 +127,12 @@ def range_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("in-range"))
     delta = (F.when(v > hi, v - hi).when(v < lo, lo - v)
              .otherwise(F.lit(0.0)))
-    return (ev.select("event_id", F.round(v, 2).alias("value"),
+    # round2, not F.round: the two engines disagree on half-cent edges
+    # (queries.round2 docstring) — identical on current data, but the
+    # parity gate must not depend on that data property
+    return (ev.select("event_id", round2(v).alias("value"),
                       band.alias("band"),
-                      F.round(delta, 2).alias("delta"))
+                      round2(delta).alias("delta"))
             .orderBy("event_id"))
 
 
@@ -341,13 +344,18 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     landed later (the oracle is simply that first slice). Data files are
     immutable; the manifest maps snapshot id -> visible directories, so
     old training runs stay exactly reproducible."""
+    import shutil
     import tempfile
 
-    from .catalog import load_table
     from .sources.snapshots import SnapshotStore
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    st = SnapshotStore(tempfile.mkdtemp(prefix="snapshot_tt_"))
+    # fixed per-process fixture, rebuilt in place (same discipline as
+    # scale_bucketed_join): a fresh mkdtemp per call would leak one
+    # 3-commit tree per bench attempt / correctness round
+    base = f"{tempfile.gettempdir()}/snapshot_tt_fixture"
+    shutil.rmtree(base, ignore_errors=True)
+    st = SnapshotStore(base)
     st.commit(ev.filter(F.col("event_id") < 1000))
     st.commit(ev.filter((F.col("event_id") >= 1000)
                         & (F.col("event_id") < 2000)))

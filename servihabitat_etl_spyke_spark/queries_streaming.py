@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import load_table
 from .functions.core import epoch_micros
-from .queries import query
+from .queries import query, round2
 from .streaming import events as EV
 from .streaming import queues as Q
 from .streaming import windows as WIN
@@ -60,7 +60,7 @@ SELECT 'notifications/order/' ||
        CASE CAST(o_orderstatus AS VARCHAR) WHEN 'F' THEN 'create'
             WHEN 'O' THEN 'update' ELSE 'delete' END ||
        '/' || CAST(o_orderkey AS VARCHAR) AS topic,
-       o_orderkey, round(o_totalprice, 2) AS payload_total
+       o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS payload_total
 FROM orders ORDER BY o_orderkey LIMIT 100
 """)
 def cdc_notifications(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,7 +73,7 @@ def cdc_notifications(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = orders.withColumn("action", action)
     return (EV.cdc_topics(changes, "order", key_col="o_orderkey")
             .select("topic", "o_orderkey",
-                    F.round("o_totalprice", 2).alias("payload_total"))
+                    round2(F.col("o_totalprice")).alias("payload_total"))
             .orderBy("o_orderkey").limit(100))
 
 
@@ -270,13 +270,16 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("session_window_batch", oracle="""
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
               THEN 0 ELSE 1 END AS new_session
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         -- event_id tiebreak keeps tied-ts peers in the SAME order the
+         -- flagged CTE computed new_session in (an untied ROWS frame
+         -- could sum a ns=0 row before its ns=1 twin, shifting sessions)
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )

@@ -129,3 +129,20 @@ def test_http_llm_client_is_explicit_stub(spark):
     client = EN.http_llm_client("https://example.invalid/v1", "key")
     with pytest.raises(NotImplementedError):
         client(["prompt"])
+
+
+def test_to_json_keeps_null_fields_and_enrich_propagates_null(spark):
+    """F4 to_json emits {"a":null} like JSON.stringify/DuckDB (Spark's
+    default silently drops null fields); the enrich operators return
+    NULL for a NULL prompt instead of billing a request for the literal
+    text 'None'."""
+    from servihabitat_etl_spyke_spark.functions.core import to_json_pretty
+    from servihabitat_etl_spyke_spark.operators.enrich import llm_enrich
+    df = spark.createDataFrame([(1, None), (2, "hi")],
+                               "id long, t string")
+    js = {r.id: r.js for r in df.select(
+        "id", to_json_pretty(F.struct("t", "id")).alias("js")).collect()}
+    assert js[1] == '{"t":null,"id":1}'
+    out = {r.id: r.completion
+           for r in llm_enrich(df, "t").collect()}
+    assert out[1] is None and out[2] is not None
