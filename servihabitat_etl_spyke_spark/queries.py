@@ -62,6 +62,13 @@ def round2(c: Column) -> Column:
     return F.floor(c * 100 + F.lit(0.5)) / 100
 
 
+def roundn(c: Column, n: int) -> Column:
+    """:func:`round2` generalized to ``n`` decimals (same engine-stable
+    floor(x*10^n + 0.5)/10^n form; oracles mirror it verbatim)."""
+    s = 10 ** n
+    return F.floor(c * s + F.lit(0.5)) / s
+
+
 # ---------------------------------------------------------------------------
 # Models (annotation metadata for the planner; SURVEY.md §1.2)
 # ---------------------------------------------------------------------------
@@ -117,13 +124,15 @@ EVENTS = model(
 
 @query("q1_pricing_summary", oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 6)                                        AS avg_disc,
+       floor(sum(l_quantity) * 100 + 0.5) / 100                 AS sum_qty,
+       floor(sum(l_extendedprice) * 100 + 0.5) / 100            AS sum_base_price,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+                                                                AS sum_disc_price,
+       floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100
+             + 0.5) / 100                                       AS sum_charge,
+       floor(avg(l_quantity) * 10000 + 0.5) / 10000             AS avg_qty,
+       floor(avg(l_extendedprice) * 10000 + 0.5) / 10000        AS avg_price,
+       floor(avg(l_discount) * 1000000 + 0.5) / 1000000         AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -137,13 +146,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            round2(F.sum("l_quantity")).alias("sum_qty"),
+            round2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            round2(F.sum(disc_price)).alias("sum_disc_price"),
+            round2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            roundn(F.avg("l_quantity"), 4).alias("avg_qty"),
+            roundn(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            roundn(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -407,8 +416,8 @@ def read_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_merge_first_wins", oracle="""
 SELECT l_orderkey,
-       arg_min(l_returnflag, printf('%04d-%06d-%06d', l_linenumber, l_partkey, l_suppkey)) AS first_flag,
-       arg_min(l_quantity,   printf('%04d-%06d-%06d', l_linenumber, l_partkey, l_suppkey)) AS first_qty,
+       arg_min(l_returnflag, printf('%06d-%012d-%012d', l_linenumber, l_partkey, l_suppkey)) AS first_flag,
+       arg_min(l_quantity,   printf('%06d-%012d-%012d', l_linenumber, l_partkey, l_suppkey)) AS first_qty,
        array_to_string(list(CAST(l_partkey AS VARCHAR)
                             ORDER BY l_linenumber, l_partkey), ',') AS merged_parts
 FROM lineitem
@@ -455,9 +464,9 @@ def dedup_merge_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_first_wins", oracle="""
 SELECT l_orderkey,
-       arg_min(l_linenumber, printf('%04d-%06d-%06d', l_linenumber, l_partkey, l_suppkey)) AS l_linenumber,
-       arg_min(l_partkey,    printf('%04d-%06d-%06d', l_linenumber, l_partkey, l_suppkey)) AS l_partkey,
-       arg_min(l_quantity,   printf('%04d-%06d-%06d', l_linenumber, l_partkey, l_suppkey)) AS l_quantity
+       arg_min(l_linenumber, printf('%06d-%012d-%012d', l_linenumber, l_partkey, l_suppkey)) AS l_linenumber,
+       arg_min(l_partkey,    printf('%06d-%012d-%012d', l_linenumber, l_partkey, l_suppkey)) AS l_partkey,
+       arg_min(l_quantity,   printf('%06d-%012d-%012d', l_linenumber, l_partkey, l_suppkey)) AS l_quantity
 FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
 """)
 def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -723,7 +732,8 @@ def fn_time_sortable_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q3_shipping_priority", oracle="""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+         AS revenue,
        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
        o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
@@ -745,7 +755,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
              .alias("revenue"))
         .select("l_orderkey", "revenue",
                 F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
@@ -756,7 +766,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q5_region_revenue", oracle="""
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+         AS revenue
 FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
@@ -778,7 +790,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast it while it fits, AQE switches to shuffle when it doesn't
     return (li.join(dims, li.l_suppkey == dims.s_suppkey)
             .groupBy("n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .agg(round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
                  .alias("revenue"))
             .orderBy("n_name"))
 
@@ -804,7 +816,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("window_tumbling_hourly", oracle="""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
-       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+       event_type, count(*) AS cnt, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """)
 def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,7 +829,7 @@ def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hour_start"),
         "event_type")
         .agg(F.count("*").alias("cnt"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             round2(F.sum("value")).alias("sum_value"))
         .orderBy("hour_start", "event_type"))
 
 
@@ -865,7 +877,8 @@ WITH seq AS (
          lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events
 )
-SELECT user_id, event_id, round(value, 2) AS value, round(prev, 2) AS prev,
+SELECT user_id, event_id, floor(value * 100 + 0.5) / 100 AS value,
+       floor(prev * 100 + 0.5) / 100 AS prev,
        CASE WHEN prev < 100 AND value >= 100 THEN 'rising' ELSE 'falling' END AS edge
 FROM seq
 WHERE (prev < 100 AND value >= 100) OR (prev >= 100 AND value < 100)
@@ -883,8 +896,8 @@ def edge_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     falling = (F.col("prev") >= 100) & (F.col("value") < 100)
     return (seq.filter(rising | falling)
             .select("user_id", "event_id",
-                    F.round("value", 2).alias("value"),
-                    F.round("prev", 2).alias("prev"),
+                    round2(F.col("value")).alias("value"),
+                    round2(F.col("prev")).alias("prev"),
                     F.when(rising, "rising").otherwise("falling").alias("edge"))
             .orderBy("user_id", "event_id"))
 

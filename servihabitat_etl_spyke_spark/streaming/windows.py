@@ -19,7 +19,11 @@ def tumbling_counts_stream(events: DataFrame, duration: str = "1 hour",
     return (events.withWatermark("ts", watermark)
             .groupBy(F.window("ts", duration), "event_type")
             .agg(F.count("*").alias("cnt"),
-                 F.round(F.sum("value"), 2).alias("sum_value")))
+                 # round2 form, matching the batch twin
+                 # (queries.window_tumbling_hourly) — F.round diverges
+                 # from floor(x*100+0.5)/100 on half-cent edges
+                 (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100)
+                 .alias("sum_value")))
 
 
 def sliding_counts(events: DataFrame, duration: str = "1 hour",
