@@ -91,7 +91,12 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.length(text).alias("n_chars"),
         n_tok.alias("n_tokens"),
-        F.round(F.length(text) / n_tok, 4).alias("chars_per_token"),
+        # floor-form, not F.round: 4-decimal midpoints ARE reachable for
+        # integer char/token ratios (829/800 = 1.03625 -> engines round
+        # opposite ways); the 6-decimal ratios below stay round() — their
+        # midpoint shortest-reprs are statistically unreachable
+        (F.floor(F.length(text) / n_tok * 10000 + F.lit(0.5)) / 10000)
+        .alias("chars_per_token"),
         F.round(_count_in_lower(toks, STOPWORDS) / n_tok, 6)
         .alias("stopword_ratio"),
         # every [^\w\s] match is exactly one char, so the match count
@@ -505,39 +510,50 @@ def token_entropy(docs: DataFrame, id_col: str = "doc_id",
     sorted token array (run boundaries close each multiplicity) — no
     explode, no per-doc groupBy, no O(n·distinct) nested scan.
 
-    Returns (id, n_tokens, entropy_nano) — nano-quantized so an
-    external SQL oracle reproduces it bit-for-bit."""
+    Returns (id, n_tokens, entropy_nano). Each run's c·ln c term is
+    nano-quantized to an INTEGER before summing (the lm_score/bm25
+    discipline): a raw double Σ would accumulate in Spark's sorted-run
+    order but the oracle's hash-aggregate order, and JVM Math.log vs
+    libm ln can differ by 1 ulp per term — quantize-then-sum keeps the
+    comparison exact up to per-term boundary hits instead of letting
+    fold-order drift shift the total."""
     toks = F.col("_toks")
     n_tok = F.size(toks)
+
+    def _term(run):
+        # floor(c*ln(c)*1e9 + 0.5) as a long; ln(1)=0 -> runs of 1 add 0
+        return F.floor(run * F.log(run) * 1e9 + F.lit(0.5)).cast("long")
 
     def _run(acc, x):
         return F.when(acc["prev"].eqNullSafe(x),
                       acc["run"] + 1).otherwise(F.lit(1).cast("long"))
 
     def _acc(acc, x):
-        # when a run ends, fold c*ln(c) for the closed run into the sum
+        # when a run ends, fold the closed run's quantized term in
         return F.when(
             acc["prev"].isNull() | acc["prev"].eqNullSafe(x), acc["s"]) \
-            .otherwise(acc["s"] + acc["run"] * F.log(acc["run"]))
+            .otherwise(acc["s"] + _term(acc["run"]))
 
     folded = F.aggregate(
         F.array_sort(toks),
         F.struct(F.lit(None).cast("string").alias("prev"),
                  F.lit(0).cast("long").alias("run"),
-                 F.lit(0.0).alias("s")),
+                 F.lit(0).cast("long").alias("s")),
         lambda acc, x: F.struct(
             x.alias("prev"), _run(acc, x).alias("run"),
             _acc(acc, x).alias("s")),
         lambda acc: acc["s"] + F.when(
-            acc["run"] > 0, acc["run"] * F.log(acc["run"])).otherwise(0.0))
+            acc["run"] > 0, _term(acc["run"])).otherwise(
+                F.lit(0).cast("long")))
     return (spread(docs, id_col)
             .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
             .select(F.col(id_col), n_tok.alias("n_tokens"),
-                    folded.alias("_clnc"))
+                    folded.alias("_snano"))
             .select(F.col(id_col), "n_tokens",
-                    F.floor((F.log("n_tokens")
-                             - F.col("_clnc") / F.col("n_tokens"))
-                            * 1e9 + F.lit(0.5)).cast("long")
+                    (F.floor(F.log("n_tokens") * 1e9 + F.lit(0.5))
+                     .cast("long")
+                     - F.floor(F.col("_snano") / F.col("n_tokens")
+                               + F.lit(0.5)).cast("long"))
                     .alias("entropy_nano")))
 
 

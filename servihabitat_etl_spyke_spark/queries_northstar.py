@@ -16,7 +16,7 @@ from .operators import dedup as D
 from .operators import multimodal as MM
 from .operators import similarity as SIM
 from .operators import text as TX
-from .queries import query
+from .queries import query, roundn
 
 # ---------------------------------------------------------------------------
 # shared oracle SQL fragments
@@ -304,6 +304,7 @@ def dedup_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_incremental`: the full-corpus pair set restricted to pairs
     touching the new batch — proving the snapshot plumbing changes the
     I/O, not the answer."""
+    import shutil
     import tempfile
 
     from .sources.snapshots import SnapshotStore
@@ -312,8 +313,13 @@ def dedup_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     crawl = docs.filter(F.col("doc_id") % 5 == 0)
 
-    doc_store = SnapshotStore(tempfile.mkdtemp(prefix="snapdocs_"))
-    sig_store = SnapshotStore(tempfile.mkdtemp(prefix="snapsigs_"))
+    # fixed per-process fixtures rebuilt in place (the
+    # scale_bucketed_join discipline) — a fresh mkdtemp per call would
+    # leak two corpus-sized trees per bench attempt / correctness round
+    base = f"{tempfile.gettempdir()}/snap_incr_fixture"
+    shutil.rmtree(base, ignore_errors=True)
+    doc_store = SnapshotStore(f"{base}/docs")
+    sig_store = SnapshotStore(f"{base}/sigs")
     base_sid = doc_store.commit(corpus)
     sig_store.commit(D.minhash_signatures(corpus))
     doc_store.commit(crawl)
@@ -643,7 +649,7 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     model = SIM.pca_fit(emb, k=8)
     proj = SIM.pca_project(emb, model)
-    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    q6 = lambda c: roundn(c, 6)  # noqa: E731
     return (proj.select(
         "vec_id",
         q6(F.element_at("pca", 1)).alias("pc1_q"),
@@ -676,8 +682,7 @@ def _pagerank_over(edges: DataFrame) -> DataFrame:
     ranks = pagerank(e, damping=0.85, iters=8)
     return (ranks.select(
         F.col("v").alias("vec_id"),
-        (F.floor(F.col("rank") * 1000000000 + F.lit(0.5)) / 1000000000)
-        .alias("rank_q"))
+        roundn(F.col("rank"), 9).alias("rank_q"))
         .orderBy("vec_id"))
 
 
@@ -714,7 +719,8 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        length(text) AS n_chars,
        len(string_split(text, ' ')) AS n_tokens,
-       round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS chars_per_token,
+       floor(length(text) * 1.0 / len(string_split(text, ' '))
+             * 10000 + 0.5) / 10000 AS chars_per_token,
        round(len(list_filter(string_split(text, ' '),
              t -> list_contains(['the','a','of','and','is','in','to','it'],
                                 lower(t))))
@@ -1209,7 +1215,7 @@ def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash array cells (same contract as `embed_pca`)."""
     emb = load_table(spark, sf_dir, "embeddings")
     proj = SIM.jl_project(emb, out_dim=8)
-    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    q6 = lambda c: roundn(c, 6)  # noqa: E731
     return (proj.select(
         "vec_id",
         q6(F.element_at("projected", 1)).alias("jl1_q"),
@@ -1285,11 +1291,17 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 cnt AS (SELECT doc_id, unnest(t) AS tok FROM toks),
 c AS (SELECT doc_id, tok, count(*) AS c FROM cnt GROUP BY doc_id, tok),
+-- per-term nano quantization BEFORE the sum (mirrors token_entropy):
+-- integer terms make the aggregate fold-order-free in both engines
+q AS (SELECT doc_id,
+             CAST(floor(c * ln(c) * 1000000000 + 0.5) AS BIGINT) AS t
+      FROM c),
 n AS (SELECT doc_id, len(t) AS n FROM toks)
 SELECT n.doc_id, n.n AS n_tokens,
-       CAST(floor((ln(n.n) - sum(c.c * ln(c.c)) / n.n)
-                  * 1000000000 + 0.5) AS BIGINT) AS entropy_nano
-FROM n JOIN c ON n.doc_id = c.doc_id
+       CAST(floor(ln(n.n) * 1000000000 + 0.5) AS BIGINT)
+         - CAST(floor(sum(q.t) * 1.0 / n.n + 0.5) AS BIGINT)
+         AS entropy_nano
+FROM n JOIN q ON n.doc_id = q.doc_id
 GROUP BY n.doc_id, n.n ORDER BY n.doc_id
 """)
 def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2197,6 +2209,20 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def _audio_lake_with_plants(docs: DataFrame) -> DataFrame:
+    """Shared audio fixture for the near-dup and dedup twins: the full
+    media lake plus planted HALF-VOLUME re-encodes of docs with
+    id % 7 == 3, re-keyed +100000. One place defines the plant
+    parameters — the two queries' 'every re-encode maps to its source'
+    guarantees silently depend on using identical plants — and the
+    copies derive from the ALREADY-ATTACHED blobs (no second render of
+    the source subset)."""
+    blobs = MM.attach_audio(docs)
+    copies = (MM.audio_gain(blobs.filter(F.col("doc_id") % 7 == 3), 0.5)
+              .withColumn("doc_id", F.col("doc_id") + 100000))
+    return blobs.unionByName(copies)
+
+
 @query("multimodal_audio_neardup")  # FFT float path -> rows-only; pytest
 def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs over the media lake plus planted half-volume
@@ -2211,11 +2237,8 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible) -> rows-only; gain invariance, clipped-copy
     alignment, and discrimination proven in pytest."""
     docs = load_table(spark, sf_dir, "documents")
-    blobs = MM.attach_audio(docs)
-    src = docs.filter(F.col("doc_id") % 7 == 3)
-    copies = (MM.audio_gain(MM.attach_audio(src), 0.5)
-              .withColumn("doc_id", F.col("doc_id") + 100000))
-    return (MM.audio_fp_neardup(blobs.unionByName(copies), min_shared=3)
+    return (MM.audio_fp_neardup(_audio_lake_with_plants(docs),
+                                min_shared=3)
             .orderBy("id_a", "id_b"))
 
 
@@ -2385,11 +2408,8 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair. Same shuffle budget as its stages: the word equi-join and the
     CC label propagation over pair ids only — blobs never shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    blobs = MM.attach_audio(docs)
-    src = docs.filter(F.col("doc_id") % 7 == 3)
-    copies = (MM.audio_gain(MM.attach_audio(src), 0.5)
-              .withColumn("doc_id", F.col("doc_id") + 100000))
-    pairs = MM.audio_fp_neardup(blobs.unionByName(copies), min_shared=3)
+    pairs = MM.audio_fp_neardup(_audio_lake_with_plants(docs),
+                                min_shared=3)
     comp = D.connected_components(pairs)
     return (comp.withColumn("is_canonical",
                             F.col("doc_id") == F.col("cluster_id"))
@@ -2520,6 +2540,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections; unchanged keys never leave the join. The audit that
     turns time travel into a release report. Oracle derives the same
     verdicts from the membership/edit rules directly."""
+    import shutil
     import tempfile
 
     from .sources.snapshots import SnapshotStore
@@ -2532,7 +2553,9 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("text", F.when(F.col("doc_id") % 5 == 0,
                                      F.upper(F.col("text")))
                       .otherwise(F.col("text"))))
-    store = SnapshotStore(tempfile.mkdtemp(prefix="snapdiff_"))
+    base = f"{tempfile.gettempdir()}/snapdiff_fixture"
+    shutil.rmtree(base, ignore_errors=True)   # no per-call tree leak
+    store = SnapshotStore(base)
     s1 = store.commit(v1)
     s2 = store.commit(v2, mode="overwrite")
     return (_diff(spark, store, key_col="doc_id",

@@ -1101,17 +1101,30 @@ def test_jl_rerank_recall_vs_exact(spark, sf_dir):
 
 
 def test_token_entropy_known_values(spark):
-    """Hand-checked: all-same tokens -> H = 0; all-distinct -> H = ln(n);
-    half-half -> H = ln(2)."""
+    """Hand-checked against the QUANTIZED pipeline (each run's c·ln c is
+    floored to nano ints before summing — the fold-order-free discipline
+    — so expectations replay that exact arithmetic, within 1 nano of the
+    analytic H): all-same -> 0; all-distinct -> ln(n); half-half ->
+    ln(2)."""
     import math
     from servihabitat_etl_spyke_spark.operators.text import token_entropy
+
+    def expected(counts):
+        n = sum(counts)
+        s = sum(math.floor(c * math.log(c) * 1e9 + 0.5) for c in counts)
+        return (math.floor(math.log(n) * 1e9 + 0.5)
+                - math.floor(s / n + 0.5))
+
     docs = spark.createDataFrame(
         [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
         "doc_id long, text string")
     out = {r["doc_id"]: r for r in token_entropy(docs).collect()}
-    assert out[1]["entropy_nano"] == 0
-    assert out[2]["entropy_nano"] == math.floor(math.log(4) * 1e9 + 0.5)
-    assert out[3]["entropy_nano"] == math.floor(math.log(2) * 1e9 + 0.5)
+    assert out[1]["entropy_nano"] == expected([4]) == 0
+    assert out[2]["entropy_nano"] == expected([1, 1, 1, 1]) \
+        == math.floor(math.log(4) * 1e9 + 0.5)
+    assert out[3]["entropy_nano"] == expected([2, 2])
+    assert abs(out[3]["entropy_nano"]
+               - math.floor(math.log(2) * 1e9 + 0.5)) <= 1
 
 
 def test_compression_ratio_orders_repetitive_prose_random(spark):
