@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
 from .catalog import load_table
-from .queries import query, round2
+from .queries import query, round2, roundn
 
 # ---------------------------------------------------------------------------
 # TPC-H-shaped single-pass aggregations
@@ -201,8 +201,7 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part scales with data volume -> no forced broadcast; stats/AQE decide
     joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.agg(
-        (F.floor(100.0 * F.sum(promo) / F.sum(rev) * 10000 + F.lit(0.5))
-         / 10000).alias("promo_pct"))
+        roundn(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"))
 
 
 @query("q17_small_qty_avg", oracle="""
@@ -338,14 +337,18 @@ ORDER BY event_type, event_id
 def queue_fifo_lifo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 fifo/lifo drain order per queue (= event_type): enqueue order is
     event time; the first 5 dequeued under each discipline. One sort per
-    partition key serves both directions (mirror positions)."""
+    partition key serves both directions: (ts, event_id) is a total order
+    (event_id unique), so the lifo position is the mirror of the fifo one
+    — n_in_queue - fifo_pos + 1 — computed from an unordered count window
+    that shares the fifo sort instead of paying a second descending
+    sort."""
     ev = load_table(spark, sf_dir, "events")
     wf = W.partitionBy("event_type").orderBy("ts", "event_id")
-    wl = W.partitionBy("event_type").orderBy(F.col("ts").desc(),
-                                             F.col("event_id").desc())
+    fifo = F.row_number().over(wf)
+    lifo = (F.count("*").over(W.partitionBy("event_type")) - fifo + 1)
     return (ev.select("event_type", "event_id",
-                      F.row_number().over(wf).alias("fifo_pos"),
-                      F.row_number().over(wl).alias("lifo_pos"))
+                      fifo.alias("fifo_pos"),
+                      lifo.cast("int").alias("lifo_pos"))
             .filter((F.col("fifo_pos") <= 5) | (F.col("lifo_pos") <= 5))
             .orderBy("event_type", "event_id"))
 
@@ -508,12 +511,11 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks are 1e-6-quantized for engine-stable hashing."""
     docs = load_table(spark, sf_dir, "documents")
     w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
-    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000
     return (docs.select(
         "doc_id", "lang",
         F.ntile(4).over(w).alias("quartile"),
-        q6(F.percent_rank().over(w)).alias("pct_rank"),
-        q6(F.cume_dist().over(w)).alias("cume"))
+        roundn(F.percent_rank().over(w), 6).alias("pct_rank"),
+        roundn(F.cume_dist().over(w), 6).alias("cume"))
         .orderBy("doc_id"))
 
 
@@ -533,15 +535,19 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the optimizer may still choose broadcast, which is also shuffle-free).
     The timing deliberately INCLUDES the one-time layout build — that is
     the real cost a pipeline amortizes across every later join."""
+    import os
     import tempfile
 
     from .operators.scale import write_bucketed
 
-    # Fixed per-process location + fixed table names: write_bucketed is
-    # mode("overwrite"), so repeated invocations (bench best-of-N) rebuild
-    # in place — still paying the layout-build cost every run — without
-    # accumulating temp dirs or uuid-named catalog entries.
-    base = f"{tempfile.gettempdir()}/bucketed_join_fixture"
+    # Per-PROCESS location (+ fixed table names — the catalog is already
+    # per-session): write_bucketed is mode("overwrite"), so repeated
+    # invocations (bench best-of-N) rebuild in place — still paying the
+    # layout-build cost every run — without accumulating temp dirs or
+    # uuid-named catalog entries. The pid suffix keeps two concurrent
+    # Spark processes on one host (bench + pytest) from overwriting each
+    # other's live fixture mid-read.
+    base = f"{tempfile.gettempdir()}/bucketed_join_fixture_{os.getpid()}"
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority")
     li = load_table(spark, sf_dir, "lineitem").select(

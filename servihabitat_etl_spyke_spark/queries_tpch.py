@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .catalog import load_table
 from .functions.core import epoch_micros
 from .operators.temporal import asof_join, interval_join
-from .queries import query, round2
+from .queries import query, round2, roundn
 
 HIGH_PRI = ("1-URGENT", "2-HIGH")
 
@@ -138,8 +138,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
             .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
             .groupBy(F.year("o_orderdate").alias("o_year"))
-            .agg((F.floor(share_num / F.sum(vol) * 10000 + F.lit(0.5)) / 10000)
-                 .alias("mkt_share"))
+            .agg(roundn(share_num / F.sum(vol), 4).alias("mkt_share"))
             .orderBy("o_year"))
 
 
@@ -213,8 +212,12 @@ def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("l_shipdate") >
                     F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
             .groupBy("l_linestatus")
+            # low counts via NOT(is_high), not otherwise(1): a NULL priority
+            # must count as NEITHER high nor low (CASE WHEN x NOT IN ...
+            # THEN 1 ELSE 0 yields 0 for NULL), and when(is_high, 0)
+            # .otherwise(1) would count it as low
             .agg(F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
-                 F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"))
+                 F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"))
             .orderBy("l_linestatus"))
 
 
@@ -267,13 +270,23 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The revenue rollup shrinks lineitem to one row per supplier; the scalar
     max comes back via a 1-row broadcast cross join — no second scan of the
-    fact, no single-partition global window."""
+    fact, no single-partition global window.
+
+    The rollup is persisted + materialized BEFORE the max: it feeds both
+    the scalar and the equality probe, and without the pin each consumer
+    re-runs the final aggregation, merging shuffle partials in its own
+    fetch order — the recomputed double can differ from the one that
+    produced __max_rev in the last ulp and the float-equality join then
+    drops the argmax row (same dual-consumer hazard q11 pins against;
+    this also halves the fact scans)."""
     li = (load_table(spark, sf_dir, "lineitem")
           .filter((F.col("l_shipdate") >= "1996-01-01")
                   & (F.col("l_shipdate") < "1996-04-01")))
     rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .alias("total_revenue")))
+                .alias("total_revenue"))
+           .persist())
+    rev.count()
     top = rev.agg(F.max("total_revenue").alias("__max_rev"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (rev.join(F.broadcast(top),
@@ -345,7 +358,15 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ps_supplycost``). The correlated min decorrelates into a per-part
     aggregate joined back on equality, keeping ties — same plan Catalyst
     produces for the subquery form. Distinct runs on the already-pruned
-    candidate set (one shuffle on the composite key)."""
+    candidate set (one shuffle on the composite key).
+
+    The candidate set is persisted + materialized before the per-part min:
+    it feeds both the aggregate and the join-back probe, and without the
+    pin the whole lineitem-join-part-join-supplier subplan executes twice
+    (a doubled fact scan at scale). Correctness would survive — min() over
+    stored column values is fold-order-free — but the float-equality
+    join-back on s_acctbal deserves the same identical-bits guarantee q15
+    pins for its argmax."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     part = (load_table(spark, sf_dir, "part")
             .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
@@ -361,7 +382,9 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey)
             .select("p_partkey", "p_name", "s_suppkey", "s_name",
                     "s_acctbal", "n_name")
-            .distinct())
+            .distinct()
+            .persist())
+    cand.count()
     mins = cand.groupBy(F.col("p_partkey").alias("mk")) \
                .agg(F.min("s_acctbal").alias("min_bal"))
     return (cand.join(mins, (cand.p_partkey == mins.mk)
@@ -549,12 +572,13 @@ WITH supplied AS (
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_3')
-SELECT l_partkey AS p_key,
-       floor(sum(value) * 100 + 0.5) / 100 AS part_value
-FROM supplied
-GROUP BY l_partkey
-HAVING sum(value) > (SELECT sum(value) * 0.0012 FROM supplied)
+  WHERE n_name = 'NATION_3'),
+per_part AS (
+  SELECT l_partkey AS p_key, sum(value) AS v
+  FROM supplied GROUP BY l_partkey)
+SELECT p_key, floor(v * 100 + 0.5) / 100 AS part_value
+FROM per_part
+WHERE v > (SELECT sum(v) * 0.0012 FROM per_part)
 ORDER BY p_key
 """)
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
