@@ -301,14 +301,24 @@ def resize_images(blobs: DataFrame, target_w: int = 224, target_h: int = 224,
                   id_col: str = "doc_id") -> DataFrame:
     """REAL resize step: decode (BMP/PPM) -> nearest-neighbor resample ->
     re-encode BMP, inside the mapInPandas contract (bytes in, bytes out,
-    one row per row). Swapping nearest-neighbor for PIL's Lanczos when a
-    real codec library is present changes only ``resize_pixels``."""
+    one row per undecodable-free row). Swapping nearest-neighbor for
+    PIL's Lanczos when a real codec library is present changes only
+    ``resize_pixels``.
+
+    Malformed blobs (truncated 'BM' header, text masquerading as an
+    image) are DROPPED, not stubbed — there is no meaningful resized
+    payload for them, and one corrupt blob must not kill a corpus-wide
+    sweep (the media_decode containment policy). Recover the skipped ids
+    with an anti-join against the input."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, payloads = [], []
             for did, content in zip(pdf[id_col], pdf["content"]):
-                px = decode_image(bytes(content))
+                try:
+                    px = decode_image(bytes(content))
+                except (ValueError, struct.error):
+                    continue
                 out_ids.append(did)
                 payloads.append(encode_bmp(
                     resize_pixels(px, target_w, target_h)))
@@ -382,13 +392,21 @@ def image_phash(blobs: DataFrame, size: int = 32, keep: int = 8,
     """DCT perceptual hashing over decoded pixels: (id, phash, width,
     height) — the low-frequency (noise/recompression-robust) complement
     of :func:`image_dhash`; near-dup via the SAME banded Hamming join
-    (:func:`dhash_neardup` with hash_col='phash'). Pure map stage."""
+    (:func:`dhash_neardup` with hash_col='phash'). Pure map stage.
+
+    Malformed blobs are DROPPED (no row), never stub-hashed: a shared
+    fallback hash would alias every corrupt blob into one false
+    perceptual-dup cluster, and an uncaught struct.error would kill the
+    corpus-wide job (media_decode's containment policy)."""
 
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hs, ws, hts = [], [], [], []
             for did, content in zip(pdf[id_col], pdf["content"]):
-                px = decode_image(bytes(content))
+                try:
+                    px = decode_image(bytes(content))
+                except (ValueError, struct.error):
+                    continue
                 ids.append(did)
                 hs.append(phash_bits(px, size, keep))
                 hts.append(px.shape[0])
@@ -409,13 +427,21 @@ def image_dhash(blobs: DataFrame, hash_w: int = 8, hash_h: int = 8,
     (id, dhash, width, height). Exact-dup via groupBy on the hash;
     near-dup via Hamming distance (``bit_count(a ^ b)`` — a JVM built-in)
     on LSH-banded hash prefixes, the same banding machinery as MinHash.
-    Pure map stage over the blob scan."""
+    Pure map stage over the blob scan.
+
+    Malformed blobs are DROPPED (no row), never stub-hashed: a shared
+    fallback hash would alias every corrupt blob into one false
+    perceptual-dup cluster, and an uncaught struct.error would kill the
+    corpus-wide job (media_decode's containment policy)."""
 
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hs, ws, hts = [], [], [], []
             for did, content in zip(pdf[id_col], pdf["content"]):
-                px = decode_image(bytes(content))
+                try:
+                    px = decode_image(bytes(content))
+                except (ValueError, struct.error):
+                    continue
                 ids.append(did)
                 hs.append(dhash_bits(px, hash_w, hash_h))
                 hts.append(px.shape[0])
@@ -445,9 +471,25 @@ def dhash_neardup(hashes: DataFrame, max_hamming: int = 6,
     ``max_hamming < bands`` — a pair differing in >= bands bits can
     spread one flipped bit into every band and never collide.  Enforced
     here rather than silently degrading to approximate recall."""
+    return _banded_hamming_pairs(hashes, hash_col, max_hamming, bands,
+                                 id_col, op="dhash_neardup")
+
+
+def _banded_hamming_pairs(hashes: DataFrame, hash_col: str,
+                          max_hamming: int, bands: int, id_col: str,
+                          op: str,
+                          extra_col: str | None = None) -> DataFrame:
+    """Shared banded-Hamming candidate machinery for the 64-bit
+    perceptual-hash near-dup joins (:func:`dhash_neardup` image-level,
+    :func:`video_dhash_neardup` keyframe-level): guard the pigeonhole
+    bound, explode each hash into ``bands`` contiguous keys, band
+    equi-join, ``bit_count`` verify, distinct. ``extra_col`` (e.g. a
+    frame index) is carried through as ``{extra_col}_a/_b``.
+
+    Returns (id_a, id_b[, extra_a, extra_b], hamming) with id_a < id_b."""
     if max_hamming >= bands:
         raise ValueError(
-            f"dhash_neardup: max_hamming={max_hamming} >= bands={bands} "
+            f"{op}: max_hamming={max_hamming} >= bands={bands} "
             f"voids the pigeonhole guarantee (pairs at Hamming distance "
             f">= {bands} can miss every band); raise bands or lower "
             f"max_hamming")
@@ -455,28 +497,35 @@ def dhash_neardup(hashes: DataFrame, max_hamming: int = 6,
         raise ValueError(f"bands={bands} must divide 64")
     width = 64 // bands
     mask = (1 << width) - 1
-    h = hashes.select(F.col(id_col).alias("_id"),
-                      F.col(hash_col).alias("_h"))
+    cols = [F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")]
+    extras = [F.col(extra_col).alias("_x")] if extra_col else []
+    h = hashes.select(*cols, *extras)
     banded = h.select(
-        "_id", "_h",
+        "_id", "_h", *(["_x"] if extra_col else []),
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.shiftrightunsigned(F.col("_h"), b * width)
                      .bitwiseAND(F.lit(mask)).alias("key"))
             for b in range(bands)])).alias("bk")) \
-        .select("_id", "_h", "bk.band", "bk.key")
-    a = banded.select(F.col("_id").alias("id_a"), F.col("_h").alias("ha"),
-                      "band", "key")
-    b = banded.select(F.col("_id").alias("id_b"), F.col("_h").alias("hb"),
-                      "band", "key")
-    return (a.join(b, ["band", "key"])
+        .select("_id", "_h", *(["_x"] if extra_col else []),
+                "bk.band", "bk.key")
+
+    def side(tag: str) -> DataFrame:
+        sel = [F.col("_id").alias(f"id_{tag}"),
+               F.col("_h").alias(f"h{tag}"), "band", "key"]
+        if extra_col:
+            sel.insert(1, F.col("_x").alias(f"{extra_col}_{tag}"))
+        return banded.select(*sel)
+
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    out_cols = ["id_a", "id_b"]
+    if extra_col:
+        out_cols = ["id_a", f"{extra_col}_a", "id_b", f"{extra_col}_b"]
+    return (side("a").join(side("b"), ["band", "key"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-                    <= max_hamming)
-            .select("id_a", "id_b",
-                    F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-                    .alias("hamming"))
-            .distinct())
+            .filter(hamming <= max_hamming)
+            .select(*out_cols, hamming.alias("hamming"))
+            .distinct())                  # multi-band agreement dedup
 
 
 def image_feature_vector(px: np.ndarray, dim: int = 16) -> list[float]:
@@ -641,7 +690,14 @@ def render_doc_wav(doc_id: int, text: str) -> bytes:
     channels = doc_id % 2 + 1
     sample_rate = 8000 * (doc_id % 3 + 1)
     i = np.arange(n_frames * channels, dtype=np.int64)
-    stream = ((doc_id + 1) * 2654435761 + i * 40503) % 65536 - 32768
+    # reduce the keystream base mod 65536 in arbitrary-precision Python
+    # BEFORE it meets the int64 array: for doc_id >= ~3.47e9 the raw
+    # product exceeds 2**63-1 and NumPy 2.x raises OverflowError on
+    # coercion ((a + b) % m == (a % m + b) % m, so the documented
+    # formula — and the DuckDB HUGEINT oracle — is unchanged)
+    # int() first: callers pass numpy int64 scalars, whose * would wrap
+    base = ((int(doc_id) + 1) * 2654435761) % 65536
+    stream = (base + i * 40503) % 65536 - 32768
     return encode_wav(stream.astype(np.int16).reshape(n_frames, channels),
                       sample_rate)
 
@@ -860,10 +916,16 @@ def audio_fp_words(blobs: DataFrame, win: int = 64, hop: int = 32,
     words from the shared region. Distinct (id, word) rows out; pure map
     stage."""
 
+    # argument guard on the DRIVER, like dhash_neardup's: raised inside
+    # the generator it would only surface as a wrapped task failure
+    # after the job launched
+    nbits = (bands - 1) * word_frames
+    if nbits > 62:
+        raise ValueError(f"audio_fp_words: word too wide: {nbits} bits "
+                         f"(bands={bands}, word_frames={word_frames}); "
+                         "int64 packing caps at 62")
+
     def words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        nbits = (bands - 1) * word_frames
-        if nbits > 62:
-            raise ValueError(f"word too wide: {nbits} bits")
         weights = 1 << np.arange(nbits, dtype=np.int64)
         for pdf in batches:
             ids, ws = [], []
@@ -1170,40 +1232,13 @@ def video_dhash_neardup(keyframes: DataFrame, max_hamming: int = 3,
     the best (minimum) keyframe distance and the number of matching
     keyframe pairs. Output: (id_a, id_b, best_hamming, n_matching_pairs).
 
-    Same bucket-join-then-verify shape as :func:`dhash_neardup`; the
-    extra per-pair aggregation is a tiny groupBy over verified pairs
-    only."""
-    if max_hamming >= bands:
-        raise ValueError(
-            f"video_dhash_neardup: max_hamming={max_hamming} >= "
-            f"bands={bands} voids the pigeonhole guarantee")
-    if 64 % bands:
-        raise ValueError(f"bands={bands} must divide 64")
-    width = 64 // bands
-    mask = (1 << width) - 1
-    h = keyframes.select(F.col(id_col).alias("_id"),
-                         F.col("frame_idx").alias("_fi"),
-                         F.col("dhash").alias("_h"))
-    banded = h.select(
-        "_id", "_fi", "_h",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.shiftrightunsigned(F.col("_h"), b * width)
-                     .bitwiseAND(F.lit(mask)).alias("key"))
-            for b in range(bands)])).alias("bk")) \
-        .select("_id", "_fi", "bk.band", "bk.key", "_h")
-    a = banded.select(F.col("_id").alias("id_a"), F.col("_fi").alias("fa"),
-                      F.col("_h").alias("ha"), "band", "key")
-    b = banded.select(F.col("_id").alias("id_b"), F.col("_fi").alias("fb"),
-                      F.col("_h").alias("hb"), "band", "key")
-    pairs = (a.join(b, ["band", "key"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-                     <= max_hamming)
-             .select("id_a", "fa", "id_b", "fb",
-                     F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-                     .alias("hamming"))
-             .distinct())                 # multi-band agreement dedup
+    Same bucket-join-then-verify shape as :func:`dhash_neardup` — shared
+    via :func:`_banded_hamming_pairs` (frame_idx carried through the
+    band join); the extra per-pair aggregation is a tiny groupBy over
+    verified pairs only."""
+    pairs = _banded_hamming_pairs(keyframes, "dhash", max_hamming, bands,
+                                  id_col, op="video_dhash_neardup",
+                                  extra_col="frame_idx")
     return (pairs.groupBy("id_a", "id_b")
             .agg(F.min("hamming").alias("best_hamming"),
                  F.count("*").alias("n_matching_pairs")))

@@ -520,6 +520,11 @@ def pca_fit(corpus: DataFrame, k: int = 8,
         raise ValueError("pca_fit: need at least 2 vectors")
     s = np.sum([np.array(r["s"]) for r in mrows], axis=0)
     dim = len(s)
+    if k > dim:
+        # eigh can only yield dim components; silently returning a
+        # (dim, dim) model would break callers that sized downstream
+        # schemas/buffers to the k they asked for
+        raise ValueError(f"pca_fit: k={k} exceeds embedding dim={dim}")
     mean = s / n
 
     def gram_partials(batches):
@@ -554,8 +559,6 @@ def pca_project(corpus: DataFrame, model: dict, id_col: str = "vec_id",
     Arrow batch in one GEMM (the model rides the closure — k x dim
     floats). Zero shuffle; the reduced vectors feed the same ANN / dedup
     operators with a k/dim cost cut."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     mean = np.asarray(model["mean"], dtype=np.float64)
@@ -592,8 +595,6 @@ def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
     O(n^2) work by definition of an exact graph. Beyond closure size use
     :func:`knn_graph_ivf` (cluster-pruned, approximate) — same output
     shape, recall measured against this baseline in tests."""
-    import numpy as np
-    import pandas as pd
 
     # "small by contract": the collected matrix rides in every task
     # closure, so enforce the limit instead of silently OOMing executors.
@@ -682,9 +683,10 @@ def knn_graph_ivf(corpus: DataFrame, k: int = 5, kc: int = 8,
     through the join — measured 20x slower at kc=4/n=5000.)
 
     Approximate by construction (true neighbors in unprobed cells are
-    missed) — recall vs :func:`knn_graph` asserted in tests."""
-    import numpy as np
-    import pandas as pd
+    missed) — recall vs :func:`knn_graph` asserted in tests. Zero-norm
+    embeddings are REJECTED like :func:`knn_graph` rejects them (raised
+    from the scoring task — the IVF path never collects the corpus, so
+    the check lives executor-side at zero extra scans)."""
     from pyspark.sql.functions import pandas_udf
 
     cents = kmeans_fit(corpus, k=kc, iters=iters,
@@ -721,8 +723,21 @@ def knn_graph_ivf(corpus: DataFrame, k: int = 5, kc: int = 8,
         mids = mpdf["neighbor_id"].to_numpy(dtype=np.int64)
         Q = np.asarray(qpdf["qvec"].tolist(), dtype=np.float64)
         M = np.asarray(mpdf["cvec"].tolist(), dtype=np.float64)
-        Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        mn = np.linalg.norm(M, axis=1, keepdims=True)
+        # same reject policy as knn_graph (r2 ADVICE): a zero-norm
+        # embedding has no cosine — fail loudly instead of silently
+        # emitting score-0 edges the exact twin would refuse to produce.
+        # Executor-side because the IVF path never collects the corpus;
+        # this costs zero extra scans.
+        if (qn == 0).any() or (mn == 0).any():
+            bad = (qids[qn[:, 0] == 0][:5].tolist()
+                   + mids[mn[:, 0] == 0][:5].tolist())
+            raise ValueError(
+                f"knn_graph_ivf: zero-norm embedding(s), cosine undefined "
+                f"(ids {bad}...); filter or impute them upstream")
+        Q = Q / qn
+        M = M / mn
         sims = Q @ M.T                                   # (nq, nm)
         rows = {"query_id": [], "neighbor_id": [], "score": []}
         for i in range(len(qids)):
@@ -842,8 +857,6 @@ def pq_encode(corpus: DataFrame, codebooks: list,
     (id, codes array<int>). Row-local (codebooks ride the closure — a
     few KB); the encoded table is the thing you persist at 100 TB, m
     bytes/vector instead of dim floats."""
-    import numpy as np
-    import pandas as pd
 
     B = [np.asarray(b, dtype=np.float64) for b in codebooks]
     m, dsub = len(B), B[0].shape[1]
@@ -877,8 +890,6 @@ def pq_search(codes_df: DataFrame, queries: DataFrame, codebooks: list,
     :func:`cosine_topk_pandas` rule); each partition emits its local
     top-k per query and one window merges. Returns (query_id,
     neighbor_id, rank)."""
-    import numpy as np
-    import pandas as pd
 
     B = [np.asarray(b, dtype=np.float64) for b in codebooks]
     m, dsub = len(B), B[0].shape[1]
@@ -967,8 +978,6 @@ def ivfpq_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     Queries are small-by-contract (ids/vectors in the task closure).
     Returns (query_id, neighbor_id, rank)."""
-    import numpy as np
-    import pandas as pd
 
     cents = kmeans_fit(corpus, k=kc, iters=iters,
                        id_col=id_col, vec_col=vec_col)
@@ -1003,6 +1012,11 @@ def ivfpq_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
     B = [np.asarray(b, dtype=np.float64) for b in books]
     dsub = B[0].shape[1]
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        # same empty contract as pq_search/cosine_topk_pandas — an empty
+        # query batch returns an empty result, never an AxisError
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int")
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
     # probe cells per query (closure-local)
@@ -1114,8 +1128,6 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 10,
     break to the lower neighbor id; scores emitted nano-quantized.
 
     Returns (query_id, neighbor_id, rank, mmr_nano)."""
-    import numpy as np
-    import pandas as pd
 
     cands = cosine_topk(corpus, queries, k=pool,
                         id_col=id_col, vec_col=vec_col)
@@ -1183,7 +1195,6 @@ def jl_project(corpus: DataFrame, out_dim: int = 8, seed: int = 7,
     Row-local numpy GEMM per Arrow batch against the closure-carried
     (dim x out_dim) matrix — zero shuffle, scales with input partitions.
     Returns (id, projected array<double>)."""
-    import hashlib
 
     dim = _dim_of(corpus, vec_col, "jl_project")
 

@@ -1329,3 +1329,52 @@ def test_psi_drift_excludes_nulls_and_pagerank_empty_schema(spark):
     pr = pagerank(empty)
     assert pr.count() == 0
     assert dict(pr.dtypes)["v"] == "string"
+
+
+def test_r5_review_guards(spark):
+    """Round-5 review fixes: empty-query ivfpq, corrupt-blob containment
+    in the hashing/resize sweeps, render_doc_wav int64 overflow,
+    driver-side audio_fp_words guard, pca_fit k>dim, and the zero-norm
+    reject parity between knn_graph and knn_graph_ivf."""
+    import pytest
+
+    # ivfpq_search: empty query batch -> empty frame, not AxisError
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0, 0.5]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    empty_q = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = SIM.ivfpq_search(corpus, empty_q, k=3, kc=2, m=2, ks=4)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank"]
+
+    # pca_fit: k beyond the vector dim fails loudly, never truncates
+    with pytest.raises(ValueError, match="exceeds embedding dim"):
+        SIM.pca_fit(corpus, k=16)
+
+    # knn_graph_ivf rejects zero-norm embeddings like knn_graph does
+    withzero = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="zero-norm"):
+        SIM.knn_graph_ivf(withzero, k=1, kc=1, n_probe=1).collect()
+
+    # audio_fp_words: invalid width raises on the DRIVER, pre-launch
+    blobs = spark.createDataFrame([(1, b"x", "audio/wav")],
+                                  "doc_id long, content binary, media_type string")
+    with pytest.raises(ValueError, match="word too wide"):
+        MM.audio_fp_words(blobs, bands=17, word_frames=4)
+
+    # render_doc_wav: doc_id beyond the int64 product range still renders
+    big = MM.render_doc_wav(4_000_000_000, "hello world")
+    small_equiv = MM.render_doc_wav(4_000_000_000 % (2**63), "hello world")
+    assert big == small_equiv and big[:4] == b"RIFF"
+
+    # corrupt blobs are dropped, not fatal, in hash/resize sweeps
+    mixed = spark.createDataFrame(
+        [(1, MM.render_doc_bmp(1, "real image payload"), "image/bmp"),
+         (2, b"BM\x01\x02truncated", "image/bmp"),
+         (3, b"not an image at all", "text/plain")],
+        "doc_id long, content binary, media_type string")
+    assert [r.doc_id for r in MM.image_dhash(mixed).collect()] == [1]
+    assert [r.doc_id for r in MM.image_phash(mixed).collect()] == [1]
+    assert [r.doc_id for r in MM.resize_images(mixed, 8, 8).collect()] == [1]
