@@ -124,7 +124,16 @@ def global_row_numbers(df: DataFrame, order_col: str,
     where the approximate boundaries land: equal order_col values always
     share a bucket, so local rank + bucket offset == global rank.
     (order_col, *tiebreaks) should be a total order for a deterministic
-    assignment; order_col must be numeric for approxQuantile."""
+    assignment; order_col must be numeric for approxQuantile.
+
+    Cache note: the bucketed input stays persisted (MEMORY_AND_DISK) for
+    the life of the returned plan — the offsets were counted from that
+    exact materialization, and an unpersist before the caller's final
+    action would re-evaluate the input and break the count/number
+    consistency the pin exists for. Release it when done with
+    ``spark.catalog.clearCache()`` or by discarding the session; in a
+    loop over many tables, checkpoint the result and clear between
+    iterations."""
     n = buckets or df.sparkSession.sparkContext.defaultParallelism
     bounds = sorted(set(df.stat.approxQuantile(
         order_col, [i / n for i in range(1, n)], 0.001)))
@@ -141,6 +150,12 @@ def global_row_numbers(df: DataFrame, order_col: str,
     bucket = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(
         bucket if bucket is not None else F.lit(0))
     _reserve(df, "_b", "global_row_numbers")
+    _reserve(df, "_off", "global_row_numbers")
+    if out_col in df.columns:
+        raise ValueError(
+            f"global_row_numbers: output column {out_col!r} already exists "
+            "on the input (withColumn would silently clobber it); pass a "
+            "different out_col")
     # persist BEFORE the counts collect: the offsets job and the final
     # window job must see the SAME rows — an input with any
     # non-deterministic stage (sampling, rand-derived columns, a source
@@ -425,13 +440,17 @@ def cms_sketch(items: DataFrame, col: str, d: int = 4,
 
     Deterministic md5-derived hash rows, so an external SQL oracle
     builds the bit-identical sketch. Returns (r, c, cnt) — absent cells
-    are zero."""
+    are zero. NULL items are EXCLUDED (kmv_sketch's convention):
+    _hash32(NULL) is NULL, and letting it through would emit d junk
+    (r, NULL, cnt) cells that break cell-wise sketch merges and never
+    match any probe."""
     from ..operators.dedup import _hash32
     rows = F.explode(F.array(*[
         F.struct(F.lit(r).alias("r"),
                  (_hash32(F.col(col), seed=r) % w).alias("c"))
         for r in range(d)]))
-    return (items.select(rows.alias("_rc"))
+    return (items.filter(F.col(col).isNotNull())
+            .select(rows.alias("_rc"))
             .select("_rc.r", "_rc.c")
             .groupBy("r", "c").agg(F.count("*").alias("cnt")))
 
@@ -471,9 +490,12 @@ def hll_registers(items: DataFrame, col: str, b: int = 8) -> DataFrame:
     "distinct tokens this month" never re-reads a day. Deterministic
     md5 hashing — the oracle rebuilds registers bit-identically.
 
-    Returns (bucket, rank)."""
+    Returns (bucket, rank). NULLs are excluded (count-DISTINCT
+    semantics, same as kmv_sketch); the cast-to-string matches the
+    sibling sketches so numeric key domains — HLL's usual target —
+    don't fail md5's string-input analysis."""
     from ..operators.dedup import _hash32
-    h = _hash32(F.col(col))
+    h = _hash32(F.col(col).cast("string"))
     rest_bits = 32 - b
     rest = F.pmod(h, F.lit(1 << rest_bits))
     # rank = leading zeros of `rest` within rest_bits, + 1; rest == 0
@@ -484,8 +506,9 @@ def hll_registers(items: DataFrame, col: str, b: int = 8) -> DataFrame:
     hibit = F.when(rest > 0,
                    F.length(F.conv(rest, 10, 2))).otherwise(F.lit(0))
     rank = (F.lit(rest_bits) + 1 - hibit).cast("int")
-    return (items.select(F.shiftright(h, rest_bits).alias("bucket"),
-                         rank.alias("rank"))
+    return (items.filter(F.col(col).isNotNull())
+            .select(F.shiftright(h, rest_bits).alias("bucket"),
+                    rank.alias("rank"))
             .groupBy("bucket").agg(F.max("rank").alias("rank")))
 
 
@@ -601,17 +624,34 @@ def topk_per_group(df: DataFrame, group_col: str, order_col: str,
     k * partitions * groups rows.
 
     Returns the same (group, order, id, rnk) rows as the window form —
-    both satisfy the identical SQL oracle."""
+    both satisfy the identical SQL oracle.
+
+    NaN/NULL order values: Spark's desc window ranks NaN FIRST (greatest
+    double) and NULL LAST, but a bare pandas sort puts both at one end —
+    and the Arrow transfer conflates float NULL with NaN, so the partial
+    cannot reconstruct the distinction. The order CLASS (0 = NaN,
+    1 = real, 2 = NULL) is therefore computed Spark-side, where the two
+    are still distinguishable, and the partial sorts (class asc, value
+    desc, id asc) — exactly the final window's order."""
     import pandas as pd
 
     proj = df.select(group_col, order_col, id_col)
+    _reserve(proj, "_ocls", "topk_per_group")
+    dt = dict(proj.dtypes)[order_col]
+    cls = F.when(F.col(order_col).isNull(), F.lit(2))
+    if dt in ("double", "float"):
+        cls = cls.when(F.isnan(F.col(order_col)), F.lit(0))
+    proj = proj.withColumn("_ocls", cls.otherwise(F.lit(1)).cast("int"))
 
     def partial(batches):
         best: pd.DataFrame | None = None
         for pdf in batches:
             cur = pdf if best is None else pd.concat([best, pdf])
-            cur = cur.sort_values([group_col, order_col, id_col],
-                                  ascending=[True, False, True])
+            # within class 0/2 every order value is NaN after the Arrow
+            # round-trip (ties -> id asc); class 1 holds no NaN, so the
+            # desc value sort inside it is unambiguous
+            cur = cur.sort_values([group_col, "_ocls", order_col, id_col],
+                                  ascending=[True, True, False, True])
             # dropna=False: the window form ranks the NULL group as its
             # own partition, so the partial must keep it too
             best = cur.groupby(group_col, sort=False, dropna=False).head(k)
@@ -619,6 +659,19 @@ def topk_per_group(df: DataFrame, group_col: str, order_col: str,
             yield best
 
     partials = proj.mapInPandas(partial, schema=proj.schema)
+    if dt in ("double", "float"):
+        # the Arrow RETURN path converts pandas NaN to NULL (pyarrow
+        # from_pandas semantics), which would demote NaN rows from
+        # rank-first to rank-last; _ocls survived the round-trip, so
+        # restore the NaN (all NaNs are equal to Spark — payload bits
+        # don't matter)
+        partials = partials.withColumn(
+            order_col,
+            F.when(F.col("_ocls") == 0,
+                   F.lit(float("nan")).cast(dt))
+            .otherwise(F.col(order_col)))
+    # Spark's own desc ordering = NaN first, reals desc, NULL last —
+    # the same class order the partial used
     w = W.partitionBy(group_col).orderBy(F.col(order_col).desc(), id_col)
     return (partials
             .select(group_col, id_col, order_col,

@@ -950,10 +950,13 @@ m AS (SELECT doc_id, n_chars, len(t) AS nt,
              len(list_filter(t, x -> x IN ('a', 'the'))) AS nc
       FROM d),
 ff AS (SELECT CASE
-         WHEN NOT (n_chars BETWEEN 80 AND 2000) THEN 0
-         WHEN NOT (nd * 100 >= nt * 40) THEN 1
-         WHEN NOT (sl * 10 BETWEEN nt * 40 AND nt * 50) THEN 2
-         WHEN NOT (nc * 100 <= nt * 12) THEN 3
+         -- coalesce(gate, FALSE): a NULL gate input is a FAIL at that
+         -- stage (the engine's first_fail_expr convention); a bare NOT
+         -- would let NULL fall through to a later stage
+         WHEN NOT coalesce(n_chars BETWEEN 80 AND 2000, FALSE) THEN 0
+         WHEN NOT coalesce(nd * 100 >= nt * 40, FALSE) THEN 1
+         WHEN NOT coalesce(sl * 10 BETWEEN nt * 40 AND nt * 50, FALSE) THEN 2
+         WHEN NOT coalesce(nc * 100 <= nt * 12, FALSE) THEN 3
          ELSE 4 END AS s
        FROM m),
 k AS (SELECT s, count(*) AS n FROM ff GROUP BY s),

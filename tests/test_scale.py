@@ -450,3 +450,43 @@ def test_reserved_temp_columns_raise_instead_of_clobbering(spark):
     probe = spark.createDataFrame([(1, 9)], "k long, _h long")
     with pytest.raises(ValueError, match="_h"):
         bloom_prefilter(probe, bm, "k")
+
+
+def test_r5_review_guards_scale(spark):
+    """Round-5 review fixes: topk_per_group NaN/NULL window parity,
+    NULL exclusion in cms/hll sketches, hll on numeric columns, and
+    global_row_numbers' out_col collision guard."""
+    import pytest
+    from pyspark.sql.window import Window as W
+
+    # topk_per_group: NaN ranks first, NULL last — identical to the
+    # plain ranking window, values included
+    rows = [("g", float("nan"), 1), ("g", 5.0, 2), ("g", 4.0, 3),
+            ("g", 3.0, 4), ("g", None, 5), ("g", float("nan"), 6),
+            ("h", None, 7), ("h", None, 8), ("h", 1.0, 9)]
+    df = (spark.createDataFrame(rows, "grp string, val double, id long")
+          .repartition(4))
+    out = SC.topk_per_group(df, "grp", "val", "id", k=3)
+    w = W.partitionBy("grp").orderBy(F.col("val").desc(), "id")
+    ref = (df.select("grp", "id", "val",
+                     F.row_number().over(w).alias("rnk"))
+           .filter(F.col("rnk") <= 3))
+    key = lambda r: (r.grp, r.id, r.rnk, str(r.val))
+    assert sorted(map(key, out.collect())) == sorted(map(key, ref.collect()))
+
+    # cms_sketch: NULL items contribute no (r, NULL) junk cells
+    items = spark.createDataFrame([("a",), (None,), ("a",)], "item string")
+    cells = SC.cms_sketch(items, "item", d=2, w=8).collect()
+    assert all(r.c is not None for r in cells)
+    assert sum(r.cnt for r in cells) == 4            # 2 rows x d=2
+
+    # hll_registers: numeric column works (cast-to-string), NULLs out
+    nums = spark.createDataFrame([(10,), (20,), (None,)], "user_id bigint")
+    regs = SC.hll_registers(nums, "user_id", b=4)
+    est = SC.hll_estimate(regs, b=4).collect()[0]
+    assert est["est"] >= 1 and est["n_buckets_used"] <= 2
+
+    # global_row_numbers: refuses to clobber an existing out_col
+    with pytest.raises(ValueError, match="already exists"):
+        SC.global_row_numbers(
+            spark.createDataFrame([(1, 2)], "ts long, rn long"), "ts")
