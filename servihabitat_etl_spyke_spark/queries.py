@@ -69,6 +69,24 @@ def roundn(c: Column, n: int) -> Column:
     return F.floor(c * s + F.lit(0.5)) / s
 
 
+def fixture_base(name: str) -> str:
+    """Per-PROCESS scratch directory for a query fixture rebuilt in
+    place: ``{tmpdir}/{name}_{pid}``, rmtree'd clean before return.
+
+    One shared helper for every fixture-bearing query (bucketed-join
+    layout, snapshot stores): the fixed path avoids leaking one tree per
+    bench attempt / correctness round, and the pid suffix keeps two
+    concurrent Spark processes on one host (bench + pytest) from
+    rmtree'ing each other's live fixture mid-read."""
+    import os
+    import shutil
+    import tempfile
+
+    base = f"{tempfile.gettempdir()}/{name}_{os.getpid()}"
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
 # ---------------------------------------------------------------------------
 # Models (annotation metadata for the planner; SURVEY.md §1.2)
 # ---------------------------------------------------------------------------

@@ -535,19 +535,16 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the optimizer may still choose broadcast, which is also shuffle-free).
     The timing deliberately INCLUDES the one-time layout build — that is
     the real cost a pipeline amortizes across every later join."""
-    import os
-    import tempfile
-
     from .operators.scale import write_bucketed
+    from .queries import fixture_base
 
     # Per-PROCESS location (+ fixed table names — the catalog is already
-    # per-session): write_bucketed is mode("overwrite"), so repeated
-    # invocations (bench best-of-N) rebuild in place — still paying the
-    # layout-build cost every run — without accumulating temp dirs or
-    # uuid-named catalog entries. The pid suffix keeps two concurrent
-    # Spark processes on one host (bench + pytest) from overwriting each
+    # per-session): repeated invocations (bench best-of-N) rebuild in
+    # place — still paying the layout-build cost every run — without
+    # accumulating temp dirs or uuid-named catalog entries, and without
+    # two concurrent Spark processes on one host overwriting each
     # other's live fixture mid-read.
-    base = f"{tempfile.gettempdir()}/bucketed_join_fixture_{os.getpid()}"
+    base = fixture_base("bucketed_join_fixture")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority")
     li = load_table(spark, sf_dir, "lineitem").select(

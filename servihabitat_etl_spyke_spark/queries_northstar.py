@@ -304,20 +304,16 @@ def dedup_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_incremental`: the full-corpus pair set restricted to pairs
     touching the new batch — proving the snapshot plumbing changes the
     I/O, not the answer."""
-    import shutil
-    import tempfile
-
+    from .queries import fixture_base
     from .sources.snapshots import SnapshotStore
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     crawl = docs.filter(F.col("doc_id") % 5 == 0)
 
-    # fixed per-process fixtures rebuilt in place (the
-    # scale_bucketed_join discipline) — a fresh mkdtemp per call would
-    # leak two corpus-sized trees per bench attempt / correctness round
-    base = f"{tempfile.gettempdir()}/snap_incr_fixture"
-    shutil.rmtree(base, ignore_errors=True)
+    # per-process fixture rebuilt in place (fixture_base: no per-call
+    # tree leak, no cross-process rmtree race)
+    base = fixture_base("snap_incr_fixture")
     doc_store = SnapshotStore(f"{base}/docs")
     sig_store = SnapshotStore(f"{base}/sigs")
     base_sid = doc_store.commit(corpus)
@@ -649,11 +645,10 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     model = SIM.pca_fit(emb, k=8)
     proj = SIM.pca_project(emb, model)
-    q6 = lambda c: roundn(c, 6)  # noqa: E731
     return (proj.select(
         "vec_id",
-        q6(F.element_at("pca", 1)).alias("pc1_q"),
-        q6(F.element_at("pca", 2)).alias("pc2_q"))
+        roundn(F.element_at("pca", 1), 6).alias("pc1_q"),
+        roundn(F.element_at("pca", 2), 6).alias("pc2_q"))
         .orderBy("vec_id"))
 
 
@@ -1215,11 +1210,10 @@ def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash array cells (same contract as `embed_pca`)."""
     emb = load_table(spark, sf_dir, "embeddings")
     proj = SIM.jl_project(emb, out_dim=8)
-    q6 = lambda c: roundn(c, 6)  # noqa: E731
     return (proj.select(
         "vec_id",
-        q6(F.element_at("projected", 1)).alias("jl1_q"),
-        q6(F.element_at("projected", 2)).alias("jl2_q"))
+        roundn(F.element_at("projected", 1), 6).alias("jl1_q"),
+        roundn(F.element_at("projected", 2), 6).alias("jl2_q"))
         .orderBy("vec_id"))
 
 
@@ -2214,12 +2208,16 @@ def _audio_lake_with_plants(docs: DataFrame) -> DataFrame:
     media lake plus planted HALF-VOLUME re-encodes of docs with
     id % 7 == 3, re-keyed +100000. One place defines the plant
     parameters — the two queries' 'every re-encode maps to its source'
-    guarantees silently depend on using identical plants — and the
-    copies derive from the ALREADY-ATTACHED blobs (no second render of
-    the source subset)."""
+    guarantees silently depend on using identical plants. The copies
+    branch filters docs BEFORE attach_audio: render_doc_wav is
+    deterministic, so pre- and post-attach filtering produce identical
+    plants, but a filter above the mapInPandas render cannot push below
+    it — the post-attach form re-rendered the ENTIRE lake in the second
+    union branch just to keep 1/7 of it."""
     blobs = MM.attach_audio(docs)
-    copies = (MM.audio_gain(blobs.filter(F.col("doc_id") % 7 == 3), 0.5)
-              .withColumn("doc_id", F.col("doc_id") + 100000))
+    copies = (MM.audio_gain(
+        MM.attach_audio(docs.filter(F.col("doc_id") % 7 == 3)), 0.5)
+        .withColumn("doc_id", F.col("doc_id") + 100000))
     return blobs.unionByName(copies)
 
 
@@ -2540,9 +2538,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections; unchanged keys never leave the join. The audit that
     turns time travel into a release report. Oracle derives the same
     verdicts from the membership/edit rules directly."""
-    import shutil
-    import tempfile
-
+    from .queries import fixture_base
     from .sources.snapshots import SnapshotStore
     from .sources.snapshots import snapshot_diff as _diff
 
@@ -2553,8 +2549,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("text", F.when(F.col("doc_id") % 5 == 0,
                                      F.upper(F.col("text")))
                       .otherwise(F.col("text"))))
-    base = f"{tempfile.gettempdir()}/snapdiff_fixture"
-    shutil.rmtree(base, ignore_errors=True)   # no per-call tree leak
+    base = fixture_base("snapdiff_fixture")
     store = SnapshotStore(base)
     s1 = store.commit(v1)
     s2 = store.commit(v2, mode="overwrite")

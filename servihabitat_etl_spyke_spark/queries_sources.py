@@ -344,17 +344,13 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     landed later (the oracle is simply that first slice). Data files are
     immutable; the manifest maps snapshot id -> visible directories, so
     old training runs stay exactly reproducible."""
-    import shutil
-    import tempfile
-
+    from .queries import fixture_base
     from .sources.snapshots import SnapshotStore
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    # fixed per-process fixture, rebuilt in place (same discipline as
-    # scale_bucketed_join): a fresh mkdtemp per call would leak one
-    # 3-commit tree per bench attempt / correctness round
-    base = f"{tempfile.gettempdir()}/snapshot_tt_fixture"
-    shutil.rmtree(base, ignore_errors=True)
+    # per-process fixture rebuilt in place (fixture_base: no per-call
+    # tree leak, no cross-process rmtree race)
+    base = fixture_base("snapshot_tt_fixture")
     st = SnapshotStore(base)
     st.commit(ev.filter(F.col("event_id") < 1000))
     st.commit(ev.filter((F.col("event_id") >= 1000)
