@@ -55,8 +55,11 @@ def _driver_verified() -> frozenset:
                 continue
             green = (r.get("rows_match") and r.get("schema_match")
                      and r.get("hash_match"))
+            # rows-only retirement requires rows > 0: a zero-row
+            # rows-only run is a broken approx query, and must stay in
+            # the window for re-verification (>= 0 was vacuously true)
             rows_only = (r.get("err") == "no_oracle"
-                         and (r.get("spark_rows") or 0) >= 0)
+                         and (r.get("spark_rows") or 0) > 0)
             if green or rows_only:
                 done.add(name)
     return frozenset(done)

@@ -198,6 +198,15 @@ def _snapshot_prev_round() -> dict:
     return prev
 
 
+def _median(vals) -> float:
+    """True median (mean of the two middle elements for even counts —
+    sorted[n//2] alone is the upper-middle, biased on even-count sets)."""
+    s = sorted(vals)
+    n = len(s)
+    mid = n // 2
+    return float(s[mid]) if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+
 def main() -> None:
     from servihabitat_etl_spyke_spark.queries import QUERIES
     from servihabitat_etl_spyke_spark.session import get_spark
@@ -209,10 +218,11 @@ def main() -> None:
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
-    base_times: dict[str, float] = {}
+    base: dict = {}
     if os.path.exists(base_path):
         with open(base_path) as fh:
-            base_times = json.load(fh).get("queries", {})
+            base = json.load(fh)
+    base_times: dict[str, float] = base.get("queries", {})
 
     timings: dict[str, float] = {}
     # per-attempt transparency: every timed attempt is recorded so a
@@ -222,6 +232,12 @@ def main() -> None:
     # regression behind a lucky retry
     attempt_log: dict[str, list[float]] = {}
     names = [n for n in HEADLINE if n in QUERIES]
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    if missing:
+        # no silent caps: a renamed/deleted headline query must not
+        # shrink the total and masquerade as a speedup
+        print(f"WARNING: headline queries missing from registry: "
+              f"{missing}", file=sys.stderr)
     for name in names:
         best = float("inf")
         attempt_log[name] = []
@@ -277,11 +293,10 @@ def main() -> None:
     detail["attempts"] = attempt_log
     detail["gated_by_retry"] = sorted(
         n for n, ts in attempt_log.items() if len(ts) > 3)
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_BASELINE.json")
-    if os.path.exists(base_path):
-        with open(base_path) as fh:
-            base = json.load(fh)
+    if missing:
+        detail["headline_missing_from_registry"] = missing
+        out["headline_missing_from_registry"] = missing
+    if base:
         if base.get("sf") == sf_val:
             deltas = {n: round(t / base["queries"][n], 2)
                       for n, t in timings.items()
@@ -293,7 +308,7 @@ def main() -> None:
             detail["delta_vs_baseline"] = deltas
             out["baseline_round"] = base.get("round", "r01")
             out["median_delta_vs_baseline"] = round(
-                sorted(deltas.values())[len(deltas) // 2], 2) if deltas else None
+                _median(deltas.values()), 2) if deltas else None
             out["regressions_over_2x"] = sorted(
                 n for n, r in deltas.items() if r > 2.0)
             detail["regressions_over_2x"] = out["regressions_over_2x"]
@@ -310,7 +325,7 @@ def main() -> None:
         detail["prev_round"] = prev_round.get("round")
         detail["delta_vs_prev_round"] = pdeltas
         out["median_delta_vs_prev_round"] = round(
-            sorted(pdeltas.values())[len(pdeltas) // 2], 2) if pdeltas else None
+            _median(pdeltas.values()), 2) if pdeltas else None
 
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")

@@ -26,6 +26,13 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: parquet TIMESTAMP(NANOS) columns per table: read as long via
+#: ``nanosAsLong`` and normalized back to a microsecond TimestampType.
+#: Any table that gains a nanos column MUST be registered here, or its
+#: column is silently served as a raw long (the flag is session-global).
+NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one named table. Parquet scan → pushdown-friendly.
 
@@ -33,11 +40,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Spark's vectorized reader rejects; we read nanos as long
     (``nanosAsLong``) and normalize to a microsecond TimestampType column —
     matching how DuckDB coerces TIMESTAMP_NS to TIMESTAMP.
+
+    NOTE: ``nanosAsLong`` is a SESSION-global flag and stays set after
+    the first load (restoring it eagerly would be unsafe — the lazy scan
+    reads the conf at action time, after this function returned). Other
+    parquet reads in the same session therefore also see nanos
+    timestamps as longs; register such columns in NANOS_TS_COLUMNS.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col in NANOS_TS_COLUMNS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     return df
 
 

@@ -134,7 +134,18 @@ class Engine:
                 raise ValueError(
                     f"bootstrap DataFrame columns {sorted(data.columns)} != "
                     f"declared keys {sorted(declared)}")
-            self._runtime_tables[m.name] = data
+            # validate TYPES too, not just names — storing e.g. a string
+            # gid under a declared long would silently send numeric
+            # filters down the cross-family string path and sort
+            # lexicographically ('10' < '2'); the list-of-rows branch
+            # already enforces the schema via createDataFrame
+            got = {f.name: f.dataType for f in data.schema.fields}
+            for f in m.schema.fields:
+                if got[f.name] != f.dataType:
+                    raise ValueError(
+                        f"bootstrap column {f.name!r} is {got[f.name]}, "
+                        f"declared {f.dataType}; cast it before create_model")
+            self._runtime_tables[m.name] = data.select(*m.fields)
         else:
             self._runtime_tables[m.name] = self.spark.createDataFrame(
                 data or [], schema=m.schema)
@@ -238,10 +249,15 @@ class Engine:
     def list(self, model_name: str, *, filter: dict[str, Any] | None = None,
              search: str = "", group: str | None = None,
              group_search: str | None = None, order_by: str | None = None,
-             order_direction: str = "asc", page: int = 0,
+             order_direction: str | None = None, page: int = 0,
              items_per_page: int = 25, all_rows: bool = False,
              view: str = "list") -> DataFrame:
-        """The AutoAPI list endpoint (§3.1 lifecycle) as one call."""
+        """The AutoAPI list endpoint (§3.1 lifecycle) as one call.
+
+        ``order_direction=None`` (not 'asc') so a model's declared
+        default_order_direction wins when the caller doesn't specify —
+        a literal 'asc' here would shadow EVENTS' newest-first default,
+        the exact trap listquery.ListParams documents."""
         params = self._params(
             filter=filter, search=search, group=group,
             group_search=group_search, order_by=order_by,
@@ -252,7 +268,7 @@ class Engine:
 
     def page(self, model_name: str, *, filter: dict[str, Any] | None = None,
              search: str = "", order_by: str | None = None,
-             order_direction: str = "asc", page: int = 0,
+             order_direction: str | None = None, page: int = 0,
              items_per_page: int = 25, all_rows: bool = False,
              view: str = "list") -> dict[str, Any]:
         """list() plus the pagination envelope
@@ -272,7 +288,11 @@ class Engine:
         models are immediately SQL-visible)."""
         if self._views_version != self._registry_version:
             from pyspark.errors import AnalysisException
-            register_views(self.spark, self.sf_dir)
+            # parquet views are static — register once per engine, not
+            # once per registry bump (a put()->sql() loop would re-read
+            # every table's footer each iteration otherwise)
+            if self._views_version < 0:
+                register_views(self.spark, self.sf_dir)
             for name in self._models:
                 try:
                     self.table(name).createOrReplaceTempView(name)

@@ -240,3 +240,19 @@ def test_runtime_model_search_false_and_generate_const(spark, sf_dir):
     assert hit.count() == 1            # matched via body
     miss = list_query(df, m, ListParams(search="alsofindable", all=True))
     assert miss.count() == 0           # raw is search(false)
+
+
+def test_list_respects_model_default_order_direction(eng):
+    """O4 parity: Engine.list('events') with no explicit direction must
+    come back newest-first (EVENTS declares default_order_direction=
+    'desc'); a literal 'asc' default in list()/page() shadowed it."""
+    ts = [r["ts"] for r in eng.list("events", items_per_page=5).collect()]
+    assert ts == sorted(ts, reverse=True)
+    env = eng.page("events", items_per_page=5)
+    pts = [r["ts"] for r in env["items"].collect()]
+    assert pts == sorted(pts, reverse=True)
+    # an explicit direction still wins
+    asc = [r["ts"] for r in eng.list(
+        "events", order_by="ts", order_direction="asc",
+        items_per_page=5).collect()]
+    assert asc == sorted(asc)
