@@ -43,10 +43,16 @@ def flow_filter(df: DataFrame,
                 predicate: Callable[[pd.DataFrame], pd.Series]) -> DataFrame:
     """P8 flow filter: accept/reject callback as a vectorized boolean
     predicate over pandas batches; schema is unchanged (pure row subset,
-    like the reference's filteredList.push(item))."""
+    like the reference's filteredList.push(item)).
+
+    A NULL/NaN predicate result REJECTS the row (SQL filter semantics,
+    and the reference's accept(): only an explicit truthy accepts) —
+    a bare astype(bool) would map NaN to True and keep exactly the rows
+    a null predicate should drop."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pdf[predicate(pdf).astype(bool)]
+            mask = predicate(pdf)
+            yield pdf[mask.fillna(False).astype(bool)]
     return df.mapInPandas(run, schema=df.schema)
 
 
@@ -80,8 +86,17 @@ def flow_foreach(df: DataFrame,
 
 def flow_push(df: DataFrame, row: dict[str, Any]) -> DataFrame:
     """U1 append (contextV2/push.ts:5-23): ``[...list, item]`` — union a
-    single-row DataFrame in the existing schema (missing keys -> null)."""
+    single-row DataFrame in the existing schema (missing keys -> null).
+    Keys that are NOT schema columns raise — the reference appends the
+    item verbatim, so silently dropping a misspelled field would diverge
+    AND lose caller data."""
     spark = df.sparkSession
+    unknown = set(row) - {f.name for f in df.schema.fields}
+    if unknown:
+        raise ValueError(
+            f"flow_push: keys {sorted(unknown)} not in schema "
+            f"{df.columns}; the reference's [...list, item] keeps every "
+            "field, so dropping them silently would lose data")
     one = spark.createDataFrame(
         [tuple(row.get(f.name) for f in df.schema.fields)], df.schema)
     return df.unionByName(one)

@@ -54,7 +54,9 @@ def next_fires(minutes: int, hours: int, days: str, after: datetime,
                n: int = 1) -> list[datetime]:
     """Next n fire datetimes of the periodic schedule strictly after
     ``after`` (what CronJob computed for the reference). Pure arithmetic —
-    no polling loop over minutes: jump day by day, at most n + 7 steps."""
+    no polling loop over minutes: jump day by day — at most ~7n steps
+    (one week of day-hops per fire in the worst single-weekday case),
+    never a per-minute scan."""
     wanted = {WEEKDAYS[d.strip().lower()] for d in days.split(",")}
     fires: list[datetime] = []
     day = after.replace(hour=hours, minute=minutes, second=0, microsecond=0)

@@ -30,16 +30,37 @@ def stream_keyed_upsert(stream: DataFrame, path: str, key: str,
     column) decides which duplicate of a key wins — last per order wins,
     matching the reference's sequential db.put loop. Without it, micro-
     batch frames carry no row order, so the within-batch winner is
-    arbitrary (documented dropDuplicates fallback)."""
+    arbitrary (documented dropDuplicates fallback). ``order_col`` must be
+    a timestamp or integral column (anything else raises — a silent
+    ANSI cast failure would kill the stream mid-batch, and a non-ANSI
+    NULL cast would null the payload); rows whose order value is NULL
+    rank below every ordered row instead of nulling the stored payload
+    (max_by skips NULL keys — a key whose only rows had NULL order would
+    otherwise be stored with every payload column NULL)."""
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         from pyspark.sql import functions as F
 
         from ..functions.core import epoch_micros
         if order_col is not None:
-            dt = batch.schema[order_col].dataType.typeName()
-            order = (epoch_micros(batch, order_col)
-                     if dt.startswith("timestamp")
-                     else F.col(order_col).cast("long"))
+            if "_ingest_order" in batch.columns:
+                raise ValueError(
+                    "stream_keyed_upsert: input already has a column "
+                    "named _ingest_order (reserved for the order key); "
+                    "rename it or drop order_col")
+            # resolve via select() so nested paths ('window.start') work
+            dt = batch.select(order_col).schema[0].dataType.typeName()
+            if dt.startswith("timestamp"):
+                order = epoch_micros(batch, order_col)
+            elif dt in ("long", "integer", "short", "byte"):
+                order = F.col(order_col).cast("long")
+            else:
+                raise ValueError(
+                    f"stream_keyed_upsert: order_col {order_col!r} has "
+                    f"unsupported type {dt}; use a timestamp or integral "
+                    "column")
+            # NULL order -> long-min sentinel: loses to any ordered row,
+            # still carries its payload when it is the key's only row
+            order = F.coalesce(order, F.lit(-(1 << 62)))
             batch = batch.withColumn("_ingest_order", order)
         upsert_into_path(batch.sparkSession, batch, path, key=key)
 
@@ -64,6 +85,62 @@ def stream_dedup(stream: DataFrame, keys: list[str], *,
             .dropDuplicatesWithinWatermark(keys))
 
 
+def _merge_sink(stream: DataFrame, path: str, checkpoint: str,
+                partial_fn, merge_fn, *, available_now: bool,
+                additive: bool) -> StreamingQuery:
+    """Shared MERGE-into-parquet sink: each micro-batch reduces to its
+    own partial (``partial_fn(batch)``), merges with the stored state
+    (``merge_fn(existing, partial)``), and overwrites atomically — the
+    one body behind the rollup/CMS/HLL/top-k/funnel sinks.
+
+    ``additive=True`` marks merges that DOUBLE-COUNT on micro-batch
+    replay (sums; foreachBatch is at-least-once): those record the last
+    applied batch id in a marker INSIDE the checkpoint directory and
+    SKIP an already-applied batch id on replay. The marker lives with
+    the checkpoint, not the data path, because batch ids are a
+    per-checkpoint sequence — a deliberate second ingestion into the
+    same store under a fresh checkpoint restarts at batch 0 and MUST
+    apply. The marker commits after the data, so the remaining
+    at-least-once window is a crash in the gap between the two writes —
+    a transactional table format closes it completely (one MERGE INTO
+    with the batch id in the transaction); this is the documented local
+    emulation. Idempotent merges (max, rank-cut re-merge) need no
+    marker — replay is a no-op by algebra."""
+    import json
+    import os
+
+    marker = os.path.join(checkpoint, "_merge_sink_last_batch")
+
+    def apply_batch(batch: DataFrame, bid: int) -> None:
+        spark = batch.sparkSession
+        if additive and os.path.exists(marker):
+            try:
+                with open(marker) as fh:
+                    last = json.load(fh).get("batch_id", -1)
+            except (OSError, ValueError):
+                last = -1
+            if bid <= last:
+                return                  # replayed batch: already merged
+        part = partial_fn(batch)
+        if os.path.exists(path):
+            merged = merge_fn(spark.read.parquet(path), part)
+            _overwrite_via_tmp(merged, path)
+        else:
+            part.write.mode("overwrite").parquet(path)
+        if additive:
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"batch_id": bid}, fh)
+            os.replace(tmp, marker)
+
+    writer = (stream.writeStream
+              .foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_rollup_upsert(stream: DataFrame, path: str, checkpoint: str, *,
                          window_duration: str = "1 hour",
                          event_time_col: str = "ts",
@@ -80,36 +157,27 @@ def stream_rollup_upsert(stream: DataFrame, path: str, checkpoint: str, *,
 
     At scale the store is a transactional table and the merge is one
     ``MERGE INTO``; the parquet read-union-overwrite here is the local
-    emulation, same as ``upsert_into_path``."""
-    import os
-
+    emulation, same as ``upsert_into_path``. Additive merge — replay
+    guarded by the ``_merge_sink`` batch-id marker."""
     from pyspark.sql import functions as F
 
-    def apply_batch(batch: DataFrame, _bid: int) -> None:
-        spark = batch.sparkSession
-        part = (batch
+    def partial(batch: DataFrame) -> DataFrame:
+        return (batch
                 .groupBy(F.window(event_time_col, window_duration)
                          .alias("_w"), group_col)
                 .agg(F.count("*").alias("cnt"),
                      F.sum(value_col).alias("sum_value"))
                 .select(F.col("_w.start").alias("win_start"), group_col,
                         "cnt", "sum_value"))
-        if os.path.exists(path):
-            existing = spark.read.parquet(path)
-            merged = (existing.unionByName(part)
-                      .groupBy("win_start", group_col)
-                      .agg(F.sum("cnt").alias("cnt"),
-                           F.sum("sum_value").alias("sum_value")))
-            _overwrite_via_tmp(merged, path)
-        else:
-            part.write.mode("overwrite").parquet(path)
 
-    writer = (stream.writeStream
-              .foreachBatch(apply_batch)
-              .option("checkpointLocation", checkpoint))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    def merge(existing: DataFrame, part: DataFrame) -> DataFrame:
+        return (existing.unionByName(part)
+                .groupBy("win_start", group_col)
+                .agg(F.sum("cnt").alias("cnt"),
+                     F.sum("sum_value").alias("sum_value")))
+
+    return _merge_sink(stream, path, checkpoint, partial, merge,
+                       available_now=available_now, additive=True)
 
 
 def stream_cms_upsert(stream: DataFrame, path: str, checkpoint: str, *,
@@ -125,31 +193,19 @@ def stream_cms_upsert(stream: DataFrame, path: str, checkpoint: str, *,
 
     Same MERGE-into-parquet emulation as ``stream_rollup_upsert``; at
     scale the sink is a transactional table and this is one MERGE INTO
-    keyed by (r, c)."""
-    import os
-
+    keyed by (r, c). Additive merge — replay guarded by the
+    ``_merge_sink`` batch-id marker."""
     from pyspark.sql import functions as F
 
     from ..operators.scale import cms_sketch
 
-    def apply_batch(batch: DataFrame, _bid: int) -> None:
-        spark = batch.sparkSession
-        part = cms_sketch(batch, item_col, d=d, w=w)
-        if os.path.exists(path):
-            existing = spark.read.parquet(path)
-            merged = (existing.unionByName(part)
-                      .groupBy("r", "c")
-                      .agg(F.sum("cnt").alias("cnt")))
-            _overwrite_via_tmp(merged, path)
-        else:
-            part.write.mode("overwrite").parquet(path)
+    def merge(existing: DataFrame, part: DataFrame) -> DataFrame:
+        return (existing.unionByName(part)
+                .groupBy("r", "c").agg(F.sum("cnt").alias("cnt")))
 
-    writer = (stream.writeStream
-              .foreachBatch(apply_batch)
-              .option("checkpointLocation", checkpoint))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _merge_sink(stream, path, checkpoint,
+                       lambda b: cms_sketch(b, item_col, d=d, w=w), merge,
+                       available_now=available_now, additive=True)
 
 
 def stream_hll_upsert(stream: DataFrame, path: str, checkpoint: str, *,
@@ -160,31 +216,20 @@ def stream_hll_upsert(stream: DataFrame, path: str, checkpoint: str, *,
     stored sketch by per-bucket max — "distinct items ever seen" over an
     endless stream with 2^b rows of state, and the stored table equals
     the batch sketch of everything seen (twin test asserts register
-    equality). Same MERGE-into-parquet emulation as the CMS sink."""
-    import os
-
+    equality). Same MERGE-into-parquet emulation as the CMS sink —
+    max-merge is idempotent under replay, so no batch marker needed."""
     from pyspark.sql import functions as F
 
     from ..operators.scale import hll_registers
 
-    def apply_batch(batch: DataFrame, _bid: int) -> None:
-        spark = batch.sparkSession
-        part = hll_registers(batch, item_col, b=b)
-        if os.path.exists(path):
-            existing = spark.read.parquet(path)
-            merged = (existing.unionByName(part)
-                      .groupBy("bucket")
-                      .agg(F.max("rank").alias("rank")))
-            _overwrite_via_tmp(merged, path)
-        else:
-            part.write.mode("overwrite").parquet(path)
+    def merge(existing: DataFrame, part: DataFrame) -> DataFrame:
+        return (existing.unionByName(part)
+                .groupBy("bucket").agg(F.max("rank").alias("rank")))
 
-    writer = (stream.writeStream
-              .foreachBatch(apply_batch)
-              .option("checkpointLocation", checkpoint))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _merge_sink(stream, path, checkpoint,
+                       lambda batch: hll_registers(batch, item_col, b=b),
+                       merge,
+                       available_now=available_now, additive=False)
 
 
 def stream_topk_upsert(stream: DataFrame, path: str, checkpoint: str, *,
@@ -203,9 +248,8 @@ def stream_topk_upsert(stream: DataFrame, path: str, checkpoint: str, *,
 
     Same MERGE-into-parquet emulation as ``stream_rollup_upsert``; at
     scale the sink is a transactional table and this is one MERGE INTO
-    keyed by (group, rank)."""
-    import os
-
+    keyed by (group, rank). The id-dedup re-merge is idempotent under
+    replay, so no batch marker needed."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
@@ -228,22 +272,11 @@ def stream_topk_upsert(stream: DataFrame, path: str, checkpoint: str, *,
                 .filter(F.col("rnk") <= k)
                 .drop("rnk"))
 
-    def apply_batch(batch: DataFrame, _bid: int) -> None:
-        spark = batch.sparkSession
-        part = _cut(batch.select(group_col, id_col, order_col))
-        if os.path.exists(path):
-            existing = spark.read.parquet(path)
-            merged = _cut(existing.unionByName(part))
-            _overwrite_via_tmp(merged, path)
-        else:
-            part.write.mode("overwrite").parquet(path)
-
-    writer = (stream.writeStream
-              .foreachBatch(apply_batch)
-              .option("checkpointLocation", checkpoint))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _merge_sink(
+        stream, path, checkpoint,
+        lambda batch: _cut(batch.select(group_col, id_col, order_col)),
+        lambda existing, part: _cut(existing.unionByName(part)),
+        available_now=available_now, additive=False)
 
 
 def stream_funnel_upsert(stream: DataFrame, path: str, checkpoint: str, *,
@@ -261,30 +294,19 @@ def stream_funnel_upsert(stream: DataFrame, path: str, checkpoint: str, *,
 
     Same MERGE-into-parquet emulation as the other sinks; at scale the
     sink is a transactional table and this is one MERGE INTO keyed by
-    stage."""
-    import os
-
+    stage. Additive merge — replay guarded by the ``_merge_sink``
+    batch-id marker."""
     from pyspark.sql import functions as F
 
     from ..operators.curation import gate_kill_counts
 
-    def apply_batch(batch: DataFrame, _bid: int) -> None:
-        spark = batch.sparkSession
-        part = gate_kill_counts(batch, gates)
-        if os.path.exists(path):
-            existing = spark.read.parquet(path)
-            merged = (existing.unionByName(part)
-                      .groupBy("stage").agg(F.sum("n").alias("n")))
-            _overwrite_via_tmp(merged, path)
-        else:
-            part.write.mode("overwrite").parquet(path)
+    def merge(existing: DataFrame, part: DataFrame) -> DataFrame:
+        return (existing.unionByName(part)
+                .groupBy("stage").agg(F.sum("n").alias("n")))
 
-    writer = (stream.writeStream
-              .foreachBatch(apply_batch)
-              .option("checkpointLocation", checkpoint))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _merge_sink(stream, path, checkpoint,
+                       lambda batch: gate_kill_counts(batch, gates), merge,
+                       available_now=available_now, additive=True)
 
 
 def read_funnel(spark, path: str, gates) -> DataFrame:

@@ -613,3 +613,56 @@ def test_changes_only_null_safe(spark):
     # key 1: seq1 first, seq2 change-to-null, seq3 change-back -> all 3
     # key 2: seq1 first; seq2 null==null unchanged -> suppressed
     assert got == [(1, 1), (1, 2), (1, 3), (2, 1)]
+
+
+def test_r5_review_guards_sinks_and_flow(spark, sf_dir, tmp_path):
+    """Round-5 review fixes: NULL-order rows keep their payload in the
+    keyed upsert, unsupported order types raise at batch time, the
+    flow filter rejects NULL predicate results, and flow_push refuses
+    unknown keys."""
+    import pytest
+    from servihabitat_etl_spyke_spark.operators.flow import (
+        flow_filter, flow_push)
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        stream_keyed_upsert)
+
+    # NULL-order rows must not null the stored payload: key 2's only
+    # row has ts NULL, and must come back with its payload intact
+    src_dir = tmp_path / "null_order_src"
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a"), (1, "2024-01-02 00:00:00", "b"),
+         (2, None, "keepme")],
+        "id long, ts string, payload string") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .write.mode("overwrite").parquet(str(src_dir))
+    stream = spark.readStream.schema(
+        "id long, ts timestamp, payload string").parquet(str(src_dir))
+    q = stream_keyed_upsert(stream, str(tmp_path / "no_snap"), "id",
+                            str(tmp_path / "no_ckpt"), order_col="ts")
+    q.awaitTermination(120)
+    got = {r["id"]: r["payload"]
+           for r in spark.read.parquet(str(tmp_path / "no_snap")).collect()}
+    assert got[1] == "b" and got[2] == "keepme"
+
+    # unsupported order_col type fails the batch loudly (not a silent
+    # NULL cast nulling payloads / an ANSI crash mid-stream)
+    stream2 = spark.readStream.schema(
+        "id long, ts timestamp, payload string").parquet(str(src_dir))
+    q2 = stream_keyed_upsert(stream2, str(tmp_path / "bad_snap"), "id",
+                             str(tmp_path / "bad_ckpt"),
+                             order_col="payload")
+    with pytest.raises(Exception, match="unsupported type"):
+        q2.awaitTermination(120)
+        q2.processAllAvailable()
+
+    # flow_filter: NULL predicate result rejects the row
+    df = spark.createDataFrame([(1, 1.0), (2, None), (3, 0.0)],
+                               "id long, flag double")
+    kept = flow_filter(df, lambda p: p["flag"]).collect()
+    assert [r.id for r in kept] == [1]
+
+    # flow_push: unknown keys raise instead of silently dropping data
+    with pytest.raises(ValueError, match="typo_col"):
+        flow_push(df, {"id": 9, "typo_col": "x"})
+    out = flow_push(df, {"id": 9}).collect()
+    assert len(out) == 4
