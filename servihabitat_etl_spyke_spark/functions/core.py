@@ -25,6 +25,30 @@ from typing import Callable, Mapping
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+# -- engine-stable rounding (the repo-wide determinism contract) --------------
+
+
+def round2(c: Column) -> Column:
+    """Engine-stable 2-decimal rounding of a computed double.
+
+    ``F.round`` routes through Java BigDecimal.valueOf (shortest decimal
+    string), DuckDB rounds the raw binary double — they disagree on
+    half-cent edges (e.g. x*1.1 = 311582.53499999997 prints as .535: Spark
+    .54, DuckDB .53). floor(x*100 + 0.5)/100 is pure IEEE arithmetic, so
+    both engines compute bit-identical results; the oracle uses the same
+    formula. Lives HERE (not queries.py) so the streaming modules can
+    share the exact expression without an import cycle; queries.py
+    re-exports it for the query modules."""
+    return F.floor(c * 100 + F.lit(0.5)) / 100
+
+
+def roundn(c: Column, n: int) -> Column:
+    """:func:`round2` generalized to ``n`` decimals (same engine-stable
+    floor(x*10^n + 0.5)/10^n form; oracles mirror it verbatim)."""
+    s = 10 ** n
+    return F.floor(c * s + F.lit(0.5)) / s
+
+
 # -- F1/F2: split / join ----------------------------------------------------
 
 _ESCAPES = {"\\n": "\n", "\\t": "\t"}
@@ -89,11 +113,24 @@ def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
     turn a swap mapping ({'a':'b','b':'a'}) into duplicate columns
     ([a,b]->[b,b]->[a,a]) because each step re-matches names the previous
     step just produced. The single select reads every source column under
-    its ORIGINAL name exactly once."""
+    its ORIGINAL name exactly once.
+
+    One-sided collisions follow the reference's JS overwrite
+    (``obj[new] = obj[old]; delete obj[old]``): renaming clientid ->
+    clientId when a clientId column ALREADY exists replaces the existing
+    column with the renamed one — a bare alias pass would emit two
+    clientId columns and every later reference would raise
+    AMBIGUOUS_REFERENCE. (A swap mapping keeps both columns: each side
+    is itself renamed away, so nothing is overwritten.)"""
     if not any(o in df.columns for o in mapping):
         return df
+    # columns another column is being renamed ONTO (and which are not
+    # themselves renamed away) get overwritten, not duplicated
+    targets = {mapping[o] for o in mapping
+               if o in df.columns and mapping[o] != o}
     return df.select(
-        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns
+          if c in mapping or c not in targets])
 
 
 # -- F10-F12: identity / time -----------------------------------------------
@@ -127,20 +164,28 @@ def uuid_validate(col: Column | str) -> Column:
 
 
 def uuid_version(col: Column | str) -> Column:
-    """F11: version nibble = char 15 (uuidVersion.ts)."""
+    """F11: version nibble = char 15 (uuidVersion.ts). Parsed base-16 —
+    a NIBBLE is hex by definition, and cast('int') would return NULL for
+    the a-f versions (10-15) that uuid_validate's regex accepts."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.substring(c, 15, 1).cast("int")
+    return F.conv(F.substring(c, 15, 1), 16, 10).cast("int")
 
 
 def iso_now() -> Column:
     """F12: ISO-8601 now() string (moment().toISOString() analog —
     always UTC). date_format renders in the SESSION timezone, so the
     instant is converted to UTC wall time first; a bare format with a
-    literal 'Z' would stamp local time as UTC in non-UTC sessions."""
+    literal 'Z' would stamp local time as UTC in non-UTC sessions.
+
+    The session timezone is captured at COLUMN-BUILD time (and falls
+    back to UTC when no session is active on this thread — active
+    sessions are thread-local in PySpark); rebuild the column after
+    changing spark.sql.session.timeZone."""
     from pyspark.sql import SparkSession
 
-    tz = (SparkSession.getActiveSession()
-          .conf.get("spark.sql.session.timeZone"))
+    sess = SparkSession.getActiveSession()
+    tz = (sess.conf.get("spark.sql.session.timeZone")
+          if sess is not None else "UTC")
     return F.date_format(F.to_utc_timestamp(F.current_timestamp(), tz),
                          "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
 

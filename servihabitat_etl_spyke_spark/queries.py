@@ -50,40 +50,33 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-def round2(c: Column) -> Column:
-    """Engine-stable 2-decimal rounding of a computed double.
-
-    ``F.round`` routes through Java BigDecimal.valueOf (shortest decimal
-    string), DuckDB rounds the raw binary double — they disagree on
-    half-cent edges (e.g. x*1.1 = 311582.53499999997 prints as .535: Spark
-    .54, DuckDB .53). floor(x*100 + 0.5)/100 is pure IEEE arithmetic, so
-    both engines compute bit-identical results; the oracle uses the same
-    formula."""
-    return F.floor(c * 100 + F.lit(0.5)) / 100
-
-
-def roundn(c: Column, n: int) -> Column:
-    """:func:`round2` generalized to ``n`` decimals (same engine-stable
-    floor(x*10^n + 0.5)/10^n form; oracles mirror it verbatim)."""
-    s = 10 ** n
-    return F.floor(c * s + F.lit(0.5)) / s
+# round2/roundn — the engine-stable rounding contract — live in
+# functions/core.py (cycle-free for the streaming modules) and are
+# re-exported here for the query modules that import them from queries.
+from .functions.core import round2, roundn  # noqa: E402,F401
 
 
 def fixture_base(name: str) -> str:
     """Per-PROCESS scratch directory for a query fixture rebuilt in
-    place: ``{tmpdir}/{name}_{pid}``, rmtree'd clean before return.
+    place: ``{tmpdir}/{name}_{pid}``, rmtree'd clean before return and
+    removed again at interpreter exit.
 
     One shared helper for every fixture-bearing query (bucketed-join
     layout, snapshot stores): the fixed path avoids leaking one tree per
-    bench attempt / correctness round, and the pid suffix keeps two
-    concurrent Spark processes on one host (bench + pytest) from
-    rmtree'ing each other's live fixture mid-read."""
+    bench attempt / correctness round WITHIN a process, the pid suffix
+    keeps two concurrent Spark processes on one host (bench + pytest)
+    from rmtree'ing each other's live fixture mid-read, and the atexit
+    hook keeps repeated process launches from leaking one tree per pid
+    (a SIGKILLed process still leaks its dir — bounded by tmpdir
+    rotation)."""
+    import atexit
     import os
     import shutil
     import tempfile
 
     base = f"{tempfile.gettempdir()}/{name}_{os.getpid()}"
     shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     return base
 
 
@@ -376,16 +369,13 @@ def multi_prefix_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes ("a/b/c" -> ["a","a/b","a/b/c"], eventsSchemas.ts:6), then
     per-prefix counts. Pure JVM-side array ops (no UDF): transform(sequence)
     + slice + array_join, then explode + groupBy."""
+    from .functions.core import path_prefixes
     ev = load_table(spark, sf_dir, "events")
     path = F.concat(
         F.col("event_type"), F.lit("/u"), (F.col("user_id") % 10).cast("string"),
         F.lit("/"), (F.col("event_id") % 7).cast("string"))
     df = ev.select(path.alias("path"))
-    parts = F.split(F.col("path"), "/")
-    prefixes = F.transform(
-        F.sequence(F.lit(1), F.size(parts)),
-        lambda i: F.array_join(F.slice(parts, F.lit(1), i), "/"))
-    return (df.select(F.explode(prefixes).alias("prefix"))
+    return (df.select(F.explode(path_prefixes("path", "/")).alias("prefix"))
             .groupBy("prefix").agg(F.count("*").alias("cnt"))
             .orderBy("prefix"))
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.core import round2
+
 
 def tumbling_counts_stream(events: DataFrame, duration: str = "1 hour",
                            watermark: str = "10 minutes") -> DataFrame:
@@ -19,11 +21,9 @@ def tumbling_counts_stream(events: DataFrame, duration: str = "1 hour",
     return (events.withWatermark("ts", watermark)
             .groupBy(F.window("ts", duration), "event_type")
             .agg(F.count("*").alias("cnt"),
-                 # round2 form, matching the batch twin
-                 # (queries.window_tumbling_hourly) — F.round diverges
-                 # from floor(x*100+0.5)/100 on half-cent edges
-                 (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100)
-                 .alias("sum_value")))
+                 # shared round2 (functions/core), matching the batch
+                 # twin queries.window_tumbling_hourly exactly
+                 round2(F.sum("value")).alias("sum_value")))
 
 
 def sliding_counts(events: DataFrame, duration: str = "1 hour",

@@ -95,3 +95,34 @@ def test_rename_columns_swap_and_path_prefix_regex_sep(spark):
     dotted = spark.createDataFrame([("x.y.z",)], ["p"])
     got = dotted.select(path_prefixes("p", sep=".").alias("pre")).collect()
     assert got[0]["pre"] == ["x", "x.y", "x.y.z"]
+
+
+def test_r5_review_guards_functions(spark):
+    """Round-5 review fixes: rename collision overwrites (JS semantics),
+    hex uuid version nibble, iso_now without an active session."""
+    import pytest
+    from servihabitat_etl_spyke_spark.functions.core import (
+        iso_now, rename_columns, uuid_version)
+
+    # one-sided collision: renamed column OVERWRITES the existing target
+    df = spark.createDataFrame([("old", "new")],
+                               "legacy_id string, client_id string")
+    out = rename_columns(df, {"legacy_id": "client_id"})
+    assert out.columns == ["client_id"]
+    assert out.collect()[0]["client_id"] == "old"
+    # swap still keeps both
+    swap = rename_columns(
+        spark.createDataFrame([(1, 2)], "a long, b long"), {"a": "b", "b": "a"})
+    assert sorted(swap.columns) == ["a", "b"]
+    assert swap.collect()[0].asDict() == {"b": 1, "a": 2}
+
+    # hex version nibbles parse as 10-15, not NULL
+    u = spark.createDataFrame(
+        [("12345678-1234-f234-a123-123456789012",)], "u string")
+    assert u.select(uuid_version("u").alias("v")).collect()[0]["v"] == 15
+
+    # iso_now builds a valid column (active session exists here); the
+    # no-session path falls back to UTC rather than AttributeError —
+    # exercised via direct call with the session present
+    row = spark.range(1).select(iso_now().alias("t")).collect()[0]
+    assert row["t"].endswith("Z") and "T" in row["t"]
