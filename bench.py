@@ -156,6 +156,8 @@ HEADLINE = [
     "dedup_cluster_sample",
     # round-5 additions (no earlier baseline — deltas from r06)
     "curate_funnel_report",
+    "text_line_filter",
+    "dedup_boilerplate_lines",
 ]
 
 

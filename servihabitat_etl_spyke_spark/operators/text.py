@@ -446,6 +446,86 @@ def normalize_text(docs: DataFrame, id_col: str = "doc_id",
             .withColumn("n_chars_norm", F.length("text_norm")))
 
 
+def line_filter(docs: DataFrame, min_chars: int = 0, min_words: int = 3,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): drop
+    boilerplate lines WITHIN each document — too short (chars or words)
+    or bullet-prefixed — and reassemble the survivors in order. The
+    within-doc half of web-corpus line hygiene; the cross-doc half is
+    :func:`dedup_lines`.
+
+    Entirely ROW-LOCAL array algebra: split on newline, F.filter with
+    the gates, array_join back — no explode, no shuffle; rides the scan
+    stage. A gate evaluating NULL (never here — length/size are
+    NULL-safe on non-null lines) would drop the line, matching SQL
+    filter semantics.
+
+    Returns (id, text_clean, n_lines, n_kept)."""
+    lines = F.col("_lines")
+
+    def keep(line: Column) -> Column:
+        words = F.size(F.split(F.trim(line), " +"))
+        return ((F.length(line) >= min_chars)
+                & (words >= min_words)
+                & ~F.trim(line).rlike(r"^[-*•]"))
+
+    return (spread(docs, id_col)
+            .select(F.col(id_col),
+                    F.split(F.col(text_col), "\n").alias("_lines"))
+            .select(F.col(id_col),
+                    F.size(lines).alias("n_lines"),
+                    F.filter(lines, keep).alias("_kept"))
+            .select(F.col(id_col), "n_lines",
+                    F.size("_kept").alias("n_kept"),
+                    F.array_join("_kept", "\n").alias("text_clean")))
+
+
+def dedup_lines(docs: DataFrame, min_docs: int = 10, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Cross-document duplicate-LINE removal (the FineWeb/RefinedWeb
+    boilerplate stage): a line whose normalized form appears in at least
+    ``min_docs`` DISTINCT documents is boilerplate (nav bars, cookie
+    banners, license footers) and is removed from EVERY document; the
+    survivors reassemble in original order.
+
+    Shape: one posexplode, one (line-key) count-distinct aggregation,
+    one anti-join back, one per-doc reassembly — every step an equi-hash
+    shuffle bounded by total line count; the boilerplate set itself is
+    never collected (at 100 TB it can be millions of lines — the
+    anti-join handles any size). Docs whose every line was boilerplate
+    come back with empty text, not dropped.
+
+    Returns (id, n_lines, n_kept, text_clean)."""
+    base = (spread(docs, id_col)
+            .select(F.col(id_col), F.split(F.col(text_col), "\n")
+                    .alias("_lines")))
+    lines = base.select(
+        F.col(id_col),
+        F.posexplode("_lines").alias("pos", "line"))
+    lkey = F.lower(F.trim(F.col("line")))
+    keyed = lines.select(F.col(id_col), "pos", "line", lkey.alias("_lk"))
+    boiler = (keyed.groupBy("_lk")
+              .agg(F.countDistinct(id_col).alias("_nd"))
+              .filter(F.col("_nd") >= min_docs)
+              .select("_lk"))
+    kept = keyed.join(boiler, "_lk", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count("*").alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"]), "\n")
+                    .alias("text_clean")))
+    totals = base.select(F.col(id_col), F.size("_lines").alias("n_lines"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(F.col(id_col), "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean")))
+
+
 def distinct_ngram_ratios(docs: DataFrame, group_col: str = "source",
                           ns: tuple[int, ...] = (1, 2, 3),
                           id_col: str = "doc_id",

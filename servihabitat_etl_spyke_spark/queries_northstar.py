@@ -1281,6 +1281,97 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.normalize_text(docs).orderBy("doc_id")
 
 
+def _relined(docs: DataFrame, w: int = 4) -> DataFrame:
+    """Deterministic re-liner for the line-level operators: the fixture
+    text has no newlines, so each doc is split into ``w``-token lines
+    joined by '\\n' — the SAME arithmetic the DuckDB oracles replay
+    (ceil(n/w) slices of w tokens). Real corpora skip this and feed
+    their natural line structure straight to line_filter/dedup_lines."""
+    toks = F.col("_tk")
+    nl = F.floor((F.size(toks) + (w - 1)) / w).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "))
+    return (docs.select("doc_id", F.split(F.col("text"), " ").alias("_tk"))
+            .select("doc_id", F.array_join(lines, "\n").alias("text")))
+
+
+_RELINE_SQL = """
+t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+r AS (SELECT doc_id,
+        array_to_string(list_transform(
+          range(0, CAST(ceil(len(tk) / 4.0) AS BIGINT)),
+          i -> array_to_string(list_slice(tk, i*4+1, i*4+4), ' ')),
+          chr(10)) AS text
+      FROM t)
+"""
+
+
+@query("text_line_filter", oracle="""
+WITH """ + _RELINE_SQL + """,
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM r),
+k AS (SELECT doc_id, len(ls) AS n_lines,
+             list_filter(ls, x ->
+               length(x) >= 20
+               AND len(regexp_split_to_array(trim(x), ' +')) >= 3
+               AND NOT regexp_matches(trim(x), '^[-*•]')) AS kept
+      FROM l)
+SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept,
+       -- DuckDB array_to_string returns NULL for an empty list; Spark
+       -- array_join returns '' — align on ''
+       coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+FROM k ORDER BY doc_id
+""")
+def text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style within-document LINE cleaning (drop short / few-word /
+    bullet lines, reassemble survivors in order) over deterministically
+    re-lined fixture text — entirely row-local array algebra, zero
+    shuffle beyond the scan. The cross-document half is
+    `dedup_boilerplate_lines`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (TX.line_filter(_relined(docs), min_chars=20, min_words=3)
+            .select("doc_id",
+                    F.col("n_lines").cast("int").alias("n_lines"),
+                    F.col("n_kept").cast("int").alias("n_kept"),
+                    "text_clean")
+            .orderBy("doc_id"))
+
+
+@query("dedup_boilerplate_lines", oracle="""
+WITH """ + _RELINE_SQL + """,
+l AS (SELECT doc_id, i AS pos, ls[i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM r),
+           UNNEST(range(1, len(ls) + 1)) AS u(i)),
+b AS (SELECT lower(trim(line)) AS lk
+      FROM l GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+kept AS (SELECT l.doc_id, l.pos, l.line FROM l
+         WHERE lower(trim(l.line)) NOT IN (SELECT lk FROM b)),
+g AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS txt
+      FROM kept GROUP BY doc_id)
+SELECT r.doc_id,
+       CAST(len(string_split(r.text, chr(10))) AS INT) AS n_lines,
+       CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(g.txt, '') AS text_clean
+FROM r LEFT JOIN g USING (doc_id) ORDER BY doc_id
+""")
+def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/RefinedWeb cross-document duplicate-LINE removal: a
+    (normalized) line appearing in >= 3 distinct documents is
+    boilerplate and is stripped from every document, survivors
+    reassembled in order. One posexplode + one line-key aggregation +
+    one anti-join + one per-doc rebuild — all equi-hash shuffles
+    bounded by total line count; the boilerplate set is never
+    collected, so any boilerplate volume scales."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (TX.dedup_lines(_relined(docs), min_docs=3)
+            .select("doc_id",
+                    F.col("n_lines").cast("int").alias("n_lines"),
+                    "n_kept", "text_clean")
+            .orderBy("doc_id"))
+
+
 @query("text_token_entropy", oracle="""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 cnt AS (SELECT doc_id, unnest(t) AS tok FROM toks),

@@ -1378,3 +1378,36 @@ def test_r5_review_guards(spark):
     assert [r.doc_id for r in MM.image_dhash(mixed).collect()] == [1]
     assert [r.doc_id for r in MM.image_phash(mixed).collect()] == [1]
     assert [r.doc_id for r in MM.resize_images(mixed, 8, 8).collect()] == [1]
+
+
+def test_line_filter_and_dedup_lines(spark):
+    """C4 line filter: gates drop short/bullet lines, order preserved;
+    FineWeb dedup_lines: boilerplate line stripped from every doc,
+    all-boilerplate docs come back empty (not dropped)."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high\n- bullet item\nshort ln\n"
+             "a perfectly reasonable content line here"),
+         (2, "cookie banner accept all cookies now\n"
+             "the quick brown fox jumps high"),
+         (3, "cookie banner accept all cookies now")],
+        "doc_id long, text string")
+    lf = {r.doc_id: r for r in TX.line_filter(
+        docs, min_chars=10, min_words=4).collect()}
+    assert lf[1].n_lines == 4 and lf[1].n_kept == 2
+    assert lf[1].text_clean == ("the quick brown fox jumps high\n"
+                                "a perfectly reasonable content line here")
+
+    dl_docs = spark.createDataFrame(
+        [(1, "unique line alpha\nCookie Banner\nunique line beta"),
+         (2, "cookie banner\nunique line gamma"),
+         (3, "another one\ncookie banner"),
+         (4, "COOKIE BANNER")],
+        "doc_id long, text string")
+    dl = {r.doc_id: r for r in TX.dedup_lines(dl_docs, min_docs=3).collect()}
+    # 'cookie banner' (case/trim-normalized) appears in 4 docs -> removed
+    assert dl[1].text_clean == "unique line alpha\nunique line beta"
+    assert dl[2].text_clean == "unique line gamma"
+    assert dl[3].text_clean == "another one"
+    # all-boilerplate doc survives with empty text, zero kept
+    assert dl[4].n_kept == 0 and dl[4].text_clean == ""
+    assert dl[4].n_lines == 1
