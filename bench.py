@@ -158,6 +158,8 @@ HEADLINE = [
     "curate_funnel_report",
     "text_line_filter",
     "dedup_boilerplate_lines",
+    "text_repetition_signals",
+    "curate_domain_blocklist",
 ]
 
 

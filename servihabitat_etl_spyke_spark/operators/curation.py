@@ -331,6 +331,32 @@ def domain_filter(df: DataFrame, blocked: list[str] | DataFrame,
                      | ~F.col(domain_col).isin(blocked))
 
 
+def domain_suffix_blocklist(df: DataFrame, blocklist: DataFrame,
+                            domain_col: str = "domain",
+                            id_col: str = "doc_id") -> DataFrame:
+    """SUFFIX-semantics domain blocklist: an entry ``spam.com`` blocks
+    ``spam.com`` AND every subdomain (``cdn.spam.com``, ``a.b.spam.com``)
+    — the real contract of crawl blocklists (UT1, adblock domain lists),
+    which :func:`domain_filter`'s exact match cannot express.
+
+    Shape: each domain expands ROW-LOCALLY into its <= ~6 label
+    suffixes, one left-semi equi-join finds blocked ids, one left-anti
+    join removes them — both plain hash joins, so a MILLION-entry
+    blocklist works where a broadcast literal IN-list can't go (Spark
+    broadcasts the blocklist side automatically while it stays small).
+    NULL domains are kept, matching domain_filter's convention."""
+    bl = blocklist.select(F.col(blocklist.columns[0]).alias("_sfx"))
+    parts = F.split(F.col(domain_col), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."))
+    blocked = (df.select(F.col(id_col),
+                         F.explode(suffixes).alias("_sfx"))
+               .join(bl, "_sfx", "left_semi")
+               .select(id_col).distinct())
+    return df.join(blocked, id_col, "left_anti")
+
+
 def per_domain_cap(df: DataFrame, cap: int, domain_col: str = "domain",
                    order_col: str = "doc_id") -> DataFrame:
     """Keep at most ``cap`` documents per domain (deterministic: lowest

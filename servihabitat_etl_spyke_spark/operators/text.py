@@ -446,6 +446,97 @@ def normalize_text(docs: DataFrame, id_col: str = "doc_id",
             .withColumn("n_chars_norm", F.length("text_norm")))
 
 
+def _gram_rep_fold(grams: Column) -> Column:
+    """Row-local repetition accounting over one n-gram list: sort, then
+    ONE linear fold over equal-gram runs returning struct(best, dup) —
+    ``best`` = max over grams of count*len(gram) (chars covered by the
+    most repetitive gram), ``dup`` = Σ over grams with count>1 of
+    (count-1)*len(gram) (chars in duplicate occurrences beyond the
+    first). The same sorted-run discipline as ``_top_token_count`` /
+    ``token_entropy`` — never a per-doc groupBy, never O(distinct*n)."""
+    sg = F.array_sort(grams)
+
+    def _fin_best(acc):
+        return F.greatest(acc["best"], acc["run"] * F.length(acc["prev"]))
+
+    def _fin_dup(acc):
+        return acc["dup"] + F.when(
+            acc["run"] > 1,
+            (acc["run"] - 1) * F.length(acc["prev"])).otherwise(F.lit(0))
+
+    def _step(acc, x):
+        cont = x == acc["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(cont, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(cont, acc["best"]).otherwise(_fin_best(acc).cast("long"))
+            .alias("best"),
+            F.when(cont, acc["dup"]).otherwise(_fin_dup(acc).cast("long"))
+            .alias("dup"))
+
+    init = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"),
+                    F.lit(0).cast("long").alias("dup"))
+    return F.aggregate(
+        sg, init, _step,
+        lambda acc: F.struct(_fin_best(acc).cast("long").alias("best"),
+                             _fin_dup(acc).cast("long").alias("dup")))
+
+
+def ngram_repetition_signals(docs: DataFrame,
+                             top_ns: tuple[int, ...] = (2, 3, 4),
+                             dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Gopher/RedPajama-v2 n-gram repetition signals per document:
+
+    - ``top{n}_e6`` for n in ``top_ns``: fraction of characters covered
+      by the most repetitive n-gram (count * gram chars / doc chars) —
+      the ``top_ngram_char_fraction`` family;
+    - ``dup{n}_e6`` for n in ``dup_ns``: fraction of characters in
+      DUPLICATE n-gram occurrences beyond each gram's first
+      ((count-1) * gram chars / doc chars) — the
+      ``dup_ngram_char_fraction`` family.
+
+    Deviation from the published heuristics, made explicit for oracle
+    parity: 'most repetitive' maximizes covered CHARS (count*len), not
+    raw count — count ties between grams of different lengths are
+    otherwise engine-arbitrary. Fractions are e6-quantized integers.
+
+    Shape: every signal is ROW-LOCAL (gram build + sorted-run fold per
+    n) — zero shuffles, zero explodes; the whole family rides the scan
+    stage. Docs shorter than n contribute zero grams for that n (the
+    distinct_ngram_ratios convention)."""
+    toks = F.col("_toks")
+
+    def grams(n: int) -> Column:
+        if n == 1:
+            return toks
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "))
+        ).otherwise(F.array().cast("array<string>"))
+
+    nch = F.length(F.col("_text"))
+    e6 = lambda c: F.floor(c * 1000000 / nch + F.lit(0.5)).cast("long")
+    cols = [F.col(id_col), nch.alias("n_chars")]
+    cols += [e6(F.col(f"_r{n}")["best"]).alias(f"top{n}_e6")
+             for n in top_ns]
+    cols += [e6(F.col(f"_r{n}")["dup"]).alias(f"dup{n}_e6")
+             for n in dup_ns]
+    return (spread(docs, id_col)
+            .select(F.col(id_col), F.col(text_col).alias("_text"),
+                    tokens(F.col(text_col)).alias("_toks"))
+            .select(F.col(id_col), "_text",
+                    *[_gram_rep_fold(grams(n)).alias(f"_r{n}")
+                      for n in sorted(set(top_ns) | set(dup_ns))])
+            .select(*cols))
+
+
 def line_filter(docs: DataFrame, min_chars: int = 0, min_words: int = 3,
                 id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:

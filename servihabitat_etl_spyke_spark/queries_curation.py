@@ -533,6 +533,42 @@ def curate_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "domain").orderBy("doc_id")
 
 
+@query("curate_domain_blocklist", oracle="""
+-- suffix semantics replayed as equality-or-dot-suffix LIKE: an entry
+-- blocks itself AND every subdomain (the engine runs the scale shape —
+-- row-local suffix expansion + semi/anti equi-joins — same answer)
+WITH d AS (SELECT doc_id,
+                  lang || '.' || lower(source) || '.example.com' AS domain
+           FROM documents),
+b(dom) AS (SELECT * FROM (VALUES ('src3.example.com'),
+                                 ('src7.example.com'),
+                                 ('de.src1.example.com')))
+SELECT doc_id, domain FROM d
+WHERE NOT EXISTS (SELECT 1 FROM b
+                  WHERE d.domain = b.dom
+                     OR d.domain LIKE '%.' || b.dom)
+ORDER BY doc_id
+""")
+def curate_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-semantics domain blocklist (UT1/adblock contract):
+    'src3.example.com' blocks every language subdomain under it, and
+    one exact deep entry blocks only 'de.src1.example.com'. The engine
+    expands each domain into its label suffixes ROW-LOCALLY and runs
+    one semi + one anti equi-join — the shape that takes a
+    million-entry blocklist; the oracle replays the same semantics as
+    equality-or-LIKE."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.concat(F.col("lang"), F.lit("."), F.lower(F.col("source")),
+                 F.lit(".example.com")).alias("domain"))
+    bl = spark.createDataFrame(
+        [("src3.example.com",), ("src7.example.com",),
+         ("de.src1.example.com",)], "dom string")
+    return (C.domain_suffix_blocklist(d, bl)
+            .select("doc_id", "domain").orderBy("doc_id"))
+
+
 @query("curate_domain_stats", oracle="""
 WITH n AS (
   SELECT doc_id, n_chars, lower(source) || '.example.com' AS domain

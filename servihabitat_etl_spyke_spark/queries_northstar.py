@@ -1281,6 +1281,49 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.normalize_text(docs).orderBy("doc_id")
 
 
+def _rep_signals_oracle(top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)) -> str:
+    """DuckDB mirror of ngram_repetition_signals: per n, grams via the
+    range/list_slice pattern, grouped counts, best = max(count*len),
+    dup = Σ(count-1)*len over count>1, e6-quantized against doc chars."""
+    ns = sorted(set(top_ns) | set(dup_ns))
+    ctes = ["toks AS (SELECT doc_id, length(text) AS nch,"
+            " string_split(text, ' ') AS t FROM documents)"]
+    for n in ns:
+        ctes.append(f"""g{n} AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + {n - 1}), ' ') AS gram
+  FROM toks, UNNEST(range(1, greatest(len(t) - {n - 1}, 0) + 1)) AS u(i)),
+c{n} AS (SELECT doc_id, count(*) AS c, length(gram) AS lg
+         FROM g{n} GROUP BY doc_id, gram),
+r{n} AS (SELECT doc_id, max(c * lg) AS best,
+                sum(CASE WHEN c > 1 THEN (c - 1) * lg ELSE 0 END) AS dup
+         FROM c{n} GROUP BY doc_id)""")
+    sel = ["toks.doc_id", "CAST(nch AS BIGINT) AS n_chars"]
+    joins = []
+    for n in ns:
+        joins.append(f"LEFT JOIN r{n} ON toks.doc_id = r{n}.doc_id")
+    for n in top_ns:
+        sel.append(f"CAST(floor(coalesce(r{n}.best, 0) * 1000000.0 / nch"
+                   f" + 0.5) AS BIGINT) AS top{n}_e6")
+    for n in dup_ns:
+        sel.append(f"CAST(floor(coalesce(r{n}.dup, 0) * 1000000.0 / nch"
+                   f" + 0.5) AS BIGINT) AS dup{n}_e6")
+    return ("WITH " + ",\n".join(ctes) + "\nSELECT " + ", ".join(sel)
+            + "\nFROM toks " + " ".join(joins) + "\nORDER BY toks.doc_id")
+
+
+@query("text_repetition_signals", oracle=_rep_signals_oracle())
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RedPajama-v2 repetition heuristics per document: char
+    fraction covered by the most repetitive {2,3,4}-gram and char
+    fraction inside duplicate {5..10}-gram occurrences — the signals
+    that kill templated/looping documents which token-level stats miss.
+    Every one of the nine signals is ROW-LOCAL (gram build + sorted-run
+    fold), zero shuffles — the whole family rides the scan; the oracle
+    recomputes each via grouped SQL counts, e6-quantized."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.ngram_repetition_signals(docs).orderBy("doc_id")
+
+
 def _relined(docs: DataFrame, w: int = 4) -> DataFrame:
     """Deterministic re-liner for the line-level operators: the fixture
     text has no newlines, so each doc is split into ``w``-token lines

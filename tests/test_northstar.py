@@ -1411,3 +1411,47 @@ def test_line_filter_and_dedup_lines(spark):
     # all-boilerplate doc survives with empty text, zero kept
     assert dl[4].n_kept == 0 and dl[4].text_clean == ""
     assert dl[4].n_lines == 1
+
+
+def test_ngram_repetition_signals_local_recompute(spark):
+    """Sorted-run fold == brute-force local recompute for the
+    top/dup char-fraction definitions, including the n > len edge."""
+    rows = [(1, "spam spam spam spam eggs"),
+            (2, "a b c d e f g h"),
+            (3, "x y x y x y x y x y"),
+            (4, "tiny")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.ngram_repetition_signals(
+        docs, top_ns=(2,), dup_ns=(2,)).collect()}
+
+    def brute(text, n):
+        toks = text.split(" ")
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)] \
+            if len(toks) >= n else []
+        from collections import Counter
+        c = Counter(grams)
+        best = max((k * len(g) for g, k in c.items()), default=0)
+        dup = sum((k - 1) * len(g) for g, k in c.items() if k > 1)
+        import math
+        nch = len(text)
+        return (math.floor(best * 1e6 / nch + 0.5),
+                math.floor(dup * 1e6 / nch + 0.5))
+
+    for did, text in rows:
+        b_top, b_dup = brute(text, 2)
+        assert out[did]["top2_e6"] == b_top, (did, out[did])
+        assert out[did]["dup2_e6"] == b_dup, (did, out[did])
+
+
+def test_domain_suffix_blocklist_semantics(spark):
+    """Entry blocks itself and all subdomains; unrelated lookalike
+    domains and NULL domains survive."""
+    from servihabitat_etl_spyke_spark.operators.curation import (
+        domain_suffix_blocklist)
+    d = spark.createDataFrame(
+        [(1, "spam.com"), (2, "cdn.spam.com"), (3, "a.b.spam.com"),
+         (4, "notspam.com"), (5, "spam.com.evil.org"), (6, None)],
+        "doc_id long, domain string")
+    bl = spark.createDataFrame([("spam.com",)], "dom string")
+    kept = sorted(r.doc_id for r in domain_suffix_blocklist(d, bl).collect())
+    assert kept == [4, 5, 6]
