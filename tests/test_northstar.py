@@ -1420,6 +1420,13 @@ def test_ngram_repetition_signals_local_recompute(spark):
             (2, "a b c d e f g h"),
             (3, "x y x y x y x y x y"),
             (4, "tiny")]
+    # deterministic pseudo-random corpus from a tiny vocab: dense gram
+    # collisions exercise run boundaries, count ties, and length ties
+    vocab = ["aa", "b", "ccc", "aa b"]
+    for did in range(5, 45):
+        n = did % 13 + 1
+        rows.append((did, " ".join(
+            vocab[(did * 7 + j * j) % len(vocab)] for j in range(n))))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in TX.ngram_repetition_signals(
         docs, top_ns=(2,), dup_ns=(2,)).collect()}
