@@ -587,15 +587,25 @@ def dedup_lines(docs: DataFrame, min_docs: int = 10, id_col: str = "doc_id",
     anti-join handles any size). Docs whose every line was boilerplate
     come back with empty text, not dropped.
 
+    All three consumers (line-key counts, anti-join probe, per-doc
+    totals) read ONE persisted exploded-lines table — per-branch column
+    pruning makes their scan subplans differ, so ReuseExchange cannot
+    deduplicate them and an unpinned plan would scan + re-line the
+    corpus three times. Totals count exploded rows rather than
+    re-scanning docs (split('\\n') yields >= 1 element for every
+    string, so no doc is lost). Cache note: the pin lives for the
+    returned plan's lifetime (the global_row_numbers discipline);
+    release with spark.catalog.clearCache() when done.
+
     Returns (id, n_lines, n_kept, text_clean)."""
-    base = (spread(docs, id_col)
-            .select(F.col(id_col), F.split(F.col(text_col), "\n")
-                    .alias("_lines")))
-    lines = base.select(
-        F.col(id_col),
-        F.posexplode("_lines").alias("pos", "line"))
+    lines = (spread(docs, id_col)
+             .select(F.col(id_col), F.split(F.col(text_col), "\n")
+                     .alias("_lines"))
+             .select(F.col(id_col),
+                     F.posexplode("_lines").alias("pos", "line")))
     lkey = F.lower(F.trim(F.col("line")))
-    keyed = lines.select(F.col(id_col), "pos", "line", lkey.alias("_lk"))
+    keyed = (lines.select(F.col(id_col), "pos", "line", lkey.alias("_lk"))
+             .persist())
     boiler = (keyed.groupBy("_lk")
               .agg(F.countDistinct(id_col).alias("_nd"))
               .filter(F.col("_nd") >= min_docs)
@@ -609,9 +619,10 @@ def dedup_lines(docs: DataFrame, min_docs: int = 10, id_col: str = "doc_id",
                                 F.struct("pos", "line"))),
                             lambda s: s["line"]), "\n")
                     .alias("text_clean")))
-    totals = base.select(F.col(id_col), F.size("_lines").alias("n_lines"))
+    totals = keyed.groupBy(id_col).agg(F.count("*").alias("n_lines"))
     return (totals.join(rebuilt, id_col, "left")
-            .select(F.col(id_col), "n_lines",
+            .select(F.col(id_col),
+                    F.col("n_lines").cast("int").alias("n_lines"),
                     F.coalesce("n_kept", F.lit(0)).cast("long")
                     .alias("n_kept"),
                     F.coalesce("text_clean", F.lit("")).alias("text_clean")))
