@@ -385,3 +385,49 @@ def test_video_dedup_band_join_is_hash_join(spark, sf_dir):
         if ") Exchange" in ln or "Join" in ln and ln.strip().startswith("("):
             block = "\n".join(lines[i:i + 4])
             assert "content#" not in block, block
+
+
+def test_repetition_signals_plan_is_shuffle_free(spark, sf_dir):
+    """The nine Gopher/RedPajama char-fraction signals must compile to
+    row-local folds: no Generate (explode), no aggregation
+    HashAggregate, and only the spread repartition Exchange — the
+    classic explode+groupBy formulation would shuffle the whole gram
+    multiset."""
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.operators.text import (
+        ngram_repetition_signals)
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (ngram_repetition_signals(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Generate" not in plan
+    assert "HashAggregate" not in plan and "ObjectHashAggregate" not in plan
+    assert plan.count("Exchange") <= 1          # the spread repartition
+
+
+def test_dedup_lines_single_fill_and_blocklist_no_bnlj(spark, sf_dir):
+    """dedup_lines: all three consumers read the pinned exploded-lines
+    table (InMemoryTableScan branches), not three separate corpus
+    scans. domain_suffix_blocklist: suffix semantics stay equi-join
+    (no BroadcastNestedLoopJoin, no cartesian)."""
+    from pyspark.sql import functions as F
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.operators.curation import (
+        domain_suffix_blocklist)
+    from servihabitat_etl_spyke_spark.operators.text import dedup_lines
+    docs = load_table(spark, sf_dir, "documents")
+    try:
+        out = dedup_lines(docs, min_docs=3)
+        out.write.format("noop").mode("overwrite").save()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 3
+    finally:
+        spark.catalog.clearCache()
+
+    d = docs.select("doc_id",
+                    F.concat(F.col("lang"), F.lit(".example.com"))
+                    .alias("domain"))
+    bl = d.sparkSession.createDataFrame([("example.com",)], "dom string")
+    bplan = (domain_suffix_blocklist(d, bl)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in bplan
+    assert "CartesianProduct" not in bplan
