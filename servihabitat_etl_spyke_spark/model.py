@@ -12,8 +12,11 @@ projection masks.
 Semantics preserved (parity-critical, see SURVEY.md §4.3):
 - ``id``: primary key used by upsert/dedup; default generated ids are
   time-sortable (functions.core.gen_time_sortable_id).
-- ``indexed``: column is orderable/pageable (the planner only accepts
-  ``order_by`` on indexed columns when ``strict_indexes=True``).
+- ``indexed``: advisory orderability metadata (the reference's db layer
+  uses its index only as a fetch-order fast path, never as a gate —
+  ``db.ts:292-317`` falls back to a full scan — so ``apply_order``
+  likewise accepts any column; ``indexed_columns()`` exposes the
+  metadata for callers that want to warn).
 - ``group_index``: column participates in grouping; optional ``group_fn``
   maps one row to MANY group keys (reference compiles a JS fn string with
   ``new Function`` at ``db.ts:340,486``; events use it for path-prefix
@@ -87,7 +90,11 @@ class Model:
         out = []
         for c in all_columns:
             spec = self.fields.get(c)
-            if spec is None or spec.searchable:
+            # secret columns are NEVER searchable, whatever `searchable`
+            # says: free-text search over a projection-masked column
+            # would let a caller binary-search its values out
+            # (ProtoModel.ts:205-211 applies the same guard)
+            if spec is None or (spec.searchable and not spec.secret):
                 out.append(c)
         return out
 
@@ -190,10 +197,20 @@ def model_from_json_description(spec: str | dict[str, Any]) -> Model:
     key_specs: dict[str, dict] = {}
     for raw_key, kspec in keys.items():
         kname = _strip_ws(raw_key)
+        if kname in fields:
+            # two raw keys stripping to one name would dedupe in the
+            # fields dict but append TWO StructFields to the schema —
+            # ambiguous-column failures far from the bad description
+            raise ValueError(
+                f"key {raw_key!r} collides with an earlier key after "
+                f"whitespace stripping (both become {kname!r})")
         kspec = {"type": "string", **(kspec or {})}
         mods: dict[str, list[str]] = {}
         for m in kspec.get("modifiers") or []:
-            mods[m["name"]] = list(m.get("params") or [])
+            # repeated modifiers ACCUMULATE params (hidden('list') +
+            # hidden('edit') hides both views — last-wins would silently
+            # un-hide the earlier one)
+            mods.setdefault(m["name"], []).extend(m.get("params") or [])
         dtype = spark_type_for(kspec["type"], kspec.get("params"))
 
         link = None
@@ -289,6 +306,15 @@ def model_to_json_description(m: Model) -> dict[str, Any]:
             if f.hidden_views:
                 mods.append({"name": "hidden",
                              "params": sorted(f.hidden_views)})
+            if not f.searchable and not f.secret:
+                # without this, a round-tripped model would free-text
+                # search columns the original excluded (secret already
+                # implies unsearchable on re-import)
+                mods.append({"name": "search", "params": [False]})
+            # NOTE: `generate` holds a Python callable — not JSON-
+            # serializable, so it does not survive this metadata-derived
+            # round trip (the description path's constant generators,
+            # stored in _key_specs, do)
             keys[f.name] = {"type": "string",
                             **({"modifiers": mods} if mods else {})}
     out: dict[str, Any] = {"name": m.name, "keys": keys}

@@ -62,7 +62,11 @@ def parse_search(search: str) -> tuple[dict[str, str], str]:
         if value.startswith('"') and value.endswith('"'):
             value = value[1:-1]
         tags[key] = value
-        residual = residual.replace(m.group(0), " ")
+        # replace the FIRST occurrence only (JS String.replace with a
+        # string pattern): replace-all would also destroy a matched
+        # substring inside a longer not-yet-processed tag ('a:b xa:b'
+        # must leave no residue, but replace-all leaves a stray 'x')
+        residual = residual.replace(m.group(0), " ", 1)
     free_text = " ".join(residual.split())
     return tags, free_text
 
@@ -105,6 +109,11 @@ def _eq_predicate(df: DataFrame, key: str, value: Any) -> Column:
                 == F.lit("true" if value else "false"))
     if isinstance(value, numbers.Number) and isinstance(dtype, T.NumericType):
         return F.col(key) == F.lit(value)
+    if isinstance(value, float) and value.is_integer():
+        # cross-family float vs string column: JS (1.0).toString() is
+        # '1', Python str(1.0) is '1.0' — render integral floats the JS
+        # way so the loose-typing contract holds
+        return F.col(key).cast("string") == F.lit(str(int(value)))
     return F.col(key).cast("string") == F.lit(str(value))
 
 
@@ -123,6 +132,12 @@ def apply_filters(df: DataFrame, params: ListParams) -> DataFrame:
         df = df.filter(F.col(params.path_column).startswith(params.path_prefix))
     for key, value in params.filter.items():
         if key not in df.columns:
+            # reference: data[key]?.toString() == value is false for
+            # every row when the key doesn't exist (ProtoModel.ts:187)
+            # -> ZERO rows, same as the absent-tag-key search path; a
+            # silent `continue` would return the whole unfiltered table
+            # for a typo'd (or hostile) filter key
+            df = df.filter(F.lit(False))
             continue
         if isinstance(value, dict):
             df = df.filter(_range_predicate(key, value))

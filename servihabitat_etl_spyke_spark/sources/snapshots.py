@@ -148,10 +148,14 @@ class SnapshotStore:
         base = set(self._dirs_for(since))
         latest = self._dirs_for(None)
         new = [d for d in latest if d not in base]
+        # mergeSchema on BOTH branches: incremental batches can span
+        # commits with additively-evolved schemas (the compact() hazard),
+        # and the empty caught-up frame must carry the same merged
+        # schema a non-empty read would — not one arbitrary footer's
         if not new:
-            return self.read(spark).limit(0)
-        return spark.read.parquet(*[os.path.join(self.path, d)
-                                    for d in new])
+            return self.read(spark, merge_schema=True).limit(0)
+        return (spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(self.path, d) for d in new]))
 
 
 def snapshot_diff(spark: SparkSession, store: "SnapshotStore",
@@ -203,11 +207,16 @@ def snapshot_diff(spark: SparkSession, store: "SnapshotStore",
                     "", F.sort_array(F.collect_list("_r"))))
                     .alias(f"_d_{tag}")))
 
-    o = digested(old, "old")
-    n = digested(new, "new")
-    j = o.join(n, key_col, "full_outer")
+    # NULL-SAFE key match: a plain equi-join never matches NULL keys, so
+    # an identical NULL-key group on both sides would surface as a
+    # spurious added+removed pair (and a changed one as added+removed
+    # instead of 'changed')
+    o = digested(old, "old").withColumnRenamed(key_col, "_k_old")
+    n = digested(new, "new").withColumnRenamed(key_col, "_k_new")
+    j = o.join(n, F.col("_k_old").eqNullSafe(F.col("_k_new")),
+               "full_outer")
     return (j.select(
-        F.col(key_col),
+        F.coalesce("_k_old", "_k_new").alias(key_col),
         F.when(F.col("_d_old").isNull(), F.lit("added"))
          .when(F.col("_d_new").isNull(), F.lit("removed"))
          .when(F.col("_d_old") != F.col("_d_new"), F.lit("changed"))
