@@ -67,37 +67,32 @@ def _driver_verified() -> frozenset:
 
 _DRIVER_VERIFIED = _driver_verified()
 
-# This round's 50-slot driver window. (r4's window — streaming, flow/source,
-# scale-kit, profile/sketch, snapshot, curation completions, CC variants —
-# went 50/50 green in CORRECTNESS_r04.json and auto-retired via
-# _DRIVER_VERIFIED. r5 lists ALL 44 remaining ORACLED never-checked names
-# FIRST so hash-grade evidence lands before rows-only grade, then the first
-# rows-only twins fill the window; the ~22 remaining rows-only names rotate
-# into r6 automatically.)
+# This round's driver window. (r5's window went 44/44 hash-green + 6/6
+# clean rows-only in CORRECTNESS_r05.json and auto-retired via
+# _DRIVER_VERIFIED, leaving exactly 29 never-driver-checked names — they
+# all fit in one 50-slot window, so r6 CLOSES the registry. The 7 oracled
+# names are pinned FIRST so hash-grade evidence lands even if the run is
+# cut short; the 22 rows-only approx twins (each semantically pinned by a
+# hash-oracled exact twin + recall/property pytests — see COVERAGE.md's
+# waiver table) follow.)
 _WINDOW = [
-    # oracled: sketch/profile/text/multimodal/dedup stragglers
-    "scale_topk_per_group", "profile_quantiles", "profile_quantiles_by_group",
-    "embed_quantize", "text_boilerplate_ngrams", "text_ctfidf_terms",
-    "curate_mad_outliers", "curate_decontaminate_bloom",
-    "dedup_cluster_sample", "dedup_exact_normalized", "dedup_minhash_windowed",
-    "multimodal_frames", "multimodal_audio_meta", "multimodal_audio_windows",
-    "dedup_overlap_matrix", "text_normalize", "text_token_entropy",
-    "text_distinct_ngrams", "text_classifier_pr_sweep",
-    "multimodal_video_meta", "multimodal_video_frames",
-    "dedup_exact_substring", "text_winnowing", "text_winnowing_pairs",
-    "dedup_cluster_sizes", "curate_split_leakage", "dedup_containment",
-    "text_heavy_hitters", "retrieval_hybrid_rrf", "dedup_sorted_neighborhood",
-    "dedup_corpus_overlap", "ann_filtered_topk", "text_cms_estimate",
-    "ann_knn_classify",
-    # oracled: sheet-backed model list path (§4.3.1 loose-typing trap)
-    "sheet_model_list_page", "sheet_model_range_filter",
-    # oracled: streaming/TPC-H/temporal completions
-    "stream_dedup_batch", "q2_min_acctbal_supplier", "asof_join_events",
-    "range_join_events", "q11_important_parts", "q16_supplier_part_counts",
-    "q20_concentrated_suppliers", "asof_forward_events",
-    # rows-only twins (recall-pytest-backed approx paths) fill the window
-    "dedup_embedding_lsh", "ann_lsh_topk", "ann_ivf_topk",
-    "ann_knn_graph_ivf", "ann_hard_negatives_ivf", "graph_knn_degrees_ivf",
+    # oracled: the five r5-built operators + the re-registered TPC-H names
+    "text_line_filter", "dedup_boilerplate_lines", "text_repetition_signals",
+    "curate_domain_blocklist", "curate_funnel_report",
+    "q3_unshipped_topk", "q5_local_supplier_volume",
+    # rows-only: embedding / ANN approx twins
+    "embed_pca", "embed_jl_project", "ann_jl_rerank_topk",
+    "ann_ivf_kmeans_topk", "ann_pq_topk", "ann_ivfpq_topk",
+    "ann_recall_report", "ann_knn_classify_ivf", "retrieval_mmr_topk",
+    # rows-only: graph / semantic dedup twins
+    "graph_pagerank_knn", "graph_pagerank_knn_ivf",
+    "dedup_semantic", "dedup_semantic_lsh", "dedup_cdc_chunks",
+    # rows-only: text approx / tokenizer twins
+    "text_compression_ratio", "text_bpe_tokenize", "text_cluster_topics",
+    # rows-only: multimodal approx twins
+    "multimodal_embed_ann", "multimodal_image_phash",
+    "multimodal_audio_fingerprint", "multimodal_audio_neardup",
+    "multimodal_audio_dedup",
 ]
 
 

@@ -124,6 +124,19 @@ def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
     is itself renamed away, so nothing is overwritten.)"""
     if not any(o in df.columns for o in mapping):
         return df
+    # two SOURCE columns mapped to the same target would both be aliased
+    # to it in the one-shot select — exactly the AMBIGUOUS_REFERENCE
+    # failure mode this rewrite exists to prevent; fail loudly instead
+    applicable = [o for o in mapping if o in df.columns]
+    by_target: dict = {}
+    for o in applicable:
+        by_target.setdefault(mapping[o], []).append(o)
+    dupes = {t: srcs for t, srcs in by_target.items() if len(srcs) > 1}
+    if dupes:
+        raise ValueError(
+            "rename_columns: multiple source columns map to the same "
+            "target name: " + "; ".join(
+                f"{srcs} -> {t!r}" for t, srcs in sorted(dupes.items())))
     # columns another column is being renamed ONTO (and which are not
     # themselves renamed away) get overwritten, not duplicated
     targets = {mapping[o] for o in mapping

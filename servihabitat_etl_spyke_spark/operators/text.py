@@ -522,7 +522,14 @@ def ngram_repetition_signals(docs: DataFrame,
         ).otherwise(F.array().cast("array<string>"))
 
     nch = F.length(F.col("_text"))
-    e6 = lambda c: F.floor(c * 1000000 / nch + F.lit(0.5)).cast("long")
+    # Zero-length (or NULL) docs would make every fraction divide by
+    # zero — job-killing under ANSI mode, NaN/NULL otherwise; pin the
+    # signal to 0 instead (no chars => nothing repeated). The oracle
+    # mirrors this with a CASE WHEN (same convention as
+    # quality_features.punct_ratio).
+    e6 = lambda c: (F.when(nch > 0,
+                           F.floor(c * 1000000 / nch + F.lit(0.5)))
+                    .otherwise(F.lit(0)).cast("long"))
     cols = [F.col(id_col), nch.alias("n_chars")]
     cols += [e6(F.col(f"_r{n}")["best"]).alias(f"top{n}_e6")
              for n in top_ns]
@@ -561,9 +568,13 @@ def line_filter(docs: DataFrame, min_chars: int = 0, min_words: int = 3,
                 & (words >= min_words)
                 & ~F.trim(line).rlike(r"^[-*•]"))
 
+    # Coalesce NULL text to '' before splitting (split(NULL) is NULL and
+    # size(NULL) is -1) — NULL-text docs come back with one empty
+    # (dropped) line, same convention as dedup_lines.
     return (spread(docs, id_col)
             .select(F.col(id_col),
-                    F.split(F.col(text_col), "\n").alias("_lines"))
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+                    .alias("_lines"))
             .select(F.col(id_col),
                     F.size(lines).alias("n_lines"),
                     F.filter(lines, keep).alias("_kept"))
@@ -598,8 +609,14 @@ def dedup_lines(docs: DataFrame, min_docs: int = 10, id_col: str = "doc_id",
     release with spark.catalog.clearCache() when done.
 
     Returns (id, n_lines, n_kept, text_clean)."""
+    # Coalesce NULL text to '' BEFORE splitting: split(NULL) is NULL and
+    # posexplode would emit no rows, silently dropping the doc from both
+    # totals and output — the contract is that every doc comes back
+    # (empty text, not dropped). '' splits to [''], so the doc survives
+    # with one (likely boilerplate-anti-joined) empty line.
     lines = (spread(docs, id_col)
-             .select(F.col(id_col), F.split(F.col(text_col), "\n")
+             .select(F.col(id_col),
+                     F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
                      .alias("_lines"))
              .select(F.col(id_col),
                      F.posexplode("_lines").alias("pos", "line")))

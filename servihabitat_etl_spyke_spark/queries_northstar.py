@@ -1301,12 +1301,17 @@ r{n} AS (SELECT doc_id, max(c * lg) AS best,
     joins = []
     for n in ns:
         joins.append(f"LEFT JOIN r{n} ON toks.doc_id = r{n}.doc_id")
+    # CASE WHEN nch > 0 mirrors the Spark-side zero-length guard: an
+    # empty/NULL doc pins every signal to 0 instead of dividing by zero
+    # (DuckDB's floor(NaN) cast errors on 0/0).
     for n in top_ns:
-        sel.append(f"CAST(floor(coalesce(r{n}.best, 0) * 1000000.0 / nch"
-                   f" + 0.5) AS BIGINT) AS top{n}_e6")
+        sel.append(f"CASE WHEN nch > 0 THEN"
+                   f" CAST(floor(coalesce(r{n}.best, 0) * 1000000.0 / nch"
+                   f" + 0.5) AS BIGINT) ELSE 0 END AS top{n}_e6")
     for n in dup_ns:
-        sel.append(f"CAST(floor(coalesce(r{n}.dup, 0) * 1000000.0 / nch"
-                   f" + 0.5) AS BIGINT) AS dup{n}_e6")
+        sel.append(f"CASE WHEN nch > 0 THEN"
+                   f" CAST(floor(coalesce(r{n}.dup, 0) * 1000000.0 / nch"
+                   f" + 0.5) AS BIGINT) ELSE 0 END AS dup{n}_e6")
     return ("WITH " + ",\n".join(ctes) + "\nSELECT " + ", ".join(sel)
             + "\nFROM toks " + " ".join(joins) + "\nORDER BY toks.doc_id")
 

@@ -34,6 +34,20 @@ def sheet_from_rows(spark: SparkSession,
     # key compiles to or the bootstrap set-comparison rejects it
     import re as _re
     header = [_re.sub(r"\s", "", str(h)) for h in rows[0]]
+    # whitespace-stripping can collide two DISTINCT raw headers ('first
+    # name' and 'firstname') into one name — that would emit a
+    # duplicate-column DDL string and fail deep inside Spark analysis;
+    # raise here naming the colliding raw headers instead (mirrors the
+    # model_from_json_description guard)
+    seen: dict = {}
+    for raw, h in zip(rows[0], header):
+        if h in seen and seen[h] != raw:
+            raise ValueError(
+                f"sheet header collision: {seen[h]!r} and {raw!r} both "
+                f"sanitize to {h!r}")
+        seen.setdefault(h, raw)
+    if len(set(header)) != len(header):
+        raise ValueError(f"duplicate sheet header names: {header}")
     n = len(header)
     data = [tuple((list(map(str, r)) + [""] * n)[:n]) for r in rows[1:]]
     schema = ", ".join(f"`{h}` string" for h in header)

@@ -126,3 +126,17 @@ def test_r5_review_guards_functions(spark):
     # exercised via direct call with the session present
     row = spark.range(1).select(iso_now().alias("t")).collect()[0]
     assert row["t"].endswith("Z") and "T" in row["t"]
+
+
+def test_rename_columns_duplicate_target_raises(spark):
+    """Round-6 review fix: two SOURCE columns mapped to the same target
+    would both be aliased to it — the AMBIGUOUS_REFERENCE failure mode
+    the one-shot select exists to prevent. Fail loudly, naming both."""
+    import pytest
+    from servihabitat_etl_spyke_spark.functions.core import rename_columns
+    df = spark.createDataFrame([(1, 2)], ["a", "b"])
+    with pytest.raises(ValueError, match="same target"):
+        rename_columns(df, {"a": "x", "b": "x"})
+    # only one of the colliding sources present -> no collision, renames
+    df2 = spark.createDataFrame([(1,)], ["a"])
+    assert rename_columns(df2, {"a": "x", "b": "x"}).columns == ["x"]

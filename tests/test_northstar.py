@@ -1364,10 +1364,22 @@ def test_r5_review_guards(spark):
     with pytest.raises(ValueError, match="word too wide"):
         MM.audio_fp_words(blobs, bands=17, word_frames=4)
 
-    # render_doc_wav: doc_id beyond the int64 product range still renders
-    big = MM.render_doc_wav(4_000_000_000, "hello world")
-    small_equiv = MM.render_doc_wav(4_000_000_000 % (2**63), "hello world")
-    assert big == small_equiv and big[:4] == b"RIFF"
+    # render_doc_wav: doc_id beyond the int64 product range still renders,
+    # and the keystream matches an INDEPENDENT arbitrary-precision
+    # recompute of the documented formula (a wrong-modulus regression in
+    # the overflow workaround would change these samples)
+    import struct as _struct
+    did = 4_000_000_000  # (did+1)*2654435761 > 2**63-1: the overflow case
+    big = MM.render_doc_wav(did, "hello world")
+    assert big[:4] == b"RIFF"
+    n_frames = len("hello world") % 480 + 32
+    channels = did % 2 + 1
+    n_samples = n_frames * channels
+    expected = [((did + 1) * 2654435761 + i * 40503) % 65536 - 32768
+                for i in range(n_samples)]  # pure-Python bigint math
+    payload = big[-2 * n_samples:]
+    got = list(_struct.unpack(f"<{n_samples}h", payload))
+    assert got == expected
 
     # corrupt blobs are dropped, not fatal, in hash/resize sweeps
     mixed = spark.createDataFrame(
@@ -1411,6 +1423,39 @@ def test_line_filter_and_dedup_lines(spark):
     # all-boilerplate doc survives with empty text, zero kept
     assert dl[4].n_kept == 0 and dl[4].text_clean == ""
     assert dl[4].n_lines == 1
+
+
+def test_r6_null_and_empty_text_guards(spark):
+    """Round-6 review fixes: empty/NULL-text docs through the line and
+    repetition operators — no divide-by-zero, no silently dropped docs."""
+    docs = spark.createDataFrame(
+        [(1, "normal line of words here\nnormal line of words here"),
+         (2, ""), (3, None)],
+        "doc_id long, text string")
+
+    # ngram_repetition_signals: empty text -> every e6 signal pinned to
+    # 0 (no chars => nothing repeated), never a divide-by-zero; NULL
+    # text likewise (n_chars stays NULL, matching length() semantics)
+    sig = {r.doc_id: r for r in
+           TX.ngram_repetition_signals(docs).collect()}
+    assert sig[2].n_chars == 0
+    for n in (2, 3, 4):
+        assert sig[2][f"top{n}_e6"] == 0 and sig[3][f"top{n}_e6"] == 0
+    for n in range(5, 11):
+        assert sig[2][f"dup{n}_e6"] == 0 and sig[3][f"dup{n}_e6"] == 0
+
+    # dedup_lines: NULL-text doc comes BACK (empty), not dropped, and
+    # its single empty line participates in the boilerplate count
+    dl = {r.doc_id: r for r in TX.dedup_lines(docs, min_docs=2).collect()}
+    assert set(dl) == {1, 2, 3}
+    assert dl[3].n_lines == 1 and dl[3].text_clean == ""
+
+    # line_filter: NULL text -> one (dropped) empty line, not n_lines=-1
+    lf = {r.doc_id: r for r in
+          TX.line_filter(docs, min_chars=5, min_words=3).collect()}
+    assert set(lf) == {1, 2, 3}
+    assert lf[3].n_lines == 1 and lf[3].n_kept == 0
+    assert lf[3].text_clean == ""
 
 
 def test_ngram_repetition_signals_local_recompute(spark):

@@ -351,3 +351,14 @@ def test_snapshot_diff_folds_duplicate_keys(spark, tmp_path):
     out = snapshot_diff(spark, store, "id", from_snapshot=s1).collect()
     rows = sorted((r.id, r.change) for r in out)
     assert rows == [(1, "changed")]
+
+
+def test_sheet_header_collision_raises(spark):
+    """Round-6 review fix: two DISTINCT raw headers that sanitize to the
+    same name ('first name' / 'firstname') raise a ValueError naming
+    both, instead of emitting a duplicate-column DDL string that fails
+    deep inside Spark analysis (mirrors the model-description guard)."""
+    with pytest.raises(ValueError, match="first name"):
+        sheet_from_rows(spark, [["first name", "firstname"], ["a", "b"]])
+    with pytest.raises(ValueError, match="duplicate"):
+        sheet_from_rows(spark, [["id", "id"], ["1", "2"]])
