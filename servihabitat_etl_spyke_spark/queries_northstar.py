@@ -2837,9 +2837,13 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0)
-    labels1 = D.connected_components(D.minhash_lsh_neardup(old,
-                                                          threshold=0.5))
-    stored_sig = D.minhash_signatures(old)
+    # the signature STORE is computed once and shared — yesterday's
+    # clustering and today's incremental probe both read it, which is
+    # the whole economy of the incremental design (re-shingling the
+    # stored corpus per stage would cost 3 extra corpus scans)
+    stored_sig = D.minhash_signatures(old).persist()
+    labels1 = D.connected_components(
+        D.minhash_lsh_neardup(old, threshold=0.5, sig=stored_sig))
     new_pairs = D.incremental_neardup(new, old, stored_sig, threshold=0.5)
     return (D.connected_components_incremental(labels1, new_pairs)
             .orderBy("doc_id"))
