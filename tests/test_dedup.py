@@ -37,6 +37,41 @@ def test_connected_components_auto_switch_matches_simple(spark):
     assert starred == simple == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Seeded random multigraphs (self-loops included): both CC variants
+    must match an independent pure-Python union-find — guards the
+    batched two-rounds-per-checkpoint propagation (r6) on graphs with
+    mixed component shapes, not just hand-built chains."""
+    import random
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        connected_components)
+    rng = random.Random(6)
+    for _ in range(3):
+        n = 30
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(35)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        seen = {v for e in edges for v in e}
+        truth = {v: min(u for u in seen if find(u) == find(v))
+                 for v in seen}
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.doc_id: r.cluster_id
+               for r in connected_components(pairs).collect()}
+        star = {r.doc_id: r.cluster_id
+                for r in connected_components(
+                    pairs, star_threshold=0).collect()}
+        assert got == truth
+        assert star == truth
+
+
 def test_connected_components_long_path_converges(spark):
     from servihabitat_etl_spyke_spark.operators.dedup import (
         connected_components)
