@@ -77,9 +77,10 @@ _DRIVER_VERIFIED = _driver_verified()
 # waiver table) follow.)
 _WINDOW = [
     # oracled: the five r5-built operators + the re-registered TPC-H names
+    # + the r6-built cascade-delete enforcement (closes J4)
     "text_line_filter", "dedup_boilerplate_lines", "text_repetition_signals",
     "curate_domain_blocklist", "curate_funnel_report",
-    "q3_unshipped_topk", "q5_local_supplier_volume",
+    "q3_unshipped_topk", "q5_local_supplier_volume", "etl_cascade_delete",
     # rows-only: embedding / ANN approx twins
     "embed_pca", "embed_jl_project", "ann_jl_rerank_topk",
     "ann_ivf_kmeans_topk", "ann_pq_topk", "ann_ivfpq_topk",

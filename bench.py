@@ -160,6 +160,8 @@ HEADLINE = [
     "dedup_boilerplate_lines",
     "text_repetition_signals",
     "curate_domain_blocklist",
+    # round-6 addition (no earlier baseline — deltas from r07)
+    "etl_cascade_delete",
 ]
 
 
@@ -212,10 +214,14 @@ CANARY_PIN_SEC = 0.267
 CANARY_PIN_SF = 0.1
 
 
-def _canary_seconds(spark) -> float:
+def _canary_seconds(spark) -> float | None:
     """MIN of 3 warm runs of the constant-work probe (first run excluded
-    — it pays codegen, which the pin also excluded)."""
+    — it pays codegen, which the pin also excluded). None when the probe
+    table is absent (a custom $SPARK_GRAFT_SF_DIR with another layout) —
+    the bench itself must not die for a missing diagnostic."""
     path = os.path.join(SF_DIR, "lineitem.parquet")
+    if not os.path.exists(path):
+        return None
     probe = lambda: (spark.read.parquet(path)
                      .selectExpr("sum(l_extendedprice * l_discount) as v")
                      .collect())
@@ -324,10 +330,12 @@ def main() -> None:
     # noise canary + environment: constant-work probe ratio vs its
     # never-changing pin, and the pre-Spark load average — together they
     # machine-attribute uniform drift (only meaningful at the pin's sf)
-    if sf_val == CANARY_PIN_SF:
+    if canary_sec is not None and sf_val == CANARY_PIN_SF:
         out["noise_factor"] = round(canary_sec / CANARY_PIN_SEC, 2)
-    out["environment"] = {"loadavg_at_start": load_at_start,
-                          "canary_sec": round(canary_sec, 3)}
+    out["environment"] = {
+        "loadavg_at_start": load_at_start,
+        "canary_sec": round(canary_sec, 3) if canary_sec is not None
+        else None}
 
     # regression tracking: per-query ratio vs the pinned round-1 baseline
     # (BENCH_BASELINE.json). Only meaningful at the baseline's sf; ratios

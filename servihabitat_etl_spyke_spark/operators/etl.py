@@ -241,6 +241,41 @@ def keyed_upsert(existing: DataFrame | None, incoming: DataFrame,
     return kept.unionByName(deduped)
 
 
+def cascade_delete(parent: DataFrame, children: DataFrame, fk_col: str,
+                   deleted_ids: DataFrame | list,
+                   parent_id_col: str = "id"
+                   ) -> tuple[DataFrame, DataFrame]:
+    """J4: ENFORCED cascade delete for a link declared
+    ``linkTo(..., {deleteOnCascade: true})`` (``ProtoModel.ts:280-284``,
+    ``BaseSchema.ts:97-104`` — the reference DECLARES the option in the
+    schema but never consumes it; this operator supplies the semantics
+    the declaration promises): deleting parent rows also deletes every
+    child row whose ``fk_col`` references a deleted parent.
+
+    ``deleted_ids`` is a one-column DataFrame (any column name) or a
+    literal id list. Returns ``(parent_after, children_after)``.
+    Multi-hop chains compose by re-application: derive the deleted
+    children (``children.join(ids, semi)``) and cascade again.
+
+    Scale shape: two left-anti hash joins on the id key — the deleted-id
+    side broadcasts while it is small (the usual delete-batch shape) and
+    degrades to a shuffled anti-join past the threshold; neither the
+    parent nor the child table is ever collected or re-keyed. NULL FKs
+    (unlinked children) survive, as a NULL key matches nothing in an
+    anti-join — same convention as domain_filter."""
+    if not isinstance(deleted_ids, DataFrame):
+        deleted_ids = parent.sparkSession.createDataFrame(
+            [(i,) for i in deleted_ids],
+            parent.select(parent_id_col).schema)
+    ids = (deleted_ids
+           .select(F.col(deleted_ids.columns[0]).alias(parent_id_col))
+           .distinct())
+    parent_after = parent.join(ids, parent_id_col, "left_anti")
+    children_after = children.join(
+        ids.withColumnRenamed(parent_id_col, fk_col), fk_col, "left_anti")
+    return parent_after, children_after
+
+
 def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S5 analog: persist the snapshot (CREATE TABLE IF NOT EXISTS +
     PutItem loop becomes one parquet write)."""

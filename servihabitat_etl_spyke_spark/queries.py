@@ -605,6 +605,73 @@ def etl_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed_upsert(existing, incoming, "id").orderBy("id")
 
 
+@query("etl_cascade_delete", oracle="""
+WITH delc AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+c2 AS (SELECT * FROM customer
+       WHERE c_custkey NOT IN (SELECT c_custkey FROM delc)),
+o2 AS (SELECT * FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM delc)),
+delo AS (SELECT o_orderkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+l2 AS (SELECT * FROM lineitem
+       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delo)),
+cn AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+       FROM c2 GROUP BY 1),
+onn AS (SELECT c2.c_nationkey AS nationkey, count(*) AS n_orders
+        FROM o2 JOIN c2 ON o2.o_custkey = c2.c_custkey GROUP BY 1),
+ln AS (SELECT c2.c_nationkey AS nationkey, count(*) AS n_lineitems
+       FROM l2 JOIN o2 ON l2.l_orderkey = o2.o_orderkey
+       JOIN c2 ON o2.o_custkey = c2.c_custkey GROUP BY 1)
+SELECT cn.nationkey, cn.n_customers,
+       CAST(coalesce(onn.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(ln.n_lineitems, 0) AS BIGINT) AS n_lineitems
+FROM cn LEFT JOIN onn USING (nationkey) LEFT JOIN ln USING (nationkey)
+ORDER BY nationkey
+""")
+def etl_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: ENFORCED deleteOnCascade (`ProtoModel.ts:280-284` declares the
+    option; `operators/etl.py::cascade_delete` supplies the semantics):
+    deleting negative-balance customers cascades one hop to their orders
+    and — by re-applying the same operator, the documented multi-hop
+    composition — a second hop to those orders' lineitems. Output: the
+    surviving customer/order/lineitem counts per nation. All deletions
+    are anti-joins on the id key; the delete batch broadcasts."""
+    from .operators.etl import cascade_delete
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    deleted_cust = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    cust2, orders2 = cascade_delete(
+        cust, orders, "o_custkey", deleted_cust,
+        parent_id_col="c_custkey")
+    deleted_orders = (orders.join(
+        deleted_cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey", "left_semi").select("o_orderkey"))
+    orders_after, li_after = cascade_delete(
+        orders2, li, "l_orderkey", deleted_orders,
+        parent_id_col="o_orderkey")
+    nat = F.col("c_nationkey").alias("nationkey")
+    cn = cust2.groupBy(nat).agg(F.count("*").alias("n_customers"))
+    onn = (orders_after
+           .join(cust2.select("c_custkey", "c_nationkey"),
+                 orders_after.o_custkey == F.col("c_custkey"))
+           .groupBy(nat).agg(F.count("*").alias("n_orders")))
+    lnn = (li_after
+           .join(orders_after.select("o_orderkey", "o_custkey"),
+                 li_after.l_orderkey == F.col("o_orderkey"))
+           .join(cust2.select("c_custkey", "c_nationkey"),
+                 F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy(nat).agg(F.count("*").alias("n_lineitems")))
+    return (cn.join(onn, "nationkey", "left")
+            .join(lnn, "nationkey", "left")
+            .select("nationkey", "n_customers",
+                    F.coalesce("n_orders", F.lit(0)).cast("long")
+                    .alias("n_orders"),
+                    F.coalesce("n_lineitems", F.lit(0)).cast("long")
+                    .alias("n_lineitems"))
+            .orderBy("nationkey"))
+
+
 # ---------------------------------------------------------------------------
 # Scalar function family (F1-F15)
 # ---------------------------------------------------------------------------

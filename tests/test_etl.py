@@ -267,3 +267,29 @@ def test_init_table_heals_torn_seed(spark, tmp_path):
     # second call: marker present now -> untouched no-op
     df2, seeded2 = init_table(spark, path, [(9, "z")], "id long, v string")
     assert seeded2 is False and df2.count() == 2
+
+
+def test_cascade_delete_enforces_declared_option(spark):
+    """J4 (r6): deleting parents removes FK-matching children; NULL-FK
+    children survive (a NULL key matches nothing in an anti-join);
+    literal id lists work; multi-hop composes by re-application."""
+    from servihabitat_etl_spyke_spark.operators.etl import cascade_delete
+    parents = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    children = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 2), (13, None), (14, 3)],
+        "cid long, parent_id long")
+    p2, c2 = cascade_delete(parents, children, "parent_id", [2])
+    assert sorted(r.id for r in p2.collect()) == [1, 3]
+    assert sorted(r.cid for r in c2.collect()) == [10, 13, 14]
+
+    # second hop: the deleted children's ids cascade to grandchildren
+    grand = spark.createDataFrame(
+        [(100, 10), (101, 11), (102, 12), (103, 14)],
+        "gid long, child_id long")
+    deleted_children = (children.join(
+        spark.createDataFrame([(2,)], "parent_id long"),
+        "parent_id", "left_semi").select("cid"))
+    _, g2 = cascade_delete(children, grand, "child_id", deleted_children,
+                           parent_id_col="cid")
+    assert sorted(r.gid for r in g2.collect()) == [100, 103]

@@ -431,3 +431,21 @@ def test_dedup_lines_single_fill_and_blocklist_no_bnlj(spark, sf_dir):
              ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" not in bplan
     assert "CartesianProduct" not in bplan
+
+
+def test_audio_neardup_word_index_materialized_once(spark, sf_dir):
+    """audio_fp_neardup (r6): the decode + rfft fingerprint mapInPandas
+    must run ONCE — the word index is checkpointed before the value
+    self-join, so the returned plan reads two ExistingRDD branches and
+    contains no MapInPandas at all (and the pair stage stays an
+    equi-hash join, never a nested loop)."""
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.operators.multimodal import (
+        attach_audio, audio_fp_neardup)
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    pairs = audio_fp_neardup(attach_audio(docs), min_shared=3)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
