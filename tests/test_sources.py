@@ -362,3 +362,53 @@ def test_sheet_header_collision_raises(spark):
         sheet_from_rows(spark, [["first name", "firstname"], ["a", "b"]])
     with pytest.raises(ValueError, match="duplicate"):
         sheet_from_rows(spark, [["id", "id"], ["1", "2"]])
+
+
+def test_objectstore_transport_contract():
+    """S3 (r6): the reference S3Bucket's operational contract against the
+    in-memory client — exists-gated presign, the list() Prefix+Delimiter
+    quirk (sent only when BOTH are given; CommonPrefixes preferred when
+    non-empty), ListObjectsV2 delimiter rollup, 25-line read batches
+    with remainder flush and CRLF handling, idempotent delete."""
+    from servihabitat_etl_spyke_spark.sources.objectstore import (
+        MemoryObjectClient, S3ObjectStore)
+    cl = MemoryObjectClient()
+    st = S3ObjectStore(cl, "corpus")
+    st.put("photos/2021/a.json", '{"k":1}')
+    st.put("photos/2021/b.json", '{"k":2}')
+    st.put("photos/2022/c.json", '{"k":3}')
+    st.put("readme.txt", "hello")
+
+    # presign: exists-gated, expiry embedded; missing resource raises
+    url = st.presigned_url("readme.txt", expiration=60)
+    assert "X-Amz-Expires=60" in url and url.startswith(
+        "https://corpus.s3.amazonaws.com/readme.txt")
+    with pytest.raises(ValueError, match="does not exist"):
+        st.presigned_url("missing.txt")
+    assert st.public_url("photos/2021/a.json") == \
+        "https://corpus.s3.amazonaws.com/photos/2021/a.json"
+
+    # list: both prefix+delimiter -> directory-style common prefixes
+    got = st.list("photos/", "/")
+    assert [g["Prefix"] for g in got] == ["photos/2021/", "photos/2022/"]
+    # prefix WITHOUT delimiter -> the reference sends NO params (full
+    # listing), its exact quirk
+    full = st.list("photos/")
+    assert [g["Key"] for g in full] == [
+        "photos/2021/a.json", "photos/2021/b.json",
+        "photos/2022/c.json", "readme.txt"]
+    assert cl.calls[-1] == ("list_objects_v2", None, None)
+
+    # read_resource: 60 lines -> batches of 25/25/10; CRLF tolerated
+    st.put("big.jsonl", "\r\n".join(f"line{i}" for i in range(60)) + "\n")
+    batches = []
+    st.read_resource("big.jsonl", batches.append)
+    assert [len(b) for b in batches] == [25, 25, 10]
+    assert batches[0][0] == "line0" and batches[2][-1] == "line59"
+    with pytest.raises(ValueError, match="does not exist"):
+        st.read_resource("nope.jsonl", batches.append)
+
+    # delete: idempotent, listing shrinks
+    st.delete("readme.txt")
+    st.delete("readme.txt")
+    assert not st.resource_exists("readme.txt")
