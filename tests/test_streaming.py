@@ -666,3 +666,46 @@ def test_r5_review_guards_sinks_and_flow(spark, sf_dir, tmp_path):
         flow_push(df, {"id": 9, "typo_col": "x"})
     out = flow_push(df, {"id": 9}).collect()
     assert len(out) == 4
+
+
+def test_mqtt_broker_contract_and_matcher_parity(spark):
+    """T1 transport (r6): the reference authenticate decision table
+    (anonymous ok when auth off; refused when auth on and creds missing;
+    any supplied pair accepted — the reference's literal TODO), the dual
+    listener-pair shape, and routing parity: the in-process broker and
+    the DataFrame subscription use the SAME wildcard compiler, so they
+    agree on every topic/pattern pair."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from servihabitat_etl_spyke_spark.streaming.broker import (
+        BrokerSim, MqttAuthError, start_mqtt)
+    from servihabitat_etl_spyke_spark.streaming.topics import topic_filter
+
+    brokers = start_mqtt()
+    assert [(b.mqtt_port, b.websocket_port) for b in brokers] == \
+        [(1883, 3003), (8883, 4003)]
+
+    open_b = BrokerSim(auth_required=False)
+    open_b.connect("anon")                       # anonymous ok
+    locked = BrokerSim(auth_required=True)
+    with _pytest.raises(MqttAuthError):
+        locked.connect("anon")                   # refused: requires auth
+    with _pytest.raises(MqttAuthError):
+        locked.connect("halfuser", username="u")     # missing password
+    locked.connect("user", username="u", password="whatever")  # TODO-auth
+    assert "mqtt requires auth" in " ".join(locked.log)
+
+    # routing parity with the Spark-side subscription
+    topics = ["sensors/room1/temp", "sensors/room2/temp",
+              "sensors/room1/hum", "alerts/fire", "sensors"]
+    open_b.subscribe("anon", "sensors/+/temp")
+    open_b.subscribe("anon", "alerts/#")
+    for t in topics:
+        open_b.publish(t, t.upper())
+    got = sorted(t for t, _ in open_b.drain("anon"))
+    df = spark.createDataFrame([(t,) for t in topics], "topic string")
+    spark_got = sorted(
+        r.topic for pat in ("sensors/+/temp", "alerts/#")
+        for r in topic_filter(df, pat).collect())
+    assert got == spark_got == [
+        "alerts/fire", "sensors/room1/temp", "sensors/room2/temp"]
