@@ -69,12 +69,12 @@ _DRIVER_VERIFIED = _driver_verified()
 
 # This round's driver window. (r5's window went 44/44 hash-green + 6/6
 # clean rows-only in CORRECTNESS_r05.json and auto-retired via
-# _DRIVER_VERIFIED, leaving exactly 29 never-driver-checked names — they
-# all fit in one 50-slot window, so r6 CLOSES the registry. The 7 oracled
-# names are pinned FIRST so hash-grade evidence lands even if the run is
-# cut short; the 22 rows-only approx twins (each semantically pinned by a
-# hash-oracled exact twin + recall/property pytests — see COVERAGE.md's
-# waiver table) follow.)
+# _DRIVER_VERIFIED, leaving 29 never-driver-checked names + the r6-built
+# etl_cascade_delete = 30 — they all fit in one 50-slot window, so r6
+# CLOSES the registry. The 8 oracled names are pinned FIRST so hash-grade
+# evidence lands even if the run is cut short; the 22 rows-only approx
+# twins (each semantically pinned by a hash-oracled exact twin +
+# recall/property pytests — see COVERAGE.md's waiver table) follow.)
 _WINDOW = [
     # oracled: the five r5-built operators + the re-registered TPC-H names
     # + the r6-built cascade-delete enforcement (closes J4)

@@ -209,16 +209,21 @@ def _snapshot_prev_round() -> dict:
 # move it) whose pin NEVER changes. noise_factor = measured_min / pin
 # machine-attributes uniform suite drift (r5's flat 1.27x) automatically
 # instead of leaving it to judge inference. Pinned 2026-08-15 (round 6):
-# MIN of 5 warm runs at sf0.1 on this VM.
+# MIN of 5 warm runs at sf0.1 on this VM. The per-run measurement below
+# is ALSO a min of 5 — attempt counts must match or the order statistics
+# bias the ratio (E[min of 3] > E[min of 5] on the same distribution,
+# which would systematically deflate the noise-adjusted delta).
 CANARY_PIN_SEC = 0.267
+CANARY_PIN_ATTEMPTS = 5
 CANARY_PIN_SF = 0.1
 
 
 def _canary_seconds(spark) -> float | None:
-    """MIN of 3 warm runs of the constant-work probe (first run excluded
-    — it pays codegen, which the pin also excluded). None when the probe
-    table is absent (a custom $SPARK_GRAFT_SF_DIR with another layout) —
-    the bench itself must not die for a missing diagnostic."""
+    """MIN of CANARY_PIN_ATTEMPTS warm runs of the constant-work probe
+    (first run excluded — it pays codegen, which the pin also excluded).
+    None when the probe table is absent (a custom $SPARK_GRAFT_SF_DIR
+    with another layout) — the bench itself must not die for a missing
+    diagnostic."""
     path = os.path.join(SF_DIR, "lineitem.parquet")
     if not os.path.exists(path):
         return None
@@ -227,7 +232,7 @@ def _canary_seconds(spark) -> float | None:
                      .collect())
     probe()
     best = float("inf")
-    for _ in range(3):
+    for _ in range(CANARY_PIN_ATTEMPTS):
         t0 = time.perf_counter()
         probe()
         best = min(best, time.perf_counter() - t0)

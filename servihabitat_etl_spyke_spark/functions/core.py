@@ -139,8 +139,7 @@ def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
                 f"{srcs} -> {t!r}" for t, srcs in sorted(dupes.items())))
     # columns another column is being renamed ONTO (and which are not
     # themselves renamed away) get overwritten, not duplicated
-    targets = {mapping[o] for o in mapping
-               if o in df.columns and mapping[o] != o}
+    targets = {mapping[o] for o in applicable if mapping[o] != o}
     return df.select(
         *[F.col(c).alias(mapping.get(c, c)) for c in df.columns
           if c in mapping or c not in targets])

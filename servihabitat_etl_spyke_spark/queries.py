@@ -647,17 +647,21 @@ def etl_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted_orders = (orders.join(
         deleted_cust.withColumnRenamed("c_custkey", "o_custkey"),
         "o_custkey", "left_semi").select("o_orderkey"))
-    orders_after, li_after = cascade_delete(
+    # hop 2: only the CHILD side does work — orders2 already removed the
+    # deleted-customer orders in hop 1, so the returned parent frame
+    # would be a guaranteed-no-op anti-join over the full orders table;
+    # discard it and keep using orders2 (one anti-join pass per hop)
+    _, li_after = cascade_delete(
         orders2, li, "l_orderkey", deleted_orders,
         parent_id_col="o_orderkey")
     nat = F.col("c_nationkey").alias("nationkey")
     cn = cust2.groupBy(nat).agg(F.count("*").alias("n_customers"))
-    onn = (orders_after
+    onn = (orders2
            .join(cust2.select("c_custkey", "c_nationkey"),
-                 orders_after.o_custkey == F.col("c_custkey"))
+                 orders2.o_custkey == F.col("c_custkey"))
            .groupBy(nat).agg(F.count("*").alias("n_orders")))
     lnn = (li_after
-           .join(orders_after.select("o_orderkey", "o_custkey"),
+           .join(orders2.select("o_orderkey", "o_custkey"),
                  li_after.l_orderkey == F.col("o_orderkey"))
            .join(cust2.select("c_custkey", "c_nationkey"),
                  F.col("o_custkey") == F.col("c_custkey"))

@@ -145,9 +145,12 @@ class S3ObjectStore:
         if not self.resource_exists(filename):
             raise ValueError("Resource does not exist")
         text = self.client.get_object(filename).decode("utf-8")
-        # readline with crlfDelay=Infinity: CRLF and LF both end a line;
-        # a trailing terminator does not emit a final empty line
-        lines = text.replace("\r\n", "\n").split("\n")
+        # readline with crlfDelay=Infinity: CRLF counts as ONE break, and
+        # a LONE \r is also a break (Node readline's terminator set is
+        # \r\n, \n, \r); a trailing terminator does not emit a final
+        # empty line
+        lines = (text.replace("\r\n", "\n").replace("\r", "\n")
+                 .split("\n"))
         if lines and lines[-1] == "":
             lines.pop()
         batch: list[str] = []

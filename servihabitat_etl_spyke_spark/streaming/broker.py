@@ -81,12 +81,18 @@ class BrokerSim:
         self._subs[client_id].append(re.compile(mqtt_to_regex(pattern)))
 
     def publish(self, topic: str, payload) -> int:
-        """Route to every matching subscriber; returns delivery count."""
+        """Route to every matching SUBSCRIPTION (aedes delivers once per
+        matching subscription, not once per client — a client holding
+        overlapping filters like ``sensors/#`` + ``sensors/+/temp``
+        receives the message once per filter, exactly as N independent
+        DataFrame ``topic_filter`` subscriptions would); returns the
+        delivery count."""
         n = 0
         for cid, pats in self._subs.items():
-            if any(p.match(topic) for p in pats):
-                self._queues[cid].append((topic, payload))
-                n += 1
+            for p in pats:
+                if p.match(topic):
+                    self._queues[cid].append((topic, payload))
+                    n += 1
         return n
 
     def drain(self, client_id: str) -> list[tuple[str, object]]:

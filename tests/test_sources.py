@@ -405,6 +405,11 @@ def test_objectstore_transport_contract():
     st.read_resource("big.jsonl", batches.append)
     assert [len(b) for b in batches] == [25, 25, 10]
     assert batches[0][0] == "line0" and batches[2][-1] == "line59"
+    # lone \r is ALSO a line break (Node readline's terminator set)
+    st.put("cr.txt", "a\rb\r\nc\nd")
+    crb = []
+    st.read_resource("cr.txt", crb.append, batch_size=10)
+    assert crb == [["a", "b", "c", "d"]]
     with pytest.raises(ValueError, match="does not exist"):
         st.read_resource("nope.jsonl", batches.append)
 

@@ -695,17 +695,22 @@ def test_mqtt_broker_contract_and_matcher_parity(spark):
     locked.connect("user", username="u", password="whatever")  # TODO-auth
     assert "mqtt requires auth" in " ".join(locked.log)
 
-    # routing parity with the Spark-side subscription
+    # routing parity with the Spark-side subscription — patterns OVERLAP
+    # deliberately (sensors/# also matches what sensors/+/temp matches):
+    # aedes delivers once per matching SUBSCRIPTION, so the broker and
+    # the per-pattern topic_filter composition must agree on duplicates
     topics = ["sensors/room1/temp", "sensors/room2/temp",
               "sensors/room1/hum", "alerts/fire", "sensors"]
-    open_b.subscribe("anon", "sensors/+/temp")
-    open_b.subscribe("anon", "alerts/#")
+    pats = ("sensors/+/temp", "sensors/#", "alerts/#")
+    for p in pats:
+        open_b.subscribe("anon", p)
     for t in topics:
         open_b.publish(t, t.upper())
     got = sorted(t for t, _ in open_b.drain("anon"))
     df = spark.createDataFrame([(t,) for t in topics], "topic string")
     spark_got = sorted(
-        r.topic for pat in ("sensors/+/temp", "alerts/#")
-        for r in topic_filter(df, pat).collect())
-    assert got == spark_got == [
-        "alerts/fire", "sensors/room1/temp", "sensors/room2/temp"]
+        r.topic for pat in pats for r in topic_filter(df, pat).collect())
+    assert got == spark_got
+    # sensors/room1/temp arrives TWICE (two matching subscriptions)
+    assert got.count("sensors/room1/temp") == 2
+    assert "sensors" in got          # sensors/# matches the parent too
