@@ -449,3 +449,17 @@ def test_audio_neardup_word_index_materialized_once(spark, sf_dir):
     assert plan.count("Scan ExistingRDD") >= 2
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cascade_delete_broadcasts_the_delete_batch(spark, sf_dir):
+    """etl_cascade_delete (r6): every cascade anti-join must broadcast
+    the delete-batch side (BroadcastHashJoin LeftAnti BuildRight) — the
+    parent/child tables never shuffle for the deletion itself — and no
+    join may degenerate to a nested loop or cartesian."""
+    plan = plan_of(spark, "etl_cascade_delete", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+    antis = re.findall(r"(\w+Join) LeftAnti", plan)
+    assert antis and all(j == "BroadcastHashJoin" for j in antis), antis
+    assert "LeftAnti BuildRight" in plan   # the delete batch is built
