@@ -102,8 +102,15 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id",
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Exact dedup by content digest: one row per distinct text, keeping the
-    smallest id (deterministic canonical representative) + duplicate count."""
+    smallest id (deterministic canonical representative) + duplicate count.
+
+    NULL-text docs are dropped, the module-wide discipline: md5(NULL) is
+    NULL and groupBy treats NULL digests as equal, so every row with
+    missing text would otherwise collapse into one spurious "duplicate"
+    group and a keep-only-keep_id pipeline would delete them against
+    each other."""
     return (docs
+            .filter(F.col(text_col).isNotNull())
             .select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
             .groupBy("digest")
             .agg(F.min(id_col).alias("keep_id"),
@@ -335,7 +342,16 @@ def verify_pairs(docs: DataFrame, cand: DataFrame, threshold: float = 0.5,
     on the two distinct-shingle arrays — no shingle explode, no per-pair
     groupBy, no size joins. docs never hash-shuffles. The candidate docs
     are spread: broadcast joins preserve input partitioning, so a few-file
-    corpus would otherwise verify on a few tasks."""
+    corpus would otherwise verify on a few tasks.
+
+    NULL-text docs are dropped HERE too, not only in the candidate
+    generators: shingles_from_tokens(NULL) is [NULL] and
+    array_intersect treats NULL==NULL, so a caller-supplied pair of two
+    NULL-text docs would otherwise verify at jaccard 1.0 — a spurious
+    duplicate between empty rows (the same bug class the signature and
+    SNM pre-filters guard against, enforced in the shared helper so
+    external callers with their own candidate source are covered)."""
+    docs = docs.filter(F.col(text_col).isNotNull())
     cand_ids = (cand.select(F.col("id_a").alias(id_col))
                 .union(cand.select(F.col("id_b").alias(id_col)))
                 .distinct())
@@ -617,6 +633,32 @@ def embedding_neardup(corpus: DataFrame, threshold: float = 0.45,
             .select("id_a", "id_b"))
 
 
+def _band_keys_udf(planes, bands: int, rows: int):
+    """ALL hyperplane band keys in one Arrow-batched GEMM, shared by
+    every banded-LSH operator: the expression form (one zip_with fold
+    per plane = bands*rows dim-literal trees) costs Catalyst seconds of
+    analysis/codegen per query and evaluates interpreted per element —
+    the measured trade documented at similarity.nearest_centroid.
+    Sign-packs the (n x bands*rows) sign matrix into one int64 key per
+    band; same planes + same ``>= 0`` sign + same ``<< ri`` bit order as
+    the expression form, so signatures are bit-identical."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype="float64")             # (bands*rows, dim)
+
+    @pandas_udf("array<long>")
+    def _band_keys(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype="float64")   # (n, dim)
+        S = (X @ P.T) >= 0.0                             # (n, bands*rows)
+        keys = np.zeros((len(X), bands), dtype="int64")
+        for bi in range(bands):
+            for ri in range(rows):
+                keys[:, bi] |= S[:, bi * rows + ri].astype("int64") << ri
+        return pd.Series([row.tolist() for row in keys])
+
+    return _band_keys
+
+
 def embedding_neardup_lsh(corpus: DataFrame, threshold: float = 0.45,
                           bands: int = 4, rows: int = 4,
                           id_col: str = "vec_id",
@@ -638,21 +680,13 @@ def embedding_neardup_lsh(corpus: DataFrame, threshold: float = 0.45,
     # re-scan and re-normalize the corpus three times
     unit = _unit_vectors(corpus, id_col, vec_col).localCheckpoint()
 
-    def band_key(bi: int) -> Column:
-        bits = None
-        for ri in range(rows):
-            d = dot(F.col("uvec"),
-                    F.array(*[F.lit(x) for x in planes[bi * rows + ri]]))
-            bit = F.when(d >= 0, F.lit(1 << ri)).otherwise(F.lit(0))
-            bits = bit if bits is None else bits + bit
-        return bits.cast("long")
-
-    banded = unit.select(
+    # one Arrow GEMM for all band keys (shared kernel; bit-identical to
+    # the per-plane expression form it replaced, which inlined
+    # bands*rows dim-literal trees into the plan)
+    banded = (unit.select(
         F.col(id_col),
-        F.explode(F.array(*[
-            F.struct(F.lit(bi).alias("band"), band_key(bi).alias("key"))
-            for bi in range(bands)])).alias("bk")
-    ).select(id_col, "bk.band", "bk.key")
+        F.posexplode(_band_keys_udf(planes, bands, rows)(F.col("uvec")))
+        .alias("band", "key")))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))
@@ -909,29 +943,12 @@ def semantic_dedup_lsh(corpus: DataFrame, k: int = 8, threshold: float = 0.9,
                 .join(units, id_col)
                 .persist())
     planes = _hyperplanes(bands * rows, dim)
-    # ALL band keys in one Arrow-batched GEMM: the expression form (one
-    # zip_with fold per plane = bands*rows dim-literal trees) costs
-    # Catalyst seconds of analysis/codegen per query and evaluates
-    # interpreted per element — the same measured trade as
-    # similarity.nearest_centroid; sign-pack the (n x bands*rows) sign
-    # matrix into one key per band instead
-    from pyspark.sql.functions import pandas_udf
-
-    P = np.asarray(planes, dtype="float64")             # (bands*rows, dim)
-
-    @pandas_udf("array<long>")
-    def _band_keys(vecs: pd.Series) -> pd.Series:
-        X = np.asarray(vecs.tolist(), dtype="float64")   # (n, dim)
-        S = (X @ P.T) >= 0.0                             # (n, bands*rows)
-        keys = np.zeros((len(X), bands), dtype="int64")
-        for bi in range(bands):
-            for ri in range(rows):
-                keys[:, bi] |= S[:, bi * rows + ri].astype("int64") << ri
-        return pd.Series([row.tolist() for row in keys])
-
+    # ALL band keys in one Arrow-batched GEMM (shared kernel — see
+    # _band_keys_udf for why the expression form loses)
     banded = (assigned
               .select(F.col(id_col), "centroid_id",
-                      F.posexplode(_band_keys(F.col("uvec")))
+                      F.posexplode(
+                          _band_keys_udf(planes, bands, rows)(F.col("uvec")))
                       .alias("band", "key")))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
@@ -1148,14 +1165,21 @@ def remove_duplicate_spans(docs: DataFrame, spans: DataFrame | None = None,
     dropped, the rest rejoin with single spaces. Docs with no spans pass
     through unchanged. Pure expression tree: the per-doc span list
     aggregates to an array column and a higher-order filter tests each
-    token position — no Python, no extra shuffle beyond the span join."""
+    token position — no Python, no extra shuffle beyond the span join.
+
+    NULL text coalesces to '' before tokenizing (the dedup_lines
+    convention: the doc comes back with empty text and sane counts, one
+    empty token kept) — split(NULL) is NULL and size(NULL) is -1, which
+    would otherwise make sequence(0, -2) DESCEND and emit phantom
+    kept-token counts for exactly the rows duplicate_spans drops."""
     if spans is None:
         spans = duplicate_spans(docs, min_len, id_col, text_col)
     span_arr = (spans.groupBy(id_col)
                 .agg(F.collect_list(F.struct("span_start", "span_end"))
                      .alias("_spans")))
     toks = docs.select(F.col(id_col),
-                       F.split(F.col(text_col), " ").alias("_t"))
+                       F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+                       .alias("_t"))
     joined = toks.join(span_arr, id_col, "left")
     kept = F.filter(
         F.transform(F.sequence(F.lit(0), F.size("_t") - 1),

@@ -578,7 +578,8 @@ def pca_project(corpus: DataFrame, model: dict, id_col: str = "vec_id",
 
 def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
               vec_col: str = "embedding",
-              with_score: bool = False) -> DataFrame:
+              with_score: bool = False,
+              max_closure_cells: int = 200_000_000) -> DataFrame:
     """Exact k-nearest-neighbor GRAPH: cosine top-k neighbors for EVERY
     corpus vector (queries == corpus) — the building block for kNN-graph
     near-dup clustering, SemDeDup-style pruning, and retrieval-augmented
@@ -597,20 +598,26 @@ def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
     shape, recall measured against this baseline in tests."""
 
     # "small by contract": the collected matrix rides in every task
-    # closure, so enforce the limit instead of silently OOMing executors.
-    _MAX_CLOSURE_CELLS = 200_000_000          # ~1.5 GiB float64
-    rows = corpus.select(id_col, vec_col).collect()
-    if not rows:
+    # closure, so enforce the limit (default ~1.5 GiB float64) instead
+    # of silently OOMing executors. The check runs BEFORE the collect
+    # (count x dim, two cheap distributed jobs) — guarding after would
+    # OOM the DRIVER first on the very corpora the guard exists to
+    # reject.
+    n_rows = corpus.count()
+    if n_rows == 0:
         schema = "query_id long, neighbor_id long, rank int"
         if with_score:
             schema += ", score double"
         return corpus.sparkSession.createDataFrame([], schema)
+    dim = _dim_of(corpus, vec_col, "knn_graph")
+    if n_rows * dim > max_closure_cells:
+        raise ValueError(
+            f"knn_graph: corpus ({n_rows}, {dim}) exceeds the "
+            f"small-by-contract closure limit ({max_closure_cells} "
+            f"cells); use knn_graph_ivf")
+    rows = corpus.select(id_col, vec_col).collect()
     all_ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    if mat.size > _MAX_CLOSURE_CELLS:
-        raise ValueError(
-            f"knn_graph: corpus {mat.shape} exceeds the small-by-contract "
-            f"closure limit ({_MAX_CLOSURE_CELLS} cells); use knn_graph_ivf")
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     if (norms == 0).any():
         bad = all_ids[(norms[:, 0] == 0)][:5].tolist()

@@ -793,3 +793,47 @@ def test_snm_drops_null_text_and_simhash_rejects_wide_bits(spark):
         D.simhash(docs, bits=64)
     with pytest.raises(ValueError, match="power of two"):
         D.cdc_boundaries(b"x" * 1000, avg_size=500)
+
+
+def test_r6_null_text_guards_dedup(spark):
+    """Round-6 review fixes: NULL-text rows can't fabricate duplicates
+    (exact_dedup drops them; verify_pairs rejects NULL-NULL candidate
+    pairs in the shared helper), and remove_duplicate_spans returns
+    NULL-text docs with empty text + sane counts, not phantom tokens."""
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        exact_dedup, remove_duplicate_spans, verify_pairs)
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x y z")], "doc_id long, text string")
+
+    # exact_dedup: md5(NULL) groups would collapse 1+2 into one "dup"
+    out = exact_dedup(docs).collect()
+    assert len(out) == 1 and out[0].n_copies == 1   # only doc 3
+
+    # verify_pairs: a caller-supplied (1,2) NULL-NULL pair must NOT
+    # verify at jaccard 1.0
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long").persist()
+    cand.count()
+    assert verify_pairs(docs, cand, threshold=0.1).count() == 0
+
+    # remove_duplicate_spans: NULL text -> empty text, non-negative counts
+    rds = {r.doc_id: r for r in remove_duplicate_spans(
+        docs, min_len=2).collect()}
+    assert set(rds) == {1, 2, 3}
+    assert rds[1].text_deduped == "" and rds[1].n_tokens_removed == 0
+    assert rds[1].n_tokens_kept >= 0
+    assert rds[3].text_deduped == "x y z"
+
+
+def test_knn_graph_guard_fires_before_collect(spark):
+    """Round-6 review fix: the small-by-contract limit is checked from
+    count x dim BEFORE collecting the corpus to the driver — an
+    over-limit corpus raises (pointing at knn_graph_ivf) without ever
+    materializing driver-side Rows."""
+    import pytest
+    from servihabitat_etl_spyke_spark.operators import similarity as SIM
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="use knn_graph_ivf"):
+        SIM.knn_graph(corpus, k=2, max_closure_cells=10)
+    assert SIM.knn_graph(corpus.limit(0), k=2).count() == 0
