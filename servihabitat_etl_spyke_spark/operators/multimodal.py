@@ -92,6 +92,12 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if size < 40 or bpp != 24 or comp != 0:
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={comp})")
     h = abs(h_raw)
+    # zero/negative dims must fail HERE as ValueError (the containment
+    # class every sweep catches) — a (0, w, 3) array would surface later
+    # as IndexError/ZeroDivisionError in resize/hash/feature kernels,
+    # outside the documented containment, killing a corpus-wide job
+    if w <= 0 or h <= 0:
+        raise ValueError(f"degenerate BMP geometry ({w}x{h})")
     row = bmp_row_size(w)
     raw = np.frombuffer(data, dtype=np.uint8,
                         count=row * h, offset=offset).reshape(h, row)
@@ -135,6 +141,10 @@ def decode_ppm_meta(data: bytes) -> tuple[int, int]:
 
 def decode_ppm(data: bytes) -> np.ndarray:
     w, h, _, start = _ppm_parse(data)
+    # same degenerate-geometry rule as decode_bmp: fail as ValueError
+    # inside the containment class, not as IndexError downstream
+    if w <= 0 or h <= 0:
+        raise ValueError(f"degenerate PPM geometry ({w}x{h})")
     return np.frombuffer(data, dtype=np.uint8, count=3 * w * h,
                          offset=start).reshape(h, w, 3).copy()
 
@@ -499,7 +509,12 @@ def _banded_hamming_pairs(hashes: DataFrame, hash_col: str,
     mask = (1 << width) - 1
     cols = [F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")]
     extras = [F.col(extra_col).alias("_x")] if extra_col else []
-    h = hashes.select(*cols, *extras)
+    # materialize the (narrow) hash table ONCE before mirroring it into
+    # the self-join: side('a') and side('b') are separate subplans, so
+    # an upstream decode+perceptual-hash mapInPandas — the dominant cost
+    # for image/video near-dup — would otherwise execute twice (the same
+    # discipline audio_fp_neardup applies to its word index)
+    h = hashes.select(*cols, *extras).localCheckpoint()
     banded = h.select(
         "_id", "_h", *(["_x"] if extra_col else []),
         F.explode(F.array(*[
@@ -648,6 +663,14 @@ def decode_wav_meta(data: bytes) -> dict:
     if fmt is None or data_size is None:
         raise ValueError("truncated WAV: missing fmt/data chunk")
     channels, sample_rate, block_align = fmt
+    # header-derived divisors must be validated before use: a corrupt
+    # fmt chunk with block_align=0 or sample_rate=0 would raise
+    # ZeroDivisionError, which escapes the (ValueError, struct.error)
+    # containment every sweep applies
+    if block_align <= 0 or sample_rate <= 0 or channels <= 0:
+        raise ValueError(
+            f"degenerate WAV fmt (channels={channels}, "
+            f"rate={sample_rate}, block_align={block_align})")
     n_frames = data_size // block_align
     return {
         "channels": channels,
@@ -727,14 +750,28 @@ def extract_audio_meta(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode_wav_meta(bytes(c)) for c in pdf["content"]]
+            rows = {k: [] for k in (id_col, "n_bytes", "channels",
+                                    "sample_rate", "n_frames",
+                                    "duration_us")}
+            for did, c in zip(pdf[id_col], pdf["content"]):
+                raw = bytes(c)
+                try:                 # corrupt blobs drop, never fatal
+                    m = decode_wav_meta(raw)
+                except (ValueError, struct.error):
+                    continue
+                rows[id_col].append(did)
+                rows["n_bytes"].append(len(raw))
+                rows["channels"].append(m["channels"])
+                rows["sample_rate"].append(m["sample_rate"])
+                rows["n_frames"].append(m["n_frames"])
+                rows["duration_us"].append(m["duration_us"])
             yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(),
-                "n_bytes": [len(bytes(c)) for c in pdf["content"]],
-                "channels": [m["channels"] for m in metas],
-                "sample_rate": [m["sample_rate"] for m in metas],
-                "n_frames": [m["n_frames"] for m in metas],
-                "duration_us": [m["duration_us"] for m in metas],
+                id_col: pd.Series(rows[id_col], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "channels": pd.Series(rows["channels"], dtype="int32"),
+                "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                "n_frames": pd.Series(rows["n_frames"], dtype="int64"),
+                "duration_us": pd.Series(rows["duration_us"], dtype="int64"),
             })
 
     return blobs.mapInPandas(
@@ -754,7 +791,10 @@ def audio_features(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     (id_col, "n_samples", "peak", "sum_sq", "rms",
                      "zero_crossings")}
             for did, content in zip(pdf[id_col], pdf["content"]):
-                samples, _sr = decode_wav(bytes(content))
+                try:                 # corrupt blobs drop, never fatal
+                    samples, _sr = decode_wav(bytes(content))
+                except (ValueError, struct.error):
+                    continue
                 s = samples.reshape(-1).astype(np.int64)
                 sum_sq = int((s * s).sum())
                 n = len(s)
@@ -785,7 +825,10 @@ def sample_audio_windows(blobs: DataFrame, win: int = 64, hop: int = 32,
         for pdf in batches:
             ids, idxs, starts, rmss = [], [], [], []
             for did, content in zip(pdf[id_col], pdf["content"]):
-                samples, _sr = decode_wav(bytes(content))
+                try:                 # corrupt blobs drop, never fatal
+                    samples, _sr = decode_wav(bytes(content))
+                except (ValueError, struct.error):
+                    continue
                 ch0 = samples[:, 0].astype(np.int64)
                 for wi in range((len(ch0) - win) // hop + 1 if
                                 len(ch0) >= win else 0):
@@ -854,7 +897,10 @@ def audio_fingerprint(blobs: DataFrame, win: int = 64, hop: int = 32,
         for pdf in batches:
             ids, nfr, digs, firsts = [], [], [], []
             for did, content in zip(pdf[id_col], pdf["content"]):
-                samples, _sr = decode_wav(bytes(content))
+                try:                 # corrupt blobs drop, never fatal
+                    samples, _sr = decode_wav(bytes(content))
+                except (ValueError, struct.error):
+                    continue
                 ch0 = samples[:, 0].astype(np.float64)
                 mat = _fp_bit_matrix(ch0, win, hop, bands)
                 ids.append(did)
@@ -888,16 +934,22 @@ def audio_gain(blobs: DataFrame, factor: float,
 
     def scale(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for content in pdf["content"]:
-                samples, sr = decode_wav(bytes(content))
+            ids, out, mts = [], [], []
+            for did, content, mt in zip(pdf[id_col], pdf["content"],
+                                        pdf["media_type"]):
+                try:                 # corrupt blobs drop, never fatal
+                    samples, sr = decode_wav(bytes(content))
+                except (ValueError, struct.error):
+                    continue
                 scaled = np.clip(samples.astype(np.float64) * factor,
                                  -32768, 32767).astype(np.int16)
+                ids.append(did)
                 out.append(encode_wav(scaled, sr))
+                mts.append(mt)
             yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(),
+                id_col: pd.Series(ids, dtype="int64"),
                 "content": out,
-                "media_type": pdf["media_type"].to_numpy(),
+                "media_type": mts,
             })
 
     return blobs.mapInPandas(
@@ -930,7 +982,10 @@ def audio_fp_words(blobs: DataFrame, win: int = 64, hop: int = 32,
         for pdf in batches:
             ids, ws = [], []
             for did, content in zip(pdf[id_col], pdf["content"]):
-                samples, _sr = decode_wav(bytes(content))
+                try:                 # corrupt blobs drop, never fatal
+                    samples, _sr = decode_wav(bytes(content))
+                except (ValueError, struct.error):
+                    continue
                 mat = _fp_bit_matrix(samples[:, 0].astype(np.float64),
                                      win, hop, bands)
                 n_words = len(mat) - word_frames + 1
@@ -1092,14 +1147,27 @@ def extract_video_meta(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode_bmv_meta(bytes(c)) for c in pdf["content"]]
+            rows = {k: [] for k in (id_col, "n_bytes", "n_frames",
+                                    "fps", "width", "height")}
+            for did, c in zip(pdf[id_col], pdf["content"]):
+                raw = bytes(c)
+                try:                 # corrupt blobs drop, never fatal
+                    m = decode_bmv_meta(raw)
+                except (ValueError, struct.error):
+                    continue
+                rows[id_col].append(did)
+                rows["n_bytes"].append(len(raw))
+                rows["n_frames"].append(m["n_frames"])
+                rows["fps"].append(m["fps"])
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
             yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(),
-                "n_bytes": [len(bytes(c)) for c in pdf["content"]],
-                "n_frames": [m["n_frames"] for m in metas],
-                "fps": [m["fps"] for m in metas],
-                "width": [m["width"] for m in metas],
-                "height": [m["height"] for m in metas],
+                id_col: pd.Series(rows[id_col], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                "fps": pd.Series(rows["fps"], dtype="int32"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
             })
 
     return blobs.mapInPandas(
@@ -1120,19 +1188,30 @@ def sample_video_frames(blobs: DataFrame, every_n: int = 1,
                                     "width", "height", "mean_lum_milli")}
             for did, content in zip(pdf[id_col], pdf["content"]):
                 raw = bytes(content)
-                meta = decode_bmv_meta(raw)
-                picks = range(0, meta["n_frames"], every_n)
-                for fi in list(picks)[:max_frames]:
-                    px = decode_bmv_frame(raw, fi)
-                    rows[id_col].append(did)
-                    rows["frame_idx"].append(fi)
-                    rows["t_millis"].append(fi * 1000 // meta["fps"])
-                    rows["width"].append(px.shape[1])
-                    rows["height"].append(px.shape[0])
-                    # integer luminance: engine-exact (sum of ints, // size)
-                    rows["mean_lum_milli"].append(
-                        int(px.astype(np.int64).sum()) * 1000
-                        // (px.size))
+                # per-blob buffer: a blob that fails mid-decode emits
+                # NOTHING (no partial frame rows), and a corrupt blob
+                # drops instead of killing the sweep
+                local = {k: [] for k in rows}
+                try:
+                    meta = decode_bmv_meta(raw)
+                    if meta["fps"] <= 0:
+                        raise ValueError("degenerate BMV fps 0")
+                    picks = range(0, meta["n_frames"], every_n)
+                    for fi in list(picks)[:max_frames]:
+                        px = decode_bmv_frame(raw, fi)
+                        local[id_col].append(did)
+                        local["frame_idx"].append(fi)
+                        local["t_millis"].append(fi * 1000 // meta["fps"])
+                        local["width"].append(px.shape[1])
+                        local["height"].append(px.shape[0])
+                        # integer luminance: engine-exact (int sum // size)
+                        local["mean_lum_milli"].append(
+                            int(px.astype(np.int64).sum()) * 1000
+                            // (px.size))
+                except (ValueError, struct.error, IndexError):
+                    continue
+                for k in rows:
+                    rows[k].extend(local[k])
             yield pd.DataFrame({
                 id_col: pd.Series(rows[id_col], dtype="int64"),
                 "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
@@ -1168,15 +1247,25 @@ def detect_scene_changes(blobs: DataFrame, threshold_milli: int = 30000,
             for did, content in zip(pdf[id_col], pdf["content"]):
                 raw = bytes(content)
                 prev = None
-                for fi, px in decode_bmv_frames(raw):
-                    mean = int(px.astype(np.int64).sum()) * 1000 // px.size
-                    if prev is not None:
-                        d = mean - prev
-                        ids.append(did)
-                        fis.append(fi)
-                        deltas.append(d)
-                        cuts.append(abs(d) >= threshold_milli)
-                    prev = mean
+                # per-blob buffer: mid-stream decode failure emits no
+                # partial transitions; corrupt blobs drop, never fatal
+                lf, ld, lc = [], [], []
+                try:
+                    for fi, px in decode_bmv_frames(raw):
+                        mean = (int(px.astype(np.int64).sum()) * 1000
+                                // px.size)
+                        if prev is not None:
+                            d = mean - prev
+                            lf.append(fi)
+                            ld.append(d)
+                            lc.append(abs(d) >= threshold_milli)
+                        prev = mean
+                except (ValueError, struct.error):
+                    continue
+                ids.extend([did] * len(lf))
+                fis.extend(lf)
+                deltas.extend(ld)
+                cuts.extend(lc)
             yield pd.DataFrame({
                 id_col: pd.Series(ids, dtype="int64"),
                 "frame_idx": pd.Series(fis, dtype="int32"),
@@ -1210,15 +1299,24 @@ def video_keyframe_dhash(blobs: DataFrame, threshold_milli: int = 30000,
             for did, content in zip(pdf[id_col], pdf["content"]):
                 raw = bytes(content)
                 prev = None
-                for fi, px in decode_bmv_frames(raw):
-                    mean = int(px.astype(np.int64).sum()) * 1000 // px.size
-                    is_key = prev is None or abs(mean - prev) >= \
-                        threshold_milli
-                    if is_key:
-                        ids.append(did)
-                        fis.append(fi)
-                        hs.append(dhash_bits(px))
-                    prev = mean
+                # per-blob buffer: mid-stream decode failure emits no
+                # partial keyframes; corrupt blobs drop, never fatal
+                lf, lh = [], []
+                try:
+                    for fi, px in decode_bmv_frames(raw):
+                        mean = (int(px.astype(np.int64).sum()) * 1000
+                                // px.size)
+                        is_key = prev is None or abs(mean - prev) >= \
+                            threshold_milli
+                        if is_key:
+                            lf.append(fi)
+                            lh.append(dhash_bits(px))
+                        prev = mean
+                except (ValueError, struct.error):
+                    continue
+                ids.extend([did] * len(lf))
+                fis.extend(lf)
+                hs.extend(lh)
             yield pd.DataFrame({
                 id_col: pd.Series(ids, dtype="int64"),
                 "frame_idx": pd.Series(fis, dtype="int32"),

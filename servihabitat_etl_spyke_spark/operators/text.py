@@ -75,6 +75,20 @@ def _top_token_count(toks: Column) -> Column:
         lambda acc: acc["best"])
 
 
+def adjacent_pairs(toks) -> Column:
+    """Row-local adjacent-token pair structs (w1, w2): two slices zipped
+    — no positional self-join, no explode-join-explode. Docs with < 2
+    tokens yield an EMPTY array (a raw slice with non-positive length
+    would throw), so explode naturally drops them. Shared by the bigram
+    LM build, bigram scoring, BPE pair counting, and collocations — one
+    definition, one guard."""
+    n = F.size(toks)
+    return F.when(n < 2, F.array().cast(
+        "array<struct<w1:string,w2:string>>")).otherwise(
+        F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+
+
 def quality_features(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Per-doc quality signals: lengths, token stats, stopword ratio,
@@ -99,17 +113,28 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
         .alias("chars_per_token"),
         F.round(_count_in_lower(toks, STOPWORDS) / n_tok, 6)
         .alias("stopword_ratio"),
-        # every [^\w\s] match is exactly one char, so the match count
+        # every non-word match is exactly one char, so the match count
         # equals the chars removed by replacing them — same value as
         # len(regexp_extract_all(...)) without materializing the array.
+        # [\p{L}\p{N}_] instead of \w: Java \w is ASCII-only, which
+        # counted every CJK/accented LETTER as punctuation and scored
+        # non-English docs ~100% punct (wholesale-dropped by any
+        # punct-ratio gate); \p{L}\p{N} is Unicode-aware in both Java
+        # and the oracle's RE2, and identical on ASCII text.
         # Zero-length text would divide by zero (a job-killing error
         # under ANSI mode) — an empty doc has punct ratio 0 by definition
         F.when(F.length(text) > 0,
                F.round((F.length(text)
-                        - F.length(F.regexp_replace(text, r"[^\w\s]", "")))
+                        - F.length(F.regexp_replace(
+                            text, r"[^\p{L}\p{N}_\s]", "")))
                        / F.length(text), 6))
         .otherwise(F.lit(0.0)).alias("punct_ratio"),
-        F.round(F.size(F.filter(toks, lambda t: t == F.upper(t)))
+        # all-caps requires at least one CASED letter: a caseless token
+        # ('2021', '3.14', '%') equals its own uppercase, which scored
+        # numeric/tabular docs as 100% shouting; t != lower(t) holds
+        # exactly when some cased uppercase letter is present
+        F.round(F.size(F.filter(toks, lambda t: (t == F.upper(t))
+                                & (t != F.lower(t))))
                 / n_tok, 6).alias("uppercase_token_ratio"),
     )
 
@@ -278,9 +303,15 @@ def lm_score(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
         oov_logprob = math.log(min_p * 0.5) if min_p else -30.0
     oov_nano = int(math.floor(oov_logprob * 1000000000 + 0.5))
     nano = F.floor(F.log("p") * 1000000000 + F.lit(0.5)).cast("long")
+    # NULL text coalesces to '' (one OOV-scored empty token): explode of
+    # split(NULL) emits no rows, which would silently DROP the doc —
+    # contradicting the LEFT-join promise above that degenerate docs are
+    # never dropped (they are exactly what a perplexity filter catches)
     toked = (spread(docs, id_col)
              .select(F.col(id_col),
-                     F.explode(F.split(F.col(text_col), " ")).alias("tok")))
+                     F.explode(F.split(
+                         F.coalesce(F.col(text_col), F.lit("")), " "))
+                     .alias("tok")))
     return (toked.join(F.broadcast(lm.select("tok", nano.alias("_nano"))),
                        "tok", "left")
             .groupBy(id_col)
@@ -313,12 +344,7 @@ def bigram_lm(train: DataFrame, alpha: float = 0.4,
     or a df.unpersist() on the returned frame when done.
     """
     toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    pair_structs = F.when(n < 2, F.array().cast(
-        "array<struct<w1:string,w2:string>>")).otherwise(
-        F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
-                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
-    big = (train.select(F.explode(pair_structs).alias("p"))
+    big = (train.select(F.explode(adjacent_pairs(toks)).alias("p"))
            .select("p.w1", "p.w2")
            .groupBy("w1", "w2").agg(F.count("*").alias("_c12")))
     uni = (train.select(F.explode(toks).alias("w"))
@@ -358,14 +384,12 @@ def bigram_score(docs: DataFrame, bigrams: DataFrame, backoff: DataFrame,
     integer nanos (fold-order-free)."""
     floor_nano = int(floor_logprob * 1000000000)
     toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    pair_structs = F.zip_with(F.slice(toks, 1, n - 1),
-                              F.slice(toks, 2, n - 1),
-                              lambda a, b: F.struct(a.alias("w1"),
-                                                    b.alias("w2")))
+    # the n >= 2 filter prunes pairless docs before the explode; the
+    # shared helper's internal guard makes the expression safe either way
     pairs = (spread(docs, id_col)
-             .filter(n >= 2)
-             .select(F.col(id_col), F.explode(pair_structs).alias("p"))
+             .filter(F.size(toks) >= 2)
+             .select(F.col(id_col),
+                     F.explode(adjacent_pairs(toks)).alias("p"))
              .select(F.col(id_col), "p.w1", "p.w2"))
     scored = (pairs
               .join(bigrams.withColumnRenamed("lnp_nano", "_bi"),
@@ -395,8 +419,13 @@ def hashed_classifier_score(docs: DataFrame, buckets: int = 4096,
     a pure expression tree — no UDF, no model server, whole-stage codegen.
 
     The weight table here is a deterministic pseudo-model
-    (w[b] = (b % 1997) - 998, zero-mean over buckets) so an external
-    oracle can replicate inference bit-for-bit; a TRAINED model drops in
+    (w[b] = (b % 1997) - 998; roughly-centered, NOT exactly zero-mean —
+    with the default buckets=4096 the partial third residue cycle pulls
+    the bucket mean to ~-23.6, so random text leans slightly toward
+    drop; exact zero-mean would need buckets to be a multiple of 1997.
+    The pseudo-model exists for oracle replication, not calibration) so
+    an external oracle can replicate inference bit-for-bit; a TRAINED
+    model drops in
     by replacing ``_weight`` with ``F.element_at(F.lit(weights), bucket+1)``
     (a broadcast literal array, same plan shape) without touching
     anything else. Weight sums stay in integers — fold-order-free, exact
@@ -863,8 +892,15 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
        (TakeOrdered — no single-partition exchange).
     """
     toks = tokens(F.col(text_col))
-    base = spread(docs, id_col).select(
-        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("dl"))
+    # persist: the corpus-stats aggregation and the hits explode are
+    # separate subplans over `base` — unpinned, the corpus would be
+    # scanned and re-tokenized twice per query (the dedup_lines /
+    # audio_fp_neardup discipline). Cache note: lives for the returned
+    # plan's lifetime; release with spark.catalog.clearCache().
+    base = (spread(docs, id_col)
+            .select(F.col(id_col), toks.alias("_toks"),
+                    F.size(toks).alias("dl"))
+            .persist())
     stats = base.agg(F.count("*").alias("_n"),
                      F.sum("dl").alias("_sum_dl"))
     hits = (base.select(
@@ -912,11 +948,7 @@ def collocations(docs: DataFrame, min_count: int = 5, top: int = 20,
     """
     toks = tokens(F.col(text_col))
     n = F.size(toks)
-    pair_structs = F.when(n < 2, F.array().cast(
-        "array<struct<w1:string,w2:string>>")).otherwise(
-        F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
-                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
-    big = (docs.select(F.explode(pair_structs).alias("p"))
+    big = (docs.select(F.explode(adjacent_pairs(toks)).alias("p"))
            .select("p.w1", "p.w2")
            .groupBy("w1", "w2").agg(F.count("*").alias("c12"))
            .filter(F.col("c12") >= min_count))
@@ -1115,11 +1147,8 @@ def pair_counts(docs: DataFrame, top: int = 32,
     per task, not per occurrence; the top-N is orderBy+limit
     (TakeOrdered, no single-partition exchange)."""
     toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    pairs = F.when(n < 2, F.array().cast("array<string>")).otherwise(
-        F.zip_with(F.slice(toks, 1, n - 1),
-                   F.slice(toks, 2, n - 1),
-                   lambda a, b: F.concat(a, F.lit(" "), b)))
+    pairs = F.transform(adjacent_pairs(toks),
+                        lambda p: F.concat(p["w1"], F.lit(" "), p["w2"]))
     return (docs.select(F.explode(pairs).alias("pair"))
             .groupBy("pair").agg(F.count("*").alias("n_pairs"))
             .orderBy(F.col("n_pairs").desc(), "pair")

@@ -176,19 +176,28 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("text_lm_score", oracle="""
-WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+WITH toks AS (SELECT doc_id,
+                     UNNEST(string_split(coalesce(text, ''), ' ')) AS tok
               FROM documents),
 freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
 tot AS (SELECT sum(c) AS t FROM freq),
 lm AS (SELECT tok,
               CAST(floor(ln(c / CAST(t AS DOUBLE)) * 1000000000 + 0.5)
                    AS BIGINT) AS nano
-       FROM freq, tot)
+       FROM freq, tot),
+-- OOV floor mirrors lm_score's default: ln(half the rarest in-vocab
+-- probability). The model trains on the scored corpus here, so the
+-- branch never fires on this fixture — it exists so the LEFT JOIN
+-- below matches the operator's never-drop-a-doc contract exactly.
+oov AS (SELECT CAST(floor(ln(min(c / CAST(t AS DOUBLE)) * 0.5)
+                          * 1000000000 + 0.5) AS BIGINT) AS nano
+        FROM freq, tot)
 SELECT doc_id,
-       floor(((sum(nano) / count(*)) / 1000000000) * 1000000 + 0.5)
+       floor(((sum(coalesce(lm.nano, oov.nano)) / count(*))
+              / 1000000000) * 1000000 + 0.5)
          / 1000000 AS avg_logprob,
        count(*) AS n_scored
-FROM toks JOIN lm USING (tok)
+FROM toks LEFT JOIN lm USING (tok), oov
 GROUP BY doc_id ORDER BY doc_id
 """)
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:

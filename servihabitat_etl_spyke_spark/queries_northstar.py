@@ -721,10 +721,11 @@ SELECT doc_id,
                                 lower(t))))
              * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio,
        CASE WHEN length(text) > 0 THEN
-         round(len(regexp_extract_all(text, '[^\w\s]'))
+         round(len(regexp_extract_all(text, '[^\p{L}\p{N}_\s]'))
                * 1.0 / length(text), 6)
        ELSE 0.0 END AS punct_ratio,
-       round(len(list_filter(string_split(text, ' '), t -> t = upper(t)))
+       round(len(list_filter(string_split(text, ' '),
+                             t -> t = upper(t) AND t <> lower(t)))
              * 1.0 / len(string_split(text, ' ')), 6) AS uppercase_token_ratio
 FROM documents ORDER BY doc_id
 """)

@@ -1507,3 +1507,73 @@ def test_domain_suffix_blocklist_semantics(spark):
     bl = spark.createDataFrame([("spam.com",)], "dom string")
     kept = sorted(r.doc_id for r in domain_suffix_blocklist(d, bl).collect())
     assert kept == [4, 5, 6]
+
+
+def test_r6_audio_video_corrupt_blob_containment(spark):
+    """Round-6 review fix: one corrupt/foreign blob in an audio or video
+    table drops from every sweep instead of killing the job; degenerate
+    headers (block_align=0 WAV, zero-dim BMP, fps=0 BMV) fail as
+    ValueError inside the containment class, never ZeroDivision/Index
+    errors outside it."""
+    import pytest
+    import struct as _st
+    # block_align=0 WAV: fmt chunk parses, division guard must catch
+    bad_fmt = (b"RIFF" + _st.pack("<I", 36) + b"WAVE"
+               + _st.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 0, 0, 0, 16)
+               + _st.pack("<4sI", b"data", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="degenerate WAV"):
+        MM.decode_wav_meta(bad_fmt)
+    with pytest.raises(ValueError, match="degenerate BMP"):
+        MM.decode_bmp(b"BM" + b"\x00" * 8 + _st.pack("<I", 54)
+                      + _st.pack("<IiiHHI", 40, 0, 4, 1, 24, 0)
+                      + b"\x00" * 64)
+
+    audio = spark.createDataFrame(
+        [(1, MM.render_doc_wav(1, "hello world"), "audio/wav"),
+         (2, b"RIFFjunk", "audio/wav"),
+         (3, bad_fmt, "audio/wav"),
+         (4, b"not audio at all", "text/plain")],
+        "doc_id long, content binary, media_type string")
+    assert [r.doc_id for r in MM.extract_audio_meta(audio).collect()] == [1]
+    assert [r.doc_id for r in MM.audio_features(audio).collect()] == [1]
+    # win=8/hop=4: doc 1's clip is shorter than the default 64-frame
+    # window, which would legitimately emit zero windows
+    assert {r.doc_id for r in
+            MM.sample_audio_windows(audio, win=8, hop=4).collect()} == {1}
+    assert [r.doc_id for r in
+            MM.audio_fingerprint(audio, win=8, hop=4).collect()] == [1]
+    assert [r.doc_id for r in MM.audio_gain(audio, 0.5).collect()] == [1]
+    assert {r.doc_id for r in
+            MM.audio_fp_words(audio, win=8, hop=4).collect()} == {1}
+
+    video = spark.createDataFrame(
+        [(1, MM.render_doc_bmv(1, "scene one scene two"), "video/bmv"),
+         (2, b"BMV1" + b"\x01", "video/bmv"),
+         (3, b"garbage", "video/bmv")],
+        "doc_id long, content binary, media_type string")
+    assert {r.doc_id for r in MM.extract_video_meta(video).collect()} == {1}
+    assert {r.doc_id for r in
+            MM.sample_video_frames(video).collect()} == {1}
+    assert {r.doc_id for r in
+            MM.detect_scene_changes(video).collect()} <= {1}
+    assert {r.doc_id for r in
+            MM.video_keyframe_dhash(video).collect()} == {1}
+
+
+def test_r6_quality_feature_semantics(spark):
+    """Round-6 review fixes: punctuation ratio is Unicode-aware (CJK and
+    accented LETTERS are not punctuation), and all-caps requires a cased
+    letter (numeric/symbol tokens are not shouting)."""
+    docs = spark.createDataFrame(
+        [(1, "我是学生 café naïve"),          # letters only, one space set
+         (2, "2021 3.14 100% WARN"),          # caseless + one real caps
+         (3, "plain ascii text!")],
+        "doc_id long, text string")
+    q = {r.doc_id: r for r in TX.quality_features(docs).collect()}
+    # CJK/accented letters are NOT punctuation: only spaces + diacritics
+    # context — ratio must be far below the ~1.0 the ASCII \\w gave
+    assert q[1].punct_ratio < 0.1
+    # '2021', '3.14', '100%' are caseless -> not all-caps; 'WARN' is
+    assert q[2].uppercase_token_ratio == 0.25
+    # ASCII behavior unchanged: one '!' out of 17 chars
+    assert abs(q[3].punct_ratio - 1 / len("plain ascii text!")) < 1e-6
