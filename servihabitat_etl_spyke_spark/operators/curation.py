@@ -110,6 +110,16 @@ def _unit_uniform(key: Column) -> Column:
     return _hash32(key.cast("string")) % 10000
 
 
+def _unit_uniform_nano(key: Column) -> Column:
+    """Deterministic pseudo-uniform in [0, 1e9): 52 md5 bits (13 hex
+    digits — exact in a long, modulo bias ~1e-7) for operators whose
+    keep rates are COMPUTED rather than caller-supplied and can be far
+    below one basis point (DuckDB:
+    ('0x' || substr(md5(k), 1, 13))::UBIGINT % 1000000000)."""
+    return (F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10)
+            .cast("long") % 1000000000)
+
+
 def stratified_sample(df: DataFrame, rates: dict[str, float],
                       strata_col: str, key_col: str,
                       default_rate: float = 0.0) -> DataFrame:
@@ -141,8 +151,16 @@ def chunk_tokens(docs: DataFrame, max_tokens: int = 64, overlap: int = 0,
 
     Row-local: window starts come from sequence(), windows from slice() —
     the expansion happens inside the task that read the row, so the op
-    scales with input partitions and never shuffles."""
+    scales with input partitions and never shuffles.
+
+    NULL-text docs are dropped (the dedup-module discipline): greatest(
+    NULL, 1) = 1 defeats NULL propagation here, so an unfiltered NULL
+    doc would emit a phantom (id, 0, NULL, NULL) chunk — and
+    passage_dedup's md5(NULL) digests would then group every NULL-text
+    doc together and DELETE all but the lowest id as 'duplicates' of
+    unrelated rows."""
     assert 0 <= overlap < max_tokens
+    docs = docs.filter(F.col(text_col).isNotNull())
     step = max_tokens - overlap
     toks = F.col("_toks")
     # starts: 0, step, 2*step, ... while start < len - overlap (and always
@@ -466,12 +484,19 @@ def temperature_mix(df: DataFrame, target_rows: int, strata_col: str,
                      F.least(F.lit(1.0),
                              F.lit(float(target_rows)) * F.col("_wq")
                              / F.col("_tw") / F.col("_n")).alias("_rate")))
-    thresh = F.floor(F.col("_rate") * 10000 + F.lit(0.5)).cast("long")
-    return (df.join(F.broadcast(rates.select(strata_col,
-                                             thresh.alias("_thresh"))),
-                    strata_col)
-            .filter(_unit_uniform(F.col(key_col)) < F.col("_thresh"))
-            .drop("_thresh"))
+    # NANO (1e-9) threshold resolution, not basis points: the rate is
+    # computed internally and at 100 TB scale legitimately lands below
+    # one basis point (target 10k rows over a 1e9-doc stratum = 1e-5) —
+    # bp quantization floored such strata to EXACTLY ZERO kept rows
+    thresh = F.floor(F.col("_rate") * 1e9 + F.lit(0.5)).cast("long")
+    r = F.broadcast(rates.select(F.col(strata_col).alias("_sc"),
+                                 thresh.alias("_thresh")))
+    # null-SAFE stratum join: groupBy made NULL strata a real group whose
+    # weight entered the total, but an equi-join would drop their rows —
+    # silently losing docs AND diluting every other stratum's share
+    return (df.join(r, df[strata_col].eqNullSafe(r["_sc"]))
+            .filter(_unit_uniform_nano(F.col(key_col)) < F.col("_thresh"))
+            .drop("_thresh", "_sc"))
 
 
 def contamination_score(train: DataFrame, evalset: DataFrame, n: int = 8,

@@ -234,7 +234,8 @@ def _mh_params(k: int) -> tuple[list[int], list[int]]:
 
 def minhash_signatures(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
-                       keep_shingles: bool = False) -> DataFrame:
+                       keep_shingles: bool = False,
+                       passthrough: list[str] | None = None) -> DataFrame:
     """k-permutation MinHash signature per doc: min over the shingle set of
     k universal-hash permutations of a 32-bit base hash — long columns
     mh0..mh{k-1}.
@@ -256,7 +257,8 @@ def minhash_signatures(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
     ``keep_shingles=True`` additionally carries the shingle array through
     as ``_sh`` — the shape verification joins need (the streaming twin
     reuses THIS function so stream and batch signatures can never
-    drift)."""
+    drift). ``passthrough`` columns ride along unchanged (e.g. the
+    event-time column a streaming watermark needs downstream)."""
     # drop NULL-text docs (the explode+groupBy form dropped them naturally;
     # without this they'd carry null signatures and collide in every LSH
     # band — m null docs -> O(m^2) spurious candidate pairs)
@@ -268,9 +270,11 @@ def minhash_signatures(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
     # CollapseProject leaves a non-cheap expression used more than once in
     # its own Project. Measured ~2x off the stage, on top of the ~5x from
     # not re-splitting inside the lambda.
-    shingled = tokenized(docs, id_col, text_col).select(
-        F.col(id_col), shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
-    extra = ["_sh"] if keep_shingles else []
+    carry = list(passthrough or [])
+    shingled = tokenized(docs, id_col, text_col, extra_cols=carry).select(
+        F.col(id_col), *carry,
+        shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
+    extra = (["_sh"] if keep_shingles else []) + carry
     hashed = shingled.select(
         F.col(id_col), *extra,
         F.transform("_sh", lambda s: _hash32(s)).alias("_h"))

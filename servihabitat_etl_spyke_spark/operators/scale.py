@@ -231,7 +231,11 @@ def compact_to_target(df: DataFrame, path: str, target_mb: int = 128,
     # target_mb as the in-memory slice size (on-disk snappy parquet lands
     # smaller; callers wanting exact file sizes should measure a sample)
     if est_bytes >= (1 << 60):
-        n = df.rdd.getNumPartitions()
+        # stats-free fallback: defaultParallelism, NOT df.rdd — touching
+        # .rdd forces eager materialization of the upstream AQE stages
+        # just to read a partition count, and the write below would then
+        # re-execute the same plan (doubling a 100 TB compaction)
+        n = df.sparkSession.sparkContext.defaultParallelism
     else:
         n = max(1, int((est_bytes + target_mb * 1024 * 1024 - 1)
                        // (target_mb * 1024 * 1024)))
@@ -535,9 +539,17 @@ def hll_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
         .alias("_zs"),
         F.sum((F.col("rank") == 0).cast("int")).alias("_v"))
     raw = F.lit(float(alpha * m * m * (1 << max_rank))) / F.col("_zs")
-    # linear counting below the 2.5m threshold when empty buckets exist
+    # linear counting below the 2.5m threshold when empty buckets exist;
+    # above 2^32/30 the standard LARGE-RANGE correction for a 32-bit
+    # hash (-2^32 * ln(1 - E/2^32), Flajolet et al. 2007 Fig. 3) — the
+    # 32-bit hash space starts colliding near a billion distincts and
+    # the uncorrected harmonic estimate saturates hundreds of millions
+    # low with no warning (the documented 100 TB use case exceeds this)
+    two32 = float(1 << 32)
     est = F.when((raw <= F.lit(2.5 * m)) & (F.col("_v") > 0),
                  F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v"))) \
+        .when(raw > F.lit(two32 / 30.0),
+              F.lit(-two32) * F.log(F.lit(1.0) - raw / F.lit(two32))) \
         .otherwise(raw)
     return agg.select((F.lit(m) - F.col("_v")).alias("n_buckets_used"),
                       F.floor(est).cast("long").alias("est"))

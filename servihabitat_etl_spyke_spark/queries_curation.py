@@ -660,15 +660,17 @@ WITH w AS (
   FROM documents GROUP BY lang
 ), t AS (SELECT sum(wq) AS tw FROM w),
 r AS (
+  -- NANO threshold resolution (see temperature_mix: bp granularity
+  -- floors sub-1e-4 rates to zero kept rows at corpus scale)
   SELECT lang,
-         CAST(floor(least(1.0, 250.0 * wq / tw / n) * 10000 + 0.5)
+         CAST(floor(least(1.0, 250.0 * wq / tw / n) * 1e9 + 0.5)
               AS BIGINT) AS thresh
   FROM w, t
 )
 SELECT d.doc_id, d.lang, d.source
-FROM documents d JOIN r USING (lang)
-WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
-      % 10000 < r.thresh
+FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::UBIGINT
+      % 1000000000 < r.thresh
 ORDER BY d.doc_id
 """)
 def curate_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2620,9 +2620,17 @@ agg AS (
          CAST(sum(CASE WHEN rank = 0 THEN 1 ELSE 0 END) AS INT) AS v
   FROM filled),
 est AS (
+  -- mirrors hll_estimate: linear counting, then the 32-bit
+  -- large-range correction (never fires at this sf; mirrored so the
+  -- two sides cannot silently diverge when it does)
   SELECT 256 - v AS n_buckets_used,
          CAST(floor(CASE WHEN 1579498136381.3938 / zs <= 640.0 AND v > 0
                          THEN 256.0 * ln(256.0 / v)
+                         WHEN 1579498136381.3938 / zs
+                              > 143165576.53333333
+                         THEN -4294967296.0
+                              * ln(1.0 - (1579498136381.3938 / zs)
+                                   / 4294967296.0)
                          ELSE 1579498136381.3938 / zs END)
               AS BIGINT) AS est
   FROM agg),

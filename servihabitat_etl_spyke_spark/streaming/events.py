@@ -62,7 +62,18 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def with_generated(df: DataFrame) -> DataFrame:
     """F10/F12 write-path generators: time-sortable ``id`` and ISO-8601
     ``created`` filled only where missing (``applyGenerators``,
-    ProtoSchema.ts:21-33). Works on batch and streaming frames."""
+    ProtoSchema.ts:21-33). Works on batch and streaming frames.
+
+    BATCH frames are localCheckpoint-ed before returning: uuid()/now()
+    re-evaluate per ACTION, so an unpinned frame fanned out to two
+    consumers (store + publish via split_ephemeral, or a foreachBatch
+    replay) would generate DIFFERENT ids per branch — the published
+    notification would reference an id that does not exist in the store.
+    The reference generates once per event object in JS; the pin is the
+    Spark equivalent. STREAMING frames cannot checkpoint — apply this
+    inside ``foreachBatch`` (where the micro-batch is a batch frame), as
+    ``stream_keyed_upsert`` does, so the generated values are pinned
+    before any fan-out."""
     # render in UTC before appending the literal 'Z' designator —
     # date_format renders in the SESSION timezone, so a non-UTC session
     # would stamp a wall-clock time with a UTC marker (an instant off by
@@ -82,6 +93,10 @@ def with_generated(df: DataFrame) -> DataFrame:
         out = out.withColumn("created", iso_now)
     else:
         out = out.withColumn("created", F.coalesce(F.col("created"), iso_now))
+    # write-path op: the pin's eager cost is one pass over the batch
+    # being written, which the write was about to pay anyway
+    if not df.isStreaming:
+        out = out.localCheckpoint()
     return out
 
 

@@ -55,7 +55,9 @@ def stream_incremental_neardup(stream_docs: DataFrame,
                                bands: int = 4, rows: int = 4,
                                id_col: str = "doc_id",
                                text_col: str = "text",
-                               n: int = 3) -> DataFrame:
+                               n: int = 3,
+                               watermark: tuple[str, str] | None = None
+                               ) -> DataFrame:
     """Streaming twin of ``operators.dedup.incremental_neardup``: the
     daily crawl arrives as a STREAM and every micro-batch is checked
     against the signed static corpus as it lands — near-dup detection at
@@ -72,9 +74,20 @@ def stream_incremental_neardup(stream_docs: DataFrame,
     new-vs-new inside one batch; across a stream that is a
     stream-stream self-join — run the batch operator over the
     accumulated snapshot for the full closure, see
-    ``dedup_snapshot_incremental``). The candidate dropDuplicates keeps
-    per-pair state for the run — bounded by candidate count, and reset
-    per availableNow trigger.
+    ``dedup_snapshot_incremental``).
+
+    STATE CONTRACT: the candidate ``dropDuplicates`` (which collapses a
+    pair's multi-band agreements — all of which arise in the SAME
+    micro-batch, since every band row of a doc is produced together)
+    keeps one state row per pair seen, and that state PERSISTS in the
+    checkpoint across runs — it is NOT reset by an availableNow
+    trigger. For a long-lived daily-crawl loop either (a) pass
+    ``watermark=(ts_col, '1 hour')`` so
+    ``dropDuplicatesWithinWatermark`` evicts pair state once the doc's
+    event time expires (the intra-batch collapse still works, cross-run
+    state stays bounded), or (b) point each crawl batch at a FRESH
+    checkpoint — reusing one without a watermark accumulates state for
+    every candidate pair ever seen.
 
     Batch-vs-stream row equality is asserted in tests (the streaming
     twin pattern of streaming/stateful.py and the multimodal twins)."""
@@ -85,12 +98,16 @@ def stream_incremental_neardup(stream_docs: DataFrame,
     # band-key arithmetic must stay bit-identical to the static corpus's
     # stored table or every candidate silently misses — sharing the
     # functions makes drift impossible
+    if watermark is not None:
+        stream_docs = stream_docs.withWatermark(*watermark)
+    extra = [watermark[0]] if watermark is not None else []
     sig = minhash_signatures(stream_docs, k, id_col, text_col, n,
-                             keep_shingles=True)
+                             keep_shingles=True, passthrough=extra)
     banded = (band_signatures(sig, bands, rows, id_col,
-                              passthrough=["_sh"])
+                              passthrough=["_sh"] + extra)
               .select(F.col(id_col).alias("new_id"),
-                      F.col("_sh").alias("sh_new"), "band", "key"))
+                      F.col("_sh").alias("sh_new"), "band", "key",
+                      *extra))
 
     bt = band_signatures(stored_sig, bands, rows, id_col).select(
         F.col(id_col).alias("stored_id"), "band", "key")
@@ -100,9 +117,11 @@ def stream_incremental_neardup(stream_docs: DataFrame,
     stored_sh = stored_sh.select(
         "stored_id", shingles_from_tokens(F.col("_t"), n).alias("sh_st"))
 
-    cand = (banded.join(bt, ["band", "key"])      # stream-static equi-join
-            .filter(F.col("new_id") != F.col("stored_id"))
-            .dropDuplicates(["new_id", "stored_id"])
+    dd = (lambda d: d.dropDuplicatesWithinWatermark(
+              ["new_id", "stored_id"])) if watermark is not None \
+        else (lambda d: d.dropDuplicates(["new_id", "stored_id"]))
+    cand = (dd(banded.join(bt, ["band", "key"])   # stream-static equi-join
+               .filter(F.col("new_id") != F.col("stored_id")))
             .join(stored_sh, "stored_id"))
     common = F.size(F.array_intersect("sh_new", "sh_st"))
     union = F.size("sh_new") + F.size("sh_st") - common

@@ -39,5 +39,7 @@ def drain_order(items: DataFrame, mode: str = "fifo", *,
         order = [F.col(release_col).asc(), F.col(tiebreak_col).asc()]
     else:
         raise ValueError(f"unknown queue mode {mode!r} (one of {MODES})")
+    from ..operators.scale import _reserve
+    _reserve(items, "drain_pos", "drain_order")
     w = W.partitionBy(queue_col).orderBy(*order)
     return items.withColumn("drain_pos", F.row_number().over(w))

@@ -15,17 +15,28 @@ import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_SEGMENT = "[^/]+"
+# [^/]* not [^/]+: MQTT topic levels CAN be empty ('sensors//temp' has
+# an empty middle level) and both the spec and the reference's
+# split-and-compare loop ('+' passes whatever topicParts[i] holds) match
+# '+' against an empty segment — [^/]+ silently dropped such topics
+_SEGMENT = "[^/]*"
 
 
 def mqtt_to_regex(pattern: str) -> str:
     """Compile an MQTT topic pattern to an anchored regex.
 
-    ``+`` -> one segment, ``#`` (only valid as the final segment) -> the
-    remainder including ``/``; everything else is matched literally.
-    A trailing ``/#`` also matches the parent topic itself, mirroring the
-    reference's ``if (topicParts[i] == '#') return true`` short-circuit.
-    """
+    ``+`` -> one segment (INCLUDING an empty one — 'a/+/c' matches
+    'a//c', per spec and per the reference loop), ``#`` (only valid as
+    the final segment) -> the remainder including ``/``; everything else
+    is matched literally. A trailing ``/#`` also matches the parent
+    topic itself, mirroring the reference's
+    ``if (topicParts[i] == '#') return true`` short-circuit.
+
+    Deliberate deviation: the reference's loop iterates only over the
+    PATTERN's segments, so a literal pattern 'a/b' also matches any
+    longer topic 'a/b/c' (accidental prefix semantics, non-MQTT). Here
+    literal patterns are exact — the pinned behavior in
+    tests/test_streaming.py::MATCH_CASES."""
     parts = pattern.split("/")
     out: list[str] = []
     for i, part in enumerate(parts):
@@ -85,6 +96,9 @@ def changes_only(df: DataFrame, key_cols: list[str], value_col: str,
     # `prev IS NULL` can't tell "first message" from "previous value was
     # null" — [10, NULL, 10] would both miss the real change and re-emit
     # the unchanged 10
+    from ..operators.scale import _reserve
+    _reserve(df, "_prev", "changes_only")
+    _reserve(df, "_rn", "changes_only")
     prev = F.lag(F.col(value_col)).over(w)
     rn = F.row_number().over(w)
     return (df.withColumn("_prev", prev).withColumn("_rn", rn)

@@ -39,6 +39,9 @@ MATCH_CASES = [
     ("a/b", "a/b/c", False),               # literal is exact
     ("a.b/c", "a.b/c", True),              # regex metachars escaped
     ("a.b/c", "axb/c", False),
+    ("a/+/c", "a//c", True),               # '+' matches an EMPTY level
+    ("sensors/+/temp", "sensors//temp", True),
+    ("a/+", "a/", True),                   # trailing empty level
 ]
 
 
@@ -714,3 +717,43 @@ def test_mqtt_broker_contract_and_matcher_parity(spark):
     # sensors/room1/temp arrives TWICE (two matching subscriptions)
     assert got.count("sensors/room1/temp") == 2
     assert "sensors" in got          # sensors/# matches the parent too
+
+
+def test_stream_incremental_neardup_watermarked_matches_batch(
+        spark, sf_dir, tmp_path):
+    """Round-6 review fix: the watermarked variant (bounded cross-run
+    pair state via dropDuplicatesWithinWatermark) finds the SAME
+    new-vs-corpus pairs as the unwatermarked form and the batch twin —
+    the intra-batch multi-band collapse is unaffected by eviction."""
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        incremental_neardup, minhash_signatures)
+    from servihabitat_etl_spyke_spark.streaming.joins import (
+        stream_incremental_neardup)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stored = docs.filter(F.col("doc_id") % 5 != 0)
+    stored_sig = minhash_signatures(stored)
+
+    stream = (spark.readStream.schema(
+                load_table(spark, sf_dir, "documents").schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .select("doc_id", "text",
+                      # +1000s: an event time of exactly epoch 0 (doc 0)
+                      # equals the operator's INITIAL watermark and is
+                      # discarded as late — a real crawl never emits
+                      # epoch-0 event times
+                      F.timestamp_micros((F.col("doc_id") + 1000)
+                                         * 1000000).alias("_ts"))
+              .filter(F.col("doc_id") % 5 == 0))
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in _run_stream(
+        stream_incremental_neardup(stream, stored, stored_sig,
+                                   watermark=("_ts", "1 hour")),
+        "inc_neardup_wm", tmp_path).collect()}
+
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = incremental_neardup(new, stored, stored_sig, threshold=0.5)
+    want = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in batch.collect()
+            if (r["id_a"] % 5 == 0) != (r["id_b"] % 5 == 0)}
+    assert got == want and want
