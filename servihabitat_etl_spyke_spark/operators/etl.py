@@ -195,7 +195,12 @@ def run_entity_pipeline(spark: SparkSession, entity: str, src_path: str) -> Data
               for n, t in attrs.items()],
             F.get_json_object("line", "$.Item.status.L").alias("status_raw"),
         )
-        return checklists_transform(decoded)
+        # reference parity (etl.ts:48-49): a line whose JSON.parse is
+        # falsy or has no Item writes NOTHING — an undropped all-null row
+        # would land in keyed_upsert, whose left_anti join can never
+        # match a NULL key, so every later batch would KEEP the old
+        # null-id row and union a fresh one (one garbage row per upsert)
+        return checklists_transform(decoded.filter(F.col("id").isNotNull()))
     cols = [F.get_json_object("line", f"$.Item.{n}.{t}").alias(f"_raw_{n}")
             for n, t in attrs.items()]
     decoded = raw.select(F.col("_ingest_order"), *cols)
@@ -203,7 +208,8 @@ def run_entity_pipeline(spark: SparkSession, entity: str, src_path: str) -> Data
         F.col("_ingest_order"),
         *[_DYNAMO_DECODERS[t](F.col(f"_raw_{n}")).alias(n)
           for n, t in attrs.items()])
-    return ENTITY_TRANSFORMS[entity](decoded)
+    # same Item-less-line drop as the checklists branch (etl.ts:48-49)
+    return ENTITY_TRANSFORMS[entity](decoded.filter(F.col("id").isNotNull()))
 
 
 # ---------------------------------------------------------------------------

@@ -53,9 +53,32 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     comparison; put a unique id first for determinism). Right payload columns
     come back NULL where no right row qualifies (left-outer semantics);
     ``tolerance_sec`` additionally nulls matches farther than the tolerance.
+
+    NULL handling, matching SQL comparison (and interval_join) semantics:
+    right rows with a NULL ``right_ts`` never match (``NULL <= t`` is
+    NULL — but the ascending window scan would otherwise sort them FIRST
+    and carry their payload into every left row), and NULL join keys
+    match nothing (``Window.partitionBy`` groups NULLs together, unlike
+    an equi-join — both sides filter NULL keys up front).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    # same shared-column precondition interval_join enforces: a
+    # right_cols name colliding with a left column would emit a frame
+    # with duplicate column names (__lrow.* + the alias), failing with
+    # AMBIGUOUS_REFERENCE far from this call site
+    shared = set(right_cols) & set(left.columns)
+    if shared:
+        raise ValueError(
+            f"asof_join: right_cols {sorted(shared)} also exist on the "
+            "left side — rename/select before joining so the output has "
+            "unique column names")
+    # right side only: left rows with NULL keys still come back (left-
+    # outer contract) — with no right rows in their NULL partition they
+    # simply match nothing, exactly the equi-join outcome
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
+    right = right.filter(F.col(right_ts).isNotNull())
     payload = F.struct(F.col(right_ts).alias("__rts"),
                        *[F.col(c) for c in right_cols])
     r = right.select(*[F.col(k) for k in on],

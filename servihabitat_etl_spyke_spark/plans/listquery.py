@@ -117,6 +117,24 @@ def _eq_predicate(df: DataFrame, key: str, value: Any) -> Column:
     return F.col(key).cast("string") == F.lit(str(value))
 
 
+def _js_string(df: DataFrame, key: str) -> Column:
+    """Column rendered the way JS ``value.toString()`` renders it: an
+    INTEGRAL double prints without the trailing '.0' ((10.0).toString()
+    is '10'; Python/Spark cast gives '10.0'), everything else matches
+    Spark's cast. The search paths compare against user-typed strings,
+    so the column side must render JS-style or numeric columns diverge
+    from the reference on integral doubles."""
+    dtype = df.schema[key].dataType
+    c = F.col(key)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return F.when(
+            c.isNotNull() & (c == F.floor(c))
+            & (F.abs(c) < F.lit(9.223372036854776e18)),
+            F.floor(c).cast("long").cast("string")
+        ).otherwise(c.cast("string"))
+    return c.cast("string")
+
+
 def _range_predicate(key: str, bounds: dict[str, Any]) -> Column:
     # P2: inclusive bounds; either side optional (ProtoModel.ts:174-185)
     pred = F.lit(True)
@@ -127,7 +145,8 @@ def _range_predicate(key: str, bounds: dict[str, Any]) -> Column:
     return pred
 
 
-def apply_filters(df: DataFrame, params: ListParams) -> DataFrame:
+def apply_filters(df: DataFrame, params: ListParams,
+                  model: Model | None = None) -> DataFrame:
     if params.path_prefix is not None:
         df = df.filter(F.col(params.path_column).startswith(params.path_prefix))
     for key, value in params.filter.items():
@@ -139,11 +158,27 @@ def apply_filters(df: DataFrame, params: ListParams) -> DataFrame:
             # for a typo'd (or hostile) filter key
             df = df.filter(F.lit(False))
             continue
-        if isinstance(value, dict):
+        if model is not None and _is_secret(model, key):
+            # the secret guard must cover EVERY value-probing path, not
+            # just free text: an equality filter on a masked column lets
+            # a caller binary-search its values out via result counts
+            df = df.filter(F.lit(False))
+            continue
+        if value is None:
+            # JS loose contract: data[key]?.toString() == null is true
+            # exactly when the value is missing/null (undefined == null);
+            # str(None) would instead match the literal text 'None'
+            df = df.filter(F.col(key).isNull())
+        elif isinstance(value, dict):
             df = df.filter(_range_predicate(key, value))
         else:
             df = df.filter(_eq_predicate(df, key, value))
     return df
+
+
+def _is_secret(model: Model, key: str) -> bool:
+    spec = model.fields.get(key)
+    return spec is not None and spec.secret
 
 
 def apply_search(df: DataFrame, model: Model, search: str) -> DataFrame:
@@ -151,12 +186,16 @@ def apply_search(df: DataFrame, model: Model, search: str) -> DataFrame:
     # P3: conjunctive case-insensitive equality; tag key must exactly match a
     # column name (case-sensitive containment check, ProtoModel.ts:198)
     for key, value in tags.items():
-        if key in df.columns:
+        if key in df.columns and not _is_secret(model, key):
+            # JS-rendered column side (integral doubles print without
+            # '.0') so 'price:10' matches a 10.0 double as the
+            # reference's toString comparison does
             df = df.filter(
-                F.lower(F.col(key).cast("string")) == F.lit(value.lower()))
+                F.lower(_js_string(df, key)) == F.lit(value.lower()))
         else:
             # reference drops every row when the tag key is absent
-            # (data.hasOwnProperty(key) false -> return false)
+            # (data.hasOwnProperty false -> return false); secret keys
+            # behave like absent ones — same guard as free text
             df = df.filter(F.lit(False))
     # P4: OR of substring containment over searchable columns
     if free_text:
@@ -165,7 +204,7 @@ def apply_search(df: DataFrame, model: Model, search: str) -> DataFrame:
             return df.filter(F.lit(False))
         pred = F.lit(False)
         for c in cols:
-            pred = pred | F.lower(F.col(c).cast("string")).contains(
+            pred = pred | F.lower(_js_string(df, c)).contains(
                 free_text.lower())
         df = df.filter(pred)
     return df
@@ -178,25 +217,33 @@ def apply_projection(df: DataFrame, model: Model, view: str) -> DataFrame:
     return df
 
 
-def apply_order(df: DataFrame, model: Model, params: ListParams) -> DataFrame:
+def apply_order(df: DataFrame, model: Model, params: ListParams,
+                visible: list[str] | None = None) -> DataFrame:
+    """Ordering runs BEFORE projection (callers pass the post-projection
+    column list as ``visible``): the reference sorts the masked items,
+    so a hidden/absent order field is a no-op PRIMARY sort
+    (generateApi.ts:183-189 compares undefined-vs-undefined and leaves
+    order as-is) — but "as-is" in the reference is a STABLE in-memory
+    insertion order, and Spark has no stable order at all: an unordered
+    offset/limit page fetch is two separate jobs whose row orders can
+    differ, repeating or skipping rows across pages. The id tiebreak is
+    the insertion-order analog and must therefore apply even when the
+    primary sort is a no-op, and even when the id itself is
+    projection-masked (hence pre-projection)."""
+    cols = visible if visible is not None else df.columns
     order_by = params.order_by or model.default_order_by
     direction = (params.order_direction or model.default_order_direction
                  or "asc").lower()
-    if order_by is None or order_by not in df.columns:
-        # silently unordered, BY DESIGN: the reference sorts the already
-        # list-transformed (masked) items, so orderBy on a hidden/absent
-        # field compares undefined-vs-undefined and leaves order as-is
-        # (generateApi.ts:183-189 after parseResult) — same here, where
-        # projection runs before ordering
-        return df
-    col = F.col(order_by)
-    primary = col.desc() if direction == "desc" else col.asc()
-    # deterministic tiebreak on the id column when present — the reference's
-    # in-memory sort is stable on insertion order; id order is the analog
+    primary = []
+    if order_by is not None and order_by in cols:
+        col = F.col(order_by)
+        primary = [col.desc() if direction == "desc" else col.asc()]
     tiebreak = []
     if model.id_field in df.columns and model.id_field != order_by:
         tiebreak = [F.col(model.id_field).asc()]
-    return df.orderBy(primary, *tiebreak)
+    if not primary and not tiebreak:
+        return df
+    return df.orderBy(*primary, *tiebreak)
 
 
 def paginate(df: DataFrame, params: ListParams) -> DataFrame:
@@ -234,11 +281,14 @@ def list_query(df: DataFrame, model: Model, params: ListParams) -> DataFrame:
             return (df.sparkSession.range(0)
                     .select(F.lit(None).cast("string").alias("option")))
         return group_options(df, params.group, params.group_search)
-    df = apply_filters(df, params)
+    df = apply_filters(df, params, model)
     if params.search:
         df = apply_search(df, model, params.search)
+    # order BEFORE projection so the stable id tiebreak survives masking;
+    # the primary sort's visibility check uses the post-projection columns
+    df = apply_order(df, model, params,
+                     visible=model.visible_columns(df.columns, params.view))
     df = apply_projection(df, model, params.view)
-    df = apply_order(df, model, params)
     return paginate(df, params)
 
 
@@ -246,13 +296,15 @@ def list_page(df: DataFrame, model: Model, params: ListParams) -> dict[str, Any]
     """Pagination envelope ``{itemsPerPage, items, total, page, pages}``
     (O3; generateApi.ts:194-201). ``items`` stays a DataFrame — the caller
     decides when to materialize."""
-    filtered = apply_filters(df, params)
+    filtered = apply_filters(df, params, model)
     if params.search:
         filtered = apply_search(filtered, model, params.search)
     total = filtered.count()
     n = max(1, int(params.items_per_page))
-    items = paginate(apply_order(apply_projection(filtered, model, params.view),
-                                 model, params), params)
+    ordered = apply_order(
+        filtered, model, params,
+        visible=model.visible_columns(filtered.columns, params.view))
+    items = paginate(apply_projection(ordered, model, params.view), params)
     return {
         "itemsPerPage": n,
         "items": items,

@@ -293,3 +293,25 @@ def test_cascade_delete_enforces_declared_option(spark):
     _, g2 = cascade_delete(children, grand, "child_id", deleted_children,
                            parent_id_col="cid")
     assert sorted(r.gid for r in g2.collect()) == [100, 103]
+
+
+def test_entity_pipeline_drops_itemless_lines(spark, tmp_path):
+    """Round-6 review fix: a malformed / Item-less line decodes to an
+    all-null row that the PIPELINE must drop for every entity (the
+    reference's JSON.parse(line)?.Item falsy -> skip) — an undropped
+    null-id row would accumulate one garbage copy per keyed upsert
+    (NULL keys never match in the anti-join)."""
+    from servihabitat_etl_spyke_spark.operators.etl import (
+        keyed_upsert, run_entity_pipeline)
+    p = tmp_path / "products.jsonl"
+    with open(p, "w") as f:
+        f.write('{"Item": {"id": {"S": "p1"}, "name": {"S": "n"}, '
+                '"price": {"N": "3"}}}\n')
+        f.write("not json at all\n")
+        f.write('{"notItem": 1}\n')
+    out = run_entity_pipeline(spark, "products", str(p))
+    assert [r.id for r in out.collect()] == ["p1"]
+    # two consecutive upserts stay at one row (no null-id accumulation)
+    snap = keyed_upsert(None, out)
+    snap = keyed_upsert(snap, run_entity_pipeline(spark, "products", str(p)))
+    assert snap.count() == 1

@@ -160,3 +160,47 @@ def test_eq_filter_native_bool_and_number(spark):
     # cross-family keeps the loose string coercion: '2' matches long 2
     got3 = list_query(df, m, ListParams(filter={"id": "2"}, all=True))
     assert [r.id for r in got3.collect()] == [2]
+
+
+def test_r6_listquery_guards(spark):
+    """Round-6 review fixes: secret columns are unprobeable through tag
+    search AND equality filters; a None filter value matches NULL rows
+    (not the text 'None'); integral doubles render JS-style in search;
+    unordered pagination falls back to stable id order."""
+    from servihabitat_etl_spyke_spark.model import FieldSpec, model
+    from servihabitat_etl_spyke_spark.plans.listquery import (
+        ListParams, list_query)
+    m = model("things",
+              FieldSpec("id", is_id=True),
+              FieldSpec("token", secret=True),
+              FieldSpec("price"),
+              FieldSpec("comment"))
+    df = spark.createDataFrame(
+        [(1, "s3cret", 10.0, "None"), (2, "other", 10.5, None),
+         (3, "s3cret", 7.0, "x")],
+        "id long, token string, price double, comment string")
+
+    # secret probing: tag search and equality filter both return ZERO
+    # rows regardless of whether the guess is right
+    assert list_query(df, m, ListParams(search="token:s3cret")).count() == 0
+    assert list_query(df, m, ListParams(filter={"token": "s3cret"})).count() == 0
+
+    # None filter value matches NULL rows, never the literal text 'None'
+    got = [r.id for r in
+           list_query(df, m, ListParams(filter={"comment": None})).collect()]
+    assert got == [2]
+
+    # JS number rendering: 'price:10' matches the 10.0 double
+    assert [r.id for r in
+            list_query(df, m, ListParams(search="price:10")).collect()] == [1]
+    # free text '10.5' still matches the non-integral double
+    assert [r.id for r in
+            list_query(df, m, ListParams(search="10.5")).collect()] == [2]
+
+    # no default order -> stable id fallback, so pages never overlap
+    page0 = [r.id for r in
+             list_query(df, m, ListParams(items_per_page=2)).collect()]
+    page1 = [r.id for r in
+             list_query(df, m, ListParams(items_per_page=2,
+                                          page=1)).collect()]
+    assert page0 == [1, 2] and page1 == [3]

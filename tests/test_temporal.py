@@ -183,3 +183,29 @@ def test_interval_join_rejects_shared_columns(spark):
     with pytest.raises(ValueError, match="both sides"):
         interval_join(left, right, on=["user_id"], left_ts="ts",
                       right_ts="ts", lower_sec=0, upper_sec=10)
+
+
+def test_asof_join_null_ts_and_null_keys_never_match(spark):
+    """Round-6 review fixes: a right row with NULL right_ts must never be
+    carried into left rows (asc window order put NULLs FIRST), NULL join
+    keys match nothing (equi-join convention, not window-partition
+    NULL-grouping), and a right_cols/left collision raises instead of
+    emitting duplicate column names."""
+    import pytest
+    from servihabitat_etl_spyke_spark.operators.temporal import asof_join
+    left = spark.createDataFrame(
+        [(1, 5), (None, 5)], "k long, t long").select(
+        "k", F.timestamp_micros(F.col("t") * 1000000).alias("t"))
+    right = spark.createDataFrame(
+        [(1, None, "NULL-TS"), (None, 3, "NULL-KEY")],
+        "k long, rts long, payload string").select(
+        "k", F.timestamp_micros(F.col("rts") * 1000000).alias("rts"),
+        "payload")
+    out = {(r.k): r.payload for r in asof_join(
+        left, right, ["k"], "t", "rts", ["payload"]).collect()}
+    # both left rows come back (left-outer) and neither matched
+    assert out == {1: None, None: None}
+
+    with pytest.raises(ValueError, match="also exist on the left"):
+        asof_join(left, right.withColumnRenamed("payload", "t"),
+                  ["k"], "t", "rts", ["t"])
