@@ -165,6 +165,7 @@ class Engine:
         every value to string first (sheet semantics); both backends use
         the same anti-join upsert shape."""
         from pyspark.sql import functions as F
+        from pyspark.sql.window import Window as W
         from .sources.sheets import sheet_upsert
         if model_name not in self._runtime_tables:
             raise KeyError(f"{model_name!r} is not a runtime model")
@@ -187,6 +188,14 @@ class Engine:
         if is_sheet:
             upd = upd.select([F.col(c).cast("string").alias(c)
                               for c in cur.columns])
+        # LAST-wins within the batch (the reference's sequential db.put
+        # loop): sheet_upsert unions the updates verbatim, so duplicate
+        # ids in one batch would BOTH persist, breaking the keyed-store
+        # invariant; keep the final occurrence per id
+        upd = (upd.withColumn("_o", F.monotonically_increasing_id())
+               .withColumn("_rn", F.row_number().over(
+                   W.partitionBy(m.id_field).orderBy(F.col("_o").desc())))
+               .filter(F.col("_rn") == 1).drop("_o", "_rn"))
         self._runtime_tables[model_name] = sheet_upsert(
             cur, upd, m.id_field)
         self._registry_version += 1   # refresh SQL views on next use
@@ -194,13 +203,15 @@ class Engine:
     def read(self, model_name: str, item_id, view: str = "read") -> dict | None:
         """Point read by id (the AutoAPI GET-one endpoint): one row as a
         dict with the model's view masking applied, or None. Ids compare
-        string-coerced, matching the list-query P1 contract."""
-        from pyspark.sql import functions as F
+        via the SAME predicate as the list-query P1 contract
+        (listquery._eq_predicate) — a bare str() coercion diverged on
+        numeric/boolean ids (read('g', 1) missed a double id the list
+        filter matched: '1' vs cast-string '1.0')."""
+        from .plans.listquery import _eq_predicate
         m = self._models[model_name]
         df = self.table(model_name)
         cols = m.visible_columns(df.columns, view)
-        row = (df.filter(F.col(m.id_field).cast("string")
-                         == str(item_id))
+        row = (df.filter(_eq_predicate(df, m.id_field, item_id))
                .select(*cols).limit(1).collect())
         return row[0].asDict() if row else None
 
@@ -293,9 +304,20 @@ class Engine:
             # every table's footer each iteration otherwise)
             if self._views_version < 0:
                 register_views(self.spark, self.sf_dir)
+            if not hasattr(self, "_registered_views"):
+                self._registered_views: set[str] = set()
             for name in self._models:
+                # parquet-backed models are as static as the standard
+                # views — register each ONCE; only RUNTIME tables change
+                # between registry bumps, so skip the eager footer
+                # re-read per put()->sql() iteration for everything
+                # already registered
+                if (name in self._registered_views
+                        and name not in self._runtime_tables):
+                    continue
                 try:
                     self.table(name).createOrReplaceTempView(name)
+                    self._registered_views.add(name)
                 except AnalysisException as e:
                     # only "no backing file yet" is benign; schema
                     # corruption / permission errors must surface

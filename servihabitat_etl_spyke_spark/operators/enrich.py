@@ -55,6 +55,16 @@ def http_llm_client(endpoint: str, api_key: str,
 
 def _enrich(df: DataFrame, in_col: str, out_col: str, client: Client,
             batch_size: int) -> DataFrame:
+    if out_col in df.columns:
+        # fail at PLAN-build time: the output schema appends out_col
+        # unconditionally, so an existing column of that name crashes the
+        # executor mid-job with RESULT_COLUMN_SCHEMA_MISMATCH (N+1
+        # declared vs N produced) — e.g. re-enriching an already-enriched
+        # stored table
+        raise ValueError(
+            f"enrich: output column {out_col!r} already exists on the "
+            "input — drop/rename it first (re-enriching a previously "
+            "enriched table?)")
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
         + [f"`{out_col}` string"])

@@ -28,7 +28,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, types as T
 
 _MANIFEST = "_snapshots.json"
 
@@ -106,7 +106,17 @@ class SnapshotStore:
         # merge_schema: without it the rewrite takes ONE commit's footer
         # schema and silently drops columns added by later append commits
         df = self.read(spark, merge_schema=True).coalesce(target_files)
-        return self.commit(df, mode="overwrite")
+        sid = self.commit(df, mode="overwrite")
+        # mark the manifest entry: a compaction snapshot contains the
+        # WHOLE rewritten corpus in a fresh dir, so any incremental
+        # checkpoint taken before it would re-receive everything as
+        # 'new' — read_incremental refuses those reads loudly instead
+        snaps = self._load()
+        for s in snaps:
+            if s["id"] == sid:
+                s["compacted"] = True
+        self._store(snaps)
+        return sid
 
     # -- reads ---------------------------------------------------------------
 
@@ -144,7 +154,24 @@ class SnapshotStore:
         """Only the data ADDED after snapshot ``since`` (empty-safe: a
         fully-caught-up consumer gets an empty frame with the right
         schema). Overwrite commits count as additions — the consumer
-        sees the replacement data."""
+        sees the replacement data.
+
+        A COMPACTION after ``since`` raises: the compacted snapshot's
+        fresh directory holds the entire rewritten corpus, so the dir
+        diff would re-deliver every already-consumed row as 'new'
+        (silent double-ingest after a routine maintenance op). The
+        consumer must re-baseline — full read once, then continue
+        incrementally from the compaction snapshot."""
+        compactions = [s["id"] for s in self._load()
+                       if s.get("compacted") and s["id"] > since]
+        if compactions:
+            raise ValueError(
+                f"read_incremental(since={since}): compaction at "
+                f"snapshot {min(compactions)} rewrote the corpus into a "
+                "fresh directory — an incremental read from before it "
+                "would re-deliver every row as new. Re-baseline (full "
+                f"read at snapshot {min(compactions)}) and continue "
+                "from there.")
         base = set(self._dirs_for(since))
         latest = self._dirs_for(None)
         new = [d for d in latest if d not in base]
@@ -194,8 +221,17 @@ def snapshot_diff(spark: SparkSession, store: "SnapshotStore",
         # Pieces are 32 lowercase-hex chars or the non-hex '-' NULL
         # marker, so the tokenization — hence the row encoding — is
         # unambiguous.
-        pieces = [F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-"))
-                  for c in compare_cols]
+        # complex-typed columns (array/struct/map) hash their to_json
+        # rendering, NOT cast('string'): the cast renders ["a","b"] and
+        # ["a, b"] identically ('[a, b]'), so a real change inside a
+        # collection would silently hash equal and vanish from the diff
+        def piece(c: str):
+            dt = df.schema[c].dataType
+            if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+                return F.coalesce(F.md5(F.to_json(F.col(c))), F.lit("-"))
+            return F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-"))
+
+        pieces = [piece(c) for c in compare_cols]
         row_d = F.md5(F.concat(*pieces) if pieces else F.lit(""))
         # fold duplicate keys (the norm in an append store, where an
         # update is a re-append) into ONE order-free multiset digest per

@@ -24,6 +24,10 @@ def files_table(spark: SparkSession, root: str,
     file under ``root`` with name, relative path, and size."""
     def walk() -> Iterable[tuple[str, str, int]]:
         for dirpath, _dirs, names in os.walk(root):
+            # os.walk honors in-place dirs mutation: sorted subdirs make
+            # the row order machine-independent (scandir order is
+            # filesystem-arbitrary), matching the sorted(names) intent
+            _dirs.sort()
             for name in sorted(names):
                 if suffixes and not name.endswith(suffixes):
                     continue

@@ -37,27 +37,36 @@ def stream_keyed_upsert(stream: DataFrame, path: str, key: str,
     rank below every ordered row instead of nulling the stored payload
     (max_by skips NULL keys — a key whose only rows had NULL order would
     otherwise be stored with every payload column NULL)."""
+    # validate from the STREAM's schema at build time — both checks
+    # depend only on columns/types known before start(), and deferring
+    # them into foreachBatch turned caller mistakes into a
+    # StreamingQueryException on the first micro-batch of a live query
+    # (checkpoint dir already created) instead of an immediate ValueError
+    if order_col is not None:
+        if "_ingest_order" in stream.columns:
+            raise ValueError(
+                "stream_keyed_upsert: input already has a column "
+                "named _ingest_order (reserved for the order key); "
+                "rename it or drop order_col")
+        _dt = stream.select(order_col).schema[0].dataType.typeName()
+        if not (_dt.startswith("timestamp")
+                or _dt in ("long", "integer", "short", "byte")):
+            raise ValueError(
+                f"stream_keyed_upsert: order_col {order_col!r} has "
+                f"unsupported type {_dt}; use a timestamp or integral "
+                "column")
+
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         from pyspark.sql import functions as F
 
         from ..functions.core import epoch_micros
         if order_col is not None:
-            if "_ingest_order" in batch.columns:
-                raise ValueError(
-                    "stream_keyed_upsert: input already has a column "
-                    "named _ingest_order (reserved for the order key); "
-                    "rename it or drop order_col")
             # resolve via select() so nested paths ('window.start') work
             dt = batch.select(order_col).schema[0].dataType.typeName()
             if dt.startswith("timestamp"):
                 order = epoch_micros(batch, order_col)
-            elif dt in ("long", "integer", "short", "byte"):
-                order = F.col(order_col).cast("long")
             else:
-                raise ValueError(
-                    f"stream_keyed_upsert: order_col {order_col!r} has "
-                    f"unsupported type {dt}; use a timestamp or integral "
-                    "column")
+                order = F.col(order_col).cast("long")
             # NULL order -> long-min sentinel: loses to any ordered row,
             # still carries its payload when it is the key's only row
             order = F.coalesce(order, F.lit(-(1 << 62)))

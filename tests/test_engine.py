@@ -256,3 +256,52 @@ def test_list_respects_model_default_order_direction(eng):
         "events", order_by="ts", order_direction="asc",
         items_per_page=5).collect()]
     assert asc == sorted(asc)
+
+
+def test_r6_engine_and_source_guards(spark, tmp_path):
+    """Round-6 review fixes: put() dedups duplicate ids within one batch
+    (last wins, the reference's sequential db.put loop); read() matches
+    numeric ids via the P1 same-family predicate; snapshot_diff sees
+    changes inside array columns; enrich refuses an existing out_col."""
+    import pytest
+    from pyspark.sql import functions as F
+    from servihabitat_etl_spyke_spark.engine import Engine
+    from servihabitat_etl_spyke_spark.operators.enrich import llm_enrich
+    from servihabitat_etl_spyke_spark.sources.snapshots import (
+        SnapshotStore, snapshot_diff)
+
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    eng.create_model(
+        {"name": "gadgets",
+         "keys": {"gid": {"type": "string", "modifiers": [{"name": "id"}]},
+                  "label": {"type": "string"}}},
+        data=[{"gid": "1", "label": "a"}])
+    # duplicate ids in ONE batch: last occurrence wins, one row stored
+    eng.put("gadgets", [{"gid": "2", "label": "x"},
+                        {"gid": "2", "label": "y"}])
+    rows = eng.list("gadgets", all_rows=True).collect()
+    assert sorted((r.gid, r.label) for r in rows) == [("1", "a"),
+                                                      ("2", "y")]
+
+    # numeric-id point read matches like the list filter does
+    eng.create_model(
+        {"name": "nums",
+         "keys": {"nid": {"type": "number", "modifiers": [{"name": "id"}]},
+                  "v": {"type": "string"}}},
+        data=[{"nid": 1.0, "v": "one"}])
+    assert eng.read("nums", 1)["v"] == "one"
+
+    # snapshot_diff: a change INSIDE an array column is a 'changed' row
+    store = SnapshotStore(str(tmp_path / "cx"))
+    store.commit(spark.createDataFrame(
+        [(1, ["a", "b"])], "k long, v array<string>"))
+    store.commit(spark.createDataFrame(
+        [(1, ["a, b"])], "k long, v array<string>"), mode="overwrite")
+    diff = snapshot_diff(spark, store, "k", 1, 2).collect()
+    assert [(r.k, r.change) for r in diff] == [(1, "changed")]
+
+    # enrich: existing out_col fails at plan-build time, not mid-job
+    df = spark.createDataFrame([(1, "p", "old")],
+                               "id long, prompt string, completion string")
+    with pytest.raises(ValueError, match="already exists"):
+        llm_enrich(df, "prompt", client=lambda xs: xs)

@@ -158,8 +158,10 @@ def test_snapshot_incremental_scans_only_new_commit(spark, sf_dir):
 def test_snapshot_compaction_row_identical_history_intact(spark, sf_dir):
     """compact() folds a long append history into one directory: the new
     snapshot reads row-identically, every OLD snapshot still reads its
-    own files, and incremental consumers checkpointed before compaction
-    see the rewrite as one addition."""
+    own files, incremental consumers checkpointed BEFORE compaction get
+    a loud re-baseline error (r6: the dir diff would re-deliver the
+    whole corpus as 'new' — silent double-ingest), and consumers
+    checkpointed at/after it continue cleanly."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -186,9 +188,14 @@ def test_snapshot_compaction_row_identical_history_intact(spark, sf_dir):
     snap2 = store.read(spark, snapshot=2)
     want2 = ev.filter(F.col("event_id") % 4 < 2)
     assert snap2.count() == want2.count()
-    # an incremental consumer at snapshot 4 sees the compacted rewrite
-    inc = store.read_incremental(spark, since=4)
-    assert inc.count() == n_before
+    # an incremental consumer checkpointed BEFORE compaction must not
+    # silently re-ingest the whole corpus — it gets the re-baseline error
+    with pytest.raises(ValueError, match="Re-baseline"):
+        store.read_incremental(spark, since=4)
+    # re-baselined at the compaction snapshot: new appends flow normally
+    store.commit(ev.filter(F.col("event_id") % 4 == 0).limit(5))
+    inc = store.read_incremental(spark, since=cid)
+    assert inc.count() == 5
 
 
 def test_snapshot_additive_schema_evolution(spark, sf_dir):

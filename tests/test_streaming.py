@@ -647,16 +647,16 @@ def test_r5_review_guards_sinks_and_flow(spark, sf_dir, tmp_path):
            for r in spark.read.parquet(str(tmp_path / "no_snap")).collect()}
     assert got[1] == "b" and got[2] == "keepme"
 
-    # unsupported order_col type fails the batch loudly (not a silent
-    # NULL cast nulling payloads / an ANSI crash mid-stream)
+    # unsupported order_col type fails at BUILD time (r6: both checks
+    # depend only on the stream schema — failing inside foreachBatch
+    # turned a caller mistake into a StreamingQueryException on a live
+    # query with its checkpoint dir already created)
     stream2 = spark.readStream.schema(
         "id long, ts timestamp, payload string").parquet(str(src_dir))
-    q2 = stream_keyed_upsert(stream2, str(tmp_path / "bad_snap"), "id",
-                             str(tmp_path / "bad_ckpt"),
-                             order_col="payload")
-    with pytest.raises(Exception, match="unsupported type"):
-        q2.awaitTermination(120)
-        q2.processAllAvailable()
+    with pytest.raises(ValueError, match="unsupported type"):
+        stream_keyed_upsert(stream2, str(tmp_path / "bad_snap"), "id",
+                            str(tmp_path / "bad_ckpt"),
+                            order_col="payload")
 
     # flow_filter: NULL predicate result rejects the row
     df = spark.createDataFrame([(1, 1.0), (2, None), (3, 0.0)],
