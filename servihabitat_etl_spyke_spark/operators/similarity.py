@@ -599,23 +599,30 @@ def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
 
     # "small by contract": the collected matrix rides in every task
     # closure, so enforce the limit (default ~1.5 GiB float64) instead
-    # of silently OOMing executors. The check runs BEFORE the collect
-    # (count x dim, two cheap distributed jobs) — guarding after would
-    # OOM the DRIVER first on the very corpora the guard exists to
-    # reject.
-    n_rows = corpus.count()
-    if n_rows == 0:
+    # of silently OOMing executors. The guard must fire BEFORE the full
+    # driver materialization — and without re-executing the corpus plan:
+    # dim comes from first() (scans one partition), and the collect
+    # itself carries a LIMIT of cap+1 rows, so an over-limit corpus
+    # materializes at most one row past the cap and raises, never the
+    # whole thing. (An up-front count() re-ran the corpus plan end to
+    # end — measured 2x on the kNN-graph bench query.)
+    probe = corpus.select(vec_col).first()
+    if probe is None:
         schema = "query_id long, neighbor_id long, rank int"
         if with_score:
             schema += ", score double"
         return corpus.sparkSession.createDataFrame([], schema)
-    dim = _dim_of(corpus, vec_col, "knn_graph")
-    if n_rows * dim > max_closure_cells:
+    if probe[0] is None:
+        raise ValueError("knn_graph: NULL embedding in the first row — "
+                         "cannot infer vector dimensionality")
+    dim = len(probe[0])
+    cap_rows = max(1, max_closure_cells // max(1, dim))
+    rows = corpus.select(id_col, vec_col).limit(cap_rows + 1).collect()
+    if len(rows) > cap_rows:
         raise ValueError(
-            f"knn_graph: corpus ({n_rows}, {dim}) exceeds the "
-            f"small-by-contract closure limit ({max_closure_cells} "
-            f"cells); use knn_graph_ivf")
-    rows = corpus.select(id_col, vec_col).collect()
+            f"knn_graph: corpus exceeds the small-by-contract closure "
+            f"limit ({max_closure_cells} cells at dim {dim} = "
+            f"{cap_rows} rows); use knn_graph_ivf")
     all_ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
