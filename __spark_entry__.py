@@ -9,19 +9,22 @@ Implementation lives in ``servihabitat_etl_spyke_spark/`` — this module is a
 thin re-export of its query catalog.
 
 Rotation: the driver's correctness harness checks the FIRST 50 entries of
-``queries()`` each round, while the full registry holds 150+.  Every query is
-verified every round by the identical local mirror
-(``tests/test_oracle_parity.py``); the dict order below exists only to rotate
-which 50 get *driver-side* evidence.  Round-by-round plan (see README):
+``queries()`` each round, while the full registry holds 230.  Every oracled
+query is verified every round by the identical local mirror
+(``tests/test_oracle_parity.py``); the dict order below exists only to
+choose which 50 get *driver-side* evidence this round:
 
-- r1/r2 window: list/ETL/function/TPC-H-core/windowing queries (all green in
-  CORRECTNESS_r01/r02).
-- r3 window (``_WINDOW``): the dedup, ANN, text, curation, multimodal and
-  TPC-H-completion suites — never driver-checked before.
-- r4+: AUTOMATIC — ``_DRIVER_VERIFIED`` is derived from the
-  ``CORRECTNESS_r*.json`` files at import time, so each round's green rows
-  retire their names and the window advances to the next unverified tier
-  (failed rows stay in the window for re-verification).
+- r1–r6: never-driver-checked names first (``_WINDOW`` pinned the current
+  round's tier), auto-retiring green names via ``_DRIVER_VERIFIED``.  The
+  registry CLOSED in r6: all 230 names have green driver evidence
+  (199 hash-green, 31 justified rows-only), zero failures ever recorded.
+- r7+ (this file): ROLLING RE-VERIFICATION.  With every name verified,
+  ordering verified names by registration order would re-check the same
+  first-50 forever and let a regression in an old operator hide behind
+  stale r1 evidence.  Verified names are therefore ordered by evidence
+  AGE — oldest CORRECTNESS round first — so driver evidence refreshes on
+  a ~5-round cycle (50 of 230 per round).  Names whose LATEST evidence is
+  a failure, and new never-checked names, still jump the queue.
 """
 
 from __future__ import annotations
@@ -32,83 +35,80 @@ from pyspark.sql import DataFrame, SparkSession
 
 from servihabitat_etl_spyke_spark import queries as _catalog
 
-def _driver_verified() -> frozenset:
-    """Names already driver-verified: every query with a green row (or a
-    clean rows-only run, err == 'no_oracle') in ANY CORRECTNESS_r*.json
-    in the repo root. Self-maintaining — each round's results
-    automatically retire their names from the next round's window, and a
-    FAILED row keeps its name in the window for re-verification."""
+
+def _evidence() -> dict[str, tuple[int, bool]]:
+    """name -> (latest round with driver evidence, was that evidence
+    green).  Green = full hash match, or a clean rows-only run
+    (err == 'no_oracle' with rows > 0 — a zero-row rows-only run is a
+    broken approx query and must NOT count as green).  Reading the
+    LATEST round per name (files sorted by round number) means a name
+    that was green in r3 but failed in r5 correctly re-enters the
+    front of the window instead of hiding behind the old green row."""
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    done: set[str] = set()
+    ev: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            continue
         for name, r in rows.items():
             if not isinstance(r, dict):
                 continue
-            green = (r.get("rows_match") and r.get("schema_match")
-                     and r.get("hash_match"))
-            # rows-only retirement requires rows > 0: a zero-row
-            # rows-only run is a broken approx query, and must stay in
-            # the window for re-verification (>= 0 was vacuously true)
-            rows_only = (r.get("err") == "no_oracle"
-                         and (r.get("spark_rows") or 0) > 0)
-            if green or rows_only:
-                done.add(name)
-    return frozenset(done)
+            green = bool(
+                (r.get("rows_match") and r.get("schema_match")
+                 and r.get("hash_match"))
+                or (r.get("err") == "no_oracle"
+                    and (r.get("spark_rows") or 0) > 0))
+            prev = ev.get(name)
+            if prev is None or rnd >= prev[0]:
+                ev[name] = (rnd, green)
+    return ev
 
 
-_DRIVER_VERIFIED = _driver_verified()
+_EVIDENCE = _evidence()
+_DRIVER_VERIFIED = frozenset(n for n, (_, green) in _EVIDENCE.items()
+                             if green)
 
-# This round's driver window. (r5's window went 44/44 hash-green + 6/6
-# clean rows-only in CORRECTNESS_r05.json and auto-retired via
-# _DRIVER_VERIFIED, leaving 29 never-driver-checked names + the r6-built
-# etl_cascade_delete = 30 — they all fit in one 50-slot window, so r6
-# CLOSES the registry. The 8 oracled names are pinned FIRST so hash-grade
-# evidence lands even if the run is cut short; the 22 rows-only approx
-# twins (each semantically pinned by a hash-oracled exact twin +
-# recall/property pytests — see COVERAGE.md's waiver table) follow.)
-_WINDOW = [
-    # oracled: the five r5-built operators + the re-registered TPC-H names
-    # + the r6-built cascade-delete enforcement (closes J4)
-    "text_line_filter", "dedup_boilerplate_lines", "text_repetition_signals",
-    "curate_domain_blocklist", "curate_funnel_report",
-    "q3_unshipped_topk", "q5_local_supplier_volume", "etl_cascade_delete",
-    # rows-only: embedding / ANN approx twins
-    "embed_pca", "embed_jl_project", "ann_jl_rerank_topk",
-    "ann_ivf_kmeans_topk", "ann_pq_topk", "ann_ivfpq_topk",
-    "ann_recall_report", "ann_knn_classify_ivf", "retrieval_mmr_topk",
-    # rows-only: graph / semantic dedup twins
-    "graph_pagerank_knn", "graph_pagerank_knn_ivf",
-    "dedup_semantic", "dedup_semantic_lsh", "dedup_cdc_chunks",
-    # rows-only: text approx / tokenizer twins
-    "text_compression_ratio", "text_bpe_tokenize", "text_cluster_topics",
-    # rows-only: multimodal approx twins
-    "multimodal_embed_ann", "multimodal_image_phash",
-    "multimodal_audio_fingerprint", "multimodal_audio_neardup",
-    "multimodal_audio_dedup",
-]
+# Names pinned to the FRONT of this round's window (new operators built
+# this round, or names needing urgent re-verification).  Empty when no
+# new queries were registered — the rolling age-ordered tier below then
+# fills the whole 50-slot driver window with the oldest-evidence names.
+_WINDOW: list[str] = []
 
 
 def _rotated(d: dict) -> dict:
-    """Stable reorder: unverified window names (listed order) → other
-    never-driver-checked names (registration order) → already-verified
-    names. Because _DRIVER_VERIFIED is read from the CORRECTNESS files,
-    each round's green rows automatically advance the window to the
-    next unverified tier — no manual re-rotation needed."""
-    pos = {n: i for i, n in enumerate(_WINDOW)}
+    """Stable reorder for the driver's first-50 correctness window:
 
-    def tier(name: str) -> tuple[int, int]:
-        if name in _DRIVER_VERIFIED:
-            return (2, 0)
-        return (0, pos[name]) if name in pos else (1, 0)
+    tier 0 — ``_WINDOW`` names without green evidence (listed order):
+             this round's new builds;
+    tier 1 — never-driver-checked names and names whose LATEST driver
+             evidence is a failure (registration order): regressions
+             and stragglers re-enter here automatically;
+    tier 2 — verified names, OLDEST evidence round first (registration
+             order as tie-break): rolling re-verification, ~5-round
+             refresh cycle at 50/round over 230 names.
+    """
+    pos = {n: i for i, n in enumerate(_WINDOW)}
+    reg = {n: i for i, n in enumerate(d)}
+
+    def tier(name: str) -> tuple[int, int, int]:
+        if name in pos and name not in _DRIVER_VERIFIED:
+            return (0, pos[name], 0)
+        if name not in _DRIVER_VERIFIED:
+            return (1, reg.get(name, 0), 0)
+        return (2, _EVIDENCE[name][0], reg.get(name, 0))
 
     return dict(sorted(d.items(), key=lambda kv: tier(kv[0])))
 

@@ -1,0 +1,105 @@
+"""Guards on the bench stdout protocol and the README prose counts.
+
+The round driver records a 2000-byte TAIL of bench.py's stdout; a
+protocol line longer than that loses its head (and the opening brace),
+so ``json.loads`` fails and BENCH_r{N}.json carries ``"parsed": null``
+— which is exactly what happened every round from r02 through r06.
+These tests pin the <=1900-byte budget against a realistic worst case
+so the regression class cannot recur silently.
+
+The README-counts test ends the "prose counts drift" class the r5 and
+r6 verdicts both flagged: the canonical registry/oracle counts in
+README.md are marked with ``<!-- counts:registry``, and this test
+fails whenever the stated numbers diverge from ``len(QUERIES)`` /
+``len(ORACLES)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import bench
+from servihabitat_etl_spyke_spark.queries import ORACLES, QUERIES
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _worst_case_out() -> dict:
+    """A protocol dict at least as large as any realistic round: every
+    headline query in the top-5 pool with max-width timings, every
+    bookkeeping field populated, and pathological regression/retry
+    lists (every headline name at once)."""
+    names = list(bench.HEADLINE)
+    timings = {n: 123456.789 for n in names}
+    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    return {
+        "metric": "headline_queries_total_runtime",
+        "value": 123456789.123,
+        "unit": "sec",
+        "queries": top5,
+        "queries_total": len(timings),
+        "queries_full_in": "BENCH_DETAIL.json",
+        "sf": 0.1,
+        "gated_by_retry": names,
+        "noise_factor": 12.34,
+        "environment": {"loadavg_at_start": 123.45, "canary_sec": 123.456},
+        "baseline_round": "r06",
+        "median_delta_vs_baseline": 123.45,
+        "median_delta_vs_baseline_noise_adj": 123.45,
+        "regressions_over_2x": names,
+        "median_delta_vs_prev_round": 123.45,
+        "headline_missing_from_registry": names[:5],
+    }
+
+
+def test_protocol_line_fits_driver_tail_worst_case():
+    line = bench._protocol_line(_worst_case_out())
+    assert len(line) <= bench.LINE_BUDGET, (
+        f"protocol line {len(line)}B exceeds the {bench.LINE_BUDGET}B "
+        "budget (driver tail is 2000B — the head would be cut and "
+        "BENCH_r*.json would carry parsed:null again)")
+    parsed = json.loads(line)
+    # thinning must be explicit, never silent
+    assert parsed["regressions_over_2x_count"] == len(bench.HEADLINE)
+    assert parsed["regressions_truncated"] is True
+    assert parsed["queries_total"] == len(bench.HEADLINE)
+
+
+def test_protocol_line_typical_round_not_thinned():
+    out = _worst_case_out()
+    out["regressions_over_2x"] = []
+    out["gated_by_retry"] = ["text_line_filter"]
+    out.pop("headline_missing_from_registry")
+    line = bench._protocol_line(out)
+    assert len(line) <= bench.LINE_BUDGET
+    parsed = json.loads(line)
+    # a quiet round keeps its top-5 dict and full (tiny) lists intact
+    assert len(parsed["queries"]) == 5
+    assert "regressions_truncated" not in parsed
+    assert parsed["gated_by_retry"] == ["text_line_filter"]
+
+
+def test_headline_names_all_registered():
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, (
+        f"bench HEADLINE names absent from the registry: {missing} — "
+        "a renamed query would silently shrink the suite total")
+
+
+def test_readme_counts_match_registry():
+    with open(os.path.join(_ROOT, "README.md")) as fh:
+        readme = fh.read()
+    m = re.search(
+        r"counts:registry.*?Registry as of r\d+: (\d+) queries, "
+        r"(\d+) oracled",
+        readme, re.DOTALL)
+    assert m, "README.md lost its <!-- counts:registry --> marker line"
+    stated_q, stated_o = int(m.group(1)), int(m.group(2))
+    assert stated_q == len(QUERIES), (
+        f"README says {stated_q} registry queries; len(QUERIES) is "
+        f"{len(QUERIES)} — update the marked line in README.md")
+    assert stated_o == len(ORACLES), (
+        f"README says {stated_o} oracled; len(ORACLES) is "
+        f"{len(ORACLES)} — update the marked line in README.md")

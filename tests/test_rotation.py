@@ -1,0 +1,87 @@
+"""Unit tests for the driver-window rotation in ``__spark_entry__``.
+
+Round 7 switched the window from "never-checked first, registration
+order among verified" to ROLLING RE-VERIFICATION: with the registry
+closed (all 230 names green), verified names are ordered by evidence
+AGE so the driver refreshes the oldest evidence each round instead of
+re-checking the same first-50 forever (r6 verdict, next-round item 2).
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+
+def _rotate(monkeypatch, d, evidence, window=()):
+    monkeypatch.setattr(entry_mod, "_EVIDENCE", evidence)
+    monkeypatch.setattr(
+        entry_mod, "_DRIVER_VERIFIED",
+        frozenset(n for n, (_, g) in evidence.items() if g))
+    monkeypatch.setattr(entry_mod, "_WINDOW", list(window))
+    return list(entry_mod._rotated(d))
+
+
+def test_verified_names_age_ordered(monkeypatch):
+    d = {"a": 1, "b": 2, "c": 3, "d": 4}
+    ev = {"a": (5, True), "b": (1, True), "c": (3, True), "d": (1, True)}
+    # oldest evidence first; registration order breaks the r1 tie (b
+    # registered before d)
+    assert _rotate(monkeypatch, d, ev) == ["b", "d", "c", "a"]
+
+
+def test_latest_failure_reenters_front(monkeypatch):
+    d = {"a": 1, "b": 2, "c": 3}
+    # b was green in r2 but FAILED in r5 -> latest evidence is a
+    # failure -> tier 1, ahead of every verified name
+    ev = {"a": (1, True), "b": (5, False), "c": (2, True)}
+    assert _rotate(monkeypatch, d, ev) == ["b", "a", "c"]
+
+
+def test_never_checked_precede_verified(monkeypatch):
+    d = {"a": 1, "new1": 2, "b": 3, "new2": 4}
+    ev = {"a": (1, True), "b": (2, True)}
+    assert _rotate(monkeypatch, d, ev) == ["new1", "new2", "a", "b"]
+
+
+def test_window_pins_unverified_first(monkeypatch):
+    d = {"a": 1, "x": 2, "y": 3}
+    ev = {"a": (1, True)}
+    # explicit window order (y before x) beats registration order
+    assert _rotate(monkeypatch, d, ev, window=["y", "x"]) == ["y", "x", "a"]
+    # a verified window name does NOT jump the queue — pins are for new
+    # builds only
+    ev2 = {"a": (1, True), "y": (2, True)}
+    assert _rotate(monkeypatch, d, ev2, window=["y", "x"]) == \
+        ["x", "a", "y"]
+
+
+def test_evidence_latest_round_wins():
+    """Against the real CORRECTNESS_r*.json files: every name's
+    recorded round must be the LATEST round that mentions it, and with
+    six clean rounds on disk nothing may read as failed-latest."""
+    ev = entry_mod._evidence()
+    assert ev, "no CORRECTNESS files parsed"
+    assert all(g for _, g in ev.values()), (
+        "a name reads failed-latest despite six clean rounds: "
+        f"{[n for n, (_, g) in ev.items() if not g]}")
+    # q1_pricing_summary has evidence in r1 AND r2 -> must record >= 2
+    if "q1_pricing_summary" in ev:
+        assert ev["q1_pricing_summary"][0] >= 2
+
+
+def test_driver_window_is_oldest_evidence():
+    """Integration: the first 50 of queries() are exactly the 50
+    oldest-evidence verified names (given no unverified names exist —
+    true while the registry stays closed)."""
+    q = list(entry_mod.queries())
+    ev = entry_mod._EVIDENCE
+    unverified = [n for n in q if n not in entry_mod._DRIVER_VERIFIED]
+    if unverified:
+        # new operators registered this round occupy the front instead
+        assert q[:len(unverified)] == unverified[:len(unverified)]
+        return
+    window_rounds = [ev[n][0] for n in q[:50]]
+    rest_rounds = [ev[n][0] for n in q[50:]]
+    assert max(window_rounds) <= min(rest_rounds), (
+        "driver window is not age-ordered: a fresher-evidence name "
+        "sorted ahead of a staler one")
