@@ -48,6 +48,27 @@ def stream_interval_join(left: DataFrame, right: DataFrame, on: list[str],
     return joined.drop(*[r[k] for k in on])
 
 
+def _auto_watermark(schema, delay: str = "1 hour") -> tuple[str, str]:
+    """Resolve the default event-time watermark for a streaming doc
+    feed: exactly one timestamp-typed column -> (that column, delay).
+    Zero or several timestamp columns cannot be bounded automatically —
+    raise and demand either an explicit ``watermark=(col, delay)`` or
+    the explicit opt-out ``watermark=None`` (unbounded cross-run pair
+    state, see the STATE CONTRACT below)."""
+    ts_cols = [f.name for f in schema.fields
+               if f.dataType.typeName() in ("timestamp", "timestamp_ntz")]
+    if len(ts_cols) == 1:
+        return (ts_cols[0], delay)
+    what = "no timestamp column" if not ts_cols else \
+        f"ambiguous timestamp columns {ts_cols}"
+    raise ValueError(
+        f"stream_incremental_neardup: cannot bound pair state — the "
+        f"stream has {what}. Pass watermark=(ts_col, delay) explicitly, "
+        f"or watermark=None to opt OUT of state eviction (cross-run "
+        f"pair state then grows with every candidate pair ever seen; "
+        f"only safe with a fresh checkpoint per crawl batch).")
+
+
 def stream_incremental_neardup(stream_docs: DataFrame,
                                stored_docs: DataFrame,
                                stored_sig: DataFrame,
@@ -56,8 +77,8 @@ def stream_incremental_neardup(stream_docs: DataFrame,
                                id_col: str = "doc_id",
                                text_col: str = "text",
                                n: int = 3,
-                               watermark: tuple[str, str] | None = None
-                               ) -> DataFrame:
+                               watermark: tuple[str, str] | None | str
+                               = "auto") -> DataFrame:
     """Streaming twin of ``operators.dedup.incremental_neardup``: the
     daily crawl arrives as a STREAM and every micro-batch is checked
     against the signed static corpus as it lands — near-dup detection at
@@ -76,18 +97,20 @@ def stream_incremental_neardup(stream_docs: DataFrame,
     accumulated snapshot for the full closure, see
     ``dedup_snapshot_incremental``).
 
-    STATE CONTRACT: the candidate ``dropDuplicates`` (which collapses a
-    pair's multi-band agreements — all of which arise in the SAME
-    micro-batch, since every band row of a doc is produced together)
-    keeps one state row per pair seen, and that state PERSISTS in the
-    checkpoint across runs — it is NOT reset by an availableNow
-    trigger. For a long-lived daily-crawl loop either (a) pass
-    ``watermark=(ts_col, '1 hour')`` so
-    ``dropDuplicatesWithinWatermark`` evicts pair state once the doc's
-    event time expires (the intra-batch collapse still works, cross-run
-    state stays bounded), or (b) point each crawl batch at a FRESH
-    checkpoint — reusing one without a watermark accumulates state for
-    every candidate pair ever seen.
+    STATE CONTRACT (r7: bounded BY DEFAULT): the candidate de-dup
+    (which collapses a pair's multi-band agreements — all of which
+    arise in the SAME micro-batch, since every band row of a doc is
+    produced together) keeps one state row per pair seen, and that
+    state PERSISTS in the checkpoint across runs — it is NOT reset by
+    an availableNow trigger. ``watermark="auto"`` (the default)
+    resolves the stream's single timestamp column and applies
+    ``dropDuplicatesWithinWatermark`` with a 1-hour delay, so pair
+    state is evicted once the doc's event time expires and a
+    long-lived daily-crawl loop stays O(watermark window); a stream
+    with zero or ambiguous timestamp columns RAISES rather than
+    silently accumulating. Passing ``watermark=None`` is the explicit
+    opt-out (plain ``dropDuplicates``, state grows with every pair
+    ever seen — only safe with a fresh checkpoint per crawl batch).
 
     Batch-vs-stream row equality is asserted in tests (the streaming
     twin pattern of streaming/stateful.py and the multimodal twins)."""
@@ -98,6 +121,8 @@ def stream_incremental_neardup(stream_docs: DataFrame,
     # band-key arithmetic must stay bit-identical to the static corpus's
     # stored table or every candidate silently misses — sharing the
     # functions makes drift impossible
+    if watermark == "auto":
+        watermark = _auto_watermark(stream_docs.schema)
     if watermark is not None:
         stream_docs = stream_docs.withWatermark(*watermark)
     extra = [watermark[0]] if watermark is not None else []

@@ -356,8 +356,14 @@ def test_stream_incremental_neardup_matches_batch(spark, sf_dir, tmp_path):
               .select("doc_id", "text")
               .filter(F.col("doc_id") % 5 == 0))
     assert stream.isStreaming
+    # r7: the no-timestamp stream CANNOT be bounded automatically, so
+    # the shortest call must raise instead of silently accumulating
+    # cross-run pair state (r6 verdict item 6)
+    with pytest.raises(ValueError, match="no timestamp column"):
+        stream_incremental_neardup(stream, stored, stored_sig)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in _run_stream(
-        stream_incremental_neardup(stream, stored, stored_sig),
+        stream_incremental_neardup(stream, stored, stored_sig,
+                                   watermark=None),   # explicit opt-out
         "inc_neardup", tmp_path).collect()}
 
     # batch twin, restricted to new-vs-CORPUS pairs (the streaming form
@@ -746,9 +752,11 @@ def test_stream_incremental_neardup_watermarked_matches_batch(
                       F.timestamp_micros((F.col("doc_id") + 1000)
                                          * 1000000).alias("_ts"))
               .filter(F.col("doc_id") % 5 == 0))
+    # DEFAULT call (watermark="auto"): the single timestamp column
+    # `_ts` is resolved automatically — the daily-crawl entry point is
+    # state-bounded without any opt-in (r6 verdict item 6)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in _run_stream(
-        stream_incremental_neardup(stream, stored, stored_sig,
-                                   watermark=("_ts", "1 hour")),
+        stream_incremental_neardup(stream, stored, stored_sig),
         "inc_neardup_wm", tmp_path).collect()}
 
     new = docs.filter(F.col("doc_id") % 5 == 0)
@@ -757,3 +765,26 @@ def test_stream_incremental_neardup_watermarked_matches_batch(
             for r in batch.collect()
             if (r["id_a"] % 5 == 0) != (r["id_b"] % 5 == 0)}
     assert got == want and want
+
+
+def test_auto_watermark_resolution():
+    """Unit contract of the r7 default-bounded state: one timestamp
+    column resolves, zero or several raise with actionable guidance."""
+    from pyspark.sql import types as T
+
+    from servihabitat_etl_spyke_spark.streaming.joins import _auto_watermark
+
+    one = T.StructType([T.StructField("doc_id", T.LongType()),
+                        T.StructField("crawled_at", T.TimestampType())])
+    assert _auto_watermark(one) == ("crawled_at", "1 hour")
+    assert _auto_watermark(one, "15 minutes") == ("crawled_at",
+                                                  "15 minutes")
+
+    none = T.StructType([T.StructField("doc_id", T.LongType())])
+    with pytest.raises(ValueError, match="no timestamp column"):
+        _auto_watermark(none)
+
+    two = T.StructType([T.StructField("a", T.TimestampType()),
+                        T.StructField("b", T.TimestampNTZType())])
+    with pytest.raises(ValueError, match="ambiguous timestamp columns"):
+        _auto_watermark(two)
