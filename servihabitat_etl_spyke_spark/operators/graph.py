@@ -51,27 +51,62 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 10,
         e = e.union(edges.select(F.col(id_b).alias("src"),
                                  F.col(id_a).alias("dst")))
     e = e.distinct().localCheckpoint()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    if directed:
+        # dst-only vertices exist (no out-edges), so the vertex set is
+        # genuinely src ∪ dst
+        verts = (e.select(F.col("src").alias("v"))
+                 .union(e.select(F.col("dst").alias("v")))
+                 .distinct().localCheckpoint())
+        n = verts.count()
+        n_edges = e.count()
+        markers = verts.select(F.col("v").alias("src"),
+                               F.col("v").alias("dst"),
+                               F.lit(0.0).alias("_w"))
+        out_deg = out_deg.localCheckpoint()   # dangling anti-join, x iters
+    else:
+        # mirrored graph: EVERY vertex appears as a src, so the degree
+        # table enumerates the vertex set — vertex count + edge count
+        # come from ONE aggregate over the checkpointed edges (r7; no
+        # separate distinct-union job, no separate counts)
+        row = e.agg(F.count("*").alias("_m"),
+                    F.countDistinct("src").alias("_n")).first()
+        n, n_edges = row["_n"], row["_m"]
+        markers = out_deg.select("src", F.col("src").alias("dst"),
+                                 F.lit(0.0).alias("_w"))
+    if n == 0:
+        # derive v's type from the input so the empty frame unions/joins
+        # cleanly with non-empty runs (string doc-ids would otherwise
+        # come back bigint on the empty day only)
+        return (e.select(F.col("src").alias("v"))
+                .withColumn("rank", F.lit(0.0)).limit(0))
     # Size the iterative loop's parallelism to the edge table: the
     # default shuffle width (cores) costs a fixed per-task overhead
     # every iteration, which dominates when each partition would hold
     # only a few hundred edges. ~64k edges/partition keeps tasks
     # meaningfully sized; at 100 TB the count scales right back up.
-    n_edges = e.count()
     width = max(1, min(e.sparkSession.sparkContext.defaultParallelism,
                        n_edges // 65536 + 1))
-    e = e.repartition(width, "src").localCheckpoint()
 
-    verts = (e.select(F.col("src").alias("v"))
-             .union(e.select(F.col("dst").alias("v")))
-             .distinct().repartition(width, "v").localCheckpoint())
-    n = verts.count()
-    if n == 0:
-        # derive v's type from the input so the empty frame unions/joins
-        # cleanly with non-empty runs (string doc-ids would otherwise
-        # come back bigint on the empty day only)
-        return (verts.select("v")
-                .withColumn("rank", F.lit(0.0)).limit(0))
-    out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    # ONE loop-invariant table, checkpointed once (r7):
+    # - real edges carry the ITERATION-INVARIANT weight 1/out_degree,
+    #   folded in here instead of re-joining out_deg every round (at
+    #   100 TB that is one shuffle of the full edge table per round);
+    #   rank * (1.0/deg) and rank / deg differ by <1 ulp per edge, far
+    #   inside the power iteration's own fold-order nondeterminism.
+    # - a 0-weight SELF-LOOP marker per vertex keeps no-in-edge
+    #   vertices in the rank vector through the same join+aggregate
+    #   (rank * 0 contributes nothing, the group always exists) —
+    #   replacing the per-iteration (verts LEFT JOIN contribs) and the
+    #   separate zero-rows union. Genuine self-loop edges keep _w > 0,
+    #   so markers never collide with them.
+    w_edges = (e.join(out_deg, "src")
+               .select("src", "dst",
+                       (F.lit(1.0) / F.col("_deg")).alias("_w"))
+               .unionByName(markers)
+               .repartition(width, "src").localCheckpoint())
+    verts = (w_edges.filter(F.col("_w") == 0.0)
+             .select(F.col("src").alias("v")))
 
     # In the mirrored (undirected) graph every vertex appears as a src,
     # so the dangling set is empty by construction and its whole subplan
@@ -81,13 +116,12 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 10,
 
     ranks = verts.select("v", F.lit(1.0 / n).alias("rank"))
     for it in range(iters):
-        contribs = (e.join(ranks.withColumnRenamed("v", "src"), "src")
-                    .join(out_deg, "src")
+        contribs = (w_edges
+                    .join(ranks.withColumnRenamed("v", "src"), "src")
                     .select("dst",
-                            (F.col("rank") / F.col("_deg")).alias("_c"))
+                            (F.col("rank") * F.col("_w")).alias("_c"))
                     .groupBy("dst").agg(F.sum("_c").alias("_in")))
-        new_ranks = (verts.join(contribs.withColumnRenamed("dst", "v"),
-                                "v", "left"))
+        new_ranks = contribs.withColumnRenamed("dst", "v")
         if has_dangling:
             # Dangling vertices (no out-edges) teleport their whole rank.
             # The 1-row aggregate joins in as a broadcast nested-loop —
@@ -102,15 +136,18 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 10,
                              (F.lit((1.0 - damping) / n)
                               + F.lit(damping) * F.col("_dm")
                               / F.lit(float(n))
-                              + F.lit(damping)
-                              * F.coalesce("_in", F.lit(0.0)))
+                              + F.lit(damping) * F.col("_in"))
                              .alias("rank")))
         else:
             ranks = new_ranks.select(
                 "v",
                 (F.lit((1.0 - damping) / n)
-                 + F.lit(damping)
-                 * F.coalesce("_in", F.lit(0.0))).alias("rank"))
-        if it % checkpoint_every == checkpoint_every - 1 or it == iters - 1:
+                 + F.lit(damping) * F.col("_in")).alias("rank"))
+        # no forced tail checkpoint (r7): the final partial interval
+        # (< checkpoint_every rounds) executes inside the consumer's
+        # first action instead of paying a separate materialization job.
+        # Multi-action consumers should .localCheckpoint() the result
+        # themselves if they re-read it.
+        if it % checkpoint_every == checkpoint_every - 1 and it != iters - 1:
             ranks = ranks.localCheckpoint()
     return ranks
