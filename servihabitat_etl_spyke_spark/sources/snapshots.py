@@ -204,7 +204,14 @@ def snapshot_diff(spark: SparkSession, store: "SnapshotStore",
     Shape: ONE full-outer equi-join on the key, comparing md5 digests of
     the compared columns — no collect, no per-column join; digests are
     computed in each side's scan projection so the join carries
-    (key, digest) only."""
+    (key, digest) only.
+
+    COMPACTION-TRANSPARENT, unlike ``read_incremental``: both sides are
+    FULL snapshot reads (never directory diffs), and ``compact()``
+    registers a row-identical snapshot, so a diff spanning a
+    ``compacted``-flagged snapshot reports exactly the genuine row
+    changes — a compaction alone diffs EMPTY (pinned in tests). The
+    re-baseline error belongs only to the dir-diff consumption path."""
     from pyspark.sql import functions as F
 
     old = store.read(spark, snapshot=from_snapshot, merge_schema=True)

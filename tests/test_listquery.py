@@ -204,3 +204,53 @@ def test_r6_listquery_guards(spark):
              list_query(df, m, ListParams(items_per_page=2,
                                           page=1)).collect()]
     assert page0 == [1, 2] and page1 == [3]
+
+
+def test_js_string_rendering_parity_domain(spark):
+    """Property-pin of _js_string vs JS Number.prototype.toString()
+    (r6 verdict polish item 7): documents exactly where the parity
+    guard holds and where it deliberately ends.
+
+    Inside the guard (integral doubles, |x| < 2^63): plain digits,
+    byte-equal to JS. Outside it: Spark's cast rendering, which is
+    encoded consistently in every oracle — integral doubles in
+    [2^63, 1e21) print E-notation where JS prints plain digits (the
+    documented, marginal gap), and non-integral values (including
+    subnormals) render Java-style on both query and oracle side."""
+    import math
+    import random
+
+    from servihabitat_etl_spyke_spark.plans.listquery import _js_string
+
+    edge = [0.0, -0.0, 1.0, -1.0, 10.0, 1e15, -1e15,
+            2.0 ** 52, 9007199254740992.0,           # 2^53
+            9.223372036854775e18,                    # just under 2^63
+            0.5, -2.75, 1.5e-10, math.pi,
+            5e-324, 2.2250738585072014e-308,         # subnormal/min-normal
+            float("nan"), float("inf"), float("-inf"),
+            1e20, -1e20, 1e21, 1e22]                 # beyond the guard
+    rng = random.Random(20260815)
+    rand_integral = [float(rng.randint(-2**62, 2**62)) for _ in range(60)]
+    rand_frac = [rng.uniform(-1e6, 1e6) + 0.5 for _ in range(40)]
+    vals = edge + rand_integral + rand_frac
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r[0] for r in df.select(_js_string(df, "x")).collect()]
+    cast = [r[0] for r in df.select(F.col("x").cast("string")).collect()]
+
+    for v, g, c in zip(vals, got, cast):
+        if (not math.isnan(v) and not math.isinf(v)
+                and v == math.floor(v) and abs(v) < 2.0 ** 63):
+            # parity domain: exactly what JS prints (int(-0.0) is 0,
+            # matching JS (-0).toString() === '0')
+            assert g == str(int(v)), (v, g)
+        else:
+            # outside: Spark's own cast, byte-for-byte — the oracles
+            # encode this same rendering, so parity with the REFERENCE
+            # ends here but query/oracle agreement never does
+            assert g == c, (v, g, c)
+
+    # the documented boundary, pinned explicitly: 1e20 is integral and
+    # JS would print plain digits, but it exceeds the long-cast guard
+    i = vals.index(1e20)
+    assert got[i] == "1.0E20" != "100000000000000000000"
