@@ -275,6 +275,23 @@ def _protocol_line(out: dict) -> str:
         out["gated_by_retry_count"] = len(out["gated_by_retry"])
         out["gated_by_retry"] = out["gated_by_retry"][:10]
         line = json.dumps(out, separators=(",", ":"))
+    if len(line) > LINE_BUDGET and out.get("headline_missing_from_registry"):
+        regs = out["headline_missing_from_registry"]
+        out["headline_missing_count"] = len(regs)
+        out["headline_missing_from_registry"] = regs[:10]
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > LINE_BUDGET:
+        # last-resort floor: a minimal core that can NEVER outgrow the
+        # budget — losing optional fields beats resurrecting the
+        # parsed:null truncation class this function exists to kill
+        core = {k: out.get(k) for k in
+                ("metric", "value", "unit", "sf", "noise_factor",
+                 "median_delta_vs_baseline",
+                 "median_delta_vs_baseline_noise_adj",
+                 "median_delta_vs_prev_round", "queries_total",
+                 "queries_full_in") if k in out}
+        core["thinned_to_core"] = True
+        line = json.dumps(core, separators=(",", ":"))
     return line
 
 
@@ -394,6 +411,10 @@ def main() -> None:
     # >2x are singled out (bench noise on this VM is 3-4x on single runs,
     # so a flagged query means "re-measure / profile", not proof).
     detail = dict(out)
+    # the detail FILE carries the FULL per-query dict — that is the
+    # "queries_full_in" contract the stdout line points at, and what
+    # _snapshot_prev_round() pins BENCH_PREV.json from next round
+    detail["queries"] = timings
     detail["attempts"] = attempt_log
     detail["gated_by_retry"] = sorted(
         n for n, ts in attempt_log.items() if len(ts) > 3)

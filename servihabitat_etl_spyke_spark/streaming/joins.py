@@ -123,6 +123,14 @@ def stream_incremental_neardup(stream_docs: DataFrame,
     # functions makes drift impossible
     if watermark == "auto":
         watermark = _auto_watermark(stream_docs.schema)
+    elif isinstance(watermark, str):
+        # only the 'auto' sentinel is a valid string: a bare delay like
+        # '2 hours' would unpack character-by-character into
+        # withWatermark and die with an unrelated TypeError
+        raise ValueError(
+            f"stream_incremental_neardup: watermark={watermark!r} — pass "
+            "'auto', an explicit (ts_col, delay) tuple, or None to opt "
+            "out of state eviction")
     if watermark is not None:
         stream_docs = stream_docs.withWatermark(*watermark)
     extra = [watermark[0]] if watermark is not None else []

@@ -67,6 +67,36 @@ def test_protocol_line_fits_driver_tail_worst_case():
     assert parsed["queries_total"] == len(bench.HEADLINE)
 
 
+def test_protocol_line_pathological_missing_list_floors_to_core():
+    """Even a round where EVERY headline name went missing from the
+    registry (the largest possible optional field) must emit a line
+    inside the budget — the last-resort core floor guarantees it."""
+    out = _worst_case_out()
+    out["headline_missing_from_registry"] = list(bench.HEADLINE)
+    line = bench._protocol_line(out)
+    assert len(line) <= bench.LINE_BUDGET
+    parsed = json.loads(line)
+    # either the truncated-lists form or the core floor — both carry
+    # the headline metric and the truncation is explicit
+    assert parsed["metric"] == "headline_queries_total_runtime"
+    assert parsed["value"] == out["value"]
+    if "thinned_to_core" not in parsed:
+        assert parsed.get("headline_missing_count") == len(bench.HEADLINE)
+
+
+def test_protocol_line_core_floor_is_always_under_budget():
+    """The core floor itself (every field at max width) must fit with
+    room to spare — it is the invariant the whole ladder rests on."""
+    out = _worst_case_out()
+    # force the floor by blowing every earlier thinning step
+    out["some_future_giant_field"] = "x" * 5000
+    line = bench._protocol_line(out)
+    assert len(line) <= bench.LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["thinned_to_core"] is True
+    assert parsed["queries_full_in"] == "BENCH_DETAIL.json"
+
+
 def test_protocol_line_typical_round_not_thinned():
     out = _worst_case_out()
     out["regressions_over_2x"] = []

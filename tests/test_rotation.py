@@ -57,13 +57,33 @@ def test_window_pins_unverified_first(monkeypatch):
 
 def test_evidence_latest_round_wins():
     """Against the real CORRECTNESS_r*.json files: every name's
-    recorded round must be the LATEST round that mentions it, and with
-    six clean rounds on disk nothing may read as failed-latest."""
+    recorded (round, green) must equal an independent re-parse that
+    keeps the HIGHEST round number mentioning the name — a mechanical
+    check that stays valid even after a future round records a failure
+    (the failure fast-lane is exercised in the synthetic tests above,
+    never asserted against live data state)."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    want: dict[str, tuple[int, bool]] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        for name, r in json.load(open(path)).items():
+            if not isinstance(r, dict):
+                continue
+            green = bool(
+                (r.get("rows_match") and r.get("schema_match")
+                 and r.get("hash_match"))
+                or (r.get("err") == "no_oracle"
+                    and (r.get("spark_rows") or 0) > 0))
+            if name not in want or rnd >= want[name][0]:
+                want[name] = (rnd, green)
     ev = entry_mod._evidence()
     assert ev, "no CORRECTNESS files parsed"
-    assert all(g for _, g in ev.values()), (
-        "a name reads failed-latest despite six clean rounds: "
-        f"{[n for n, (_, g) in ev.items() if not g]}")
+    assert ev == want
     # q1_pricing_summary has evidence in r1 AND r2 -> must record >= 2
     if "q1_pricing_summary" in ev:
         assert ev["q1_pricing_summary"][0] >= 2

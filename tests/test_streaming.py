@@ -788,3 +788,22 @@ def test_auto_watermark_resolution():
                         T.StructField("b", T.TimestampNTZType())])
     with pytest.raises(ValueError, match="ambiguous timestamp columns"):
         _auto_watermark(two)
+
+
+def test_neardup_watermark_rejects_bare_string(spark, sf_dir):
+    """r7 review: only the 'auto' sentinel is a valid string — a bare
+    delay like '2 hours' must raise the actionable ValueError, not
+    unpack character-by-character inside withWatermark."""
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        minhash_signatures)
+    from servihabitat_etl_spyke_spark.streaming.joins import (
+        stream_incremental_neardup)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stored_sig = minhash_signatures(docs)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir).select("doc_id", "text"))
+    with pytest.raises(ValueError, match="watermark='2 hours'"):
+        stream_incremental_neardup(stream, docs, stored_sig,
+                                   watermark="2 hours")
