@@ -118,6 +118,22 @@ def test_headline_names_all_registered():
         "a renamed query would silently shrink the suite total")
 
 
+def test_every_headline_query_has_a_baseline_pin():
+    """A headline query missing from BENCH_BASELINE.json silently
+    escapes the 2x regression gate (its dvb is simply undefined) —
+    etl_cascade_delete did exactly that between its r6 HEADLINE
+    registration and the r7 pin. New headline names must be pinned in
+    the same round they are added."""
+    with open(os.path.join(_ROOT, "BENCH_BASELINE.json")) as fh:
+        base = json.load(fh)
+    unpinned = [n for n in bench.HEADLINE
+                if n not in base.get("queries", {})]
+    assert not unpinned, (
+        f"headline queries without a baseline pin: {unpinned} — add a "
+        "quiet-window pin to BENCH_BASELINE.json (see the bench-noise "
+        "discipline notes)")
+
+
 def test_readme_counts_match_registry():
     with open(os.path.join(_ROOT, "README.md")) as fh:
         readme = fh.read()
