@@ -290,6 +290,10 @@ def _protocol_line(out: dict) -> str:
                  "median_delta_vs_baseline_noise_adj",
                  "median_delta_vs_prev_round", "queries_total",
                  "queries_full_in") if k in out}
+        # the field reviewers gate on survives as a bounded count even
+        # at the floor (the names live in BENCH_DETAIL.json)
+        core["regressions_over_2x_count"] = len(
+            out.get("regressions_over_2x") or [])
         core["thinned_to_core"] = True
         line = json.dumps(core, separators=(",", ":"))
     return line

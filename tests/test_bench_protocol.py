@@ -95,6 +95,8 @@ def test_protocol_line_core_floor_is_always_under_budget():
     parsed = json.loads(line)
     assert parsed["thinned_to_core"] is True
     assert parsed["queries_full_in"] == "BENCH_DETAIL.json"
+    # the regression-gate signal survives the floor as a count
+    assert parsed["regressions_over_2x_count"] == len(bench.HEADLINE)
 
 
 def test_protocol_line_typical_round_not_thinned():
