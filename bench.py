@@ -261,6 +261,7 @@ def _protocol_line(out: dict) -> str:
     an explicit count (never silently — the marker names the dropped
     field, and BENCH_DETAIL.json always has the full lists)."""
     out = dict(out)
+    n_regressions = len(out.get("regressions_over_2x") or [])
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > LINE_BUDGET:
         out["queries"] = {}
@@ -291,9 +292,9 @@ def _protocol_line(out: dict) -> str:
                  "median_delta_vs_prev_round", "queries_total",
                  "queries_full_in") if k in out}
         # the field reviewers gate on survives as a bounded count even
-        # at the floor (the names live in BENCH_DETAIL.json)
-        core["regressions_over_2x_count"] = len(
-            out.get("regressions_over_2x") or [])
+        # at the floor (the names live in BENCH_DETAIL.json) — the
+        # ORIGINAL count, not the post-truncation list length
+        core["regressions_over_2x_count"] = n_regressions
         core["thinned_to_core"] = True
         line = json.dumps(core, separators=(",", ":"))
     return line
