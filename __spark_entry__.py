@@ -82,10 +82,15 @@ _DRIVER_VERIFIED = frozenset(n for n, (_, green) in _EVIDENCE.items()
                              if green)
 
 # Names pinned to the FRONT of this round's window (new operators built
-# this round, or names needing urgent re-verification).  Empty when no
-# new queries were registered — the rolling age-ordered tier below then
-# fills the whole 50-slot driver window with the oldest-evidence names.
-_WINDOW: list[str] = []
+# this round, or names needing urgent re-verification).  The rolling
+# age-ordered tier below fills the remaining driver-window slots with
+# the oldest-evidence names.
+_WINDOW: list[str] = [
+    # r7-built: incremental kNN-graph maintenance (exact-equality twin
+    # vs full rebuild in pytest; rows-only by nature — k-means/IVF is
+    # not SQL-expressible, see COVERAGE.md waiver table)
+    "ann_knn_graph_incremental",
+]
 
 
 def _rotated(d: dict) -> dict:

@@ -169,6 +169,9 @@ HEADLINE = [
     "curate_domain_blocklist",
     # round-6 addition (no earlier baseline — deltas from r07)
     "etl_cascade_delete",
+    # round-7 addition: incremental kNN-graph maintenance (pinned at
+    # entry per test_every_headline_query_has_a_baseline_pin)
+    "ann_knn_graph_incremental",
 ]
 
 

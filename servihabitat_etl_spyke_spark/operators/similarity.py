@@ -674,40 +674,17 @@ def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
             .orderBy("query_id", "rank"))
 
 
-def knn_graph_ivf(corpus: DataFrame, k: int = 5, kc: int = 8,
-                  n_probe: int = 2, iters: int = 3, id_col: str = "vec_id",
-                  vec_col: str = "embedding",
-                  with_score: bool = False) -> DataFrame:
-    """Approximate kNN graph at corpus scale: k-means coarse partition,
-    each vector scores only the vectors in its ``n_probe`` nearest cells.
-
-    The 100 TB shape: cost drops from O(n^2) to O(sum_c n_c * m_c) where
-    m_c is the probed-cell population. Probe selection is ROW-LOCAL (the
-    kc x dim centroid matrix rides in the pandas UDF closure — no join,
-    no shuffle); the only shuffle is the equi-join on centroid_id, whose
-    skew is the cluster-size distribution (for pathological clusters,
-    split cells or salt the join — see operators/scale.py).
-
-    Scoring is a per-cell numpy GEMM (cogrouped applyInPandas): every
-    probed (query, cell) pair ships the query vector ONCE, each cell
-    scores its queries against its members in one BLAS call and emits
-    only its local top-k per query — so the cross-cell merge window sees
-    n * n_probe * k rows, never the candidate products. (The previous
-    per-pair expression-tree cosine materialized |cell| rows PER query
-    through the join — measured 20x slower at kc=4/n=5000.)
-
-    Approximate by construction (true neighbors in unprobed cells are
-    missed) — recall vs :func:`knn_graph` asserted in tests. Zero-norm
-    embeddings are REJECTED like :func:`knn_graph` rejects them (raised
-    from the scoring task — the IVF path never collects the corpus, so
-    the check lives executor-side at zero extra scans)."""
+def _ivf_probe_side(corpus: DataFrame, centroids: list[list[float]],
+                    n_probe: int, id_col: str,
+                    vec_col: str) -> DataFrame:
+    """(query_id, qvec, centroid_id) — one row per (vector, probed
+    cell). Probe selection is ROW-LOCAL: the kc x dim centroid matrix
+    rides in the pandas UDF closure — no join, no shuffle."""
     from pyspark.sql.functions import pandas_udf
 
-    cents = kmeans_fit(corpus, k=kc, iters=iters,
-                       id_col=id_col, vec_col=vec_col)
-    C = np.asarray(cents, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
     c_sq = (C * C).sum(axis=1)
-    np_ = min(n_probe, kc)
+    np_ = min(n_probe, len(centroids))
 
     @pandas_udf("array<int>")
     def _probes(vecs: pd.Series) -> pd.Series:
@@ -718,14 +695,27 @@ def knn_graph_ivf(corpus: DataFrame, k: int = 5, kc: int = 8,
         top = np.argsort(d2, axis=1, kind="stable")[:, :np_]
         return pd.Series([row.astype("int32").tolist() for row in top])
 
-    assigned = assign_to_centroids(corpus, cents, id_col, vec_col)
-    q = (corpus.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qvec"),
-                       _probes(F.col(vec_col)).alias("_probes"))
-         .select("query_id", "qvec",
-                 F.explode("_probes").alias("centroid_id")))
-    members = assigned.select(F.col(id_col).alias("neighbor_id"),
-                              F.col(vec_col).alias("cvec"), "centroid_id")
+    return (corpus.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("qvec"),
+                          _probes(F.col(vec_col)).alias("_probes"))
+            .select("query_id", "qvec",
+                    F.explode("_probes").alias("centroid_id")))
+
+
+def _ivf_members_side(assigned: DataFrame, id_col: str,
+                      vec_col: str) -> DataFrame:
+    return assigned.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("cvec"), "centroid_id")
+
+
+def _ivf_cell_scored(q: DataFrame, members: DataFrame,
+                     k: int) -> DataFrame:
+    """Per-cell GEMM top-k (cogrouped applyInPandas): every probed
+    (query, cell) pair ships the query vector ONCE, each cell scores
+    its queries against its members in one BLAS call and emits only
+    its local top-k per query. Returns the UNMERGED per-cell rows
+    (query_id, neighbor_id, score) — callers window-merge across
+    cells."""
 
     def _score_cell(qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
@@ -766,18 +756,144 @@ def knn_graph_ivf(corpus: DataFrame, k: int = 5, kc: int = 8,
             "neighbor_id": pd.Series(rows["neighbor_id"], dtype="int64"),
             "score": pd.Series(rows["score"], dtype="float64")})
 
-    scored = (q.groupBy("centroid_id")
-              .cogroup(members.groupBy("centroid_id"))
-              .applyInPandas(_score_cell,
-                             schema="query_id long, neighbor_id long, "
-                                    "score double"))
-    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (q.groupBy("centroid_id")
+            .cogroup(members.groupBy("centroid_id"))
+            .applyInPandas(_score_cell,
+                           schema="query_id long, neighbor_id long, "
+                                  "score double"))
+
+
+def _cross_cell_topk(scored: DataFrame, k: int,
+                     with_score: bool) -> DataFrame:
+    """Merge per-cell candidate rows into the final per-query top-k:
+    (score desc, neighbor_id asc) — the same deterministic total order
+    as :func:`_topk_idx`, which is what makes incremental merging
+    exact (top-k of a union == top-k of per-part top-k unioned)."""
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                          "neighbor_id")
     cols = ["query_id", "neighbor_id", F.row_number().over(w).alias("rank")]
     if with_score:
         cols.append("score")
     return (scored.select(*cols)
             .filter(F.col("rank") <= k)
             .orderBy("query_id", "rank"))
+
+
+def knn_graph_ivf(corpus: DataFrame, k: int = 5, kc: int = 8,
+                  n_probe: int = 2, iters: int = 3, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  with_score: bool = False,
+                  centroids: list[list[float]] | None = None) -> DataFrame:
+    """Approximate kNN graph at corpus scale: k-means coarse partition,
+    each vector scores only the vectors in its ``n_probe`` nearest cells.
+
+    The 100 TB shape: cost drops from O(n^2) to O(sum_c n_c * m_c) where
+    m_c is the probed-cell population. Probe selection is ROW-LOCAL (the
+    kc x dim centroid matrix rides in the pandas UDF closure — no join,
+    no shuffle); the only shuffle is the equi-join on centroid_id, whose
+    skew is the cluster-size distribution (for pathological clusters,
+    split cells or salt the join — see operators/scale.py).
+
+    Scoring is a per-cell numpy GEMM (cogrouped applyInPandas): every
+    probed (query, cell) pair ships the query vector ONCE, each cell
+    scores its queries against its members in one BLAS call and emits
+    only its local top-k per query — so the cross-cell merge window sees
+    n * n_probe * k rows, never the candidate products. (The previous
+    per-pair expression-tree cosine materialized |cell| rows PER query
+    through the join — measured 20x slower at kc=4/n=5000.)
+
+    ``centroids`` pins the coarse codebook instead of training one
+    (kc/iters are then ignored) — the contract the incremental daily
+    path (:func:`knn_graph_ivf_incremental`) builds on, mirroring how a
+    production IVF index trains its codebook once and keeps it fixed
+    across ingest batches (FAISS's add-vs-train split).
+
+    Approximate by construction (true neighbors in unprobed cells are
+    missed) — recall vs :func:`knn_graph` asserted in tests. Zero-norm
+    embeddings are REJECTED like :func:`knn_graph` rejects them (raised
+    from the scoring task — the IVF path never collects the corpus, so
+    the check lives executor-side at zero extra scans)."""
+    cents = (centroids if centroids is not None
+             else kmeans_fit(corpus, k=kc, iters=iters,
+                             id_col=id_col, vec_col=vec_col))
+    assigned = assign_to_centroids(corpus, cents, id_col, vec_col)
+    q = _ivf_probe_side(corpus, cents, n_probe, id_col, vec_col)
+    members = _ivf_members_side(assigned, id_col, vec_col)
+    return _cross_cell_topk(_ivf_cell_scored(q, members, k), k, with_score)
+
+
+def knn_graph_ivf_incremental(old_corpus: DataFrame, old_graph: DataFrame,
+                              new_batch: DataFrame,
+                              centroids: list[list[float]],
+                              k: int = 5, n_probe: int = 2,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              with_score: bool = False) -> DataFrame:
+    """Daily-ingest kNN-graph maintenance: update the stored graph with
+    a new embedding batch WITHOUT rescoring old-vs-old — the ANN leg of
+    the incremental trilogy next to ``dedup_incremental`` and
+    ``dedup_snapshot_incremental``.
+
+    EXACT against the full rebuild: returns byte-identical
+    (query_id, neighbor_id, rank) to
+    ``knn_graph_ivf(old ∪ new, centroids=same)`` (asserted in tests),
+    because with a FIXED codebook (the production IVF contract —
+    codebooks train once, ingest batches only assign):
+
+    - a vector's probe set never changes, and
+    - top-k over a candidate union equals top-k over (stored top-k ∪
+      new candidates) under the deterministic (score desc, id asc)
+      total order — selection commutes with union.
+
+    Work done per batch (the 100 TB economics):
+    - NEW anchors score against the full membership of their probed
+      cells (they are genuinely new queries): |new| x probed-cell GEMM.
+    - OLD anchors score against ONLY the new members that landed in
+      cells they probe, then merge with their stored edges and re-take
+      top-k: |old ∩ affected cells| x |new-in-cell| GEMM — never
+      old-vs-old again. Cells that received no new member are pruned
+      BEFORE the shuffle by a broadcast semi-join on the (tiny)
+      affected-cell list, so a quiet day ships almost nothing.
+
+    ``old_graph`` must carry scores (build it ``with_score=True``) —
+    raises otherwise, since ranks alone cannot be re-merged. Old and
+    new ids must be disjoint (re-ingest = delete upstream, then add).
+    """
+    if "score" not in old_graph.columns:
+        raise ValueError(
+            "knn_graph_ivf_incremental: old_graph has no 'score' column "
+            "— build the stored graph with with_score=True (ranks alone "
+            "cannot be merged with new candidate scores)")
+
+    assigned_new = assign_to_centroids(new_batch, centroids,
+                                       id_col, vec_col)
+    members_new = _ivf_members_side(assigned_new, id_col, vec_col)
+
+    # NEW anchors: full candidate set of their probed cells (old + new
+    # members) — a brand-new query has no stored edges to merge
+    assigned_old = assign_to_centroids(old_corpus, centroids,
+                                       id_col, vec_col)
+    members_all = _ivf_members_side(assigned_old, id_col,
+                                    vec_col).unionByName(members_new)
+    q_new = _ivf_probe_side(new_batch, centroids, n_probe,
+                            id_col, vec_col)
+    part_new = _ivf_cell_scored(q_new, members_all, k)
+
+    # OLD anchors: only cells that actually received new members can
+    # change an old top-k — prune the probe stream with a broadcast
+    # semi-join on the affected-cell list before anything shuffles
+    affected = members_new.select("centroid_id").distinct()
+    q_old = (_ivf_probe_side(old_corpus, centroids, n_probe,
+                             id_col, vec_col)
+             .join(F.broadcast(affected), "centroid_id", "left_semi"))
+    part_old = _ivf_cell_scored(q_old, members_new, k)
+
+    # stored edges re-enter the merge as (query_id, neighbor_id, score)
+    # candidates; the window then re-takes top-k under the SAME total
+    # order the per-cell kernel uses
+    stored = old_graph.select("query_id", "neighbor_id", "score")
+    merged = stored.unionByName(part_old).unionByName(part_new)
+    return _cross_cell_topk(merged, k, with_score)
 
 
 # -- product quantization (PQ / ADC search) ------------------------------------

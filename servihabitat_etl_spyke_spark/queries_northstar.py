@@ -506,6 +506,32 @@ def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2, iters=3)
 
 
+@query("ann_knn_graph_incremental")  # exact-equality twin in pytest
+def ann_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest kNN-graph maintenance: the stored corpus
+    (vec_id % 5 != 0) holds a graph built against a FIXED codebook;
+    today's batch (vec_id % 5 == 0) lands and the graph updates without
+    ever rescoring old-vs-old — new anchors score their probed cells,
+    old anchors score ONLY the new members in cells they probe (pruned
+    by a broadcast semi-join on the affected-cell list) and re-merge
+    with their stored edges. Output is byte-identical to a full
+    rebuild over the union with the same codebook (the exact-equality
+    twin test — stronger than a SQL oracle, since k-means/IVF aren't
+    SQL-expressible; see COVERAGE.md waiver table). The ANN leg of the
+    incremental trilogy next to `dedup_incremental` and
+    `dedup_snapshot_incremental`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    # the codebook trains ONCE on the stored corpus and stays fixed —
+    # the production IVF contract (FAISS train-vs-add split)
+    cents = SIM.kmeans_fit(old, k=4, iters=3)
+    old_graph = SIM.knn_graph_ivf(old, k=5, n_probe=2, centroids=cents,
+                                  with_score=True)
+    return SIM.knn_graph_ivf_incremental(old, old_graph, new, cents,
+                                         k=5, n_probe=2)
+
+
 @query("ann_hard_negatives", oracle="""
 -- Two-stage semantics mirrored exactly: top-10 cosine neighbors first,
 -- THEN near-dups (cos >= 0.45) removed, THEN re-rank and keep 3 — the

@@ -7,6 +7,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -88,6 +89,69 @@ def test_knn_graph_ivf_recall(spark, sf_dir):
     # probing half the cells on near-random vectors: demand a solid
     # majority of true neighbors found on average
     assert sum(recalls) / len(recalls) >= 0.5, sum(recalls) / len(recalls)
+
+
+def test_knn_graph_ivf_incremental_equals_full_rebuild(spark, sf_dir):
+    """The r7 incremental-maintenance contract: with a FIXED codebook,
+    updating the stored graph with a new batch must land byte-identical
+    (query_id, neighbor_id, rank) to a full rebuild over the union —
+    top-k selection commutes with union under the deterministic
+    (score desc, id asc) total order, and a vector's probe set never
+    changes once the codebook is pinned."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 400)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = SIM.kmeans_fit(old, k=4, iters=3)
+
+    old_graph = SIM.knn_graph_ivf(old, k=5, n_probe=2, centroids=cents,
+                                  with_score=True)
+    inc = SIM.knn_graph_ivf_incremental(old, old_graph, new, cents,
+                                        k=5, n_probe=2)
+    full = SIM.knn_graph_ivf(emb, k=5, n_probe=2, centroids=cents)
+    got = sorted(map(tuple, inc.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and want
+
+
+def test_knn_graph_ivf_incremental_empty_batch_is_identity(spark, sf_dir):
+    """A quiet day (no new embeddings) must return exactly the stored
+    graph — the affected-cell prune leaves nothing to rescore."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200)
+    cents = SIM.kmeans_fit(emb, k=4, iters=3)
+    old_graph = SIM.knn_graph_ivf(emb, k=5, n_probe=2, centroids=cents,
+                                  with_score=True)
+    empty = emb.filter(F.lit(False))
+    inc = SIM.knn_graph_ivf_incremental(emb, old_graph, empty, cents,
+                                        k=5, n_probe=2)
+    got = sorted(map(tuple, inc.collect()))
+    want = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                  for r in old_graph.collect())
+    assert got == want and want
+
+
+def test_knn_graph_ivf_incremental_requires_scores(spark, sf_dir):
+    """A stored graph without scores cannot be merged — loud contract
+    error, not a silent wrong-rank union."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 100)
+    cents = SIM.kmeans_fit(emb, k=4, iters=3)
+    rank_only = SIM.knn_graph_ivf(emb, k=5, n_probe=2, centroids=cents)
+    with pytest.raises(ValueError, match="with_score=True"):
+        SIM.knn_graph_ivf_incremental(emb, rank_only, emb, cents)
+
+
+def test_knn_graph_ivf_pinned_codebook_matches_trained(spark, sf_dir):
+    """Refactor guard: passing the same centroids kmeans_fit would have
+    trained must reproduce the trained-path graph exactly."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300)
+    cents = SIM.kmeans_fit(emb, k=4, iters=3)
+    trained = SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2, iters=3)
+    pinned = SIM.knn_graph_ivf(emb, k=5, n_probe=2, centroids=cents)
+    assert sorted(map(tuple, trained.collect())) == sorted(
+        map(tuple, pinned.collect()))
 
 
 def test_minhash_lsh_finds_planted_dup(spark):

@@ -495,3 +495,14 @@ def test_pagerank_iteration_is_one_join_one_agg(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # undirected graphs must not pay the dangling subplan at all
     assert plan.count("Join LeftAnti") == 0
+
+
+def test_knn_graph_incremental_prunes_with_broadcast_semi(spark, sf_dir):
+    """r7 incremental kNN-graph gate: the old-anchor probe stream must
+    be pruned by a BROADCAST left-semi join on the affected-cell list
+    BEFORE any shuffle (a quiet day ships almost nothing), and the
+    whole plan stays free of cartesian/nested-loop joins."""
+    plan = plan_of(spark, "ann_knn_graph_incremental", sf_dir)
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
