@@ -828,7 +828,8 @@ def knn_graph_ivf_incremental(old_corpus: DataFrame, old_graph: DataFrame,
                               k: int = 5, n_probe: int = 2,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              with_score: bool = False) -> DataFrame:
+                              with_score: bool = False,
+                              validate: bool = True) -> DataFrame:
     """Daily-ingest kNN-graph maintenance: update the stored graph with
     a new embedding batch WITHOUT rescoring old-vs-old — the ANN leg of
     the incremental trilogy next to ``dedup_incremental`` and
@@ -855,28 +856,73 @@ def knn_graph_ivf_incremental(old_corpus: DataFrame, old_graph: DataFrame,
       BEFORE the shuffle by a broadcast semi-join on the (tiny)
       affected-cell list, so a quiet day ships almost nothing.
 
-    ``old_graph`` must carry scores (build it ``with_score=True``) —
-    raises otherwise, since ranks alone cannot be re-merged. Old and
-    new ids must be disjoint (re-ingest = delete upstream, then add).
+    PRECONDITIONS (the exactness proof leans on all three):
+
+    - ``old_graph`` must carry scores (build it ``with_score=True``) —
+      raises otherwise, since ranks alone cannot be re-merged.
+    - ``k`` and ``n_probe`` must EQUAL the values the stored graph was
+      built with. A stored k below the requested k leaves old-vs-old
+      candidates beyond the stored truncation unrecoverable (wrong
+      neighbors fill ranks k_stored+1..k with no cardinality signal);
+      an n_probe mismatch in EITHER direction changes which cells'
+      old members were candidates. ``validate=True`` (default) runs a
+      one-job rank probe that catches the common stored-k-too-small
+      case; n_probe mismatch is not detectable from the edge table —
+      it is the caller's contract.
+    - Old and new ids must be disjoint (re-ingest = delete upstream
+      INCLUDING the deleted vector's stored edges, then add).
+      ``validate=True`` probes for an overlap and raises.
     """
     if "score" not in old_graph.columns:
         raise ValueError(
             "knn_graph_ivf_incremental: old_graph has no 'score' column "
             "— build the stored graph with with_score=True (ranks alone "
             "cannot be merged with new candidate scores)")
+    if validate:
+        # stored-k probe: a graph built with a smaller k than requested
+        # would merge silently wrong (see PRECONDITIONS). A corpus so
+        # small that no query ever had k candidates also trips this —
+        # pass validate=False there (and only there).
+        max_rank = old_graph.agg(F.max("rank")).first()[0] or 0
+        if max_rank < k:
+            raise ValueError(
+                f"knn_graph_ivf_incremental: old_graph's max rank is "
+                f"{max_rank} but k={k} was requested — the stored graph "
+                f"was built with a smaller k (or the old corpus has "
+                f"fewer than k candidates per query; pass validate=False "
+                f"only if you know it is the latter)")
+        # disjointness probe: one limit-capped semi-join job
+        overlap = (new_batch.select(id_col)
+                   .join(old_corpus.select(id_col), id_col, "left_semi")
+                   .limit(1).collect())
+        if overlap:
+            raise ValueError(
+                f"knn_graph_ivf_incremental: id {overlap[0][0]} appears "
+                f"in BOTH old_corpus and new_batch — re-ingest must "
+                f"delete the old row (and its stored edges) upstream "
+                f"first; duplicate ids would occupy two rank slots per "
+                f"query")
 
     assigned_new = assign_to_centroids(new_batch, centroids,
                                        id_col, vec_col)
     members_new = _ivf_members_side(assigned_new, id_col, vec_col)
 
     # NEW anchors: full candidate set of their probed cells (old + new
-    # members) — a brand-new query has no stored edges to merge
+    # members) — a brand-new query has no stored edges to merge. The
+    # membership stream is pruned to the cells new queries actually
+    # probe (broadcast semi-join on a <=|new|*n_probe cell list) BEFORE
+    # the cogroup shuffle: without this, every daily run would
+    # hash-exchange the ENTIRE old corpus's vectors even for a tiny
+    # batch — the prune is what makes a quiet day ship almost nothing.
     assigned_old = assign_to_centroids(old_corpus, centroids,
                                        id_col, vec_col)
-    members_all = _ivf_members_side(assigned_old, id_col,
-                                    vec_col).unionByName(members_new)
     q_new = _ivf_probe_side(new_batch, centroids, n_probe,
                             id_col, vec_col)
+    cells_new_probes = q_new.select("centroid_id").distinct()
+    members_all = (_ivf_members_side(assigned_old, id_col, vec_col)
+                   .unionByName(members_new)
+                   .join(F.broadcast(cells_new_probes), "centroid_id",
+                         "left_semi"))
     part_new = _ivf_cell_scored(q_new, members_all, k)
 
     # OLD anchors: only cells that actually received new members can

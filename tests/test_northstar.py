@@ -142,6 +142,38 @@ def test_knn_graph_ivf_incremental_requires_scores(spark, sf_dir):
         SIM.knn_graph_ivf_incremental(emb, rank_only, emb, cents)
 
 
+def test_knn_graph_ivf_incremental_rejects_stored_k_too_small(
+        spark, sf_dir):
+    """r7 review: a stored graph built with a smaller k than requested
+    would fill ranks k_stored+1..k with wrong neighbors at the SAME row
+    count — the rank probe must catch it loudly."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = SIM.kmeans_fit(old, k=4, iters=3)
+    small = SIM.knn_graph_ivf(old, k=3, n_probe=2, centroids=cents,
+                              with_score=True)
+    with pytest.raises(ValueError, match="max rank is 3 but k=5"):
+        SIM.knn_graph_ivf_incremental(old, small, new, cents,
+                                      k=5, n_probe=2)
+
+
+def test_knn_graph_ivf_incremental_rejects_id_overlap(spark, sf_dir):
+    """r7 review: an id in both old and new would occupy two rank slots
+    per query (duplicate tied copies survive _topk_idx) — the
+    disjointness probe must raise, naming the offending id."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200)
+    cents = SIM.kmeans_fit(emb, k=4, iters=3)
+    graph = SIM.knn_graph_ivf(emb, k=5, n_probe=2, centroids=cents,
+                              with_score=True)
+    overlapping = emb.filter(F.col("vec_id") < 10)   # already stored
+    with pytest.raises(ValueError, match="BOTH old_corpus and new_batch"):
+        SIM.knn_graph_ivf_incremental(emb, graph, overlapping, cents,
+                                      k=5, n_probe=2)
+
+
 def test_knn_graph_ivf_pinned_codebook_matches_trained(spark, sf_dir):
     """Refactor guard: passing the same centroids kmeans_fit would have
     trained must reproduce the trained-path graph exactly."""

@@ -498,11 +498,20 @@ def test_pagerank_iteration_is_one_join_one_agg(spark):
 
 
 def test_knn_graph_incremental_prunes_with_broadcast_semi(spark, sf_dir):
-    """r7 incremental kNN-graph gate: the old-anchor probe stream must
-    be pruned by a BROADCAST left-semi join on the affected-cell list
-    BEFORE any shuffle (a quiet day ships almost nothing), and the
-    whole plan stays free of cartesian/nested-loop joins."""
-    plan = plan_of(spark, "ann_knn_graph_incremental", sf_dir)
-    assert "BroadcastHashJoin LeftSemi" in plan
+    """r7 incremental kNN-graph gate: BOTH streams entering the cogroup
+    shuffles must be pruned by broadcast left-semi joins — the
+    old-anchor probe stream on the affected-cell list AND the
+    membership stream on the cells new queries probe (without the
+    latter, every daily run hash-exchanges the entire old corpus even
+    for a tiny batch). Whole plan free of cartesian/nested-loop joins.
+    """
+    from servihabitat_etl_spyke_spark.queries import QUERIES as Q
+    df = Q["ann_knn_graph_incremental"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    semi_lines = [ln for ln in plan.splitlines()
+                  if "BroadcastHashJoin" in ln and "LeftSemi" in ln]
+    assert len(semi_lines) >= 2, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
