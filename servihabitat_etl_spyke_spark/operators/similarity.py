@@ -28,6 +28,30 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
 
+def _to_matrix(values, ids, op: str) -> "np.ndarray":
+    """Dense float64 matrix from a sequence of embedding rows, raising
+    a NAMED contract error on NULL or ragged rows instead of numpy's
+    cryptic inhomogeneous-shape message (r7 review class: a single
+    NULL embedding mid-corpus must say which id, not crash a task with
+    'setting an array element with a sequence'). ``ids`` may be None
+    when the kernel has no id column in scope (column-level UDFs)."""
+    vals = list(values)
+    null_at = [i for i, v in enumerate(vals) if v is None]
+    if null_at:
+        where = ([ids[i] for i in null_at[:5]] if ids is not None
+                 else f"{len(null_at)} row(s) in this batch")
+        raise ValueError(
+            f"{op}: NULL embedding(s) ({where}); filter or impute them "
+            f"upstream — a NULL vector has no position in the space")
+    try:
+        return np.asarray(vals, dtype=np.float64)
+    except (ValueError, TypeError):
+        dims = sorted({len(v) for v in vals})
+        raise ValueError(
+            f"{op}: ragged embedding dimensions {dims[:5]} — every "
+            f"vector must have the same length") from None
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array columns (fold over zip_with — JVM-side)."""
     return F.aggregate(
@@ -121,14 +145,15 @@ def cosine_topk_pandas(corpus: DataFrame, queries: DataFrame, k: int = 10,
         return queries.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, rank int")
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat = _to_matrix([r[1] for r in qrows], qids,
+                      "cosine_topk_pandas(queries)")
     qmat = qmat / np.maximum(
         np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
 
     def score(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = _to_matrix(pdf[vec_col], ids, "cosine_topk_pandas")
             mat = mat / np.maximum(
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
             sims = mat @ qmat.T                      # (batch, nq)
@@ -257,7 +282,8 @@ def nearest_centroid(centroids: list[list[float]]) -> "Column":
 
     @pandas_udf("int")
     def _assign(vecs: pd.Series) -> pd.Series:
-        X = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        X = _to_matrix(vecs.tolist(), None,
+                       "nearest_centroid")              # (n, dim)
         # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
         d2 = c_sq[None, :] - 2.0 * (X @ C.T)
         return pd.Series(d2.argmin(axis=1).astype("int32"))
@@ -286,7 +312,7 @@ def _kmeans_partials(batch: DataFrame, cents: list[list[float]]) -> DataFrame:
             if not len(pdf):
                 continue
             seen = True
-            X = np.asarray(pdf["v"].tolist(), dtype="float64")
+            X = _to_matrix(pdf["v"].tolist(), None, "kmeans_fit")
             cid = (c_sq[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
             np.add.at(s, cid, X)
             n += np.bincount(cid, minlength=k)
@@ -330,7 +356,13 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
     seed_rows = (corpus.groupBy(vec_col)
                  .agg(F.min(id_col).alias("_mid"))
                  .orderBy("_mid").limit(k)
-                 .select(vec_col).collect())
+                 .select(vec_col, "_mid").collect())
+    for r in seed_rows:
+        if r[0] is None:
+            raise ValueError(
+                f"kmeans_fit: NULL embedding (id {r[1]}); filter or "
+                f"impute upstream — a NULL vector has no position in "
+                f"the space")
     cents = [list(map(float, r[0])) for r in seed_rows]
     if len(cents) < k:
         raise ValueError(
@@ -624,7 +656,7 @@ def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
             f"limit ({max_closure_cells} cells at dim {dim} = "
             f"{cap_rows} rows); use knn_graph_ivf")
     all_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = _to_matrix([r[1] for r in rows], all_ids, "knn_graph")
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     if (norms == 0).any():
         bad = all_ids[(norms[:, 0] == 0)][:5].tolist()
@@ -638,7 +670,7 @@ def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
     def score(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            block = np.array(list(pdf[vec_col]), dtype=np.float64)
+            block = _to_matrix(pdf[vec_col], ids, "knn_graph")
             bn = np.linalg.norm(block, axis=1, keepdims=True)
             block = block / np.maximum(bn, 1e-300)
             sims = block @ mat.T                        # (batch, n)
@@ -688,7 +720,7 @@ def _ivf_probe_side(corpus: DataFrame, centroids: list[list[float]],
 
     @pandas_udf("array<int>")
     def _probes(vecs: pd.Series) -> pd.Series:
-        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        X = _to_matrix(vecs.tolist(), None, "knn_graph_ivf(probes)")
         d2 = c_sq[None, :] - 2.0 * (X @ C.T)
         # argsort is stable -> ties break to the lower centroid id,
         # matching nearest_centroid's argmin
@@ -725,8 +757,8 @@ def _ivf_cell_scored(q: DataFrame, members: DataFrame,
             return empty
         qids = qpdf["query_id"].to_numpy(dtype=np.int64)
         mids = mpdf["neighbor_id"].to_numpy(dtype=np.int64)
-        Q = np.asarray(qpdf["qvec"].tolist(), dtype=np.float64)
-        M = np.asarray(mpdf["cvec"].tolist(), dtype=np.float64)
+        Q = _to_matrix(qpdf["qvec"], qids, "knn_graph_ivf")
+        M = _to_matrix(mpdf["cvec"], mids, "knn_graph_ivf")
         qn = np.linalg.norm(Q, axis=1, keepdims=True)
         mn = np.linalg.norm(M, axis=1, keepdims=True)
         # same reject policy as knn_graph (r2 ADVICE): a zero-norm

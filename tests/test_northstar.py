@@ -1673,3 +1673,34 @@ def test_r6_quality_feature_semantics(spark):
     assert q[2].uppercase_token_ratio == 0.25
     # ASCII behavior unchanged: one '!' out of 17 chars
     assert abs(q[3].punct_ratio - 1 / len("plain ascii text!")) < 1e-6
+
+
+def test_ann_kernels_reject_null_and_ragged_embeddings(spark):
+    """r7 review class: a NULL (or ragged) embedding mid-corpus must
+    raise a NAMED contract error from every numpy kernel — not numpy's
+    'inhomogeneous shape' crash deep inside a task. knn_graph (which
+    has ids driver-side) must name the offending id."""
+    rows = [(i, [float(i + 1), 2.0, 1.0, 0.5]) for i in range(20)]
+    rows[7] = (7, None)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter(F.col("vec_id") < 3)
+
+    with pytest.raises(ValueError, match=r"NULL embedding.*\[7\]"):
+        SIM.knn_graph(df, k=3).count()
+    with pytest.raises(Exception, match="NULL embedding"):
+        SIM.knn_graph_ivf(df, k=3, kc=2, n_probe=1, iters=2).count()
+    with pytest.raises(Exception, match="NULL embedding"):
+        SIM.kmeans_fit(df, k=2, iters=2)
+    with pytest.raises(Exception, match=r"NULL embedding.*\[7\]"):
+        SIM.cosine_topk_pandas(df, qs, k=3).count()
+    with pytest.raises(Exception, match="NULL embedding"):
+        SIM.assign_to_centroids(
+            df, [[1.0, 2.0, 1.0, 0.5], [3.0, 2.0, 1.0, 0.5]]
+        ).select("centroid_id").collect()
+
+    ragged = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(10)]
+    ragged[4] = (4, [1.0, 2.0])
+    df2 = spark.createDataFrame(ragged,
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match=r"ragged embedding dimensions"):
+        SIM.knn_graph(df2, k=3).count()
