@@ -598,7 +598,7 @@ def pca_project(corpus: DataFrame, model: dict, id_col: str = "vec_id",
 
     @pandas_udf("array<double>")
     def _proj(vecs: pd.Series) -> pd.Series:
-        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        X = _to_matrix(vecs.tolist(), None, "pca_project")
         Y = (X - mean) @ C.T
         return pd.Series([row.tolist() for row in Y])
 
@@ -1195,7 +1195,8 @@ def ivfpq_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
     # residual table (row-local: centroid matrix rides the closure)
     def _resid(batches):
         for pdf in batches:
-            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            X = _to_matrix(pdf[vec_col], pdf[id_col].to_numpy(),
+                           "ann_ivfpq")
             cid = pdf["centroid_id"].to_numpy(dtype=np.int64)
             R = X - C[cid]
             yield pd.DataFrame({
@@ -1417,7 +1418,8 @@ def jl_project(corpus: DataFrame, out_dim: int = 8, seed: int = 7,
 
     def project(batches):
         for pdf in batches:
-            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            X = _to_matrix(pdf[vec_col], pdf[id_col].to_numpy(),
+                           "jl_project")
             P = X @ R
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "projected": list(P)})
