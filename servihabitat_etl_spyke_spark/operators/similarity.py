@@ -36,20 +36,36 @@ def _to_matrix(values, ids, op: str) -> "np.ndarray":
     'setting an array element with a sequence'). ``ids`` may be None
     when the kernel has no id column in scope (column-level UDFs)."""
     vals = list(values)
+
+    def where(rows):
+        # plain ints: numpy>=2 reprs scalars as np.int64(7), garbling
+        # the message (and any caller regex) otherwise
+        return ([int(ids[i]) for i in rows[:5]] if ids is not None
+                else f"{len(rows)} row(s) in this batch")
+
     null_at = [i for i, v in enumerate(vals) if v is None]
     if null_at:
-        where = ([ids[i] for i in null_at[:5]] if ids is not None
-                 else f"{len(null_at)} row(s) in this batch")
         raise ValueError(
-            f"{op}: NULL embedding(s) ({where}); filter or impute them "
-            f"upstream — a NULL vector has no position in the space")
+            f"{op}: NULL embedding(s) ({where(null_at)}); filter or "
+            f"impute them upstream — a NULL vector has no position in "
+            f"the space")
     try:
-        return np.asarray(vals, dtype=np.float64)
+        mat = np.asarray(vals, dtype=np.float64)
     except (ValueError, TypeError):
         dims = sorted({len(v) for v in vals})
         raise ValueError(
             f"{op}: ragged embedding dimensions {dims[:5]} — every "
             f"vector must have the same length") from None
+    if mat.size and not np.isfinite(mat).all():
+        # a NULL *element* inside an array<double> arrives as NaN from
+        # Arrow (np.asarray converts it silently) — without this check
+        # it would survive the zero-norm guard, poison the GEMM, and
+        # yield garbage neighbor ranks instead of an error
+        bad = np.where(~np.isfinite(mat).all(axis=-1))[0].tolist()
+        raise ValueError(
+            f"{op}: non-finite element(s) (NaN/Inf) inside embedding(s) "
+            f"({where(bad)}); filter or impute them upstream")
+    return mat
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -357,13 +373,12 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 5,
                  .agg(F.min(id_col).alias("_mid"))
                  .orderBy("_mid").limit(k)
                  .select(vec_col, "_mid").collect())
-    for r in seed_rows:
-        if r[0] is None:
-            raise ValueError(
-                f"kmeans_fit: NULL embedding (id {r[1]}); filter or "
-                f"impute upstream — a NULL vector has no position in "
-                f"the space")
-    cents = [list(map(float, r[0])) for r in seed_rows]
+    # _to_matrix rejects NULL *and* ragged seed vectors with ids (a
+    # ragged seed would otherwise crash np.asarray(cents) cryptically
+    # inside _kmeans_partials); .tolist() keeps plain Python floats for
+    # downstream createDataFrame calls
+    cents = _to_matrix([r[0] for r in seed_rows],
+                       [r[1] for r in seed_rows], "kmeans_fit").tolist()
     if len(cents) < k:
         raise ValueError(
             f"kmeans_fit: k={k} but only {len(cents)} distinct vectors")
@@ -536,7 +551,7 @@ def pca_fit(corpus: DataFrame, k: int = 8,
     sign-ambiguous across LAPACK builds)."""
     def mean_partials(batches):
         for pdf in batches:
-            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            X = _to_matrix(pdf[vec_col], None, "pca_fit")
             if len(X) == 0:
                 continue
             yield pd.DataFrame({
@@ -561,7 +576,7 @@ def pca_fit(corpus: DataFrame, k: int = 8,
 
     def gram_partials(batches):
         for pdf in batches:
-            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            X = _to_matrix(pdf[vec_col], None, "pca_fit")
             if len(X) == 0:
                 continue
             Xc = X - mean
@@ -999,8 +1014,9 @@ def pq_train(corpus: DataFrame, m: int = 8, ks: int = 16, iters: int = 5,
     has fewer than ks distinct subvectors there, the tail keeps
     duplicates (documented degradation, loudly unlikely)."""
     first = (corpus.orderBy(id_col).limit(4 * ks)
-             .select(vec_col).collect())
-    X0 = np.asarray([r[0] for r in first], dtype=np.float64)
+             .select(id_col, vec_col).collect())
+    X0 = _to_matrix([r[1] for r in first], [r[0] for r in first],
+                    "pq_train")
     if len(X0) < ks:
         raise ValueError(f"pq_train: ks={ks} but only {len(X0)} vectors")
     d = X0.shape[1]
@@ -1026,7 +1042,7 @@ def pq_train(corpus: DataFrame, m: int = 8, ks: int = 16, iters: int = 5,
 
             def partials(batches):
                 for pdf in batches:
-                    X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                    X = _to_matrix(pdf[vec_col], None, "pq_train")
                     rows = []
                     for s in range(m):
                         Xs = X[:, s * dsub:(s + 1) * dsub]
@@ -1071,7 +1087,7 @@ def pq_encode(corpus: DataFrame, codebooks: list,
 
     def enc(batches):
         for pdf in batches:
-            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            X = _to_matrix(pdf[vec_col], None, "pq_encode")
             codes = np.empty((len(X), m), dtype=np.int32)
             for s in range(m):
                 Xs = X[:, s * dsub:(s + 1) * dsub]
@@ -1106,7 +1122,7 @@ def pq_search(codes_df: DataFrame, queries: DataFrame, codebooks: list,
         return queries.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, rank int")
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    Q = _to_matrix([r[1] for r in qrows], qids, "pq_search(queries)")
     # LUT[q, s, c] = ||Q[q, s-th sub] - B[s][c]||^2
     lut = np.stack([
         ((Q[:, s * dsub:(s + 1) * dsub] ** 2).sum(1)[:, None]
@@ -1227,7 +1243,7 @@ def ivfpq_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
         return queries.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, rank int")
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    Q = _to_matrix([r[1] for r in qrows], qids, "ivfpq_search(queries)")
     # probe cells per query (closure-local)
     qd2 = ((Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T)
            + (C * C).sum(1)[None, :])
@@ -1350,11 +1366,16 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 10,
     def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
         ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-        X = np.array(list(pdf["nv"]), dtype=np.float64)
+        X = _to_matrix(pdf["nv"], ids, "mmr_rerank")
         Xn = np.linalg.norm(X, axis=1, keepdims=True)
         Xn[Xn == 0] = 1.0
         X = X / Xn
-        q = np.array(pdf["qv"].iloc[0], dtype=np.float64)
+        qv0 = pdf["qv"].iloc[0]
+        if qv0 is None:
+            raise ValueError(
+                "mmr_rerank: NULL query embedding; filter or impute it "
+                "upstream — a NULL vector has no position in the space")
+        q = np.array(qv0, dtype=np.float64)
         qn = np.linalg.norm(q)
         q = q / (qn if qn else 1.0)
         rel = X @ q

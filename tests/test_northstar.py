@@ -1704,3 +1704,32 @@ def test_ann_kernels_reject_null_and_ragged_embeddings(spark):
                                 "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match=r"ragged embedding dimensions"):
         SIM.knn_graph(df2, k=3).count()
+
+
+def test_ann_kernels_reject_nan_elements_and_ragged_seeds(spark):
+    """r7 review round 2: a NULL *element* inside an array<double>
+    arrives as NaN from Arrow and previously sailed through the
+    whole-row NULL guard, poisoning the GEMM silently; a ragged seed
+    vector crashed kmeans_fit cryptically at np.asarray(cents). Both
+    must now raise named contract errors, and pca/pq/mmr query-side
+    ingestion joins the same class."""
+    rows = [(i, [float(i + 1), 2.0, 1.0, 0.5]) for i in range(20)]
+    rows[3] = (3, [1.0, None, 3.0, 4.0])      # NaN element, not NULL row
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match=r"non-finite element.*\[3\]"):
+        SIM.knn_graph(df, k=3).count()
+
+    ragged = [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0]), (2, [4.0, 5.0])]
+    df2 = spark.createDataFrame(ragged,
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="ragged embedding dimensions"):
+        SIM.kmeans_fit(df2, k=2, iters=1)
+
+    nulls = [(i, [float(i + 1), 2.0, 1.0, 0.5]) for i in range(20)]
+    nulls[5] = (5, None)
+    df3 = spark.createDataFrame(nulls,
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="NULL embedding"):
+        SIM.pca_fit(df3, k=2)
+    with pytest.raises(Exception, match="NULL embedding"):
+        SIM.pq_train(df3, m=2, ks=4, iters=1)
