@@ -268,6 +268,7 @@ def _protocol_line(out: dict) -> str:
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > LINE_BUDGET:
         out["queries"] = {}
+        out["queries_thinned"] = True   # self-describing, like the others
         line = json.dumps(out, separators=(",", ":"))
     if len(line) > LINE_BUDGET and out.get("regressions_over_2x"):
         regs = out["regressions_over_2x"]

@@ -893,6 +893,15 @@ def knn_graph_ivf_incremental(old_corpus: DataFrame, old_graph: DataFrame,
       new candidates) under the deterministic (score desc, id asc)
       total order — selection commutes with union.
 
+    Float caveat: the merge reuses STORED scores while the rebuild
+    recomputes them inside a differently-shaped GEMM; equality
+    additionally assumes the BLAS dot product is shape-invariant for
+    a given row pair (it is for the reference/OpenBLAS small-dim
+    kernels this repo tests on). Two candidates whose true scores sit
+    within 1 ulp of each other could, on an exotic BLAS build, swap
+    adjacent ranks between the two paths — semantics, recall, and
+    every downstream consumer are unaffected.
+
     Work done per batch (the 100 TB economics):
     - NEW anchors score against the full membership of their probed
       cells (they are genuinely new queries): |new| x probed-cell GEMM.
@@ -1370,12 +1379,10 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 10,
         Xn = np.linalg.norm(X, axis=1, keepdims=True)
         Xn[Xn == 0] = 1.0
         X = X / Xn
-        qv0 = pdf["qv"].iloc[0]
-        if qv0 is None:
-            raise ValueError(
-                "mmr_rerank: NULL query embedding; filter or impute it "
-                "upstream — a NULL vector has no position in the space")
-        q = np.array(qv0, dtype=np.float64)
+        # _to_matrix gives the query vector the same NULL / NaN-element
+        # / ragged contract errors as the candidate matrix (a NaN in q
+        # would make every MMR score NaN and crash argmin cryptically)
+        q = _to_matrix([pdf["qv"].iloc[0]], None, "mmr_rerank(query)")[0]
         qn = np.linalg.norm(q)
         q = q / (qn if qn else 1.0)
         rel = X @ q

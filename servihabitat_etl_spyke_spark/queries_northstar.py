@@ -696,7 +696,13 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_over(edges: DataFrame) -> DataFrame:
     """Quantized PageRank over ANY (query_id, neighbor_id, ...) edge
-    table — the distributed power iteration itself never collects."""
+    table — the distributed power iteration itself never collects.
+
+    Single-action consumer by design: pagerank() leaves its final
+    sub-interval (< checkpoint_every rounds) un-checkpointed, so each
+    extra action would re-run those rounds — the bench noop and the
+    driver's materialization are one action each; a multi-action
+    consumer should .localCheckpoint() the result first."""
     from .operators.graph import pagerank
     e = edges.select(F.col("query_id").alias("id_a"),
                      F.col("neighbor_id").alias("id_b"))

@@ -108,7 +108,12 @@ def stream_incremental_neardup(stream_docs: DataFrame,
     state is evicted once the doc's event time expires and a
     long-lived daily-crawl loop stays O(watermark window); a stream
     with zero or ambiguous timestamp columns RAISES rather than
-    silently accumulating. Passing ``watermark=None`` is the explicit
+    silently accumulating. STANDARD WATERMARK SEMANTICS APPLY: a doc
+    arriving more than the delay behind the stream's max event time is
+    dropped as late BEFORE near-dup detection — bounded state and
+    never-drop are mutually exclusive in an unbounded stream, so pick
+    a delay that covers your crawler's out-of-orderness (or widen it:
+    ``watermark=(ts_col, '2 days')``). Passing ``watermark=None`` is the explicit
     opt-out (plain ``dropDuplicates``, state grows with every pair
     ever seen — only safe with a fresh checkpoint per crawl batch).
 

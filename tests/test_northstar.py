@@ -1733,3 +1733,14 @@ def test_ann_kernels_reject_nan_elements_and_ragged_seeds(spark):
         SIM.pca_fit(df3, k=2)
     with pytest.raises(Exception, match="NULL embedding"):
         SIM.pq_train(df3, m=2, ks=4, iters=1)
+
+    # mmr query side: a NaN ELEMENT in the query vector previously
+    # made every MMR score NaN and crashed argmin on an empty mask
+    corpus = spark.createDataFrame(
+        [(i, [float(i + 1), 2.0, 1.0, 0.5]) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    nan_query = spark.createDataFrame(
+        [(100, [1.0, None, 3.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="non-finite element"):
+        SIM.mmr_rerank(corpus, nan_query, k=3, pool=5).count()
