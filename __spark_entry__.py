@@ -9,21 +9,22 @@ Implementation lives in ``servihabitat_etl_spyke_spark/`` — this module is a
 thin re-export of its query catalog.
 
 Rotation: the driver's correctness harness checks the FIRST 50 entries of
-``queries()`` each round, while the full registry holds 230.  Every oracled
+``queries()`` each round, while the full registry holds 200+ (the
+test-enforced count lives in README's coverage line).  Every oracled
 query is verified every round by the identical local mirror
 (``tests/test_oracle_parity.py``); the dict order below exists only to
 choose which 50 get *driver-side* evidence this round:
 
 - r1–r6: never-driver-checked names first (``_WINDOW`` pinned the current
   round's tier), auto-retiring green names via ``_DRIVER_VERIFIED``.  The
-  registry CLOSED in r6: all 230 names have green driver evidence
-  (199 hash-green, 31 justified rows-only), zero failures ever recorded.
+  registry CLOSED in r6: every name has green driver evidence, zero
+  failures ever recorded.
 - r7+ (this file): ROLLING RE-VERIFICATION.  With every name verified,
   ordering verified names by registration order would re-check the same
   first-50 forever and let a regression in an old operator hide behind
   stale r1 evidence.  Verified names are therefore ordered by evidence
   AGE — oldest CORRECTNESS round first — so driver evidence refreshes on
-  a ~5-round cycle (50 of 230 per round).  Names whose LATEST evidence is
+  a ~5-round cycle (50 per round).  Names whose LATEST evidence is
   a failure, and new never-checked names, still jump the queue.
 """
 

@@ -52,6 +52,16 @@ def _to_matrix(values, ids, op: str) -> "np.ndarray":
     try:
         mat = np.asarray(vals, dtype=np.float64)
     except (ValueError, TypeError):
+        # r8 ADVICE: a non-sized element (scalar float, string) would
+        # make len(v) raise INSIDE this handler, masking the named
+        # contract error with a bare TypeError from the except block
+        unsized = [i for i, v in enumerate(vals)
+                   if not hasattr(v, "__len__")]
+        if unsized:
+            raise ValueError(
+                f"{op}: malformed embedding row(s) — non-sequence "
+                f"element(s) ({where(unsized)}); every row must be an "
+                f"array of numbers") from None
         dims = sorted({len(v) for v in vals})
         raise ValueError(
             f"{op}: ragged embedding dimensions {dims[:5]} — every "

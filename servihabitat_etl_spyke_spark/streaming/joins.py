@@ -48,16 +48,32 @@ def stream_interval_join(left: DataFrame, right: DataFrame, on: list[str],
     return joined.drop(*[r[k] for k in on])
 
 
-def _auto_watermark(schema, delay: str = "1 hour") -> tuple[str, str]:
+def _auto_watermark(schema, delay: str = "2 days") -> tuple[str, str]:
     """Resolve the default event-time watermark for a streaming doc
     feed: exactly one timestamp-typed column -> (that column, delay).
     Zero or several timestamp columns cannot be bounded automatically —
     raise and demand either an explicit ``watermark=(col, delay)`` or
     the explicit opt-out ``watermark=None`` (unbounded cross-run pair
-    state, see the STATE CONTRACT below)."""
+    state, see the STATE CONTRACT below).
+
+    Default delay is sized to the DAILY-CRAWL workload this operator
+    documents (r8 ADVICE: the r7 '1 hour' default silently dropped any
+    doc arriving >1h behind max event time BEFORE near-dup detection —
+    easily exceeded by a crawler's out-of-orderness). '2 days' covers a
+    full daily batch arriving a day late while still bounding state;
+    the resolution is announced via warnings.warn so the late-data
+    drop window is discoverable without reading the docstring."""
     ts_cols = [f.name for f in schema.fields
                if f.dataType.typeName() in ("timestamp", "timestamp_ntz")]
     if len(ts_cols) == 1:
+        import warnings
+        warnings.warn(
+            f"stream_incremental_neardup: watermark='auto' resolved to "
+            f"({ts_cols[0]!r}, {delay!r}) — docs arriving more than "
+            f"{delay} behind the stream's max event time are dropped "
+            f"BEFORE near-dup detection; pass watermark=(col, delay) to "
+            f"size the window to your crawler's out-of-orderness",
+            stacklevel=3)
         return (ts_cols[0], delay)
     what = "no timestamp column" if not ts_cols else \
         f"ambiguous timestamp columns {ts_cols}"
@@ -104,16 +120,20 @@ def stream_incremental_neardup(stream_docs: DataFrame,
     state PERSISTS in the checkpoint across runs — it is NOT reset by
     an availableNow trigger. ``watermark="auto"`` (the default)
     resolves the stream's single timestamp column and applies
-    ``dropDuplicatesWithinWatermark`` with a 1-hour delay, so pair
-    state is evicted once the doc's event time expires and a
-    long-lived daily-crawl loop stays O(watermark window); a stream
-    with zero or ambiguous timestamp columns RAISES rather than
-    silently accumulating. STANDARD WATERMARK SEMANTICS APPLY: a doc
-    arriving more than the delay behind the stream's max event time is
-    dropped as late BEFORE near-dup detection — bounded state and
-    never-drop are mutually exclusive in an unbounded stream, so pick
-    a delay that covers your crawler's out-of-orderness (or widen it:
-    ``watermark=(ts_col, '2 days')``). Passing ``watermark=None`` is the explicit
+    ``dropDuplicatesWithinWatermark`` with a 2-DAY delay (r8: sized to
+    the daily-crawl workload — a 1-hour default was easily exceeded by
+    crawler out-of-orderness and dropped late duplicates invisibly;
+    the resolution now also emits a one-time ``warnings.warn`` naming
+    the column and delay), so pair state is evicted once the doc's
+    event time expires and a long-lived daily-crawl loop stays
+    O(watermark window); a stream with zero or ambiguous timestamp
+    columns RAISES rather than silently accumulating. STANDARD
+    WATERMARK SEMANTICS APPLY: a doc arriving more than the delay
+    behind the stream's max event time is dropped as late BEFORE
+    near-dup detection — bounded state and never-drop are mutually
+    exclusive in an unbounded stream, so pick a delay that covers your
+    crawler's out-of-orderness (tighten or widen it:
+    ``watermark=(ts_col, '6 hours')``). Passing ``watermark=None`` is the explicit
     opt-out (plain ``dropDuplicates``, state grows with every pair
     ever seen — only safe with a fresh checkpoint per crawl batch).
 

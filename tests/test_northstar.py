@@ -1427,6 +1427,29 @@ def test_psi_drift_excludes_nulls_and_pagerank_empty_schema(spark):
     assert dict(pr.dtypes)["v"] == "string"
 
 
+def test_pagerank_final_checkpoint_pins_result(spark):
+    """r8 ADVICE: ``final_checkpoint=True`` materializes the ranks so a
+    multi-action consumer re-reads pinned values (no re-execution of
+    the final sub-interval, no fold-order rank drift across actions).
+    Witness: the returned plan is a checkpointed RDD scan with NO join,
+    while the default lazy form still carries the iteration joins; the
+    pinned values equal the lazy ones."""
+    from servihabitat_etl_spyke_spark.operators.graph import pagerank
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)], "id_a long, id_b long")
+    lazy = pagerank(edges, iters=6)
+    pinned = pagerank(edges, iters=6, final_checkpoint=True)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("simple")
+    lazy_plan = lazy._jdf.queryExecution().explainString(mode)
+    pinned_plan = pinned._jdf.queryExecution().explainString(mode)
+    assert "Join" in lazy_plan
+    assert "Join" not in pinned_plan and "ExistingRDD" in pinned_plan
+    got = {r["v"]: round(r["rank"], 9) for r in pinned.collect()}
+    want = {r["v"]: round(r["rank"], 9) for r in lazy.collect()}
+    assert got == want and abs(sum(got.values()) - 1.0) < 1e-9
+
+
 def test_r5_review_guards(spark):
     """Round-5 review fixes: empty-query ivfpq, corrupt-blob containment
     in the hashing/resize sweeps, render_doc_wav int64 overflow,
@@ -1704,6 +1727,23 @@ def test_ann_kernels_reject_null_and_ragged_embeddings(spark):
                                 "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match=r"ragged embedding dimensions"):
         SIM.knn_graph(df2, k=3).count()
+
+
+def test_to_matrix_names_non_sequence_elements():
+    """r8 ADVICE: a NON-SIZED element (scalar float) in the ragged
+    handler used to make len(v) raise an uncaught TypeError INSIDE the
+    except block, masking the named contract error _to_matrix exists to
+    provide. It must now name the offending rows instead."""
+    from servihabitat_etl_spyke_spark.operators.similarity import _to_matrix
+    with pytest.raises(ValueError,
+                       match=r"malformed embedding row.*\[1\]"):
+        _to_matrix([[1.0, 2.0], 3.14, [4.0, 5.0]], [10, 1, 12], "op_x")
+    # without ids in scope, the batch-level fallback message still works
+    with pytest.raises(ValueError, match="malformed embedding row"):
+        _to_matrix([[1.0, 2.0], 3.14], None, "op_x")
+    # genuinely ragged (all sized) keeps the dimension message
+    with pytest.raises(ValueError, match="ragged embedding dimensions"):
+        _to_matrix([[1.0, 2.0], [1.0, 2.0, 3.0]], [0, 1], "op_x")
 
 
 def test_ann_kernels_reject_nan_elements_and_ragged_seeds(spark):

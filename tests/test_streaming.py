@@ -769,16 +769,26 @@ def test_stream_incremental_neardup_watermarked_matches_batch(
 
 def test_auto_watermark_resolution():
     """Unit contract of the r7 default-bounded state: one timestamp
-    column resolves, zero or several raise with actionable guidance."""
+    column resolves (r8: to a 2-DAY crawl-sized delay, announced via a
+    warning naming column and delay so the late-drop window is
+    discoverable at runtime), zero or several raise with actionable
+    guidance."""
+    import warnings as _warnings
+
     from pyspark.sql import types as T
 
     from servihabitat_etl_spyke_spark.streaming.joins import _auto_watermark
 
     one = T.StructType([T.StructField("doc_id", T.LongType()),
                         T.StructField("crawled_at", T.TimestampType())])
-    assert _auto_watermark(one) == ("crawled_at", "1 hour")
-    assert _auto_watermark(one, "15 minutes") == ("crawled_at",
-                                                  "15 minutes")
+    with _warnings.catch_warnings(record=True) as seen:
+        _warnings.simplefilter("always")
+        assert _auto_watermark(one) == ("crawled_at", "2 days")
+        assert _auto_watermark(one, "15 minutes") == ("crawled_at",
+                                                      "15 minutes")
+    msgs = [str(w.message) for w in seen]
+    assert any("'crawled_at'" in m and "'2 days'" in m for m in msgs), msgs
+    assert any("'15 minutes'" in m for m in msgs), msgs
 
     none = T.StructType([T.StructField("doc_id", T.LongType())])
     with pytest.raises(ValueError, match="no timestamp column"):
