@@ -93,17 +93,18 @@ _WINDOW: list[str] = [
     "ann_ivf_index_build",
 ]
 
-# Names whose REGISTERED IMPLEMENTATION changed this round (the query
-# body itself, not just internals): they jump the queue like new builds
-# so the change gets fresh driver evidence instead of riding an old
-# green.  SELF-EXPIRING: once a name's evidence is the newest round on
-# record (i.e. the driver re-verified it after the change), it returns
-# to the age-ordered tier — no manual cleanup next round.
-_REVERIFY: list[str] = [
+# Names whose REGISTERED IMPLEMENTATION changed (the query body itself,
+# not just internals), mapped to the round the change shipped in: they
+# jump the queue like new builds so the change gets fresh driver
+# evidence instead of riding an older green.  SELF-EXPIRING: once the
+# name's evidence round reaches the changed-in round (the driver
+# re-verified the new implementation), it returns to the age-ordered
+# tier — no manual cleanup next round.
+_REVERIFY: dict[str, int] = {
     # r8: ann_knn_graph_incremental now runs the persisted-index path
     # (no old-corpus rescan) with the touched-query merge window
-    "ann_knn_graph_incremental",
-]
+    "ann_knn_graph_incremental": 8,
+}
 
 
 def _rotated(d: dict) -> dict:
@@ -111,10 +112,10 @@ def _rotated(d: dict) -> dict:
 
     tier 0   — ``_WINDOW`` names without green evidence (listed
                order): this round's new builds;
-    tier 0.5 — ``_REVERIFY`` names whose evidence predates the newest
-               round on record (listed order): implementations changed
-               this round; self-expires once the driver re-records
-               them;
+    tier 0.5 — ``_REVERIFY`` names whose evidence predates the round
+               their implementation changed in (listed order);
+               self-expires once the driver re-records them at or
+               after that round;
     tier 1   — never-driver-checked names and names whose LATEST
                driver evidence is a failure (registration order):
                regressions and stragglers re-enter here automatically;
@@ -125,12 +126,12 @@ def _rotated(d: dict) -> dict:
     pos = {n: i for i, n in enumerate(_WINDOW)}
     rev = {n: i for i, n in enumerate(_REVERIFY)}
     reg = {n: i for i, n in enumerate(d)}
-    newest = max((r for r, _ in _EVIDENCE.values()), default=0)
 
     def tier(name: str) -> tuple[float, int, int]:
         if name in pos and name not in _DRIVER_VERIFIED:
             return (0, pos[name], 0)
-        if name in rev and _EVIDENCE.get(name, (0, False))[0] < newest:
+        if name in rev and \
+                _EVIDENCE.get(name, (0, False))[0] < _REVERIFY[name]:
             return (0.5, rev[name], 0)
         if name not in _DRIVER_VERIFIED:
             return (1, reg.get(name, 0), 0)

@@ -555,11 +555,15 @@ def ann_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa:
     no join (plan-gated). Bit-equality to assign_to_centroids +
     _ivf_probe_side is pytest-pinned; the k-means codebook itself is
     not SQL-expressible (COVERAGE.md waiver), so driver evidence is
-    rows-only."""
+    rows-only. The probe LIST is posexploded to scalar rows
+    (vec_id, probe_seq, probed_centroid) — the driver canonicalizer
+    cannot hash array cells."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = SIM.kmeans_fit(emb, k=4, iters=3)
     return (SIM.ivf_index(emb, cents, n_probe=2)
-            .select("vec_id", "centroid_id", "probes", "n_probe"))
+            .select("vec_id", "centroid_id", "n_probe",
+                    F.posexplode("probes").alias("probe_seq",
+                                                 "probed_centroid")))
 
 
 @query("ann_hard_negatives", oracle="""

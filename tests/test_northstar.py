@@ -286,6 +286,13 @@ def test_knn_graph_ivf_incremental_empty_batch_is_identity(spark, sf_dir):
     want = sorted((r["query_id"], r["neighbor_id"], r["rank"])
                   for r in old_graph.collect())
     assert got == want and want
+    # r8: same identity through the persisted-index path — the whole
+    # stored graph flows through the untouched anti-join branch
+    idx = SIM.ivf_index(emb, cents, n_probe=2)
+    inc_idx = SIM.knn_graph_ivf_incremental(None, old_graph, empty,
+                                            cents, k=5, n_probe=2,
+                                            old_index=idx)
+    assert sorted(map(tuple, inc_idx.collect())) == want
 
 
 def test_knn_graph_ivf_incremental_requires_scores(spark, sf_dir):

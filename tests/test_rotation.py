@@ -12,13 +12,13 @@ from __future__ import annotations
 import __spark_entry__ as entry_mod
 
 
-def _rotate(monkeypatch, d, evidence, window=(), reverify=()):
+def _rotate(monkeypatch, d, evidence, window=(), reverify=None):
     monkeypatch.setattr(entry_mod, "_EVIDENCE", evidence)
     monkeypatch.setattr(
         entry_mod, "_DRIVER_VERIFIED",
         frozenset(n for n, (_, g) in evidence.items() if g))
     monkeypatch.setattr(entry_mod, "_WINDOW", list(window))
-    monkeypatch.setattr(entry_mod, "_REVERIFY", list(reverify))
+    monkeypatch.setattr(entry_mod, "_REVERIFY", dict(reverify or {}))
     return list(entry_mod._rotated(d))
 
 
@@ -57,26 +57,29 @@ def test_window_pins_unverified_first(monkeypatch):
 
 
 def test_reverify_jumps_queue_until_reverified(monkeypatch):
-    """r8: a _REVERIFY name (implementation changed this round) jumps
-    ahead of every verified name — but BEHIND new builds — while its
-    evidence predates the newest round on record, and SELF-EXPIRES back
-    into the age-ordered tier once the driver re-records it (so a
-    forgotten list entry can never hog a window slot next round)."""
+    """r8: a _REVERIFY name (implementation changed in the mapped
+    round) jumps ahead of every verified name — but BEHIND new builds —
+    while its evidence predates the changed-in round, and SELF-EXPIRES
+    back into the age-ordered tier once the driver re-records it at or
+    after that round (so a forgotten entry can never hog a window slot
+    next round). The r7-green/changed-in-r8 case is exactly the live
+    r8 state: evidence == newest round on record must STILL jump."""
     d = {"a": 1, "chg": 2, "b": 3, "new": 4}
-    # chg last verified r5; newest evidence anywhere is r7 -> jumps,
-    # after the unverified window pin
-    ev = {"a": (7, True), "chg": (5, True), "b": (6, True)}
+    # chg verified r7 (the newest evidence anywhere), changed in r8 ->
+    # jumps, after the unverified window pin
+    ev = {"a": (7, True), "chg": (7, True), "b": (6, True)}
     assert _rotate(monkeypatch, d, ev, window=["new"],
-                   reverify=["chg"]) == ["new", "chg", "b", "a"]
-    # driver re-verified chg in the newest round -> expired, pure age
-    # order again (new still unverified -> tier 1)
+                   reverify={"chg": 8}) == ["new", "chg", "b", "a"]
+    # driver re-verified chg at the changed-in round -> expired, pure
+    # age order again (new still unverified -> tier 1)
     ev2 = {"a": (7, True), "chg": (8, True), "b": (6, True)}
     assert _rotate(monkeypatch, d, ev2, window=["new"],
-                   reverify=["chg"]) == ["new", "b", "a", "chg"]
+                   reverify={"chg": 8}) == ["new", "b", "a", "chg"]
     # a reverify name whose latest evidence is a FAILURE needs no lane:
     # the failure fast-lane (tier 1) already outranks it
     ev3 = {"a": (7, True), "chg": (7, False), "b": (6, True)}
-    out = _rotate(monkeypatch, d, ev3, window=["new"], reverify=["chg"])
+    out = _rotate(monkeypatch, d, ev3, window=["new"],
+                  reverify={"chg": 8})
     assert out.index("chg") < out.index("b")
 
 
