@@ -246,6 +246,17 @@ WINDOW_WAIT_BUDGET_SEC = int(os.environ.get(
     "SPARK_GRAFT_BENCH_WAIT_SEC", "600"))
 
 
+def _sf_value() -> float | str:
+    """The scale factor parsed off $SPARK_GRAFT_SF_DIR — ONE parse
+    shared by the quiet-window gate and the protocol line, so the two
+    can never disagree about whether the run is at the pin's SF."""
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(sf)
+    except ValueError:
+        return sf
+
+
 def _wait_for_quiet_window(spark) -> tuple[float | None, int, bool]:
     """(final canary_sec, seconds waited, gave_up) — sleeps in
     WINDOW_WAIT_STEP_SEC steps until the constant-work canary reads
@@ -253,12 +264,7 @@ def _wait_for_quiet_window(spark) -> tuple[float | None, int, bool]:
     canary (custom layout) or a non-pin SF skips the wait outright —
     the factor is only meaningful at the pin's SF."""
     canary = _canary_seconds(spark)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        at_pin_sf = float(sf) == CANARY_PIN_SF
-    except ValueError:
-        at_pin_sf = False
-    if canary is None or not at_pin_sf:
+    if canary is None or _sf_value() != CANARY_PIN_SF:
         return canary, 0, False
     waited = 0
     while (canary / CANARY_PIN_SEC > WINDOW_GATE
@@ -447,11 +453,7 @@ def main() -> None:
             best = min(best, elapsed)
         timings[name] = round(best, 3)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
+    sf_val = _sf_value()
     # stdout carries only the 5 slowest queries (bounded, ~150 bytes):
     # the full per-query dict lives in BENCH_DETAIL.json. The driver
     # records a 2000-byte stdout TAIL, and the full dict (116+ entries,

@@ -1056,17 +1056,18 @@ def knn_graph_ivf_incremental(old_corpus: DataFrame | None,
 
     - ``old_graph`` must carry scores (build it ``with_score=True``) —
       raises otherwise, since ranks alone cannot be re-merged.
-    - ``k`` and ``n_probe`` must EQUAL the values the stored graph was
-      built with. A stored k below the requested k leaves old-vs-old
-      candidates beyond the stored truncation unrecoverable (wrong
-      neighbors fill ranks k_stored+1..k with no cardinality signal);
-      an n_probe mismatch in EITHER direction changes which cells'
-      old members were candidates. ``validate=True`` (default) runs a
-      one-job rank probe that catches the common stored-k-too-small
-      case; an ``old_index`` carries its build ``n_probe`` and is
-      checked against the request outright — without an index the
-      n_probe mismatch is not detectable from the edge table and stays
-      the caller's contract.
+    - The stored graph's k must be >= the requested ``k`` (equal is
+      the common case; LARGER is exact too — both branches truncate to
+      the requested k, r8). A stored k BELOW the request leaves
+      old-vs-old candidates beyond the stored truncation unrecoverable
+      (wrong neighbors fill ranks k_stored+1..k with no cardinality
+      signal); ``validate=True`` (default) runs a one-job rank probe
+      that catches it. ``n_probe`` must EQUAL the stored build's — a
+      mismatch in EITHER direction changes which cells' old members
+      were candidates; an ``old_index`` REQUIRES its ``n_probe``
+      column and is checked against the request outright — without an
+      index the n_probe mismatch is not detectable from the edge table
+      and stays the caller's contract.
     - Old and new ids must be disjoint (re-ingest = delete upstream
       INCLUDING the deleted vector's stored edges, then add).
       ``validate=True`` probes for an overlap and raises.
@@ -1080,15 +1081,26 @@ def knn_graph_ivf_incremental(old_corpus: DataFrame | None,
             "knn_graph_ivf_incremental: old_graph has no 'score' column "
             "— build the stored graph with with_score=True (ranks alone "
             "cannot be merged with new candidate scores)")
+    if "rank" not in old_graph.columns:
+        # the untouched-query passthrough (r8) reuses stored ranks
+        # as-is — a rank-less edge table cannot skip the re-rank window
+        raise ValueError(
+            "knn_graph_ivf_incremental: old_graph has no 'rank' column "
+            "— pass the stored graph as knn_graph_ivf(with_score=True) "
+            "produced it (untouched queries reuse stored ranks instead "
+            "of re-entering the merge window)")
     if old_index is not None:
-        need = {id_col, vec_col, "centroid_id", "probes"}
+        # n_probe is REQUIRED, not best-effort: without it the
+        # mismatch guard below silently skips and a probe-width drift
+        # changes which cells' members are candidates (r8 review)
+        need = {id_col, vec_col, "centroid_id", "probes", "n_probe"}
         missing_cols = need - set(old_index.columns)
         if missing_cols:
             raise ValueError(
                 f"knn_graph_ivf_incremental: old_index is missing "
                 f"column(s) {sorted(missing_cols)} — build it with "
                 f"ivf_index(corpus, centroids, n_probe)")
-        if validate and "n_probe" in old_index.columns:
+        if validate:
             built = old_index.select("n_probe").first()
             np_eff = min(n_probe, len(centroids))
             if built is not None and built[0] != np_eff:
@@ -1147,8 +1159,14 @@ def knn_graph_ivf_incremental(old_corpus: DataFrame | None,
     ranked = _cross_cell_topk(changed, k, with_score, ordered=False)
     keep = ["query_id", "neighbor_id", "rank"] + (
         ["score"] if with_score else [])
+    # rank <= k: a stored graph built with a LARGER k than requested is
+    # exact through both branches (top-k of the stored top-k_stored is
+    # the rebuild's top-k when k_stored >= k), but only if the
+    # passthrough truncates — r8 review caught ranks k+1..k_stored
+    # leaking through untouched queries while touched ones re-windowed
     untouched = (old_graph
                  .join(F.broadcast(touched), "query_id", "left_anti")
+                 .filter(F.col("rank") <= k)
                  .select(*keep))
     return (ranked.unionByName(untouched)
             .orderBy("query_id", "rank"))

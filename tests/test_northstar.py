@@ -165,6 +165,49 @@ def test_ivf_index_matches_assign_and_probe(spark, sf_dir):
     assert idx.select("n_probe").distinct().collect()[0][0] == 2
 
 
+def test_knn_graph_ivf_incremental_larger_stored_k_is_exact(
+        spark, sf_dir):
+    """r8 review finding: a stored graph built with a LARGER k than
+    requested used to leak ranks k+1..k_stored through the untouched
+    passthrough while touched queries re-windowed to k (reproduced:
+    max_rank 8 vs the rebuild's 5). Both branches now truncate — a
+    k_stored=8 graph must merge byte-identically to a k=5 rebuild,
+    through both the fallback and the index path."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 400)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = SIM.kmeans_fit(old, k=4, iters=3)
+    big = SIM.knn_graph_ivf(old, k=8, n_probe=2, centroids=cents,
+                            with_score=True).localCheckpoint()
+    idx = SIM.ivf_index(old, cents, n_probe=2).localCheckpoint()
+    want = sorted(map(tuple, SIM.knn_graph_ivf(
+        emb, k=5, n_probe=2, centroids=cents).collect()))
+    inc_fb = SIM.knn_graph_ivf_incremental(old, big, new, cents,
+                                           k=5, n_probe=2)
+    inc_idx = SIM.knn_graph_ivf_incremental(None, big, new, cents,
+                                            k=5, n_probe=2,
+                                            old_index=idx)
+    assert sorted(map(tuple, inc_fb.collect())) == want
+    assert sorted(map(tuple, inc_idx.collect())) == want and want
+
+
+def test_knn_graph_ivf_incremental_requires_rank_column(spark, sf_dir):
+    """r8 review finding: the untouched passthrough reuses stored
+    ranks, so a rank-less (query_id, neighbor_id, score) edge table
+    must raise the named contract error — not an AnalysisException
+    from deep inside the merge plan."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 100)
+    cents = SIM.kmeans_fit(emb, k=4, iters=3)
+    graph = SIM.knn_graph_ivf(emb, k=5, n_probe=2, centroids=cents,
+                              with_score=True)
+    rankless = graph.select("query_id", "neighbor_id", "score")
+    with pytest.raises(ValueError, match="no 'rank' column"):
+        SIM.knn_graph_ivf_incremental(emb, rankless, emb, cents,
+                                      validate=False)
+
+
 def test_knn_graph_ivf_incremental_index_contract_errors(spark, sf_dir):
     """The index path validates its inputs loudly: an n_probe mismatch
     (which silently changes the candidate cells), a structurally wrong
@@ -183,6 +226,13 @@ def test_knn_graph_ivf_incremental_index_contract_errors(spark, sf_dir):
     with pytest.raises(ValueError, match="missing\\s+column"):
         SIM.knn_graph_ivf_incremental(None, graph, new, cents, k=5,
                                       n_probe=2, old_index=old)
+    # r8 review: n_probe is REQUIRED on the index — a hand-selected
+    # index without it would silently skip the mismatch guard and a
+    # probe-width drift changes the candidate cells with no error
+    stripped = idx3.drop("n_probe")
+    with pytest.raises(ValueError, match=r"missing\s+column.*n_probe"):
+        SIM.knn_graph_ivf_incremental(None, graph, new, cents, k=5,
+                                      n_probe=3, old_index=stripped)
     with pytest.raises(ValueError, match="old_corpus, or old_index"):
         SIM.knn_graph_ivf_incremental(None, graph, new, cents, k=5,
                                       n_probe=2)
