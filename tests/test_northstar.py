@@ -143,6 +143,36 @@ def test_knn_graph_ivf_incremental_with_index_equals_full_rebuild(
                   for r in scored.collect()) == want
 
 
+def test_knn_graph_ivf_incremental_two_day_cycle(spark, sf_dir):
+    """The REAL maintenance loop, end to end: day-1's incremental
+    output (graph, with scores) and the appended index become day-2's
+    stored state, and after two daily batches the graph still equals a
+    full rebuild over everything — the contract that lets the trilogy
+    run forever without a rebuild. Catches any drift in what the
+    operator EMITS vs what it CONSUMES (rank+score round-trip, index
+    append semantics)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 400)
+    base = emb.filter(F.col("vec_id") % 4 <= 1)
+    day1 = emb.filter(F.col("vec_id") % 4 == 2)
+    day2 = emb.filter(F.col("vec_id") % 4 == 3)
+    cents = SIM.kmeans_fit(base, k=4, iters=3)
+    g0 = SIM.knn_graph_ivf(base, k=5, n_probe=2, centroids=cents,
+                           with_score=True,
+                           ordered=False).localCheckpoint()
+    idx0 = SIM.ivf_index(base, cents, n_probe=2).localCheckpoint()
+    g1 = SIM.knn_graph_ivf_incremental(
+        None, g0, day1, cents, k=5, n_probe=2, with_score=True,
+        old_index=idx0).localCheckpoint()
+    idx1 = (idx0.unionByName(SIM.ivf_index(day1, cents, n_probe=2))
+            .localCheckpoint())
+    g2 = SIM.knn_graph_ivf_incremental(
+        None, g1, day2, cents, k=5, n_probe=2, old_index=idx1)
+    want = sorted(map(tuple, SIM.knn_graph_ivf(
+        emb, k=5, n_probe=2, centroids=cents).collect()))
+    assert sorted(map(tuple, g2.collect())) == want and want
+
+
 def test_ivf_index_matches_assign_and_probe(spark, sf_dir):
     """The persisted index table must be bit-equal to what the operator
     would recompute: centroid_id == nearest-centroid assignment (the
