@@ -770,7 +770,18 @@ def ivf_index(corpus: DataFrame, centroids: list[list[float]],
     never re-runs the assignment/probe UDF over the stored corpus —
     the quiet-day scan is the new batch plus affected-cell members
     only. The ``n_probe`` column pins the build parameter so the
-    consumer can validate its contract without re-deriving it."""
+    consumer can validate its contract without re-deriving it.
+
+    Partitioned-layout note (measured on this build): a STATIC cell
+    predicate on the partitioned table prunes partitions at the scan
+    (``PartitionFilters: [(centroid_id = ...)]``, pinned in tests);
+    the incremental operator's broadcast semi-join prune does NOT
+    trigger dynamic partition pruning (Spark's DPP wants a selective
+    build-side filter), so it prunes post-scan, pre-shuffle. When the
+    affected-cell list is small and known (a quiet day), a caller can
+    pre-filter the index with ``isin`` before passing it for true
+    scan-level pruning — with a kc-sized list the semi-join is the
+    robust default (a 100k-literal isin blows up codegen)."""
     np_eff = min(n_probe, len(centroids))
     probes = _probes_udf(centroids, n_probe)
     return (corpus.select(F.col(id_col), F.col(vec_col),
@@ -989,8 +1000,8 @@ def knn_graph_ivf_incremental(old_corpus: DataFrame | None,
                               vec_col: str = "embedding",
                               with_score: bool = False,
                               validate: bool = True,
-                              old_index: DataFrame | None = None
-                              ) -> DataFrame:
+                              old_index: DataFrame | None = None,
+                              ordered: bool = True) -> DataFrame:
     """Daily-ingest kNN-graph maintenance: update the stored graph with
     a new embedding batch WITHOUT rescoring old-vs-old — the ANN leg of
     the incremental trilogy next to ``dedup_incremental`` and
@@ -1168,8 +1179,10 @@ def knn_graph_ivf_incremental(old_corpus: DataFrame | None,
                  .join(F.broadcast(touched), "query_id", "left_anti")
                  .filter(F.col("rank") <= k)
                  .select(*keep))
-    return (ranked.unionByName(untouched)
-            .orderBy("query_id", "rank"))
+    out = ranked.unionByName(untouched)
+    # ordered=False: table-write consumers (the streaming sink) skip
+    # the presentational global sort, same contract as knn_graph_ivf
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 # -- product quantization (PQ / ADC search) ------------------------------------

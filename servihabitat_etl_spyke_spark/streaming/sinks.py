@@ -326,3 +326,89 @@ def read_funnel(spark, path: str, gates) -> DataFrame:
     from ..operators.curation import funnel_report
 
     return funnel_report(spark.read.parquet(path), gates)
+
+
+def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
+                            index_path: str, checkpoint: str,
+                            centroids: list[list[float]], *,
+                            k: int = 5, n_probe: int = 2,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            available_now: bool = True) -> StreamingQuery:
+    """Streaming twin of the ANN maintenance leg: embeddings arrive as
+    a STREAM and every micro-batch folds into the persisted kNN graph
+    via ``knn_graph_ivf_incremental`` — the same fixed-codebook,
+    index-fed, touched-query-only update the batch operator runs
+    nightly, kept exactly equal to a full rebuild (the batch operator's
+    exactness twin carries over; the stream-vs-batch equality is pinned
+    in tests).
+
+    State layout (both paths are what a day-1 bootstrap would write):
+    - ``graph_path``: the stored graph (query_id, neighbor_id, rank,
+      score) — overwritten atomically per batch via the tmp-stage
+      pattern of ``_merge_sink``.
+    - ``index_path``: the ``ivf_index`` table, partitioned by
+      ``centroid_id`` (the documented pruning layout); each batch
+      APPENDS its own index rows — old rows never rewrite.
+
+    Replay protection is MANDATORY here, not optional: foreachBatch is
+    at-least-once, and replaying a batch would re-insert ids the index
+    already holds — the operator's disjointness guard would raise (and
+    without it the merge would be wrong), so the last applied batch id
+    is recorded in a marker inside the checkpoint directory and an
+    already-applied id SKIPS (the ``additive=True`` contract of
+    ``_merge_sink``, same crash-window caveat: marker commits after the
+    data writes; graph-committed/index-missing is the window a
+    transactional table format closes).
+    """
+    import json
+    import os
+
+    from ..operators import similarity as _sim
+
+    marker = os.path.join(checkpoint, "_knn_graph_last_batch")
+
+    def apply_batch(batch: DataFrame, bid: int) -> None:
+        spark = batch.sparkSession
+        if os.path.exists(marker):
+            try:
+                with open(marker) as fh:
+                    last = json.load(fh).get("batch_id", -1)
+            except (OSError, ValueError):
+                last = -1
+            if bid <= last:
+                return                  # replayed batch: already merged
+        rows = batch.select(id_col, vec_col).localCheckpoint()
+        if rows.isEmpty():
+            return
+        if not os.path.exists(graph_path):
+            # day-1 bootstrap: the first batch IS the corpus
+            graph = _sim.knn_graph_ivf(rows, k=k, n_probe=n_probe,
+                                       centroids=centroids,
+                                       with_score=True, ordered=False)
+            graph.write.mode("overwrite").parquet(graph_path)
+            (_sim.ivf_index(rows, centroids, n_probe, id_col, vec_col)
+             .write.partitionBy("centroid_id").mode("overwrite")
+             .parquet(index_path))
+        else:
+            old_graph = spark.read.parquet(graph_path)
+            old_index = spark.read.parquet(index_path)
+            new_graph = _sim.knn_graph_ivf_incremental(
+                None, old_graph, rows, centroids, k=k, n_probe=n_probe,
+                id_col=id_col, vec_col=vec_col, with_score=True,
+                old_index=old_index, ordered=False)
+            _overwrite_via_tmp(new_graph, graph_path)
+            (_sim.ivf_index(rows, centroids, n_probe, id_col, vec_col)
+             .write.partitionBy("centroid_id").mode("append")
+             .parquet(index_path))
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": bid}, fh)
+        os.replace(tmp, marker)
+
+    writer = (stream.writeStream
+              .foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

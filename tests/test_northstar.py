@@ -173,6 +173,41 @@ def test_knn_graph_ivf_incremental_two_day_cycle(spark, sf_dir):
     assert sorted(map(tuple, g2.collect())) == want and want
 
 
+def test_ivf_index_partitioned_parquet_round_trip(spark, sf_dir,
+                                                  tmp_path):
+    """The PERSISTED story, through real parquet: the index written
+    partitioned by centroid_id (the documented layout) and the stored
+    graph written plain must, read back, drive the incremental update
+    to byte-equality with the rebuild — this witnesses partition-column
+    type coercion, column reordering, and array round-tripping, none of
+    which localCheckpoint exercises. Also pins the layout's benefit: a
+    static cell predicate prunes partitions AT THE SCAN."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 400)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = SIM.kmeans_fit(old, k=4, iters=3)
+    SIM.ivf_index(old, cents, n_probe=2).write.partitionBy(
+        "centroid_id").parquet(str(tmp_path / "idx"))
+    SIM.knn_graph_ivf(old, k=5, n_probe=2, centroids=cents,
+                      with_score=True, ordered=False).write.parquet(
+        str(tmp_path / "graph"))
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    graph = spark.read.parquet(str(tmp_path / "graph"))
+    inc = SIM.knn_graph_ivf_incremental(None, graph, new, cents,
+                                        k=5, n_probe=2, old_index=idx)
+    want = sorted(map(tuple, SIM.knn_graph_ivf(
+        emb, k=5, n_probe=2, centroids=cents).collect()))
+    assert sorted(map(tuple, inc.collect())) == want and want
+    # static cell predicate reaches the scan as a partition filter
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = (idx.filter(F.col("centroid_id") == 1)
+            ._jdf.queryExecution().explainString(mode))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("centroid_id" in ln and "= 1" in ln for ln in pf), pf
+
+
 def test_ivf_index_matches_assign_and_probe(spark, sf_dir):
     """The persisted index table must be bit-equal to what the operator
     would recompute: centroid_id == nearest-centroid assignment (the

@@ -817,3 +817,71 @@ def test_neardup_watermark_rejects_bare_string(spark, sf_dir):
     with pytest.raises(ValueError, match="watermark='2 hours'"):
         stream_incremental_neardup(stream, docs, stored_sig,
                                    watermark="2 hours")
+
+
+def test_stream_knn_graph_upsert_matches_full_rebuild(spark, sf_dir,
+                                                      tmp_path):
+    """Streaming twin of the ANN maintenance leg (r8): embeddings
+    arrive in THREE micro-batches (bootstrap + two daily increments,
+    file mtimes pin the order, maxFilesPerTrigger=1) and the persisted
+    graph after the stream drains must equal a full knn_graph_ivf
+    rebuild over everything under the same fixed codebook — the
+    stream-vs-batch equality the other trilogy legs already pin.
+    A restart on the SAME checkpoint must be a no-op (no replayed
+    batch, no disjointness error)."""
+    import os
+    import time as _time
+
+    from servihabitat_etl_spyke_spark.operators import similarity as SIM
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        stream_knn_graph_upsert)
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 400).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 4 <= 1)
+    day1 = emb.filter(F.col("vec_id") % 4 == 2)
+    day2 = emb.filter(F.col("vec_id") % 4 == 3)
+    cents = SIM.kmeans_fit(base, k=4, iters=3)
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    now = _time.time()
+    for i, part in enumerate((base, day1, day2)):
+        p = str(src / f"b{i}.parquet")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        # one mtime per FEED DIRECTORY ENTRY: the file source orders by
+        # modification time, and parquet dirs carry nested files
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i, now + i))
+        os.utime(p, (now + i, now + i))
+
+    stream = (spark.readStream.schema(base.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .parquet(str(src / "b*.parquet")))
+    q = stream_knn_graph_upsert(
+        stream, str(tmp_path / "graph"), str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"), cents, k=5, n_probe=2)
+    q.awaitTermination(180)
+
+    got = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                 for r in spark.read.parquet(
+                     str(tmp_path / "graph")).collect())
+    want = sorted(map(tuple, SIM.knn_graph_ivf(
+        emb, k=5, n_probe=2, centroids=cents).collect()))
+    assert got == want and want
+
+    # restart on the same checkpoint: nothing new -> stored state
+    # unchanged, no duplicate-id error from a replay
+    stream2 = (spark.readStream.schema(base.schema)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(str(src / "b*.parquet")))
+    q2 = stream_knn_graph_upsert(
+        stream2, str(tmp_path / "graph"), str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"), cents, k=5, n_probe=2)
+    q2.awaitTermination(120)
+    again = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                   for r in spark.read.parquet(
+                       str(tmp_path / "graph")).collect())
+    assert again == want
