@@ -94,6 +94,36 @@ def stream_dedup(stream: DataFrame, keys: list[str], *,
             .dropDuplicatesWithinWatermark(keys))
 
 
+def _last_applied_batch(marker: str) -> int:
+    """The batch id recorded by :func:`_commit_batch_marker`, or -1
+    when absent/unreadable — the shared half of the replay-skip
+    protocol (one implementation; _merge_sink and the kNN-graph sink
+    must never drift on marker semantics)."""
+    import json
+    import os
+
+    if not os.path.exists(marker):
+        return -1
+    try:
+        with open(marker) as fh:
+            return json.load(fh).get("batch_id", -1)
+    except (OSError, ValueError):
+        return -1
+
+
+def _commit_batch_marker(marker: str, bid: int) -> None:
+    """Atomically record ``bid`` as applied (tmp write + os.replace) —
+    committed AFTER the data writes, so the remaining at-least-once
+    window is the gap between data and marker (see _merge_sink)."""
+    import json
+    import os
+
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"batch_id": bid}, fh)
+    os.replace(tmp, marker)
+
+
 def _merge_sink(stream: DataFrame, path: str, checkpoint: str,
                 partial_fn, merge_fn, *, available_now: bool,
                 additive: bool) -> StreamingQuery:
@@ -115,21 +145,14 @@ def _merge_sink(stream: DataFrame, path: str, checkpoint: str,
     with the batch id in the transaction); this is the documented local
     emulation. Idempotent merges (max, rank-cut re-merge) need no
     marker — replay is a no-op by algebra."""
-    import json
     import os
 
     marker = os.path.join(checkpoint, "_merge_sink_last_batch")
 
     def apply_batch(batch: DataFrame, bid: int) -> None:
         spark = batch.sparkSession
-        if additive and os.path.exists(marker):
-            try:
-                with open(marker) as fh:
-                    last = json.load(fh).get("batch_id", -1)
-            except (OSError, ValueError):
-                last = -1
-            if bid <= last:
-                return                  # replayed batch: already merged
+        if additive and bid <= _last_applied_batch(marker):
+            return                      # replayed batch: already merged
         part = partial_fn(batch)
         if os.path.exists(path):
             merged = merge_fn(spark.read.parquet(path), part)
@@ -137,10 +160,7 @@ def _merge_sink(stream: DataFrame, path: str, checkpoint: str,
         else:
             part.write.mode("overwrite").parquet(path)
         if additive:
-            tmp = marker + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump({"batch_id": bid}, fh)
-            os.replace(tmp, marker)
+            _commit_batch_marker(marker, bid)
 
     writer = (stream.writeStream
               .foreachBatch(apply_batch)
@@ -334,6 +354,7 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
                             k: int = 5, n_probe: int = 2,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
+                            validate: bool = True,
                             available_now: bool = True) -> StreamingQuery:
     """Streaming twin of the ANN maintenance leg: embeddings arrive as
     a STREAM and every micro-batch folds into the persisted kNN graph
@@ -343,25 +364,40 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
     exactness twin carries over; the stream-vs-batch equality is pinned
     in tests).
 
-    State layout (both paths are what a day-1 bootstrap would write):
+    State layout (both paths are what a day-1 bootstrap would write;
+    like the module's other sinks this is the LOCAL-FILESYSTEM
+    emulation — the exists/marker checks are driver-local, so point
+    both paths at local disk; a DFS deployment swaps this sink for a
+    transactional table format):
+    - ``index_path``: the ``ivf_index`` table, partitioned by
+      ``centroid_id`` (the documented pruning layout); each batch
+      APPENDS its own index rows — old rows never rewrite. Written
+      FIRST, see the crash-window note.
     - ``graph_path``: the stored graph (query_id, neighbor_id, rank,
       score) — overwritten atomically per batch via the tmp-stage
       pattern of ``_merge_sink``.
-    - ``index_path``: the ``ivf_index`` table, partitioned by
-      ``centroid_id`` (the documented pruning layout); each batch
-      APPENDS its own index rows — old rows never rewrite.
 
-    Replay protection is MANDATORY here, not optional: foreachBatch is
-    at-least-once, and replaying a batch would re-insert ids the index
-    already holds — the operator's disjointness guard would raise (and
-    without it the merge would be wrong), so the last applied batch id
-    is recorded in a marker inside the checkpoint directory and an
-    already-applied id SKIPS (the ``additive=True`` contract of
-    ``_merge_sink``, same crash-window caveat: marker commits after the
-    data writes; graph-committed/index-missing is the window a
-    transactional table format closes).
+    ``validate`` forwards to the operator; a legitimately-small
+    bootstrap corpus (fewer than k+1 vectors in the first batch) needs
+    ``validate=False`` exactly as the operator documents — note that
+    also disables the disjointness tripwire below.
+
+    Replay protection is MANDATORY here, not optional (foreachBatch is
+    at-least-once, and this merge is not replay-idempotent): the last
+    applied batch id is recorded in a marker inside the checkpoint
+    directory and an already-applied id SKIPS (the ``additive=True``
+    contract of ``_merge_sink``). The marker commits after the data,
+    so a crash can strand a partially-applied batch — and every such
+    window fails LOUD on replay rather than corrupting: the index is
+    appended BEFORE the graph is overwritten, so a replayed batch
+    whose ids already reached the index trips the operator's
+    disjointness guard (were the graph written first, the
+    graph-committed/index-missing window would pass the guard and
+    silently give duplicated neighbors two rank slots each). Recovery
+    from a tripped window is operational (drop the stranded batch's
+    index rows, or re-point at the last good snapshot); a
+    transactional table format closes the window completely.
     """
-    import json
     import os
 
     from ..operators import similarity as _sim
@@ -370,41 +406,39 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
 
     def apply_batch(batch: DataFrame, bid: int) -> None:
         spark = batch.sparkSession
-        if os.path.exists(marker):
-            try:
-                with open(marker) as fh:
-                    last = json.load(fh).get("batch_id", -1)
-            except (OSError, ValueError):
-                last = -1
-            if bid <= last:
-                return                  # replayed batch: already merged
+        if bid <= _last_applied_batch(marker):
+            return                      # replayed batch: already merged
         rows = batch.select(id_col, vec_col).localCheckpoint()
         if rows.isEmpty():
             return
         if not os.path.exists(graph_path):
-            # day-1 bootstrap: the first batch IS the corpus
-            graph = _sim.knn_graph_ivf(rows, k=k, n_probe=n_probe,
-                                       centroids=centroids,
-                                       with_score=True, ordered=False)
-            graph.write.mode("overwrite").parquet(graph_path)
+            # day-1 bootstrap: the first batch IS the corpus. Index
+            # first (overwrite) — a crash before the graph write
+            # re-bootstraps cleanly on replay.
             (_sim.ivf_index(rows, centroids, n_probe, id_col, vec_col)
              .write.partitionBy("centroid_id").mode("overwrite")
              .parquet(index_path))
+            graph = _sim.knn_graph_ivf(rows, k=k, n_probe=n_probe,
+                                       id_col=id_col, vec_col=vec_col,
+                                       centroids=centroids,
+                                       with_score=True, ordered=False)
+            graph.write.mode("overwrite").parquet(graph_path)
         else:
             old_graph = spark.read.parquet(graph_path)
             old_index = spark.read.parquet(index_path)
+            # the operator call validates against (and materializes its
+            # candidate set from) the PRE-append index — it must run
+            # before the append below, or the batch would collide with
+            # its own index rows
             new_graph = _sim.knn_graph_ivf_incremental(
                 None, old_graph, rows, centroids, k=k, n_probe=n_probe,
                 id_col=id_col, vec_col=vec_col, with_score=True,
-                old_index=old_index, ordered=False)
-            _overwrite_via_tmp(new_graph, graph_path)
+                validate=validate, old_index=old_index, ordered=False)
             (_sim.ivf_index(rows, centroids, n_probe, id_col, vec_col)
              .write.partitionBy("centroid_id").mode("append")
              .parquet(index_path))
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"batch_id": bid}, fh)
-        os.replace(tmp, marker)
+            _overwrite_via_tmp(new_graph, graph_path)
+        _commit_batch_marker(marker, bid)
 
     writer = (stream.writeStream
               .foreachBatch(apply_batch)

@@ -885,3 +885,54 @@ def test_stream_knn_graph_upsert_matches_full_rebuild(spark, sf_dir,
                    for r in spark.read.parquet(
                        str(tmp_path / "graph")).collect())
     assert again == want
+
+
+def test_stream_knn_graph_upsert_custom_columns_and_validate(
+        spark, sf_dir, tmp_path):
+    """r8 review findings: (1) the day-1 bootstrap must forward
+    id_col/vec_col (it crashed on any non-default names before the
+    fix); (2) `validate` must be forwardable so a small bootstrap
+    corpus doesn't poison-pill the stream. Two micro-batches with
+    renamed columns, compared to the rebuild."""
+    import os
+    import time as _time
+
+    from servihabitat_etl_spyke_spark.operators import similarity as SIM
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        stream_knn_graph_upsert)
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 200)
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.col("embedding").alias("emb")))
+    base = emb.filter(F.col("doc_id") % 3 != 0)
+    day1 = emb.filter(F.col("doc_id") % 3 == 0)
+    cents = SIM.kmeans_fit(base, k=3, iters=2,
+                           id_col="doc_id", vec_col="emb")
+
+    src = tmp_path / "feed2"
+    src.mkdir()
+    now = _time.time()
+    for i, part in enumerate((base, day1)):
+        p = str(src / f"b{i}.parquet")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i, now + i))
+        os.utime(p, (now + i, now + i))
+
+    stream = (spark.readStream.schema(base.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "b*.parquet")))
+    q = stream_knn_graph_upsert(
+        stream, str(tmp_path / "g2"), str(tmp_path / "i2"),
+        str(tmp_path / "c2"), cents, k=5, n_probe=2,
+        id_col="doc_id", vec_col="emb", validate=False)
+    q.awaitTermination(180)
+    got = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                 for r in spark.read.parquet(str(tmp_path / "g2"))
+                 .collect())
+    want = sorted(map(tuple, SIM.knn_graph_ivf(
+        emb, k=5, n_probe=2, centroids=cents, id_col="doc_id",
+        vec_col="emb").collect()))
+    assert got == want and want
