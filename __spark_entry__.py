@@ -104,6 +104,12 @@ _REVERIFY: dict[str, int] = {
     # r8: ann_knn_graph_incremental now runs the persisted-index path
     # (no old-corpus rescan) with the touched-query merge window
     "ann_knn_graph_incremental": 8,
+    # r8: trailing presentational orderBys dropped (hashes are
+    # order-insensitive; each sort cost a range-sampling job + sort)
+    "dedup_clusters_incremental": 8,
+    "dedup_prefix_filter": 8,
+    "multimodal_audio_dedup": 8,
+    "dedup_clusters_star": 8,
 }
 
 
