@@ -387,22 +387,39 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
     applied batch id is recorded in a marker inside the checkpoint
     directory and an already-applied id SKIPS (the ``additive=True``
     contract of ``_merge_sink``). The marker commits after the data,
-    so a crash can strand a partially-applied batch — and every such
-    window fails LOUD on replay rather than corrupting: the index is
-    appended BEFORE the graph is overwritten, so a replayed batch
-    whose ids already reached the index trips the operator's
-    disjointness guard (were the graph written first, the
-    graph-committed/index-missing window would pass the guard and
-    silently give duplicated neighbors two rank slots each). Recovery
-    from a tripped window is operational (drop the stranded batch's
-    index rows, or re-point at the last good snapshot); a
-    transactional table format closes the window completely.
+    so a crash can strand a partially-applied batch — and the sink
+    SELF-HEALS every such window on replay (r8 review: an earlier
+    index-append-first order failed loud, which turned a transient
+    graph-write failure into a permanent poison pill). The index is
+    appended before the graph overwrite, both writes are job-atomic
+    (parquet output commit), and the replay of an uncommitted batch id
+    probes which writes already landed:
+
+    - batch ids in NEITHER store → fresh batch, normal path;
+    - ids in the index only (crash during/after the graph write) →
+      the operator consumes an index VIEW excluding them (anti-join,
+      exactly the pre-append state) and the re-append is skipped;
+    - ids in BOTH (crash in the data→marker gap) → the batch fully
+      applied; just commit the marker;
+    - ids in the graph but NOT the index → impossible under this
+      write order; raises loudly as corruption.
+
+    Each probe is one broadcast-semi-join limit-1 job — the same cost
+    class as the operator's own validation. A transactional table
+    format replaces all of this with one transaction.
     """
     import os
+
+    from pyspark.sql import functions as F
 
     from ..operators import similarity as _sim
 
     marker = os.path.join(checkpoint, "_knn_graph_last_batch")
+
+    def _contains_any(store: DataFrame, ids: DataFrame, col: str) -> bool:
+        return bool(store.select(F.col(col))
+                    .join(F.broadcast(ids), col, "left_semi")
+                    .limit(1).collect())
 
     def apply_batch(batch: DataFrame, bid: int) -> None:
         spark = batch.sparkSession
@@ -412,8 +429,8 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
         if rows.isEmpty():
             return
         if not os.path.exists(graph_path):
-            # day-1 bootstrap: the first batch IS the corpus. Index
-            # first (overwrite) — a crash before the graph write
+            # day-1 bootstrap: the first batch IS the corpus. Both
+            # writes are mode=overwrite, so a crash anywhere in here
             # re-bootstraps cleanly on replay.
             (_sim.ivf_index(rows, centroids, n_probe, id_col, vec_col)
              .write.partitionBy("centroid_id").mode("overwrite")
@@ -426,17 +443,42 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
         else:
             old_graph = spark.read.parquet(graph_path)
             old_index = spark.read.parquet(index_path)
+            ids = rows.select(id_col)
+            in_index = _contains_any(old_index, ids, id_col)
+            if in_index:
+                in_graph = _contains_any(
+                    old_graph.select(F.col("query_id").alias(id_col)),
+                    ids, id_col)
+                if in_graph:
+                    # crash landed in the data→marker gap: the batch is
+                    # fully applied — only the marker is stale
+                    _commit_batch_marker(marker, bid)
+                    return
+                # index-appended / graph-missing: consume the
+                # PRE-append view and skip the re-append below
+                old_index = old_index.join(F.broadcast(ids), id_col,
+                                           "left_anti")
+            elif _contains_any(
+                    old_graph.select(F.col("query_id").alias(id_col)),
+                    ids, id_col):
+                raise RuntimeError(
+                    f"stream_knn_graph_upsert: batch {bid}'s ids are in "
+                    f"the stored graph but not the index — impossible "
+                    f"under this sink's write order; the stores have "
+                    f"diverged (manual intervention required)")
             # the operator call validates against (and materializes its
-            # candidate set from) the PRE-append index — it must run
-            # before the append below, or the batch would collide with
-            # its own index rows
+            # candidate set from) the pre-append index view — it must
+            # run before the append below, or the batch would collide
+            # with its own index rows
             new_graph = _sim.knn_graph_ivf_incremental(
                 None, old_graph, rows, centroids, k=k, n_probe=n_probe,
                 id_col=id_col, vec_col=vec_col, with_score=True,
                 validate=validate, old_index=old_index, ordered=False)
-            (_sim.ivf_index(rows, centroids, n_probe, id_col, vec_col)
-             .write.partitionBy("centroid_id").mode("append")
-             .parquet(index_path))
+            if not in_index:
+                (_sim.ivf_index(rows, centroids, n_probe, id_col,
+                                vec_col)
+                 .write.partitionBy("centroid_id").mode("append")
+                 .parquet(index_path))
             _overwrite_via_tmp(new_graph, graph_path)
         _commit_batch_marker(marker, bid)
 

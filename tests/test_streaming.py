@@ -891,22 +891,27 @@ def test_stream_knn_graph_upsert_custom_columns_and_validate(
         spark, sf_dir, tmp_path):
     """r8 review findings: (1) the day-1 bootstrap must forward
     id_col/vec_col (it crashed on any non-default names before the
-    fix); (2) `validate` must be forwardable so a small bootstrap
-    corpus doesn't poison-pill the stream. Two micro-batches with
-    renamed columns, compared to the rebuild."""
+    fix); (2) `validate` must be forwardable — the bootstrap batch here
+    holds only 4 vectors (< k+1 at k=5), so the second batch POISONS a
+    validate=True stream with the stored-k probe error (asserted), and
+    only validate=False lets the documented small-corpus case through —
+    still byte-equal to the rebuild. A hardcoded operator default would
+    fail this test in both directions."""
     import os
     import time as _time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
 
     from servihabitat_etl_spyke_spark.operators import similarity as SIM
     from servihabitat_etl_spyke_spark.streaming.sinks import (
         stream_knn_graph_upsert)
 
     emb = (load_table(spark, sf_dir, "embeddings")
-           .filter(F.col("vec_id") < 200)
+           .filter(F.col("vec_id") < 60)
            .select(F.col("vec_id").alias("doc_id"),
                    F.col("embedding").alias("emb")))
-    base = emb.filter(F.col("doc_id") % 3 != 0)
-    day1 = emb.filter(F.col("doc_id") % 3 == 0)
+    base = emb.filter(F.col("doc_id") < 4)       # 4 vectors < k+1
+    day1 = emb.filter(F.col("doc_id") >= 4)
     cents = SIM.kmeans_fit(base, k=3, iters=2,
                            id_col="doc_id", vec_col="emb")
 
@@ -921,11 +926,23 @@ def test_stream_knn_graph_upsert_custom_columns_and_validate(
                 os.utime(os.path.join(root, f), (now + i, now + i))
         os.utime(p, (now + i, now + i))
 
-    stream = (spark.readStream.schema(base.schema)
-              .option("maxFilesPerTrigger", 1)
-              .parquet(str(src / "b*.parquet")))
+    def feed():
+        return (spark.readStream.schema(base.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src / "b*.parquet")))
+
+    # validate=True: batch 2 must trip the stored-k probe (max rank 3
+    # on a 4-vector bootstrap < requested k=5) and kill the stream —
+    # the poison-pill the forwardable flag exists to avoid
+    q_bad = stream_knn_graph_upsert(
+        feed(), str(tmp_path / "gbad"), str(tmp_path / "ibad"),
+        str(tmp_path / "cbad"), cents, k=5, n_probe=2,
+        id_col="doc_id", vec_col="emb", validate=True)
+    with pytest.raises(StreamingQueryException, match="max rank"):
+        q_bad.awaitTermination(180)
+
     q = stream_knn_graph_upsert(
-        stream, str(tmp_path / "g2"), str(tmp_path / "i2"),
+        feed(), str(tmp_path / "g2"), str(tmp_path / "i2"),
         str(tmp_path / "c2"), cents, k=5, n_probe=2,
         id_col="doc_id", vec_col="emb", validate=False)
     q.awaitTermination(180)
@@ -936,3 +953,97 @@ def test_stream_knn_graph_upsert_custom_columns_and_validate(
         emb, k=5, n_probe=2, centroids=cents, id_col="doc_id",
         vec_col="emb").collect()))
     assert got == want and want
+
+
+def test_stream_knn_graph_upsert_self_heals_stranded_windows(
+        spark, sf_dir, tmp_path):
+    """r8 review: a transient failure between the index append and the
+    graph overwrite used to poison-pill the stream (every replay
+    tripped the disjointness guard). The sink now probes which writes
+    landed and self-heals. Both stranded states are built manually and
+    replayed through a real stream:
+
+    - index-appended / graph-missing -> the operator consumes the
+      pre-append index view, the re-append is skipped (batch rows
+      appear in the index exactly ONCE), and the graph lands equal to
+      the rebuild;
+    - fully-applied / marker-missing -> the batch commits the marker
+      and touches nothing (graph bytes already correct)."""
+    import os
+    import time as _time
+
+    from servihabitat_etl_spyke_spark.operators import similarity as SIM
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        stream_knn_graph_upsert)
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 200)
+           .select("vec_id", "embedding"))
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    day1 = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = SIM.kmeans_fit(base, k=3, iters=2)
+    n_day1 = day1.count()
+    want = sorted(map(tuple, SIM.knn_graph_ivf(
+        emb, k=5, n_probe=2, centroids=cents).collect()))
+
+    src = tmp_path / "replay_feed"
+    src.mkdir()
+    day1.coalesce(1).write.parquet(str(src / "d1.parquet"))
+
+    def run_stream(tag):
+        q = stream_knn_graph_upsert(
+            spark.readStream.schema(day1.schema)
+            .parquet(str(src / "d1.parquet")),
+            str(tmp_path / f"{tag}_g"), str(tmp_path / f"{tag}_i"),
+            str(tmp_path / f"{tag}_c"), cents, k=5, n_probe=2)
+        q.awaitTermination(180)
+
+    def seed_base(tag):
+        (SIM.ivf_index(base, cents, n_probe=2)
+         .write.partitionBy("centroid_id")
+         .parquet(str(tmp_path / f"{tag}_i")))
+        (SIM.knn_graph_ivf(base, k=5, n_probe=2, centroids=cents,
+                           with_score=True, ordered=False)
+         .write.parquet(str(tmp_path / f"{tag}_g")))
+
+    # --- window A: index appended, graph write crashed -------------
+    seed_base("wa")
+    (SIM.ivf_index(day1, cents, n_probe=2)
+     .write.partitionBy("centroid_id").mode("append")
+     .parquet(str(tmp_path / "wa_i")))          # the stranded append
+    run_stream("wa")
+    got = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                 for r in spark.read.parquet(
+                     str(tmp_path / "wa_g")).collect())
+    assert got == want and want
+    idx = spark.read.parquet(str(tmp_path / "wa_i"))
+    assert idx.join(day1.select("vec_id"), "vec_id",
+                    "left_semi").count() == n_day1   # appended ONCE
+
+    # --- window B: fully applied, marker write crashed --------------
+    seed_base("wb")
+    g1 = SIM.knn_graph_ivf_incremental(
+        None, spark.read.parquet(str(tmp_path / "wb_g")), day1, cents,
+        k=5, n_probe=2, with_score=True,
+        old_index=spark.read.parquet(str(tmp_path / "wb_i")))
+    from servihabitat_etl_spyke_spark.operators.etl import (
+        overwrite_via_tmp)
+    (SIM.ivf_index(day1, cents, n_probe=2)
+     .write.partitionBy("centroid_id").mode("append")
+     .parquet(str(tmp_path / "wb_i")))
+    overwrite_via_tmp(g1, str(tmp_path / "wb_g"))
+    before = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "wb_g")).collect()))
+    run_stream("wb")
+    after = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "wb_g")).collect()))
+    assert after == before
+    assert sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                  for r in spark.read.parquet(
+                      str(tmp_path / "wb_g")).collect()) == want
+    idx = spark.read.parquet(str(tmp_path / "wb_i"))
+    assert idx.join(day1.select("vec_id"), "vec_id",
+                    "left_semi").count() == n_day1
+    marker = os.path.join(str(tmp_path / "wb_c"),
+                          "_knn_graph_last_batch")
+    assert os.path.exists(marker)       # the no-op replay committed it
