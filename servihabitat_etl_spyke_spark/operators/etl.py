@@ -288,30 +288,68 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
-def overwrite_via_tmp(df: DataFrame, path: str) -> None:
-    """Overwrite the parquet snapshot at ``path`` with a plan that READS
-    from ``path``: stage to a sibling ``._tmp`` first (overwriting the
-    source while the scan is live would corrupt it), re-read, overwrite
-    the final path, then DELETE the tmp so no stale directory leaks. A
-    crash between the two writes leaves the final path at its last
-    committed state plus an orphan tmp, which the next successful write
-    replaces. At scale the store is a transactional table format and
-    this is one MERGE INTO."""
+def recover_snapshot(path: str) -> bool:
+    """Heal an interrupted :func:`overwrite_via_tmp` swap at ``path`` and
+    report whether a committed snapshot now exists there.
+
+    The swap's only vulnerable window is between its two directory
+    renames, where ``path`` is momentarily absent but the sibling
+    ``._old`` still holds the last committed state — restore it. The
+    other reachable stale state (``path`` AND ``._old`` both present:
+    the swap completed but the cleanup died) just drops the stale
+    ``._old``. Every exists-check that gates a merge-vs-bootstrap
+    decision in this package goes through here, so a crash mid-swap can
+    never be mistaken for an empty store (which would silently
+    re-bootstrap over surviving state)."""
     import shutil
 
-    spark = df.sparkSession
+    old = path.rstrip("/") + "._old"
+    exists = os.path.exists(path)
+    if os.path.exists(old):
+        if exists:
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, path)
+            exists = True
+    return exists
+
+
+def overwrite_via_tmp(df: DataFrame, path: str) -> None:
+    """Overwrite the parquet snapshot at ``path`` with a plan that READS
+    from ``path``: stage the new data to a sibling ``._tmp`` (overwriting
+    the source while its scan is live would corrupt it), then swap
+    directories — ``path`` -> ``._old``, ``._tmp`` -> ``path`` — and drop
+    ``._old``. The data is written ONCE per merge (the pre-r8 shape
+    re-read the tmp and ran a second full Spark write into the final
+    path, doubling write I/O per micro-batch and leaving the snapshot
+    deleted-then-half-written if that second job crashed). Crash
+    windows now: during the staging write ``path`` is untouched; between
+    the renames ``path`` is briefly absent but ``._old`` holds the last
+    committed state and :func:`recover_snapshot` restores it; after the
+    second rename a stale ``._old`` is dropped on the next recover. At
+    scale the store is a transactional table format and this is one
+    MERGE INTO."""
+    import shutil
+
     tmp = path.rstrip("/") + "._tmp"
+    old = path.rstrip("/") + "._old"
+    recover_snapshot(path)
     df.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(old):        # unreachable after recover; defensive
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def upsert_into_path(spark: SparkSession, incoming: DataFrame, path: str,
                      key: str = "id") -> DataFrame:
-    """MERGE-into-table emulation against a parquet path: read-if-exists,
-    upsert, write back atomically (tmp + rename is left to the table format
-    in production; local tests just overwrite)."""
-    if os.path.exists(path):
+    """MERGE-into-table emulation against a parquet path: read-if-exists
+    (through the swap-recovery check), upsert, write back atomically via
+    the rename swap (a transactional table format replaces all of this
+    with one MERGE INTO in production)."""
+    if recover_snapshot(path):
         existing = spark.read.parquet(path)
         overwrite_via_tmp(keyed_upsert(existing, incoming, key), path)
     else:

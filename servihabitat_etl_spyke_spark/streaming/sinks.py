@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.etl import overwrite_via_tmp as _overwrite_via_tmp
+from ..operators.etl import recover_snapshot as _recover_snapshot
 from ..operators.etl import upsert_into_path
 
 
@@ -154,7 +155,7 @@ def _merge_sink(stream: DataFrame, path: str, checkpoint: str,
         if additive and bid <= _last_applied_batch(marker):
             return                      # replayed batch: already merged
         part = partial_fn(batch)
-        if os.path.exists(path):
+        if _recover_snapshot(path):
             merged = merge_fn(spark.read.parquet(path), part)
             _overwrite_via_tmp(merged, path)
         else:
@@ -407,8 +408,20 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
     Each probe is one broadcast-semi-join limit-1 job — the same cost
     class as the operator's own validation. A transactional table
     format replaces all of this with one transaction.
+
+    Disaster recovery (r8 review): the graph-exists check goes through
+    ``recover_snapshot`` (a crash mid-rename-swap heals to the last
+    committed graph), and a graph that is GENUINELY gone while the
+    index survives — external deletion, a lost volume — no longer
+    silently re-bootstraps from one micro-batch (which would also
+    OVERWRITE the index, losing every stored vector): the index holds
+    every ingested vector, so it doubles as the recovery corpus and the
+    sink rebuilds the full graph from it (warning emitted; full-rebuild
+    cost, disaster path only). By the operator's exactness twin the
+    rebuild is byte-equal to the graph the incremental path maintained.
     """
     import os
+    import warnings
 
     from pyspark.sql import functions as F
 
@@ -428,7 +441,36 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
         rows = batch.select(id_col, vec_col).localCheckpoint()
         if rows.isEmpty():
             return
-        if not os.path.exists(graph_path):
+        has_graph = _recover_snapshot(graph_path)
+        if not has_graph and os.path.exists(index_path):
+            # graph lost, index intact: rebuild from the index (the
+            # recovery corpus) — bootstrapping here would overwrite the
+            # index with one batch's rows. Pin the pre-append corpus
+            # BEFORE the index append so the plan can't see the batch's
+            # own rows twice; keep the index-before-graph write order so
+            # a crash anywhere in here replays into a handled state.
+            warnings.warn(
+                f"stream_knn_graph_upsert: stored graph at {graph_path}"
+                f" is missing but the index at {index_path} survives —"
+                f" rebuilding the graph from the index (disaster-"
+                f"recovery path, full-rebuild cost)", stacklevel=2)
+            stored = spark.read.parquet(index_path)
+            ids = rows.select(id_col)
+            batch_in_index = _contains_any(stored, ids, id_col)
+            corpus = (stored.select(F.col(id_col), F.col(vec_col))
+                      .join(F.broadcast(ids), id_col, "left_anti")
+                      .unionByName(rows).localCheckpoint())
+            if not batch_in_index:
+                (_sim.ivf_index(rows, centroids, n_probe, id_col,
+                                vec_col)
+                 .write.partitionBy("centroid_id").mode("append")
+                 .parquet(index_path))
+            graph = _sim.knn_graph_ivf(corpus, k=k, n_probe=n_probe,
+                                       id_col=id_col, vec_col=vec_col,
+                                       centroids=centroids,
+                                       with_score=True, ordered=False)
+            _overwrite_via_tmp(graph, graph_path)
+        elif not has_graph:
             # day-1 bootstrap: the first batch IS the corpus. Both
             # writes are mode=overwrite, so a crash anywhere in here
             # re-bootstraps cleanly on replay.

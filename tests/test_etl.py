@@ -315,3 +315,65 @@ def test_entity_pipeline_drops_itemless_lines(spark, tmp_path):
     snap = keyed_upsert(None, out)
     snap = keyed_upsert(snap, run_entity_pipeline(spark, "products", str(p)))
     assert snap.count() == 1
+
+
+def test_overwrite_via_tmp_rename_swap_and_recovery(spark, tmp_path):
+    """r8 review: the snapshot overwrite is a single staged write plus a
+    directory rename swap. The pre-r8 shape re-read the staged tmp and
+    ran a SECOND full Spark write into the final path — double write
+    I/O on every merge-sink micro-batch and every upsert_into_path
+    call, and a crash DURING that second job deleted the last committed
+    state (its docstring only covered a crash BETWEEN the writes).
+    Witnessed here:
+
+    - a merge whose plan READS the target lands the right content and
+      leaks neither '._tmp' nor '._old';
+    - the swap's one vulnerable window (between the two renames: path
+      absent, '._old' holding the committed state) heals through
+      recover_snapshot;
+    - a completed swap whose '._old' cleanup died heals by dropping the
+      stale '._old', keeping the NEW data;
+    - a genuinely absent store reports absent (no false recovery);
+    - a fresh path bootstraps through the same call (rename-into-place
+      needs no pre-existing target).
+    """
+    import os
+    import shutil
+
+    from servihabitat_etl_spyke_spark.operators.etl import (
+        overwrite_via_tmp, recover_snapshot)
+
+    path = str(tmp_path / "snap")
+    spark.createDataFrame([("1", "a")], ["id", "v"]).write.parquet(path)
+    merged = spark.read.parquet(path).unionByName(
+        spark.createDataFrame([("2", "b")], ["id", "v"]))
+    overwrite_via_tmp(merged, path)
+    want = [("1", "a"), ("2", "b")]
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    assert not os.path.exists(path + "._tmp")
+    assert not os.path.exists(path + "._old")
+
+    # interrupted swap: path -> ._old happened, tmp -> path did not
+    os.rename(path, path + "._old")
+    assert recover_snapshot(path)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    assert not os.path.exists(path + "._old")
+
+    # completed swap, stale ._old left behind: the NEW data must win
+    shutil.copytree(path, path + "._old")
+    overwrite_via_tmp(
+        spark.read.parquet(path).filter("id = '2'"), path)
+    assert sorted(map(tuple,
+                      spark.read.parquet(path).collect())) == [("2", "b")]
+    assert not os.path.exists(path + "._old")
+
+    # genuinely absent store: no false recovery
+    assert not recover_snapshot(str(tmp_path / "nope"))
+
+    # fresh-path bootstrap through the same call
+    fresh = str(tmp_path / "fresh")
+    overwrite_via_tmp(
+        spark.createDataFrame([("9", "z")], ["id", "v"]), fresh)
+    assert sorted(map(tuple,
+                      spark.read.parquet(fresh).collect())) == [("9", "z")]
+    assert not os.path.exists(fresh + "._tmp")

@@ -1047,3 +1047,107 @@ def test_stream_knn_graph_upsert_self_heals_stranded_windows(
     marker = os.path.join(str(tmp_path / "wb_c"),
                           "_knn_graph_last_batch")
     assert os.path.exists(marker)       # the no-op replay committed it
+
+
+def test_stream_knn_graph_upsert_rebuilds_lost_graph_from_index(
+        spark, sf_dir, tmp_path):
+    """r8 review: a graph store that is GENUINELY gone while the index
+    survives (external deletion, lost volume) used to take the day-1
+    bootstrap branch on the next micro-batch — the graph silently
+    restarted from ONE batch and the bootstrap's mode=overwrite NUKED
+    the index, losing every stored vector. The index holds every
+    ingested vector, so the sink now rebuilds the full graph from it
+    (warning emitted, full-rebuild cost, disaster path only): after
+    deleting the graph store and streaming a new day, the graph equals
+    the full rebuild over base + day1 and the index keeps every base id
+    while gaining each day1 id exactly once."""
+    import shutil
+    import warnings as _warnings
+
+    from servihabitat_etl_spyke_spark.operators import similarity as SIM
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        stream_knn_graph_upsert)
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 200)
+           .select("vec_id", "embedding"))
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    day1 = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = SIM.kmeans_fit(base, k=3, iters=2)
+    n_day1 = day1.count()
+    n_base = base.count()
+
+    gp, ip, cp = (str(tmp_path / n) for n in ("g", "i", "c"))
+    (SIM.ivf_index(base, cents, n_probe=2)
+     .write.partitionBy("centroid_id").parquet(ip))
+    (SIM.knn_graph_ivf(base, k=5, n_probe=2, centroids=cents,
+                       with_score=True, ordered=False).write.parquet(gp))
+    shutil.rmtree(gp)                       # the disaster: graph lost
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    day1.coalesce(1).write.parquet(str(src / "d1.parquet"))
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        q = stream_knn_graph_upsert(
+            spark.readStream.schema(day1.schema)
+            .parquet(str(src / "d1.parquet")),
+            gp, ip, cp, cents, k=5, n_probe=2)
+        q.awaitTermination(180)
+    assert any("rebuilding the graph from the index" in str(w.message)
+               for w in caught)
+
+    got = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                 for r in spark.read.parquet(gp).collect())
+    want = sorted(map(tuple, SIM.knn_graph_ivf(
+        emb, k=5, n_probe=2, centroids=cents).collect()))
+    assert got == want and want
+    idx = spark.read.parquet(ip)
+    assert idx.count() == n_base + n_day1   # nothing lost, nothing doubled
+    assert idx.join(day1.select("vec_id"), "vec_id",
+                    "left_semi").count() == n_day1
+
+
+def test_stream_knn_graph_upsert_heals_interrupted_swap(
+        spark, sf_dir, tmp_path):
+    """The rename-swap's one vulnerable window, witnessed at the sink:
+    the graph dir renamed to '._old' with the new dir never renamed in
+    (a crash between overwrite_via_tmp's two renames). The exists-check
+    goes through recover_snapshot, so the next micro-batch restores the
+    committed graph and runs the NORMAL incremental path — not the
+    bootstrap, not the disaster rebuild."""
+    import os
+
+    from servihabitat_etl_spyke_spark.operators import similarity as SIM
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        stream_knn_graph_upsert)
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 200)
+           .select("vec_id", "embedding"))
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    day1 = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = SIM.kmeans_fit(base, k=3, iters=2)
+
+    gp, ip, cp = (str(tmp_path / n) for n in ("g", "i", "c"))
+    (SIM.ivf_index(base, cents, n_probe=2)
+     .write.partitionBy("centroid_id").parquet(ip))
+    (SIM.knn_graph_ivf(base, k=5, n_probe=2, centroids=cents,
+                       with_score=True, ordered=False).write.parquet(gp))
+    os.rename(gp, gp + "._old")             # mid-swap crash state
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    day1.coalesce(1).write.parquet(str(src / "d1.parquet"))
+    q = stream_knn_graph_upsert(
+        spark.readStream.schema(day1.schema)
+        .parquet(str(src / "d1.parquet")),
+        gp, ip, cp, cents, k=5, n_probe=2)
+    q.awaitTermination(180)
+
+    got = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                 for r in spark.read.parquet(gp).collect())
+    want = sorted(map(tuple, SIM.knn_graph_ivf(
+        emb, k=5, n_probe=2, centroids=cents).collect()))
+    assert got == want and want
+    assert not os.path.exists(gp + "._old")
