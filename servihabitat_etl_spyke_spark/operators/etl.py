@@ -288,6 +288,11 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+# name of the zero-byte file a completed swap writes into its outgoing
+# '._old' directory before deleting it (see recover_snapshot)
+_STALE_MARK = "_stale_snapshot"
+
+
 def recover_snapshot(path: str) -> bool:
     """Heal an interrupted :func:`overwrite_via_tmp` swap at ``path`` and
     report whether a committed snapshot now exists there.
@@ -300,13 +305,21 @@ def recover_snapshot(path: str) -> bool:
     ``._old``. Every exists-check that gates a merge-vs-bootstrap
     decision in this package goes through here, so a crash mid-swap can
     never be mistaken for an empty store (which would silently
-    re-bootstrap over surviving state)."""
+    re-bootstrap over surviving state).
+
+    A completed swap STAMPS ``._old`` stale before removing it, so the
+    double-fault case — cleanup crashed leaving a stale ``._old``, then
+    ``path`` is lost externally before the next write — reports the
+    store as absent instead of silently resurrecting the PREVIOUS
+    snapshot as if it were committed (r8 review: an N-1 graph revived
+    that way would make the incremental kNN path diverge from the
+    rebuild with no tripwire, since batch N's marker says applied)."""
     import shutil
 
     old = path.rstrip("/") + "._old"
     exists = os.path.exists(path)
     if os.path.exists(old):
-        if exists:
+        if exists or os.path.exists(os.path.join(old, _STALE_MARK)):
             shutil.rmtree(old, ignore_errors=True)
         else:
             os.rename(old, path)
@@ -340,7 +353,11 @@ def overwrite_via_tmp(df: DataFrame, path: str) -> None:
     if os.path.exists(path):
         os.rename(path, old)
     os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(old):
+        # stamp BEFORE removing: a crash here leaves a marked ._old
+        # that recover_snapshot drops instead of resurrecting
+        open(os.path.join(old, _STALE_MARK), "w").close()
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def upsert_into_path(spark: SparkSession, incoming: DataFrame, path: str,

@@ -419,6 +419,13 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
     sink rebuilds the full graph from it (warning emitted; full-rebuild
     cost, disaster path only). By the operator's exactness twin the
     rebuild is byte-equal to the graph the incremental path maintained.
+    The rebuild appends index rows PER-ROW (after a checkpoint loss a
+    replayed batch may mix old and new ids — all-or-nothing would drop
+    the new vectors from the index forever), and under ``validate``
+    enforces the same index-n_probe contract the incremental operator
+    does. The converse loss — index gone, graph intact — is genuinely
+    unrecoverable (the graph holds no vectors) and raises a named,
+    actionable error instead of a raw path error on every replay.
     """
     import os
     import warnings
@@ -455,13 +462,37 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
                 f" rebuilding the graph from the index (disaster-"
                 f"recovery path, full-rebuild cost)", stacklevel=2)
             stored = spark.read.parquet(index_path)
+            if validate:
+                # mirror the incremental operator's probe-width guard
+                # (similarity.knn_graph_ivf_incremental): rebuilding
+                # with a different n_probe than the index was built
+                # with would silently change which cells' members are
+                # candidates AND append mixed-n_probe rows
+                built = stored.select("n_probe").first()
+                np_eff = min(n_probe, len(centroids))
+                if built is not None and built[0] != np_eff:
+                    raise ValueError(
+                        f"stream_knn_graph_upsert: stored index was "
+                        f"built with n_probe={built[0]} but "
+                        f"n_probe={n_probe} (effective {np_eff}) was "
+                        f"requested — rebuild the index or match the "
+                        f"request")
             ids = rows.select(id_col)
-            batch_in_index = _contains_any(stored, ids, id_col)
             corpus = (stored.select(F.col(id_col), F.col(vec_col))
                       .join(F.broadcast(ids), id_col, "left_anti")
                       .unionByName(rows).localCheckpoint())
-            if not batch_in_index:
-                (_sim.ivf_index(rows, centroids, n_probe, id_col,
+            # append PER-ROW, not all-or-nothing: after a checkpoint
+            # loss the replayed batch may MIX previously-ingested ids
+            # with genuinely-new ones (the normal path's job-atomic
+            # append guarantee doesn't hold across checkpoint
+            # generations), and skipping the whole append would drop
+            # the new vectors from the index forever
+            present = (stored.select(id_col)
+                       .join(F.broadcast(ids), id_col, "left_semi"))
+            missing = rows.join(F.broadcast(present), id_col,
+                                "left_anti")
+            if not missing.isEmpty():
+                (_sim.ivf_index(missing, centroids, n_probe, id_col,
                                 vec_col)
                  .write.partitionBy("centroid_id").mode("append")
                  .parquet(index_path))
@@ -483,6 +514,18 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
                                        with_score=True, ordered=False)
             graph.write.mode("overwrite").parquet(graph_path)
         else:
+            if not os.path.exists(index_path):
+                # the converse loss is NOT recoverable: the index holds
+                # the vectors and cannot be rebuilt from the graph
+                # (scores aren't coordinates). Name the state instead
+                # of poisoning every replay with a raw path error.
+                raise RuntimeError(
+                    f"stream_knn_graph_upsert: stored graph at "
+                    f"{graph_path} exists but the index at "
+                    f"{index_path} is missing — the index holds the "
+                    f"vectors and cannot be rebuilt from the graph; "
+                    f"restore it from backup, or delete the graph too "
+                    f"to re-bootstrap from the next batch")
             old_graph = spark.read.parquet(graph_path)
             old_index = spark.read.parquet(index_path)
             ids = rows.select(id_col)

@@ -377,3 +377,38 @@ def test_overwrite_via_tmp_rename_swap_and_recovery(spark, tmp_path):
     assert sorted(map(tuple,
                       spark.read.parquet(fresh).collect())) == [("9", "z")]
     assert not os.path.exists(fresh + "._tmp")
+
+
+def test_recover_snapshot_does_not_resurrect_stale_old(spark, tmp_path):
+    """r8 review double-fault: a swap whose '._old' cleanup crashed
+    leaves a STALE previous snapshot next to the committed one; if the
+    committed path is then lost externally, recover must NOT revive the
+    stale '._old' as if it were committed state (an N-1 snapshot revived
+    that way silently diverges — the batch marker says N applied). A
+    completed swap stamps '._old' stale before deleting it, so recover
+    distinguishes mid-swap (restore) from post-swap garbage (drop,
+    report absent)."""
+    import os
+
+    from servihabitat_etl_spyke_spark.operators.etl import (
+        _STALE_MARK, overwrite_via_tmp, recover_snapshot)
+
+    path = str(tmp_path / "snap")
+    spark.createDataFrame([("1", "a")], ["id", "v"]).write.parquet(path)
+    overwrite_via_tmp(
+        spark.createDataFrame([("2", "b")], ["id", "v"]), path)
+
+    # post-swap stale ._old (cleanup crashed after the stamp), then the
+    # committed path is lost externally
+    os.makedirs(path + "._old")
+    open(os.path.join(path + "._old", _STALE_MARK), "w").close()
+    os.rename(path, str(tmp_path / "gone"))
+    assert not recover_snapshot(path)       # absent, NOT resurrected
+    assert not os.path.exists(path + "._old")
+
+    # contrast: an UNstamped ._old with path absent is the mid-swap
+    # window and must restore
+    os.rename(str(tmp_path / "gone"), path + "._old")
+    assert recover_snapshot(path)
+    assert sorted(map(tuple,
+                      spark.read.parquet(path).collect())) == [("2", "b")]

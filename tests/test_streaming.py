@@ -1151,3 +1151,122 @@ def test_stream_knn_graph_upsert_heals_interrupted_swap(
         emb, k=5, n_probe=2, centroids=cents).collect()))
     assert got == want and want
     assert not os.path.exists(gp + "._old")
+
+
+def test_stream_knn_graph_upsert_disaster_rebuild_mixed_batch(
+        spark, sf_dir, tmp_path):
+    """r8 review of the disaster-rebuild branch: after a CHECKPOINT loss
+    the replayed batch may MIX previously-ingested ids with genuinely
+    new ones (batch boundaries no longer match historical appends), so
+    the index append must be per-row, not all-or-nothing — an
+    any-id-present probe would skip the whole append and drop the new
+    vectors from the index forever. Here the graph AND checkpoint are
+    lost; the replayed batch holds half already-indexed ids and half
+    new ones: the rebuilt graph equals the full rebuild and the index
+    gains exactly the new ids, nothing doubled."""
+    import shutil
+    import warnings as _warnings
+
+    from servihabitat_etl_spyke_spark.operators import similarity as SIM
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        stream_knn_graph_upsert)
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 200)
+           .select("vec_id", "embedding"))
+    base = emb.filter(F.col("vec_id") % 3 != 0)       # ingested earlier
+    mixed = emb.filter(                                # replayed batch:
+        (F.col("vec_id") % 3 == 0)                     # new ids
+        | (F.col("vec_id") % 6 == 1))                  # + old ids
+    new_only = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = SIM.kmeans_fit(base, k=3, iters=2)
+
+    gp, ip, cp = (str(tmp_path / n) for n in ("g", "i", "c"))
+    (SIM.ivf_index(base, cents, n_probe=2)
+     .write.partitionBy("centroid_id").parquet(ip))
+    (SIM.knn_graph_ivf(base, k=5, n_probe=2, centroids=cents,
+                       with_score=True, ordered=False).write.parquet(gp))
+    shutil.rmtree(gp)                       # graph + checkpoint lost
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    mixed.coalesce(1).write.parquet(str(src / "d1.parquet"))
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        q = stream_knn_graph_upsert(
+            spark.readStream.schema(mixed.schema)
+            .parquet(str(src / "d1.parquet")),
+            gp, ip, cp, cents, k=5, n_probe=2)
+        q.awaitTermination(180)
+
+    got = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                 for r in spark.read.parquet(gp).collect())
+    want = sorted(map(tuple, SIM.knn_graph_ivf(
+        emb, k=5, n_probe=2, centroids=cents).collect()))
+    assert got == want and want
+    idx = spark.read.parquet(ip)
+    assert idx.count() == emb.count()       # every id exactly once
+    assert idx.join(new_only.select("vec_id"), "vec_id",
+                    "left_semi").count() == new_only.count()
+
+
+def test_stream_knn_graph_upsert_disaster_rebuild_nprobe_guard(
+        spark, sf_dir, tmp_path):
+    """The disaster-rebuild branch enforces the same index-n_probe
+    contract the incremental operator does under validate: rebuilding
+    with a different probe width than the index was built with would
+    silently change the candidate cells AND append mixed-n_probe rows.
+    And the CONVERSE disaster — index lost, graph intact — raises the
+    named unrecoverable-state error instead of a raw path error."""
+    import shutil
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    from servihabitat_etl_spyke_spark.operators import similarity as SIM
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        stream_knn_graph_upsert)
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 150)
+           .select("vec_id", "embedding"))
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    day1 = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = SIM.kmeans_fit(base, k=3, iters=2)
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    day1.coalesce(1).write.parquet(str(src / "d1.parquet"))
+
+    def seed(tag, with_graph=True):
+        gp, ip = str(tmp_path / f"{tag}_g"), str(tmp_path / f"{tag}_i")
+        (SIM.ivf_index(base, cents, n_probe=2)
+         .write.partitionBy("centroid_id").parquet(ip))
+        if with_graph:
+            (SIM.knn_graph_ivf(base, k=5, n_probe=2, centroids=cents,
+                               with_score=True, ordered=False)
+             .write.parquet(gp))
+        return gp, ip
+
+    # n_probe mismatch on the rebuild path: index built at 2, sink at 3
+    gp, ip = seed("np")
+    shutil.rmtree(gp)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        q = stream_knn_graph_upsert(
+            spark.readStream.schema(day1.schema)
+            .parquet(str(src / "d1.parquet")),
+            gp, ip, str(tmp_path / "np_c"), cents, k=5, n_probe=3)
+        with _pytest.raises(Exception, match="n_probe=2"):
+            q.awaitTermination(180)
+
+    # index lost, graph intact: named unrecoverable-state error
+    gp, ip = seed("il")
+    shutil.rmtree(ip)
+    q = stream_knn_graph_upsert(
+        spark.readStream.schema(day1.schema)
+        .parquet(str(src / "d1.parquet")),
+        gp, ip, str(tmp_path / "il_c"), cents, k=5, n_probe=2)
+    with _pytest.raises(Exception,
+                        match="cannot be rebuilt from the graph"):
+        q.awaitTermination(180)
