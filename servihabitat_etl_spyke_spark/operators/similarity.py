@@ -52,11 +52,15 @@ def _to_matrix(values, ids, op: str) -> "np.ndarray":
     try:
         mat = np.asarray(vals, dtype=np.float64)
     except (ValueError, TypeError):
-        # r8 ADVICE: a non-sized element (scalar float, string) would
-        # make len(v) raise INSIDE this handler, masking the named
-        # contract error with a bare TypeError from the except block
+        # r8 ADVICE: a non-sized element (scalar float) would make
+        # len(v) raise INSIDE this handler, masking the named contract
+        # error with a bare TypeError from the except block. Strings /
+        # bytes ARE sized, so without the isinstance arm a row like
+        # 'ab' would fall through to the ragged message and report
+        # dimensions that aren't ragged (r8 review).
         unsized = [i for i, v in enumerate(vals)
-                   if not hasattr(v, "__len__")]
+                   if isinstance(v, (str, bytes))
+                   or not hasattr(v, "__len__")]
         if unsized:
             raise ValueError(
                 f"{op}: malformed embedding row(s) — non-sequence "
@@ -1111,16 +1115,20 @@ def knn_graph_ivf_incremental(old_corpus: DataFrame | None,
                 f"knn_graph_ivf_incremental: old_index is missing "
                 f"column(s) {sorted(missing_cols)} — build it with "
                 f"ivf_index(corpus, centroids, n_probe)")
-        if validate:
-            built = old_index.select("n_probe").first()
-            np_eff = min(n_probe, len(centroids))
-            if built is not None and built[0] != np_eff:
-                raise ValueError(
-                    f"knn_graph_ivf_incremental: old_index was built "
-                    f"with n_probe={built[0]} but n_probe={n_probe} "
-                    f"(effective {np_eff}) was requested — a mismatch "
-                    f"changes which cells' members were candidates; "
-                    f"rebuild the index or match the request")
+        # UNgated by validate (r8 review: the docstring promises the
+        # width is "checked against the request outright", and
+        # validate=False exists for sub-k bootstrap corpora, not for
+        # waiving the index contract — a silent width mismatch changes
+        # the candidate cells with no error in either mode)
+        built = old_index.select("n_probe").first()
+        np_eff = min(n_probe, len(centroids))
+        if built is not None and built[0] != np_eff:
+            raise ValueError(
+                f"knn_graph_ivf_incremental: old_index was built "
+                f"with n_probe={built[0]} but n_probe={n_probe} "
+                f"(effective {np_eff}) was requested — a mismatch "
+                f"changes which cells' members were candidates; "
+                f"rebuild the index or match the request")
     old_ids = (old_index if old_index is not None
                else old_corpus).select(id_col)
     if validate:

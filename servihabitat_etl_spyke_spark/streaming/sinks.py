@@ -396,18 +396,26 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
     (parquet output commit), and the replay of an uncommitted batch id
     probes which writes already landed:
 
-    - batch ids in NEITHER store → fresh batch, normal path;
-    - ids in the index only (crash during/after the graph write) →
-      the operator consumes an index VIEW excluding them (anti-join,
-      exactly the pre-append state) and the re-append is skipped;
-    - ids in BOTH (crash in the data→marker gap) → the batch fully
-      applied; just commit the marker;
-    - ids in the graph but NOT the index → impossible under this
-      write order; raises loudly as corruption.
+    - no batch id in the index → fresh batch, normal path;
+    - ALL batch ids in the index, some in the graph (either edge
+      endpoint — crash in the data→marker gap) → fully applied; just
+      commit the marker;
+    - ALL in the index, none in the graph (crash during/after the
+      graph write) → the operator consumes an index VIEW excluding
+      them (anti-join, exactly the pre-append state) and the re-append
+      is skipped; a fully-applied no-edge batch also lands here, where
+      re-running the merge is the identity;
+    - SOME ids in the index (a mixed batch: an old feed replayed under
+      a fresh checkpoint after the original checkpoint was lost) →
+      the indexed ids are old corpus; only the genuinely-new rows are
+      ingested — never silently declared applied;
+    - any non-indexed id in the graph (either endpoint) → impossible
+      under this write order; raises loudly as corruption.
 
-    Each probe is one broadcast-semi-join limit-1 job — the same cost
-    class as the operator's own validation. A transactional table
-    format replaces all of this with one transaction.
+    The diagnosis is per-row (one batch-sized semi-join plus limit-1
+    probes) — the same cost class as the operator's own validation. A
+    transactional table format replaces all of this with one
+    transaction.
 
     Disaster recovery (r8 review): the graph-exists check goes through
     ``recover_snapshot`` (a crash mid-rename-swap heals to the last
@@ -462,21 +470,20 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
                 f" rebuilding the graph from the index (disaster-"
                 f"recovery path, full-rebuild cost)", stacklevel=2)
             stored = spark.read.parquet(index_path)
-            if validate:
-                # mirror the incremental operator's probe-width guard
-                # (similarity.knn_graph_ivf_incremental): rebuilding
-                # with a different n_probe than the index was built
-                # with would silently change which cells' members are
-                # candidates AND append mixed-n_probe rows
-                built = stored.select("n_probe").first()
-                np_eff = min(n_probe, len(centroids))
-                if built is not None and built[0] != np_eff:
-                    raise ValueError(
-                        f"stream_knn_graph_upsert: stored index was "
-                        f"built with n_probe={built[0]} but "
-                        f"n_probe={n_probe} (effective {np_eff}) was "
-                        f"requested — rebuild the index or match the "
-                        f"request")
+            # mirror the incremental operator's probe-width guard
+            # (UNgated there too): rebuilding with a different n_probe
+            # than the index was built with would silently change
+            # which cells' members are candidates AND append
+            # mixed-n_probe rows
+            built = stored.select("n_probe").first()
+            np_eff = min(n_probe, len(centroids))
+            if built is not None and built[0] != np_eff:
+                raise ValueError(
+                    f"stream_knn_graph_upsert: stored index was "
+                    f"built with n_probe={built[0]} but "
+                    f"n_probe={n_probe} (effective {np_eff}) was "
+                    f"requested — rebuild the index or match the "
+                    f"request")
             ids = rows.select(id_col)
             corpus = (stored.select(F.col(id_col), F.col(vec_col))
                       .join(F.broadcast(ids), id_col, "left_anti")
@@ -529,38 +536,79 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
             old_graph = spark.read.parquet(graph_path)
             old_index = spark.read.parquet(index_path)
             ids = rows.select(id_col)
-            in_index = _contains_any(old_index, ids, id_col)
-            if in_index:
-                in_graph = _contains_any(
-                    old_graph.select(F.col("query_id").alias(id_col)),
-                    ids, id_col)
-                if in_graph:
-                    # crash landed in the data→marker gap: the batch is
-                    # fully applied — only the marker is stale
-                    _commit_batch_marker(marker, bid)
-                    return
-                # index-appended / graph-missing: consume the
-                # PRE-append view and skip the re-append below
-                old_index = old_index.join(F.broadcast(ids), id_col,
-                                           "left_anti")
-            elif _contains_any(
-                    old_graph.select(F.col("query_id").alias(id_col)),
-                    ids, id_col):
-                raise RuntimeError(
-                    f"stream_knn_graph_upsert: batch {bid}'s ids are in "
+            # batch ids already in the index — ≤ batch-sized, pinned
+            # once to drive the PER-ROW diagnosis below (r8 review: the
+            # old any-id probes misread two states — see branches)
+            present = (old_index.select(id_col)
+                       .join(F.broadcast(ids), id_col, "left_semi")
+                       .localCheckpoint())
+            # graph membership must probe BOTH edge endpoints: a batch
+            # whose vectors landed only as NEIGHBORS of old queries
+            # (possible when their own probed cells were otherwise
+            # empty) has no query_id rows, and a query-only probe would
+            # misread a fully-applied batch as index-stranded, re-merge
+            # it against the already-updated graph, and hand those
+            # neighbors duplicate edges
+            graph_ids = (old_graph.select(F.col("query_id")
+                                          .alias(id_col))
+                         .unionByName(old_graph.select(
+                             F.col("neighbor_id").alias(id_col))))
+            rows_eff, skip_append = rows, False
+
+            def _diverged() -> RuntimeError:
+                return RuntimeError(
+                    f"stream_knn_graph_upsert: batch {bid} has ids in "
                     f"the stored graph but not the index — impossible "
                     f"under this sink's write order; the stores have "
                     f"diverged (manual intervention required)")
+
+            if not present.isEmpty():
+                fresh = rows.join(F.broadcast(present), id_col,
+                                  "left_anti")
+                if fresh.isEmpty():
+                    if _contains_any(graph_ids, ids, id_col):
+                        # crash landed in the data→marker gap: the
+                        # batch is fully applied — only the marker is
+                        # stale
+                        _commit_batch_marker(marker, bid)
+                        return
+                    # index-appended / graph-write-missing: consume the
+                    # PRE-append view and skip the re-append below. (A
+                    # fully-applied batch whose vectors produced no
+                    # edges AT ALL also lands here — its graph write
+                    # changed nothing, so re-running the merge is the
+                    # identity and the heal stays exact.)
+                    old_index = old_index.join(F.broadcast(ids), id_col,
+                                               "left_anti")
+                    skip_append = True
+                else:
+                    # MIXED batch: some ids indexed, some genuinely
+                    # new — only reachable by replaying an old feed
+                    # under a FRESH checkpoint, where batch boundaries
+                    # no longer match historical appends. The indexed
+                    # ids are old corpus now; ingest ONLY the new rows
+                    # (the old all-or-nothing diagnosis declared the
+                    # whole batch applied and silently dropped the new
+                    # vectors forever). Assumes prior checkpoint
+                    # generations committed their data — the marker
+                    # that proved it died with the old checkpoint.
+                    rows_eff = fresh.localCheckpoint()
+                    ids = rows_eff.select(id_col)
+                    if _contains_any(graph_ids, ids, id_col):
+                        raise _diverged()
+            elif _contains_any(graph_ids, ids, id_col):
+                raise _diverged()
             # the operator call validates against (and materializes its
             # candidate set from) the pre-append index view — it must
             # run before the append below, or the batch would collide
             # with its own index rows
             new_graph = _sim.knn_graph_ivf_incremental(
-                None, old_graph, rows, centroids, k=k, n_probe=n_probe,
-                id_col=id_col, vec_col=vec_col, with_score=True,
-                validate=validate, old_index=old_index, ordered=False)
-            if not in_index:
-                (_sim.ivf_index(rows, centroids, n_probe, id_col,
+                None, old_graph, rows_eff, centroids, k=k,
+                n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+                with_score=True, validate=validate,
+                old_index=old_index, ordered=False)
+            if not skip_append:
+                (_sim.ivf_index(rows_eff, centroids, n_probe, id_col,
                                 vec_col)
                  .write.partitionBy("centroid_id").mode("append")
                  .parquet(index_path))

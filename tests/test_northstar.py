@@ -2023,6 +2023,13 @@ def test_to_matrix_names_non_sequence_elements():
     # genuinely ragged (all sized) keeps the dimension message
     with pytest.raises(ValueError, match="ragged embedding dimensions"):
         _to_matrix([[1.0, 2.0], [1.0, 2.0, 3.0]], [0, 1], "op_x")
+    # r8 review: strings/bytes ARE sized, so without an isinstance arm
+    # a same-length string row fell through to the ragged branch and
+    # reported dimensions that aren't ragged — it must be named as a
+    # malformed row like any other non-sequence element
+    with pytest.raises(ValueError,
+                       match=r"malformed embedding row.*\[7\]"):
+        _to_matrix([[1.0, 2.0], "ab"], [3, 7], "op_x")
 
 
 def test_ann_kernels_reject_nan_elements_and_ragged_seeds(spark):

@@ -1270,3 +1270,115 @@ def test_stream_knn_graph_upsert_disaster_rebuild_nprobe_guard(
     with _pytest.raises(Exception,
                         match="cannot be rebuilt from the graph"):
         q.awaitTermination(180)
+
+
+def test_stream_knn_graph_upsert_replay_of_neighbor_only_batch(
+        spark, tmp_path):
+    """r8 review: the fully-applied-batch diagnosis probed only
+    query_id, but a batch whose vectors landed ONLY as NEIGHBORS of
+    old queries (their own probed cells otherwise empty) has no query
+    rows — the replay misread it as index-stranded, re-merged against
+    the already-updated graph, and handed those neighbors DUPLICATE
+    edges (two of the query's k slots). The probe now covers both edge
+    endpoints. Hand-built euclidean geometry pins the premise: new
+    vector v is assigned to a cell no old vector occupies, old anchors
+    probe that cell, so the applied graph holds v only as neighbor."""
+    import os
+
+    from servihabitat_etl_spyke_spark.operators import similarity as SIM
+    from servihabitat_etl_spyke_spark.operators.etl import (
+        overwrite_via_tmp)
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        stream_knn_graph_upsert)
+
+    cents = [[10.0, 0.0], [10.0, 6.0], [0.0, 10.0]]
+    old = spark.createDataFrame(
+        [(1, [1.0, 9.0]), (2, [0.5, 9.5])],
+        "vec_id long, embedding array<double>")
+    vrow = spark.createDataFrame(
+        [(9, [10.0, 5.5])], "vec_id long, embedding array<double>")
+
+    gp, ip, cp = (str(tmp_path / n) for n in ("g", "i", "c"))
+    (SIM.ivf_index(old, cents, n_probe=2)
+     .write.partitionBy("centroid_id").parquet(ip))
+    g0 = SIM.knn_graph_ivf(old, k=2, n_probe=2, centroids=cents,
+                           with_score=True, ordered=False)
+    g0.write.parquet(gp)
+    # apply the batch FULLY by hand (validate=False: the 2-vector
+    # corpus has stored max rank 1 < k)
+    g1 = SIM.knn_graph_ivf_incremental(
+        None, spark.read.parquet(gp), vrow, cents, k=2, n_probe=2,
+        validate=False, old_index=spark.read.parquet(ip),
+        with_score=True, ordered=False).localCheckpoint()
+    # premise guard: v is a neighbor somewhere, a query nowhere
+    assert g1.filter(F.col("query_id") == 9).count() == 0
+    assert g1.filter(F.col("neighbor_id") == 9).count() > 0
+    (SIM.ivf_index(vrow, cents, n_probe=2)
+     .write.partitionBy("centroid_id").mode("append").parquet(ip))
+    overwrite_via_tmp(g1, gp)
+    want = sorted(map(tuple, spark.read.parquet(gp).collect()))
+    # ... and the marker write crashed. Replay the batch:
+    src = tmp_path / "feed"
+    src.mkdir()
+    vrow.coalesce(1).write.parquet(str(src / "d1.parquet"))
+    q = stream_knn_graph_upsert(
+        spark.readStream.schema(vrow.schema)
+        .parquet(str(src / "d1.parquet")),
+        gp, ip, cp, cents, k=2, n_probe=2, validate=False)
+    q.awaitTermination(120)
+
+    after = spark.read.parquet(gp)
+    assert sorted(map(tuple, after.collect())) == want  # untouched
+    # the old bug's signature: duplicate (query, neighbor) pairs
+    assert (after.groupBy("query_id", "neighbor_id").count()
+            .filter("count > 1").count() == 0)
+    idx = spark.read.parquet(ip)
+    assert idx.filter(F.col("vec_id") == 9).count() == 1
+    assert os.path.exists(os.path.join(cp, "_knn_graph_last_batch"))
+
+
+def test_stream_knn_graph_upsert_mixed_batch_fresh_checkpoint(
+        spark, sf_dir, tmp_path):
+    """r8 review: with graph AND index intact but the CHECKPOINT lost,
+    the restarted stream replays the whole feed — batch 0 mixes
+    previously-ingested ids with genuinely-new ones. The old any-id
+    diagnosis declared the whole batch applied and silently dropped
+    the new vectors forever; the per-row diagnosis ingests exactly the
+    new rows: the final graph equals the full rebuild and the index
+    gains each new id exactly once."""
+    from servihabitat_etl_spyke_spark.operators import similarity as SIM
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        stream_knn_graph_upsert)
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 200)
+           .select("vec_id", "embedding"))
+    base = emb.filter(F.col("vec_id") % 3 != 0)       # fully ingested
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    mixed = base.filter(F.col("vec_id") % 6 == 1).unionByName(new)
+    cents = SIM.kmeans_fit(base, k=3, iters=2)
+
+    gp, ip, cp = (str(tmp_path / n) for n in ("g", "i", "c"))
+    (SIM.ivf_index(base, cents, n_probe=2)
+     .write.partitionBy("centroid_id").parquet(ip))
+    (SIM.knn_graph_ivf(base, k=5, n_probe=2, centroids=cents,
+                       with_score=True, ordered=False).write.parquet(gp))
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    mixed.coalesce(1).write.parquet(str(src / "d1.parquet"))
+    q = stream_knn_graph_upsert(
+        spark.readStream.schema(mixed.schema)
+        .parquet(str(src / "d1.parquet")),
+        gp, ip, cp, cents, k=5, n_probe=2)   # cp is FRESH
+    q.awaitTermination(180)
+
+    got = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                 for r in spark.read.parquet(gp).collect())
+    want = sorted(map(tuple, SIM.knn_graph_ivf(
+        emb, k=5, n_probe=2, centroids=cents).collect()))
+    assert got == want and want
+    idx = spark.read.parquet(ip)
+    assert idx.count() == emb.count()
+    assert (idx.groupBy("vec_id").count()
+            .filter("count > 1").count() == 0)
