@@ -105,11 +105,39 @@ _REVERIFY: dict[str, int] = {
     # (no old-corpus rescan) with the touched-query merge window
     "ann_knn_graph_incremental": 8,
     # r8: trailing presentational orderBys dropped (hashes are
-    # order-insensitive; each sort cost a range-sampling job + sort)
+    # order-insensitive; each sort cost a range-sampling job + sort —
+    # and the range-sample pass RE-EXECUTES the whole child plan, so
+    # the sort cost 30-55% of these queries measured A/B at sf0.1).
+    # First the three top-cost dedup queries, then the full sweep.
     "dedup_clusters_incremental": 8,
     "dedup_prefix_filter": 8,
     "multimodal_audio_dedup": 8,
     "dedup_clusters_star": 8,
+    "text_repetition_signals": 8,
+    "dedup_semantic_lsh": 8,
+    "dedup_canonical": 8,
+    "dedup_incremental": 8,
+    "dedup_snapshot_incremental": 8,
+    "dedup_cluster_sample": 8,
+    "dedup_sorted_neighborhood": 8,
+    "dedup_minhash_lsh": 8,
+    "dedup_minhash_windowed": 8,
+    "dedup_simhash_pairs": 8,
+    "dedup_exact_substring": 8,
+    "dedup_semantic": 8,
+    "dedup_simhash": 8,
+    "dedup_containment": 8,
+    "dedup_boilerplate_lines": 8,
+    "ann_hard_negatives": 8,
+    "multimodal_audio_features": 8,
+    "multimodal_audio_neardup": 8,
+    "multimodal_video_scenes": 8,
+    "profile_columns": 8,
+    "profile_quantiles": 8,
+    "curate_dsir_weights": 8,
+    "curate_decontaminate_bloom": 8,
+    "text_lm_score": 8,
+    "text_bigram_lm_score": 8,
 }
 
 

@@ -590,10 +590,12 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     reshaped long (O(#columns) — it IS the profile)."""
     from .operators.profile import profile_table
     orders = load_table(spark, sf_dir, "orders")
-    return (profile_table(orders,
-                          ["o_orderkey", "o_custkey", "o_orderstatus",
-                           "o_totalprice", "o_orderpriority"])
-            .orderBy("col_name"))
+    # no presentational global orderBy (r8 sweep): hashes are
+    # order-insensitive, and the range-sample pass re-executes the
+    # whole profile child plan
+    return profile_table(orders,
+                         ["o_orderkey", "o_custkey", "o_orderstatus",
+                          "o_totalprice", "o_orderpriority"])
 
 
 def _quantile_oracle() -> str:
@@ -618,9 +620,9 @@ def profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     path for huge-cardinality columns at full scale."""
     from .operators.profile import quantile_profile
     li = load_table(spark, sf_dir, "lineitem")
-    return (quantile_profile(
+    # no presentational global orderBy (r8 sweep) — see profile_columns
+    return quantile_profile(
         li, ["l_quantity", "l_extendedprice", "l_discount"])
-        .orderBy("col_name"))
 
 
 @query("profile_quantiles_by_group", oracle="""

@@ -213,12 +213,13 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     lm = unigram_lm(docs)
     out = lm_score(docs, lm)
-    return (out.select(
+    # no presentational global orderBy (r8 sweep) — see
+    # curate_dsir_weights
+    return out.select(
         "doc_id",
         (F.floor(F.col("avg_logprob") * 1000000 + F.lit(0.5)) / 1000000)
         .alias("avg_logprob"),
         "n_scored")
-        .orderBy("doc_id"))
 
 
 @query("text_bigram_lm_score", oracle="""
@@ -267,12 +268,13 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 3 != 0)
     bigrams, backoff = bigram_lm(train, alpha=0.4)
     out = bigram_score(docs, bigrams, backoff, floor_logprob=-30.0)
-    return (out.select(
+    # no presentational global orderBy (r8 sweep) — see
+    # curate_dsir_weights
+    return out.select(
         "doc_id",
         (F.floor(F.col("avg_logprob") * 1000000 + F.lit(0.5)) / 1000000)
         .alias("avg_logprob"),
         "n_scored")
-        .orderBy("doc_id"))
 
 
 @query("corpus_profile", oracle="""
@@ -762,8 +764,10 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact across engines."""
     docs = load_table(spark, sf_dir, "documents")
     target = docs.filter(F.col("lang") == "en")
-    return (C.dsir_weights(docs, target, buckets=1024, n=2)
-            .orderBy("doc_id"))
+    # no presentational global orderBy (r8 sweep): hashes are
+    # order-insensitive, and the range-sample pass re-executes the
+    # whole child plan
+    return C.dsir_weights(docs, target, buckets=1024, n=2)
 
 
 @query("curate_dsir_sample", oracle=f"""
@@ -985,7 +989,9 @@ def curate_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 97 != 0)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
-    return C.decontaminate_bloom(train, ev, n=4).orderBy("doc_id")
+    # no presentational global orderBy (r8 sweep) — see
+    # curate_dsir_weights
+    return C.decontaminate_bloom(train, ev, n=4)
 
 
 @query("curate_funnel_report", oracle="""

@@ -175,11 +175,12 @@ def dedup_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("*").alias("n_members"))
              .filter(F.col("n_members") > 1))
     w = W.partitionBy("cluster_id").orderBy("doc_id")
+    # no presentational global orderBy (r8 sweep) — the row_number
+    # window above is the semantic part; see text_repetition_signals
     return (clusters.join(sized, "cluster_id")
             .select("cluster_id", "n_members", "doc_id",
                     F.row_number().over(w).alias("sample_rank"))
-            .filter(F.col("sample_rank") <= 2)
-            .orderBy("cluster_id", "sample_rank"))
+            .filter(F.col("sample_rank") <= 2))
 
 
 @query("dedup_exact_normalized", oracle="""
@@ -233,7 +234,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, exact-Jaccard verify on candidates only. The oracle replicates
     the identical md5-derived signatures, so the match is exact."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_neardup(docs, threshold=0.5).orderBy("id_a", "id_b")
+    # no presentational global orderBy (r8 sweep) — see
+    # text_repetition_signals
+    return D.minhash_lsh_neardup(docs, threshold=0.5)
 
 
 def _incremental_oracle() -> str:
@@ -272,9 +275,10 @@ def dedup_minhash_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     45) so the oracle replays it."""
     docs = (load_table(spark, sf_dir, "documents")
             .withColumn("crawl_day", F.col("doc_id") % 45))
-    return (D.minhash_lsh_neardup_windowed(docs, "crawl_day", window=7,
-                                           threshold=0.5)
-            .orderBy("id_a", "id_b"))
+    # no presentational global orderBy (r8 sweep) — see
+    # text_repetition_signals
+    return D.minhash_lsh_neardup_windowed(docs, "crawl_day", window=7,
+                                          threshold=0.5)
 
 
 @query("dedup_incremental", oracle=_incremental_oracle())
@@ -287,8 +291,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 5 == 0)
     stored = docs.filter(F.col("doc_id") % 5 != 0)
     stored_sig = D.minhash_signatures(stored)
-    return (D.incremental_neardup(new, stored, stored_sig, threshold=0.5)
-            .orderBy("id_a", "id_b"))
+    # no presentational global orderBy (r8 sweep) — see
+    # text_repetition_signals
+    return D.incremental_neardup(new, stored, stored_sig, threshold=0.5)
 
 
 @query("dedup_snapshot_incremental", oracle=_incremental_oracle())
@@ -323,8 +328,9 @@ def dedup_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = doc_store.read_incremental(spark, since=base_sid)
     stored = doc_store.read(spark, snapshot=base_sid)
     stored_sig = sig_store.read(spark)
-    return (D.incremental_neardup(new, stored, stored_sig, threshold=0.5)
-            .orderBy("id_a", "id_b"))
+    # no presentational global orderBy (r8 sweep) — see
+    # text_repetition_signals
+    return D.incremental_neardup(new, stored, stored_sig, threshold=0.5)
 
 
 @query("dedup_clusters", oracle=_cluster_oracle())
@@ -382,15 +388,18 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_neardup(docs, threshold=0.5)
     clusters = D.connected_components(pairs)
-    return (D.canonical_selection(docs, clusters, score_col="n_chars")
-            .orderBy("doc_id"))
+    # no presentational global orderBy (r8 sweep) — see
+    # text_repetition_signals
+    return D.canonical_selection(docs, clusters, score_col="n_chars")
 
 
 @query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 32-bit SimHash fingerprints (bit-vote aggregation)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash(docs).orderBy("doc_id")
+    # no presentational global orderBy (r8 sweep) — see
+    # text_repetition_signals
+    return D.simhash(docs)
 
 
 @query("dedup_embedding", oracle="""
@@ -616,10 +625,11 @@ def _hard_negatives_from(graph: DataFrame, max_cos: float = 0.45,
     — one edge filter + one per-anchor window."""
     kept = graph.filter(F.col("score") < max_cos)
     w = W.partitionBy("query_id").orderBy("rank")
+    # no presentational global orderBy (r8 sweep) — the per-query
+    # neg_rank window above is the semantic part
     return (kept.select("query_id", "neighbor_id",
                         F.row_number().over(w).alias("neg_rank"))
-            .filter(F.col("neg_rank") <= n_neg)
-            .orderBy("query_id", "neg_rank"))
+            .filter(F.col("neg_rank") <= n_neg))
 
 
 @query("ann_hard_negatives_ivf")  # approximate graph -> rows-only; pytest
@@ -999,7 +1009,9 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode -> RIFF bytes -> decode -> feature path loses nothing."""
     docs = load_table(spark, sf_dir, "documents")
     blobs = MM.attach_audio(docs)
-    return MM.audio_features(blobs).orderBy("doc_id")
+    # no presentational global orderBy (r8 sweep) — see
+    # text_repetition_signals
+    return MM.audio_features(blobs)
 
 
 @query("multimodal_video_scenes", oracle="""
@@ -1046,9 +1058,10 @@ def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shot keyframe sampling. The oracle recomputes every frame's
     luminance analytically, proving sequential decode end to end."""
     docs = load_table(spark, sf_dir, "documents")
-    return (MM.detect_scene_changes(MM.attach_video(docs),
-                                    threshold_milli=30000)
-            .orderBy("doc_id", "frame_idx"))
+    # no presentational global orderBy (r8 sweep) — see
+    # text_repetition_signals
+    return MM.detect_scene_changes(MM.attach_video(docs),
+                                   threshold_milli=30000)
 
 
 def _dhash_halves_cte() -> str:
@@ -1395,7 +1408,11 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold), zero shuffles — the whole family rides the scan; the oracle
     recomputes each via grouped SQL counts, e6-quantized."""
     docs = load_table(spark, sf_dir, "documents")
-    return TX.ngram_repetition_signals(docs).orderBy("doc_id")
+    # no presentational global orderBy (r8 sweep): hashes are
+    # order-insensitive, and the range-partitioning sample pass
+    # RE-EXECUTES the whole child plan — the sort cost ~50% of this
+    # row-local query (measured A/B at sf0.1)
+    return TX.ngram_repetition_signals(docs)
 
 
 def _relined(docs: DataFrame, w: int = 4) -> DataFrame:
@@ -1482,11 +1499,12 @@ def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by total line count; the boilerplate set is never
     collected, so any boilerplate volume scales."""
     docs = load_table(spark, sf_dir, "documents")
+    # no presentational global orderBy (r8 sweep) — see
+    # text_repetition_signals
     return (TX.dedup_lines(_relined(docs), min_docs=3)
             .select("doc_id",
                     F.col("n_lines").cast("int").alias("n_lines"),
-                    "n_kept", "text_clean")
-            .orderBy("doc_id"))
+                    "n_kept", "text_clean"))
 
 
 @query("text_token_entropy", oracle="""
@@ -1752,8 +1770,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check; exact semantics (planted duplicates dropped, one
     survivor per dup set, zero-norm handling) are pytest-asserted."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return (D.semantic_dedup(emb, k=8, threshold=0.45, iters=3)
-            .orderBy("vec_id"))
+    # no presentational global orderBy (r8 sweep) — see
+    # text_repetition_signals
+    return D.semantic_dedup(emb, k=8, threshold=0.45, iters=3)
 
 
 @query("dedup_semantic_lsh")  # k-means + LSH -> rows-only; recall pytest
@@ -1766,9 +1785,10 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the exact prune); rows-only at the driver like its exact
     twin."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return (D.semantic_dedup_lsh(emb, k=8, threshold=0.45, iters=3,
-                                 bands=8, rows=4)
-            .orderBy("vec_id"))
+    # no presentational global orderBy (r8 sweep) — see
+    # text_repetition_signals
+    return D.semantic_dedup_lsh(emb, k=8, threshold=0.45, iters=3,
+                                bands=8, rows=4)
 
 
 @query("dedup_cdc_chunks")  # rolling-hash boundaries -> rows-only; pytest
@@ -2005,8 +2025,9 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal step is `D.remove_duplicate_spans` (pytest-proven); this
     query emits the span table the removal consumes."""
     docs = load_table(spark, sf_dir, "documents")
-    return (D.duplicate_spans(docs, min_len=8)
-            .orderBy("doc_id", "span_start"))
+    # no presentational global orderBy (r8 sweep) — see
+    # text_repetition_signals
+    return D.duplicate_spans(docs, min_len=8)
 
 
 @query("ann_pq_topk")  # float k-means codebooks -> rows-only; recall pytest
@@ -2277,8 +2298,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     any useful threshold. Same inverted-index join as `neardup_jaccard`;
     both directions scored row-locally from one pair-overlap count."""
     docs = load_table(spark, sf_dir, "documents")
-    return (D.containment_pairs(docs, threshold=0.6)
-            .orderBy("contained_id", "container_id"))
+    # no presentational global orderBy (r8 sweep) — see
+    # text_repetition_signals
+    return D.containment_pairs(docs, threshold=0.6)
 
 
 @query("text_heavy_hitters", oracle="""
@@ -2407,8 +2429,9 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-oracle-able because it has no probabilistic recall knob. Each
     pass is one hash-partitioned window; candidates are O(n·window)."""
     docs = load_table(spark, sf_dir, "documents")
-    return (D.sorted_neighborhood_pairs(docs, threshold=0.3)
-            .orderBy("id_a", "id_b"))
+    # no presentational global orderBy (r8 sweep) — see
+    # text_repetition_signals
+    return D.sorted_neighborhood_pairs(docs, threshold=0.3)
 
 
 def _audio_lake_with_plants(docs: DataFrame) -> DataFrame:
@@ -2443,9 +2466,10 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible) -> rows-only; gain invariance, clipped-copy
     alignment, and discrimination proven in pytest."""
     docs = load_table(spark, sf_dir, "documents")
-    return (MM.audio_fp_neardup(_audio_lake_with_plants(docs),
-                                min_shared=3)
-            .orderBy("id_a", "id_b"))
+    # no presentational global orderBy (r8 sweep) — see
+    # text_repetition_signals
+    return MM.audio_fp_neardup(_audio_lake_with_plants(docs),
+                               min_shared=3)
 
 
 def _corpus_overlap_oracle(k: int = 16) -> str:
@@ -2652,8 +2676,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     modalities. 20 real pairs at sf0.01; the oracle replays fingerprint
     votes, banding, and Hamming verify bit-exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    return (D.simhash_neardup(docs, max_hamming=3, bands=4)
-            .orderBy("id_a", "id_b"))
+    # no presentational global orderBy (r8 sweep) — see
+    # text_repetition_signals
+    return D.simhash_neardup(docs, max_hamming=3, bands=4)
 
 
 @query("dedup_clusters_star", oracle=_cluster_oracle())
