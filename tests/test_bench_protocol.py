@@ -53,6 +53,8 @@ def _worst_case_out() -> dict:
         "headline_missing_from_registry": names[:5],
         "window_waited_sec": 123456,
         "window_wait_exhausted": True,
+        "noise_factor_end": 123.45,
+        "window_degraded": True,
     }
 
 
