@@ -138,6 +138,116 @@ _REVERIFY: dict[str, int] = {
     "curate_decontaminate_bloom": 8,
     "text_lm_score": 8,
     "text_bigram_lm_score": 8,
+    # r8 sweep completion: the remaining trailing presentational
+    # orderBys registry-wide (every file except queries_tpch.py,
+    # whose ORDER BYs are part of the published TPC-H query spec) +
+    # ann_hard_negatives_ivf, whose shared _hard_negatives_from
+    # helper changed in the first sweep pass. Ordered by bench cost
+    # so the expensive names refresh driver evidence first; the
+    # 50-slot window rolls the rest through the next rounds.
+    "ann_hard_negatives_ivf": 8,
+    "text_cms_estimate": 8,
+    "multimodal_image_dhash": 8,
+    "multimodal_image_phash": 8,
+    "multimodal_video_dedup": 8,
+    "dedup_overlap_matrix": 8,
+    "neardup_jaccard": 8,
+    "text_classifier_pr_sweep": 8,
+    "text_distinct_ngrams": 8,
+    "curate_gopher_filter": 8,
+    "state_machine_entries": 8,
+    "ann_jl_rerank_topk": 8,
+    "dedup_exact_normalized": 8,
+    "snapshot_diff": 8,
+    "embed_pca": 8,
+    "text_normalize": 8,
+    "text_line_filter": 8,
+    "curate_decontaminate": 8,
+    "text_token_entropy": 8,
+    "session_window_batch": 8,
+    "curate_passage_dedup": 8,
+    "late_data_watermark": 8,
+    "state_machine_fold": 8,
+    "text_quality": 8,
+    "embed_jl_project": 8,
+    "curate_domain_blocklist": 8,
+    "text_classifier_score": 8,
+    "curate_temperature_mix": 8,
+    "text_compression_ratio": 8,
+    "agg_rollup": 8,
+    "text_ctfidf_terms": 8,
+    "stream_dedup_batch": 8,
+    "scale_topk_per_group": 8,
+    "curate_domain_cap": 8,
+    "window_sliding": 8,
+    "curate_mad_outliers": 8,
+    "curate_shard_assign": 8,
+    "window_distribution": 8,
+    "agg_pivot": 8,
+    "curate_sample_exact_k": 8,
+    "profile_quantiles_by_group": 8,
+    "curate_token_budget_mix": 8,
+    "curate_pack_greedy": 8,
+    "fn_to_json": 8,
+    "agg_approx_distinct": 8,
+    "curate_contamination_score": 8,
+    "scale_global_rownum": 8,
+    "agg_percentiles": 8,
+    "multimodal_video_meta": 8,
+    "text_fingerprint": 8,
+    "curate_pipeline": 8,
+    "skew_salted_agg": 8,
+    "agg_stats": 8,
+    "q4_priority_semi": 8,
+    "dedup_cluster_sizes": 8,
+    "embed_quantize": 8,
+    "dedup_cdc_chunks": 8,
+    "flow_map_filter": 8,
+    "curate_grouped_split": 8,
+    "multimodal_meta": 8,
+    "curate_domain_stats": 8,
+    "sub_on_change": 8,
+    "multimodal_audio_windows": 8,
+    "multimodal_audio_fingerprint": 8,
+    "scale_zorder_key": 8,
+    "text_repetition_stats": 8,
+    "curate_split_leakage": 8,
+    "dedup_embedding_lsh": 8,
+    "text_winnowing": 8,
+    "queue_priority_drain": 8,
+    "agg_unpivot": 8,
+    "multimodal_audio_meta": 8,
+    "curate_chunk_tokens": 8,
+    "curate_url_normalize": 8,
+    "queue_delayed_release": 8,
+    "sheets_ingest": 8,
+    "llm_enrich_stub": 8,
+    "multimodal_image_neardup": 8,
+    "catalog_introspect": 8,
+    "curate_stratified_sample": 8,
+    "curate_pii_redact": 8,
+    "queue_fifo_lifo": 8,
+    "text_lang_id": 8,
+    "agg_cube": 8,
+    "dedup_clusters": 8,
+    "sheets_keyed_upsert": 8,
+    "text_winnowing_pairs": 8,
+    "text_token_count": 8,
+    "range_banding": 8,
+    "text_cluster_topics": 8,
+    "env_fanout": 8,
+    "multimodal_video_frames": 8,
+    "dedup_embedding": 8,
+    "topic_wildcard_match": 8,
+    "ann_recall_report": 8,
+    "multimodal_frames": 8,
+    "agg_approx_percentiles": 8,
+    "dedup_exact": 8,
+    "q18_large_orders": 8,
+    "snapshot_time_travel": 8,
+    "scale_bucketed_join": 8,
+    "corpus_profile": 8,
+    "text_bpe_tokenize": 8,
 }
 
 

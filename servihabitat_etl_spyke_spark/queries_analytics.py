@@ -69,8 +69,7 @@ def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
           .distinct())
     return (orders.join(li, "o_orderkey", "left_semi")
             .groupBy("o_orderpriority")
-            .agg(F.count("*").alias("order_count"))
-            .orderBy("o_orderpriority"))
+            .agg(F.count("*").alias("order_count")))
 
 
 # ---------------------------------------------------------------------------
@@ -93,9 +92,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (li.rollup("l_returnflag", "l_linestatus")
             .agg(round2(F.sum("l_quantity")).alias("sum_qty"),
-                 F.count("*").alias("n"))
-            .orderBy(F.col("l_returnflag").asc_nulls_first(),
-                     F.col("l_linestatus").asc_nulls_first()))
+                 F.count("*").alias("n")))
 
 
 @query("agg_cube", oracle="""
@@ -112,9 +109,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
             .agg(round2(F.avg("l_extendedprice")).alias("avg_price"),
-                 F.count("*").alias("n"))
-            .orderBy(F.col("l_returnflag").asc_nulls_first(),
-                     F.col("l_linestatus").asc_nulls_first()))
+                 F.count("*").alias("n")))
 
 
 # ---------------------------------------------------------------------------
@@ -138,8 +133,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.groupBy("l_returnflag")
             .agg(round2(F.expr("percentile(l_extendedprice, 0.25)")).alias("p25"),
                  round2(F.expr("percentile(l_extendedprice, 0.50)")).alias("p50"),
-                 round2(F.expr("percentile(l_extendedprice, 0.90)")).alias("p90"))
-            .orderBy("l_returnflag"))
+                 round2(F.expr("percentile(l_extendedprice, 0.90)")).alias("p90")))
 
 
 @query("agg_stats", oracle="""
@@ -162,8 +156,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  round2(F.max("l_extendedprice")).alias("max_price"),
                  round2(F.avg("l_extendedprice")).alias("avg_price"),
                  round2(F.stddev_samp("l_extendedprice")).alias("sd_price"),
-                 F.countDistinct("l_partkey").alias("n_parts"))
-            .orderBy("l_linestatus"))
+                 F.countDistinct("l_partkey").alias("n_parts")))
 
 
 @query("agg_approx_distinct")  # HLL sketch != oracle-exact -> rows-only
@@ -174,8 +167,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
             .agg(F.approx_count_distinct("l_partkey", rsd=0.01)
-                 .alias("approx_parts"))
-            .orderBy("l_returnflag"))
+                 .alias("approx_parts")))
 
 
 @query("q14_promo_ratio", oracle="""
@@ -256,8 +248,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(cust, orders.o_custkey == cust.c_custkey)
             .select("c_name", "o_orderkey",
                     round2(F.col("o_totalprice")).alias("o_totalprice"),
-                    round2(F.col("total_qty")).alias("total_qty"))
-            .orderBy("o_orderkey"))
+                    round2(F.col("total_qty")).alias("total_qty")))
 
 
 @query("q10_return_revenue", oracle="""
@@ -316,8 +307,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select(
         "l_returnflag", "n",
         round2(F.col("sum_qty_raw")).alias("sum_qty"),
-        round2(F.col("max_price_raw")).alias("max_price"))
-        .orderBy("l_returnflag"))
+        round2(F.col("max_price_raw")).alias("max_price")))
 
 
 # ---------------------------------------------------------------------------
@@ -349,8 +339,7 @@ def queue_fifo_lifo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.select("event_type", "event_id",
                       fifo.alias("fifo_pos"),
                       lifo.cast("int").alias("lifo_pos"))
-            .filter((F.col("fifo_pos") <= 5) | (F.col("lifo_pos") <= 5))
-            .orderBy("event_type", "event_id"))
+            .filter((F.col("fifo_pos") <= 5) | (F.col("lifo_pos") <= 5)))
 
 
 # ---------------------------------------------------------------------------
@@ -376,8 +365,7 @@ def scale_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.scale import topk_per_group
     ev = load_table(spark, sf_dir, "events")
     return (topk_per_group(ev, "event_type", "value", "event_id", k=3)
-            .select("event_type", "event_id", "value", "rnk")
-            .orderBy("event_type", "rnk"))
+            .select("event_type", "event_id", "value", "rnk"))
 
 
 @query("scale_global_rownum", oracle="""
@@ -395,7 +383,7 @@ def scale_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     out = global_row_numbers(li.select("l_orderkey", "l_linenumber"),
                              "l_orderkey", tiebreaks=["l_linenumber"])
-    return out.select("l_orderkey", "l_linenumber", "rn").orderBy("rn")
+    return out.select("l_orderkey", "l_linenumber", "rn")
 
 
 @query("agg_approx_percentiles")  # sketch-based != oracle-exact -> rows-only
@@ -413,8 +401,7 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.groupBy("l_returnflag")
             .agg(pct.getItem(0).alias("p50"),
                  pct.getItem(1).alias("p95"),
-                 pct.getItem(2).alias("p99"))
-            .orderBy("l_returnflag"))
+                 pct.getItem(2).alias("p99")))
 
 
 @query("scale_zorder_key", oracle="""
@@ -439,8 +426,7 @@ def scale_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.select(
         "event_id", "user_id",
         zorder_key(F.col("user_id") % 1024, F.col("event_id") % 1024,
-                   bits=16).alias("zkey"))
-        .orderBy("event_id"))
+                   bits=16).alias("zkey")))
 
 
 @query("agg_pivot", oracle="""
@@ -464,7 +450,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (docs.groupBy("source").pivot("lang", langs).count()
            .na.fill(0, langs))
     return out.select("source",
-                      *[F.col(c).alias(c) for c in langs]).orderBy("source")
+                      *[F.col(c).alias(c) for c in langs])
 
 
 @query("agg_unpivot", oracle="""
@@ -490,8 +476,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = ["de", "en", "es", "fr", "zh"]
     wide = (docs.groupBy("source").pivot("lang", langs).count()
             .na.fill(0, langs))
-    return (wide.unpivot("source", langs, "lang", "n_docs")
-            .orderBy("source", "lang"))
+    return (wide.unpivot("source", langs, "lang", "n_docs"))
 
 
 @query("window_distribution", oracle="""
@@ -515,8 +500,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.ntile(4).over(w).alias("quartile"),
         roundn(F.percent_rank().over(w), 6).alias("pct_rank"),
-        roundn(F.cume_dist().over(w), 6).alias("cume"))
-        .orderBy("doc_id"))
+        roundn(F.cume_dist().over(w), 6).alias("cume")))
 
 
 @query("scale_bucketed_join", oracle="""
@@ -555,8 +539,7 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(spark.table("b_orders"), "o_orderkey")
             .groupBy("o_orderpriority")
             .agg(F.count("*").alias("n_lines"),
-                 F.sum("l_quantity").cast("long").alias("sum_qty"))
-            .orderBy("o_orderpriority"))
+                 F.sum("l_quantity").cast("long").alias("sum_qty")))
 
 
 def _profile_oracle() -> str:
@@ -647,8 +630,7 @@ def profile_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     `profile_quantiles`."""
     from .operators.profile import quantile_profile_grouped
     docs = load_table(spark, sf_dir, "documents")
-    return (quantile_profile_grouped(docs, "source", "n_chars")
-            .orderBy("source"))
+    return (quantile_profile_grouped(docs, "source", "n_chars"))
 
 
 @query("scale_skew_report", oracle="""

@@ -50,8 +50,7 @@ def curate_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     red = C.pii_redact(docs)
     return (red.select("doc_id", "n_pii",
-                       F.md5("redacted").alias("red_digest"))
-            .orderBy("doc_id"))
+                       F.md5("redacted").alias("red_digest")))
 
 
 @query("curate_decontaminate", oracle="""
@@ -79,7 +78,7 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 97 != 0)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
-    return C.decontaminate(train, ev, n=4).orderBy("doc_id")
+    return C.decontaminate(train, ev, n=4)
 
 
 @query("curate_stratified_sample", oracle="""
@@ -99,7 +98,7 @@ def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = C.stratified_sample(docs, {"en": 0.5, "zh": 0.2},
                               strata_col="lang", key_col="doc_id",
                               default_rate=0.05)
-    return out.select("doc_id", "lang").orderBy("doc_id")
+    return out.select("doc_id", "lang")
 
 
 @query("curate_chunk_tokens", oracle="""
@@ -125,8 +124,7 @@ def curate_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = C.chunk_tokens(docs, max_tokens=64, overlap=16)
     return (out.select("doc_id", "chunk_idx", "n_tokens",
-                       F.md5("chunk").alias("chunk_digest"))
-            .orderBy("doc_id", "chunk_idx"))
+                       F.md5("chunk").alias("chunk_digest")))
 
 
 @query("curate_pack_greedy", oracle="""
@@ -145,8 +143,7 @@ def curate_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle (window on source); packing parallelizes across sources —
     the 100 TB recipe is shard-then-pack, and this IS the per-shard pack."""
     docs = load_table(spark, sf_dir, "documents")
-    return (C.pack_greedy(docs, max_tokens=512, group_col="source")
-            .orderBy("doc_id"))
+    return (C.pack_greedy(docs, max_tokens=512, group_col="source"))
 
 
 @query("text_repetition_stats", oracle="""
@@ -172,7 +169,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed."""
     from .operators.text import repetition_stats
     docs = load_table(spark, sf_dir, "documents")
-    return repetition_stats(docs).orderBy("doc_id")
+    return repetition_stats(docs)
 
 
 @query("text_lm_score", oracle="""
@@ -317,8 +314,7 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  round2(F.expr("percentile(n_chars, 0.95)")).alias("p95_chars"),
                  (F.floor((F.sum("dr_nano") / F.count("*")) / 1000.0
                           + F.lit(0.5)) / 1000000)
-                 .alias("mean_distinct_ratio"))
-            .orderBy("lang"))
+                 .alias("mean_distinct_ratio")))
 
 
 @query("curate_pipeline", oracle="""
@@ -358,8 +354,7 @@ def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = C.stratified_sample(gated, {"en": 0.8}, strata_col="lang",
                                   key_col="doc_id", default_rate=0.3)
     return (C.chunk_tokens(sampled, max_tokens=64, overlap=0)
-            .select("doc_id", "chunk_idx", "n_tokens")
-            .orderBy("doc_id", "chunk_idx"))
+            .select("doc_id", "chunk_idx", "n_tokens"))
 
 
 @query("embed_quantize", oracle="""
@@ -400,8 +395,7 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / 1000000).alias("scale_r"),
                      F.md5(F.array_join("qvec", ",")).alias("qvec_digest"),
                      F.aggregate("qvec", F.lit(0).cast("long"),
-                                 lambda acc, x: acc + x).alias("code_sum"))
-            .orderBy("vec_id"))
+                                 lambda acc, x: acc + x).alias("code_sum")))
 
 
 @query("curate_passage_dedup", oracle="""
@@ -426,8 +420,7 @@ def curate_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans). One digest-keyed shuffle; document bytes never cross the wire —
     see operators/curation.py::passage_dedup."""
     docs = load_table(spark, sf_dir, "documents")
-    return (C.passage_dedup(docs, max_tokens=64)
-            .orderBy("doc_id", "chunk_idx"))
+    return (C.passage_dedup(docs, max_tokens=64))
 
 
 @query("text_boilerplate_ngrams", oracle="""
@@ -512,8 +505,7 @@ def curate_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", C.synth_url(F.col("doc_id"), F.col("source"),
                               F.col("lang")).alias("url"))
     return (C.normalize_urls(with_url)
-            .select("doc_id", "url", "url_norm", "domain")
-            .orderBy("doc_id"))
+            .select("doc_id", "url", "url_norm", "domain"))
 
 
 @query("curate_domain_cap", oracle="""
@@ -541,7 +533,7 @@ def curate_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.domain_filter(C.normalize_urls(with_url),
                         ["src3.example.com", "src7.example.com"]),
         cap=40)
-    return capped.select("doc_id", "domain").orderBy("doc_id")
+    return capped.select("doc_id", "domain")
 
 
 @query("curate_domain_blocklist", oracle="""
@@ -577,7 +569,7 @@ def curate_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("src3.example.com",), ("src7.example.com",),
          ("de.src1.example.com",)], "dom string")
     return (C.domain_suffix_blocklist(d, bl)
-            .select("doc_id", "domain").orderBy("doc_id"))
+            .select("doc_id", "domain"))
 
 
 @query("curate_domain_stats", oracle="""
@@ -599,8 +591,7 @@ def curate_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars",
         C.synth_url(F.col("doc_id"), F.col("source"),
                     F.col("lang")).alias("url"))
-    return (C.domain_stats(C.normalize_urls(with_url))
-            .orderBy("domain"))
+    return (C.domain_stats(C.normalize_urls(with_url)))
 
 
 @query("curate_grouped_split", oracle="""
@@ -619,8 +610,7 @@ def curate_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     return (C.grouped_split(docs, "source")
-            .select("doc_id", "source", "split")
-            .orderBy("doc_id"))
+            .select("doc_id", "source", "split"))
 
 
 @query("curate_shard_assign", oracle="""
@@ -651,8 +641,7 @@ def curate_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
     return (C.shard_assignment(base, n_shards=8, key_col="doc_id",
-                               token_col="n_tokens")
-            .orderBy("doc_id"))
+                               token_col="n_tokens"))
 
 
 @query("curate_temperature_mix", oracle="""
@@ -689,7 +678,7 @@ def curate_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = C.temperature_mix(docs, target_rows=250, strata_col="lang",
                             key_col="doc_id", alpha=0.5)
-    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+    return out.select("doc_id", "lang", "source")
 
 
 @query("curate_contamination_score", oracle="""
@@ -719,7 +708,7 @@ def curate_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 97 != 0)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
-    return C.contamination_score(train, ev, n=4).orderBy("doc_id")
+    return C.contamination_score(train, ev, n=4)
 
 
 _DSIR_W_SQL = """
@@ -813,8 +802,7 @@ def curate_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (C.sample_exact_k(docs, k=20, strata_col="lang",
                              key_col="doc_id")
-            .select("doc_id", "lang", "sample_rank")
-            .orderBy("lang", "sample_rank"))
+            .select("doc_id", "lang", "sample_rank"))
 
 
 @query("curate_token_budget_mix", oracle=f"""
@@ -839,8 +827,7 @@ def curate_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (C.token_budget_mix(docs, budget_per_stratum=30000,
                                strata_col="source", key_col="doc_id",
                                tokens_col="n_chars")
-            .select("doc_id", "source", "n_chars", "tokens_before")
-            .orderBy("doc_id"))
+            .select("doc_id", "source", "n_chars", "tokens_before"))
 
 
 @query("curate_gopher_filter", oracle="""
@@ -886,8 +873,7 @@ def curate_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import gopher_filter
     docs = load_table(spark, sf_dir, "documents")
     return (gopher_filter(docs, min_tokens=30, max_top_token_frac=0.12,
-                          max_dup_3gram_frac=0.05)
-            .orderBy("doc_id"))
+                          max_dup_3gram_frac=0.05))
 
 
 @query("text_ctfidf_terms", oracle="""
@@ -918,8 +904,7 @@ def text_ctfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic top-5 per group."""
     from .operators.text import ctfidf_terms
     docs = load_table(spark, sf_dir, "documents")
-    return (ctfidf_terms(docs, group_col="source", top=5)
-            .orderBy("source", "term_rank"))
+    return (ctfidf_terms(docs, group_col="source", top=5))
 
 
 @query("curate_weighted_sample", oracle="""
@@ -964,8 +949,7 @@ def curate_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back over the corpus; e4-quantized deviations keep the
     keep decision engine-bit-identical."""
     docs = load_table(spark, sf_dir, "documents")
-    return (C.mad_outlier_filter(docs, "n_chars", k=3.0)
-            .orderBy("doc_id"))
+    return (C.mad_outlier_filter(docs, "n_chars", k=3.0))
 
 
 @query("curate_decontaminate_bloom", oracle="""

@@ -37,8 +37,7 @@ def flow_map_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["boosted"] = np.floor((pdf["value"] * 2 + 1) * 100 + 0.5) / 100
         return out
     return (FL.flow_map(kept, boost,
-                        "event_id long, user_id long, boosted double")
-            .orderBy("event_id"))
+                        "event_id long, user_id long, boosted double"))
 
 
 @query("sub_on_change", oracle="""
@@ -63,8 +62,7 @@ def sub_on_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits). One shuffle on the key; streaming twin = last-value state."""
     ev = load_table(spark, sf_dir, "events")
     return (changes_only(ev, ["user_id"], "event_type", ["ts", "event_id"])
-            .select("user_id", "event_id", "event_type")
-            .orderBy("user_id", "event_id"))
+            .select("user_id", "event_id", "event_type"))
 
 
 @query("fn_to_json", oracle="""
@@ -81,8 +79,7 @@ def fn_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (ev.select("event_id",
                       to_json_pretty(F.struct("event_type", "user_id"))
-                      .alias("js"))
-            .orderBy("event_id"))
+                      .alias("js")))
 
 
 @query("llm_enrich_stub", oracle="""
@@ -96,5 +93,4 @@ def llm_enrich_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     for `http_llm_client` in a connected deployment."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (EN.llm_enrich(docs, "text")
-            .select("doc_id", "completion")
-            .orderBy("doc_id"))
+            .select("doc_id", "completion"))

@@ -138,7 +138,7 @@ FROM documents GROUP BY md5(text) ORDER BY digest
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: content-digest groupBy keeping the smallest id."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.exact_dedup(docs).orderBy("digest")
+    return D.exact_dedup(docs)
 
 
 def _cluster_sample_oracle(m: int = 2) -> str:
@@ -202,8 +202,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization inside the digest."""
     docs = load_table(spark, sf_dir, "documents")
     normed = TX.normalize_text(docs)
-    return (D.exact_dedup(normed, text_col="text_norm")
-            .orderBy("digest"))
+    return (D.exact_dedup(normed, text_col="text_norm"))
 
 
 @query("neardup_jaccard", oracle=f"""
@@ -225,7 +224,7 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (inverted-index shingle join;
     threshold 0.2 catches the generator's planted near-duplicates)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, threshold=0.2).orderBy("id_a", "id_b")
+    return D.jaccard_pairs(docs, threshold=0.2)
 
 
 @query("dedup_minhash_lsh", oracle=_minhash_oracle())
@@ -341,7 +340,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same pair SQL."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_neardup(docs, threshold=0.5)
-    return D.connected_components(pairs).orderBy("doc_id")
+    return D.connected_components(pairs)
 
 
 def _canonical_oracle() -> str:
@@ -421,7 +420,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors the double-precision math explicitly (margins >= 1e-4 at
     both sf0.01 and sf0.1, far above float noise)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_neardup(emb, threshold=0.45).orderBy("id_a", "id_b")
+    return D.embedding_neardup(emb, threshold=0.45)
 
 
 @query("dedup_embedding_lsh")  # approximate -> rows-only; recall in pytest
@@ -430,8 +429,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join prunes candidates before exact-cosine verify). Approximate by
     construction — recall vs the exact baseline asserted in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return (D.embedding_neardup_lsh(emb, threshold=0.45, bands=8, rows=2)
-            .orderBy("id_a", "id_b"))
+    return (D.embedding_neardup_lsh(emb, threshold=0.45, bands=8, rows=2))
 
 
 # ---------------------------------------------------------------------------
@@ -718,8 +716,7 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (proj.select(
         "vec_id",
         roundn(F.element_at("pca", 1), 6).alias("pc1_q"),
-        roundn(F.element_at("pca", 2), 6).alias("pc2_q"))
-        .orderBy("vec_id"))
+        roundn(F.element_at("pca", 2), 6).alias("pc2_q")))
 
 
 @query("graph_pagerank_knn")  # float power iteration -> rows-only; pytest
@@ -810,7 +807,7 @@ FROM documents ORDER BY doc_id
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality signals (length/token/stopword/punct ratios)."""
     docs = load_table(spark, sf_dir, "documents")
-    return TX.quality_features(docs).orderBy("doc_id")
+    return TX.quality_features(docs)
 
 
 @query("text_token_count", oracle=r"""
@@ -825,8 +822,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.select(
         "doc_id",
         TX.token_count_ws(F.col("text")).alias("n_ws_tokens"),
-        TX.token_count_bpe(F.col("text")).alias("n_bpe_tokens"))
-        .orderBy("doc_id"))
+        TX.token_count_bpe(F.col("text")).alias("n_bpe_tokens")))
 
 
 @query("text_lang_id", oracle="""
@@ -856,7 +852,7 @@ FROM scores ORDER BY doc_id
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID (n-gram heuristic, deterministic ties)."""
     docs = load_table(spark, sf_dir, "documents")
-    return TX.language_id(docs).orderBy("doc_id")
+    return TX.language_id(docs)
 
 
 @query("text_fingerprint", oracle=r"""
@@ -868,7 +864,7 @@ FROM documents ORDER BY doc_id
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized content fingerprint + 32-bit partitioning bucket."""
     docs = load_table(spark, sf_dir, "documents")
-    return TX.fingerprint(docs).orderBy("doc_id")
+    return TX.fingerprint(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -900,8 +896,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = MM.attach_binary(docs)
     return (MM.extract_media_meta(blobs)
-            .select("doc_id", "media_type", "n_bytes", "width", "height")
-            .orderBy("doc_id"))
+            .select("doc_id", "media_type", "n_bytes", "width", "height"))
 
 
 @query("multimodal_frames", oracle="""
@@ -924,7 +919,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     utf8-bytes blobs so the oracle can replay the sampled byte values."""
     docs = load_table(spark, sf_dir, "documents")
     blobs = MM.attach_binary(docs, codec="utf8")
-    return MM.sample_frames(blobs).orderBy("doc_id", "frame_idx")
+    return MM.sample_frames(blobs)
 
 
 @query("multimodal_embed_ann")  # float pipeline -> rows-only; pytest-checked
@@ -969,7 +964,7 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     never from echoing the generator's inputs."""
     docs = load_table(spark, sf_dir, "documents")
     blobs = MM.attach_audio(docs)
-    return MM.extract_audio_meta(blobs).orderBy("doc_id")
+    return MM.extract_audio_meta(blobs)
 
 
 @query("multimodal_audio_features", oracle="""
@@ -1132,8 +1127,7 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dhash").bitwiseAND(F.lit(0xFFFFFFFF)).alias("dhash_lo"),
         F.shiftrightunsigned(F.col("dhash"), 32)
         .bitwiseAND(F.lit(0xFFFFFFFF)).alias("dhash_hi"),
-        "width", "height")
-        .orderBy("doc_id"))
+        "width", "height"))
 
 
 @query("multimodal_image_phash")  # float DCT -> rows-only; invariance pytest
@@ -1149,8 +1143,7 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = MM.attach_binary(docs)
     return (MM.image_phash(blobs)
-            .select("doc_id", "phash", "width", "height")
-            .orderBy("doc_id"))
+            .select("doc_id", "phash", "width", "height"))
 
 
 @query("multimodal_image_neardup", oracle=_dhash_halves_cte() + """
@@ -1172,8 +1165,7 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as MinHash-LSH, pure JVM integer expressions."""
     docs = load_table(spark, sf_dir, "documents")
     hashed = MM.image_dhash(MM.attach_binary(docs))
-    return (MM.dhash_neardup(hashed, max_hamming=3, bands=4)
-            .orderBy("id_a", "id_b"))
+    return (MM.dhash_neardup(hashed, max_hamming=3, bands=4))
 
 
 @query("multimodal_audio_fingerprint")  # FFT float path -> rows-only; pytest
@@ -1186,7 +1178,7 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     discrimination, and determinism."""
     docs = load_table(spark, sf_dir, "documents")
     blobs = MM.attach_audio(docs)
-    return MM.audio_fingerprint(blobs).orderBy("doc_id")
+    return MM.audio_fingerprint(blobs)
 
 
 @query("multimodal_audio_windows", oracle="""
@@ -1214,8 +1206,7 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded WAV frames."""
     docs = load_table(spark, sf_dir, "documents")
     blobs = MM.attach_audio(docs)
-    return (MM.sample_audio_windows(blobs, win=64, hop=32)
-            .orderBy("doc_id", "window_idx"))
+    return (MM.sample_audio_windows(blobs, win=64, hop=32))
 
 
 @query("text_classifier_score", oracle="""
@@ -1237,7 +1228,7 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (identical IEEE result in any engine). A trained weight
     vector drops in as a broadcast array literal with the same plan."""
     docs = load_table(spark, sf_dir, "documents")
-    return TX.hashed_classifier_score(docs).orderBy("doc_id")
+    return TX.hashed_classifier_score(docs)
 
 
 def _overlap_matrix_oracle(k: int = 16) -> str:
@@ -1276,8 +1267,7 @@ def dedup_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-scanning any two groups. The oracle replays the identical
     universal-hash sketch per source, so even the ESTIMATES hash-match."""
     docs = load_table(spark, sf_dir, "documents")
-    return (D.corpus_overlap_matrix(docs, group_col="source", k=16)
-            .orderBy("source_a", "source_b"))
+    return (D.corpus_overlap_matrix(docs, group_col="source", k=16))
 
 
 @query("embed_jl_project")  # float GEMM -> rows-only; JL-property pytest
@@ -1295,8 +1285,7 @@ def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (proj.select(
         "vec_id",
         roundn(F.element_at("projected", 1), 6).alias("jl1_q"),
-        roundn(F.element_at("projected", 2), 6).alias("jl2_q"))
-        .orderBy("vec_id"))
+        roundn(F.element_at("projected", 2), 6).alias("jl2_q")))
 
 
 @query("ann_jl_rerank_topk")  # projected retrieve + rerank -> rows-only
@@ -1326,8 +1315,7 @@ def ann_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           "neighbor_id")
     return (scored.select("query_id", "neighbor_id",
                           F.row_number().over(w).alias("rank"))
-            .filter(F.col("rank") <= 10)
-            .orderBy("query_id", "rank"))
+            .filter(F.col("rank") <= 10))
 
 
 @query("retrieval_mmr_topk")  # greedy rerank -> rows-only; pytest-proven
@@ -1360,7 +1348,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     collide in downstream digests. Exactly replayed by the oracle's
     regexp pipeline."""
     docs = load_table(spark, sf_dir, "documents")
-    return TX.normalize_text(docs).orderBy("doc_id")
+    return TX.normalize_text(docs)
 
 
 def _rep_signals_oracle(top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)) -> str:
@@ -1468,8 +1456,7 @@ def text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.col("n_lines").cast("int").alias("n_lines"),
                     F.col("n_kept").cast("int").alias("n_kept"),
-                    "text_clean")
-            .orderBy("doc_id"))
+                    "text_clean"))
 
 
 @query("dedup_boilerplate_lines", oracle="""
@@ -1532,7 +1519,7 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     nano-quantized so the oracle's grouped recomputation matches
     bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
-    return TX.token_entropy(docs).orderBy("doc_id")
+    return TX.token_entropy(docs)
 
 
 @query("text_compression_ratio")  # zlib -> rows-only; property pytest
@@ -1544,7 +1531,7 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver records rows-only; pytest pins the
     repetitive < prose < random ordering and determinism."""
     docs = load_table(spark, sf_dir, "documents")
-    return TX.compression_ratio(docs).orderBy("doc_id")
+    return TX.compression_ratio(docs)
 
 
 @query("text_distinct_ngrams", oracle="""
@@ -1575,8 +1562,7 @@ def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one tagged array), one explode, one grouped exact-distinct
     aggregation."""
     docs = load_table(spark, sf_dir, "documents")
-    return (TX.distinct_ngram_ratios(docs, group_col="source")
-            .orderBy("source", "n"))
+    return (TX.distinct_ngram_ratios(docs, group_col="source"))
 
 
 @query("text_classifier_pr_sweep", oracle="""
@@ -1622,8 +1608,7 @@ def text_classifier_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(docs.select("doc_id",
                                 (F.col("n_chars") >= 200).alias("y")),
                     "doc_id"))
-    return (TX.classifier_pr_sweep(scored, label_col="y")
-            .orderBy("th_micro"))
+    return (TX.classifier_pr_sweep(scored, label_col="y"))
 
 
 @query("bm25_topk", oracle="""
@@ -1739,7 +1724,7 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
               .limit(2000).collect()]
     merges = TX.train_bpe(sample, n_merges=16)
     docs = load_table(spark, sf_dir, "documents")
-    return TX.apply_bpe(docs, merges).orderBy("doc_id")
+    return TX.apply_bpe(docs, merges)
 
 
 @query("text_bpe_pair_counts", oracle="""
@@ -1802,8 +1787,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = MM.attach_binary(docs, codec="utf8")
     return (D.cdc_chunk_table(blobs, min_size=64, avg_size=256,
-                              max_size=1024)
-            .orderBy("doc_id", "chunk_idx"))
+                              max_size=1024))
 
 
 @query("multimodal_video_meta", oracle="""
@@ -1830,7 +1814,7 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata via REAL header parsing — container index plus the first
     frame's BMP header; frame payloads untouched."""
     docs = load_table(spark, sf_dir, "documents")
-    return MM.extract_video_meta(MM.attach_video(docs)).orderBy("doc_id")
+    return MM.extract_video_meta(MM.attach_video(docs))
 
 
 @query("multimodal_video_frames", oracle="""
@@ -1876,8 +1860,7 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions + exact integer mean luminance (sum of decoded bytes —
     engine-exact, so the oracle checks the pixels, not just the index)."""
     docs = load_table(spark, sf_dir, "documents")
-    return (MM.sample_video_frames(MM.attach_video(docs), every_n=2)
-            .orderBy("doc_id", "frame_idx"))
+    return (MM.sample_video_frames(MM.attach_video(docs), every_n=2))
 
 
 def _gray_sql(col_expr: str) -> str:
@@ -1973,8 +1956,7 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     kf = MM.video_keyframe_dhash(MM.attach_video(docs),
                                  threshold_milli=30000)
-    return (MM.video_dhash_neardup(kf, max_hamming=3, bands=4)
-            .orderBy("id_a", "id_b"))
+    return (MM.video_dhash_neardup(kf, max_hamming=3, bands=4))
 
 
 @query("dedup_exact_substring", oracle="""
@@ -2082,8 +2064,7 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram. The oracle replays hashing, packing, and window minima
     bit-identically."""
     docs = load_table(spark, sf_dir, "documents")
-    return (TX.winnow_fingerprints(docs, k=4, w=5)
-            .orderBy("doc_id", "gram_pos"))
+    return (TX.winnow_fingerprints(docs, k=4, w=5))
 
 
 def _winnow_cte() -> str:
@@ -2130,8 +2111,7 @@ def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is too coarse. Oracle replays selection AND matching."""
     docs = load_table(spark, sf_dir, "documents")
     fps = TX.winnow_fingerprints(docs, k=4, w=5)
-    return (TX.winnow_match_pairs(fps, min_shared=2)
-            .orderBy("id_a", "id_b"))
+    return (TX.winnow_match_pairs(fps, min_shared=2))
 
 
 @query("text_cluster_topics")  # float k-means -> rows-only; purity pytest
@@ -2142,7 +2122,7 @@ def text_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     text becomes just another embedding column. Output (doc_id,
     cluster_id); cluster purity on planted topics asserted in pytest."""
     docs = load_table(spark, sf_dir, "documents")
-    return TX.cluster_documents(docs, k=6, dim=64).orderBy("doc_id")
+    return TX.cluster_documents(docs, k=6, dim=64)
 
 
 def _cluster_sizes_oracle() -> str:
@@ -2183,8 +2163,7 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per_cluster.groupBy("cluster_size")
             .agg(F.count("*").alias("n_clusters"),
                  (F.count("*") * (F.col("cluster_size") - 1))
-                 .alias("n_removable"))
-            .orderBy("cluster_size"))
+                 .alias("n_removable")))
 
 
 @query("ann_recall_report")  # approx side float-kmeans -> rows-only
@@ -2197,7 +2176,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     exact = SIM.knn_graph(emb, k=5)
     approx = SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2, iters=3)
-    return SIM.recall_report(exact, approx).orderBy("query_id")
+    return SIM.recall_report(exact, approx)
 
 
 def _split_leakage_oracle() -> str:
@@ -2247,8 +2226,7 @@ def curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.greatest("sa", "sb").alias("split_b"))
             .agg(F.count("*").alias("n_pairs"),
                  F.count(F.when(F.col("sa") != F.col("sb"), 1))
-                 .alias("n_leaking"))
-            .orderBy("split_a", "split_b"))
+                 .alias("n_leaking")))
 
 
 @query("ann_ivfpq_topk")  # float codebooks -> rows-only; recall pytest
@@ -2588,8 +2566,7 @@ def text_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("item", "est",
                     F.coalesce("true_cnt", F.lit(0)).alias("true_cnt"),
                     (F.col("est") - F.coalesce("true_cnt", F.lit(0)))
-                    .alias("overcount"))
-            .orderBy("item"))
+                    .alias("overcount")))
 
 
 @query("dedup_prefix_filter", oracle=f"""
@@ -2797,8 +2774,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = store.commit(v1)
     s2 = store.commit(v2, mode="overwrite")
     return (_diff(spark, store, key_col="doc_id",
-                  from_snapshot=s1, to_snapshot=s2)
-            .orderBy("doc_id"))
+                  from_snapshot=s1, to_snapshot=s2))
 
 
 @query("profile_kmv_distinct", oracle="""

@@ -42,7 +42,7 @@ ORDER BY id
 def sheets_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: header-zip ingest — short rows pad, long rows truncate, header
     names sanitize (' region ' -> 'region'), everything stays string."""
-    return sheet_from_rows(spark, _SHEET).orderBy("id")
+    return sheet_from_rows(spark, _SHEET)
 
 
 @query("sheets_keyed_upsert", oracle="""
@@ -59,7 +59,7 @@ def sheets_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     sheet = sheet_from_rows(spark, _SHEET)
     updates = spark.createDataFrame(
         _UPDATES, "id string, name string, region string")
-    return sheet_upsert(sheet, updates, "id").orderBy("id")
+    return sheet_upsert(sheet, updates, "id")
 
 
 # ---------------------------------------------------------------------------
@@ -75,7 +75,7 @@ def catalog_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10: datasets-as-rows — every registered table with its column
     count, from parquet footers only (no data scan); the oracle asks
     DuckDB's information_schema the same question."""
-    return catalog_table(spark, sf_dir, TABLES).orderBy("table_name")
+    return catalog_table(spark, sf_dir, TABLES)
 
 
 # ---------------------------------------------------------------------------
@@ -132,8 +132,7 @@ def range_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parity gate must not depend on that data property
     return (ev.select("event_id", round2(v).alias("value"),
                       band.alias("band"),
-                      round2(delta).alias("delta"))
-            .orderBy("event_id"))
+                      round2(delta).alias("delta")))
 
 
 # ---------------------------------------------------------------------------
@@ -356,4 +355,4 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     st.commit(ev.filter((F.col("event_id") >= 1000)
                         & (F.col("event_id") < 2000)))
     st.commit(ev.filter(F.col("event_id") >= 5000), mode="overwrite")
-    return st.read(spark, snapshot=1).orderBy("event_id")
+    return st.read(spark, snapshot=1)

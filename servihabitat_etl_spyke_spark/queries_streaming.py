@@ -51,8 +51,7 @@ def topic_wildcard_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: MQTT wildcard subscription ('+' one segment, '#' rest) compiled
     to one anchored rlike over the shared topic stream."""
     subs = topic_filter(_event_topics(spark, sf_dir), _PATTERN)
-    return (subs.groupBy("topic").agg(F.count("*").alias("n_msgs"))
-            .orderBy("topic"))
+    return (subs.groupBy("topic").agg(F.count("*").alias("n_msgs")))
 
 
 @query("cdc_notifications", oracle="""
@@ -107,8 +106,7 @@ def env_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 3 == 2, "*")
         .when(F.col("event_id") % 3 == 0, "dev").otherwise("prod"))
     routed = EV.route_envs(ev)
-    return (routed.groupBy("env").agg(F.count("*").alias("n_rows"))
-            .orderBy("env"))
+    return (routed.groupBy("env").agg(F.count("*").alias("n_rows")))
 
 
 # ---------------------------------------------------------------------------
@@ -144,7 +142,7 @@ def state_machine_fold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming form keeps one state-store row per instance
     (streaming/stateful.py::state_machine_stream)."""
     ev = load_table(spark, sf_dir, "events")
-    return state_machine_fold(ev, USER_LIFECYCLE).orderBy("user_id")
+    return state_machine_fold(ev, USER_LIFECYCLE)
 
 
 @query("state_machine_entries", oracle=f"""
@@ -186,8 +184,7 @@ def state_machine_entries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/stateful.py::state_machine_entries_stream (equivalence
     asserted in tests/test_streaming.py)."""
     ev = load_table(spark, sf_dir, "events")
-    return (state_machine_entry_events(ev, USER_LIFECYCLE)
-            .orderBy("user_id", "entry_seq"))
+    return (state_machine_entry_events(ev, USER_LIFECYCLE))
 
 
 # ---------------------------------------------------------------------------
@@ -213,8 +210,7 @@ def queue_priority_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 3).alias("priority"),
         F.col("ts").alias("enqueued_at"))
     out = Q.drain_order(ev, "priority", tiebreak_col="item_id")
-    return (out.select("queue_id", "item_id", "priority", "drain_pos")
-            .orderBy("queue_id", "drain_pos"))
+    return (out.select("queue_id", "item_id", "priority", "drain_pos"))
 
 
 @query("queue_delayed_release", oracle="""
@@ -240,8 +236,7 @@ def queue_delayed_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = Q.drain_order(ev, "delayed", tiebreak_col="item_id")
     return (out.select("queue_id", "item_id",
                        epoch_micros(out, "release_at").alias("release_us"),
-                       "drain_pos")
-            .orderBy("queue_id", "drain_pos"))
+                       "drain_pos"))
 
 
 # ---------------------------------------------------------------------------
@@ -264,8 +259,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = WIN.sliding_counts(ev, "1 hour", "30 minutes")
     return (out.select(epoch_micros(out, "window.start")
-                       .alias("window_start_us"), "event_type", "cnt")
-            .orderBy("window_start_us", "event_type"))
+                       .alias("window_start_us"), "event_type", "cnt"))
 
 
 @query("session_window_batch", oracle="""
@@ -298,8 +292,7 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         epoch_micros(out, "session_window.start").alias("session_start_us"),
         epoch_micros(out, "session_window.end").alias("session_end_us"),
-        "n_events")
-        .orderBy("user_id", "session_start_us"))
+        "n_events"))
 
 
 @query("late_data_watermark", oracle="""
@@ -328,7 +321,7 @@ def late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.max("ts").over(w).alias("high_water"))
     late = seq.filter(
         F.col("ts") < F.col("high_water") - F.expr("INTERVAL 10 MINUTES"))
-    return late.select("user_id", "event_id").orderBy("user_id", "event_id")
+    return late.select("user_id", "event_id")
 
 
 @query("stream_dedup_batch", oracle="""
@@ -351,4 +344,4 @@ def stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type")
     doubled = ev.unionAll(ev)
-    return doubled.dropDuplicates(["event_id"]).orderBy("event_id")
+    return doubled.dropDuplicates(["event_id"])

@@ -227,8 +227,9 @@ def test_pack_greedy_single_window_shuffle(spark, sf_dir):
     plan = plan_of(spark, "curate_pack_greedy", sf_dir)
     tree = plan.split("\n\n")[0]
     assert tree.count("Window") == 1
-    # exactly two exchanges: hash for the window + range for the orderBy
-    assert tree.count("Exchange") == 2
+    # exactly one exchange: hash for the window (the r8 sweep dropped
+    # the presentational orderBy and its range exchange)
+    assert tree.count("Exchange") == 1
 
 
 # -- registry-wide scale-hazard audit ----------------------------------------
