@@ -101,6 +101,17 @@ _WINDOW: list[str] = [
 # re-verified the new implementation), it returns to the age-ordered
 # tier — no manual cleanup next round.
 _REVERIFY: dict[str, int] = {
+    # r9 (VERDICT r8 #4): the IVF consumers now read the persisted
+    # ivf_index table instead of re-running assignment per consumer —
+    # byte-equal output (pytest-pinned), but the registered bodies
+    # changed, so they jump for fresh driver evidence. Ordered by
+    # bench cost.
+    "ann_hard_negatives_ivf": 9,
+    "ann_knn_classify_ivf": 9,
+    "graph_pagerank_knn_ivf": 9,
+    "ann_knn_graph_ivf": 9,
+    "graph_knn_degrees_ivf": 9,
+    "ann_recall_report": 9,
     # r8: ann_knn_graph_incremental now runs the persisted-index path
     # (no old-corpus rescan) with the touched-query merge window
     "ann_knn_graph_incremental": 8,
@@ -145,7 +156,8 @@ _REVERIFY: dict[str, int] = {
     # helper changed in the first sweep pass. Ordered by bench cost
     # so the expensive names refresh driver evidence first; the
     # 50-slot window rolls the rest through the next rounds.
-    "ann_hard_negatives_ivf": 8,
+    # (ann_hard_negatives_ivf moved to the r9 block above — its body
+    # changed again for the index-fed path)
     "text_cms_estimate": 8,
     "multimodal_image_dhash": 8,
     "multimodal_image_phash": 8,
@@ -239,7 +251,7 @@ _REVERIFY: dict[str, int] = {
     "multimodal_video_frames": 8,
     "dedup_embedding": 8,
     "topic_wildcard_match": 8,
-    "ann_recall_report": 8,
+    # (ann_recall_report moved to the r9 block above)
     "multimodal_frames": 8,
     "agg_approx_percentiles": 8,
     "dedup_exact": 8,

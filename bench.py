@@ -219,16 +219,36 @@ def _snapshot_prev_round() -> dict:
 
 # Noise canary: a CONSTANT-WORK probe (raw parquet scan + one aggregate,
 # deliberately bypassing the query registry so engine changes can never
-# move it) whose pin NEVER changes. noise_factor = measured_min / pin
-# machine-attributes uniform suite drift (r5's flat 1.27x) automatically
-# instead of leaving it to judge inference. Pinned 2026-08-15 (round 6):
-# MIN of 5 warm runs at sf0.1 on this VM. The per-run measurement below
-# is ALSO a min of 5 — attempt counts must match or the order statistics
-# bias the ratio (E[min of 3] > E[min of 5] on the same distribution,
-# which would systematically deflate the noise-adjusted delta).
-CANARY_PIN_SEC = 0.267
+# move it). noise_factor = measured_min / pin machine-attributes uniform
+# suite drift (r5's flat 1.27x) automatically instead of leaving it to
+# judge inference.
+#
+# PIN GENERATION 2 (r9, VERDICT r8 #1): the gen-1 pin (0.267, r6) was
+# taken after only a handful of probe executions — a regime where the
+# JVM is still tiering up (measured r9: the same probe reads ~0.33 after
+# 5 runs, ~0.18 after 50, and the r8 official run's END-of-run probe
+# read 0.136 after the full 118-query suite). A pin ~2x above the
+# converged warm floor let the start gate green-light windows that were
+# already ~2x degraded (r8: gate passed at factor 1.03 with loadavg
+# 11.59; q9 then recorded 29x over its pin — all 13 flags environmental
+# on judge re-timing). The fix is twofold: _canary_seconds now WARMS THE
+# PROBE TO JIT CONVERGENCE once per process before measuring (a fixed
+# CANARY_CONVERGE_PROBES executions), so start- and end-of-run readings
+# are taken in the SAME hot regime; and the pin is re-taken under that
+# protocol on an idle machine (2026-08-16, external load ~0: seven
+# post-warmup min-of-5 readings spanned 0.169-0.207 s; pinned
+# mid-band). Residual JIT heating over a full 118-query run pushes the
+# END probe slightly BELOW the pin (r8's full-heat end probe: 0.136 s)
+# — an end factor ~0.8-0.9 is the healthy signature, not drift. The
+# per-run measurement is ALSO a min of 5 — attempt counts must match or
+# the order statistics bias the ratio (E[min of 3] > E[min of 5] on the
+# same distribution, which would systematically deflate the
+# noise-adjusted delta).
+CANARY_PIN_SEC = 0.18
+CANARY_PIN_GENERATION = 2
 CANARY_PIN_ATTEMPTS = 5
 CANARY_PIN_SF = 0.1
+CANARY_CONVERGE_PROBES = 40
 
 # Quiet-window gate (r8, VERDICT r7 #1): the driver schedules bench
 # right after its ~20-min correctness pass, while loadavg is still
@@ -244,6 +264,20 @@ WINDOW_GATE = 1.15
 WINDOW_WAIT_STEP_SEC = 60
 WINDOW_WAIT_BUDGET_SEC = int(os.environ.get(
     "SPARK_GRAFT_BENCH_WAIT_SEC", "600"))
+
+# Per-query storm adjudication (r9, VERDICT r8 #1b): the start gate can
+# only defend the beginning of the window — r8's record shows storms
+# arriving MID-run (q9: five attempts 26.7-56.2 s against a 0.91 s pin,
+# all environmental on re-timing). When a query still trips _over_gate
+# after its full retry ladder, bench.py now re-runs the canary AT THE
+# TRIP: a degraded reading re-enters the quiet-window wait (bounded by
+# this SHARED budget across all adjudications, so a stormy hour can't
+# stall the bench forever) and re-attempts the query; a quiet reading
+# means the flag is genuine and ships with the canary evidence proving
+# the machine was quiet when it was measured. Either way the flag can
+# no longer be ambiguous between "engine regressed" and "VM was busy".
+ADJUDICATE_WAIT_BUDGET_SEC = int(os.environ.get(
+    "SPARK_GRAFT_BENCH_ADJ_WAIT_SEC", "300"))
 
 
 def _sf_value() -> float | str:
@@ -276,12 +310,27 @@ def _wait_for_quiet_window(spark) -> tuple[float | None, int, bool]:
     return canary, waited, canary / CANARY_PIN_SEC > WINDOW_GATE
 
 
+# once-per-process flag: the convergence warmup below only needs to run
+# on the FIRST _canary_seconds call — JIT state persists in the JVM, so
+# later calls (wait-loop re-probes, per-query trip adjudication, the
+# end-of-run bracket) are already in the hot regime
+_CANARY_CONVERGED = False
+
+
 def _canary_seconds(spark) -> float | None:
-    """MIN of CANARY_PIN_ATTEMPTS warm runs of the constant-work probe
-    (first run excluded — it pays codegen, which the pin also excluded).
+    """MIN of CANARY_PIN_ATTEMPTS warm runs of the constant-work probe.
+    On the first call per process the probe is first warmed with a
+    FIXED CANARY_CONVERGE_PROBES executions (a fixed count, not an
+    early-stopping rule: a single noisy batch would stop an adaptive
+    rule ~30% above the floor, re-introducing the regime skew this
+    warmup exists to kill) — without this, a start-of-run reading
+    measures JIT tier-up state (~2x the converged floor, see the
+    pin-generation note above) and is not comparable to the pin or to
+    the end-of-run bracket reading.
     None when the probe table is absent (a custom $SPARK_GRAFT_SF_DIR
     with another layout) — the bench itself must not die for a missing
     diagnostic."""
+    global _CANARY_CONVERGED
     path = os.path.join(SF_DIR, "lineitem.parquet")
     if not os.path.exists(path):
         return None
@@ -289,6 +338,10 @@ def _canary_seconds(spark) -> float | None:
                      .selectExpr("sum(l_extendedprice * l_discount) as v")
                      .collect())
     probe()
+    if not _CANARY_CONVERGED:
+        for _ in range(CANARY_CONVERGE_PROBES):
+            probe()
+        _CANARY_CONVERGED = True
     best = float("inf")
     for _ in range(CANARY_PIN_ATTEMPTS):
         t0 = time.perf_counter()
@@ -317,6 +370,13 @@ def _protocol_line(out: dict) -> str:
     if len(line) > LINE_BUDGET:
         out["queries"] = {}
         out["queries_thinned"] = True   # self-describing, like the others
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > LINE_BUDGET and out.get("flag_canary_factors"):
+        # the per-flag canary factors are duplicated in
+        # BENCH_DETAIL.json's storm_adjudications — drop them from the
+        # line before touching the regression list itself
+        out.pop("flag_canary_factors")
+        out["flag_canary_factors_in"] = "BENCH_DETAIL.json"
         line = json.dumps(out, separators=(",", ":"))
     if len(line) > LINE_BUDGET and out.get("regressions_over_2x"):
         regs = out["regressions_over_2x"]
@@ -419,6 +479,22 @@ def main() -> None:
         # shrink the total and masquerade as a speedup
         print(f"WARNING: headline queries missing from registry: "
               f"{missing}", file=sys.stderr)
+    def _timed_run(name: str) -> float:
+        # some queries persist() intermediates; without the cache clear
+        # a repeat run would read the previous run's cache and
+        # under-time the query (and entries would leak across the run)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - t0
+        attempt_log[name].append(round(elapsed, 3))
+        return elapsed
+
+    sf_val = _sf_value()
+    # per-query storm adjudication state (see ADJUDICATE_WAIT_BUDGET_SEC)
+    storm_evidence: dict[str, dict] = {}
+    adj_wait_left = ADJUDICATE_WAIT_BUDGET_SEC
     for name in names:
         best = float("inf")
         attempt_log[name] = []
@@ -442,19 +518,41 @@ def main() -> None:
                 if not _over_gate(best, base_times.get(name)):
                     break
                 time.sleep(10)
-            # some queries persist() intermediates; without this the
-            # second run would read the first run's cache and under-time
-            # the query (and the entries would leak across the whole run)
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = QUERIES[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
-            attempt_log[name].append(round(elapsed, 3))
-            best = min(best, elapsed)
+            best = min(best, _timed_run(name))
+        if _over_gate(best, base_times.get(name)) and \
+                sf_val == CANARY_PIN_SF:
+            # the ladder is exhausted and the gate still trips:
+            # adjudicate the window instead of recording an ambiguous
+            # number. Canary quiet -> genuine flag, ships with the
+            # proof; canary degraded -> wait out the storm (shared
+            # bounded budget) and re-attempt.
+            c = _canary_seconds(spark)
+            factor = round(c / CANARY_PIN_SEC, 2) if c else None
+            evid: dict = {
+                "canary_at_trip_sec": round(c, 3) if c else None,
+                "canary_factor_at_trip": factor,
+            }
+            if factor is not None and factor > WINDOW_GATE and \
+                    adj_wait_left > 0:
+                waited = 0
+                while (c / CANARY_PIN_SEC > WINDOW_GATE
+                       and waited < adj_wait_left):
+                    step = min(WINDOW_WAIT_STEP_SEC,
+                               adj_wait_left - waited)
+                    time.sleep(step)
+                    waited += step
+                    c = _canary_seconds(spark)
+                adj_wait_left -= waited
+                evid["waited_sec"] = waited
+                evid["canary_factor_after_wait"] = round(
+                    c / CANARY_PIN_SEC, 2)
+                if c / CANARY_PIN_SEC <= WINDOW_GATE:
+                    # storm passed: re-measure on the quiet window
+                    for _ in range(2):
+                        best = min(best, _timed_run(name))
+            evid["cleared"] = not _over_gate(best, base_times.get(name))
+            storm_evidence[name] = evid
         timings[name] = round(best, 3)
-
-    sf_val = _sf_value()
     # end-of-run canary (late r8): the start gate can only defend the
     # BEGINNING of the window — noisy records on this VM pass the start
     # gate at ~1.0 and then degrade mid-run (storms lasting minutes).
@@ -506,7 +604,8 @@ def main() -> None:
         "canary_sec": round(canary_sec, 3) if canary_sec is not None
         else None,
         "canary_end_sec": round(canary_end_sec, 3)
-        if canary_end_sec is not None else None}
+        if canary_end_sec is not None else None,
+        "canary_pin_generation": CANARY_PIN_GENERATION}
     # window defense audit trail: how long the canary gate held the
     # timed loop back, and whether it gave up (measurements then carry
     # the noise the canary still reads — lead with the noise-adjusted
@@ -527,6 +626,8 @@ def main() -> None:
     detail["attempts"] = attempt_log
     detail["gated_by_retry"] = sorted(
         n for n, ts in attempt_log.items() if len(ts) > 3)
+    if storm_evidence:
+        detail["storm_adjudications"] = storm_evidence
     # small and decision-relevant -> also on the stdout line
     out["gated_by_retry"] = detail["gated_by_retry"]
     if missing:
@@ -562,6 +663,17 @@ def main() -> None:
                 n for n, t in timings.items()
                 if _over_gate(t, base["queries"].get(n)))
             detail["regressions_over_2x"] = out["regressions_over_2x"]
+            # every surviving flag carries its canary-at-trip factor on
+            # the protocol line itself (full adjudication evidence —
+            # waits, post-wait attempts — lives in BENCH_DETAIL.json):
+            # a reader can tell "genuine regression measured quiet"
+            # (factor <= gate) from "storm outlasted the adjudication
+            # budget" (factor > gate) without leaving the line
+            if out["regressions_over_2x"]:
+                out["flag_canary_factors"] = {
+                    n: storm_evidence.get(n, {}).get(
+                        "canary_factor_at_trip")
+                    for n in out["regressions_over_2x"]}
 
     # vs-PREVIOUS-round delta (VERDICT r4 "What's wrong #2"): computed
     # against the pinned BENCH_PREV.json snapshot of the last driver

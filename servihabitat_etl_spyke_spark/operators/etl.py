@@ -288,8 +288,10 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
-# name of the zero-byte file a completed swap writes into its outgoing
-# '._old' directory before deleting it (see recover_snapshot)
+# name of the zero-byte file a swap writes into the OUTGOING snapshot
+# directory right before renaming it to '._old' (see recover_snapshot).
+# Underscore-prefixed, so parquet readers skip it (the Hadoop
+# hidden-file convention — _SUCCESS rides in data dirs the same way).
 _STALE_MARK = "_stale_snapshot"
 
 
@@ -297,51 +299,77 @@ def recover_snapshot(path: str) -> bool:
     """Heal an interrupted :func:`overwrite_via_tmp` swap at ``path`` and
     report whether a committed snapshot now exists there.
 
-    The swap's only vulnerable window is between its two directory
-    renames, where ``path`` is momentarily absent but the sibling
-    ``._old`` still holds the last committed state — restore it. The
-    other reachable stale state (``path`` AND ``._old`` both present:
-    the swap completed but the cleanup died) just drops the stale
-    ``._old``. Every exists-check that gates a merge-vs-bootstrap
-    decision in this package goes through here, so a crash mid-swap can
-    never be mistaken for an empty store (which would silently
-    re-bootstrap over surviving state).
+    Every exists-check that gates a merge-vs-bootstrap decision in this
+    package goes through here, so a crash mid-swap can never be
+    mistaken for an empty store (which would silently re-bootstrap over
+    surviving state). States, by the gen-2 stamp-BEFORE-swap protocol
+    (r9 ADVICE: the gen-1 protocol stamped ``._old`` only after the
+    second rename, leaving an UNstamped ``._old`` in the
+    rename-to-stamp gap — an external loss of ``path`` then resurrected
+    the N-1 snapshot as committed, the exact double-fault the stamp
+    exists to prevent; the stamp now travels INTO ``._old`` with the
+    rename, so no unstamped window exists at all):
 
-    A completed swap STAMPS ``._old`` stale before removing it, so the
-    double-fault case — cleanup crashed leaving a stale ``._old``, then
-    ``path`` is lost externally before the next write — reports the
-    store as absent instead of silently resurrecting the PREVIOUS
-    snapshot as if it were committed (r8 review: an N-1 graph revived
-    that way would make the incremental kNN path diverge from the
-    rebuild with no tripwire, since batch N's marker says applied)."""
+    - ``path`` present: committed; a surviving ``._old`` (cleanup
+      crash) is dropped, and an orphaned ``._tmp`` (crash during a
+      staging write, or between the stamp and the first rename — its
+      contents were never committed) is dropped too, so an abandoned
+      store never holds a dead snapshot's worth of disk (r9 ADVICE);
+    - ``path`` absent, STAMPED ``._old`` + ``._tmp`` present: crash
+      between the two renames. The staged successor is complete by
+      protocol (the stamp is written only after the staging write
+      returns), so the swap is rolled FORWARD — ``._tmp`` becomes
+      ``path`` — never the stamped N-1 resurrected;
+    - ``path`` absent, STAMPED ``._old``, no ``._tmp``: the double
+      fault (post-swap cleanup crash, then ``path`` lost externally)
+      — report absent, drop the stale ``._old``;
+    - ``path`` absent, UNstamped ``._old``: a gen-1 mid-swap residue
+      (no stamp existed before the first rename back then) — restore
+      it, the legacy heal."""
     import shutil
 
+    tmp = path.rstrip("/") + "._tmp"
     old = path.rstrip("/") + "._old"
     exists = os.path.exists(path)
     if os.path.exists(old):
-        if exists or os.path.exists(os.path.join(old, _STALE_MARK)):
+        if exists:
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.exists(os.path.join(old, _STALE_MARK)):
+            if os.path.exists(tmp):
+                os.rename(tmp, path)           # roll the swap forward
+                exists = True
             shutil.rmtree(old, ignore_errors=True)
         else:
-            os.rename(old, path)
+            os.rename(old, path)               # legacy gen-1 heal
             exists = True
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)  # orphaned staging dir
     return exists
 
 
 def overwrite_via_tmp(df: DataFrame, path: str) -> None:
     """Overwrite the parquet snapshot at ``path`` with a plan that READS
     from ``path``: stage the new data to a sibling ``._tmp`` (overwriting
-    the source while its scan is live would corrupt it), then swap
-    directories — ``path`` -> ``._old``, ``._tmp`` -> ``path`` — and drop
-    ``._old``. The data is written ONCE per merge (the pre-r8 shape
-    re-read the tmp and ran a second full Spark write into the final
-    path, doubling write I/O per micro-batch and leaving the snapshot
-    deleted-then-half-written if that second job crashed). Crash
-    windows now: during the staging write ``path`` is untouched; between
-    the renames ``path`` is briefly absent but ``._old`` holds the last
-    committed state and :func:`recover_snapshot` restores it; after the
-    second rename a stale ``._old`` is dropped on the next recover. At
-    scale the store is a transactional table format and this is one
-    MERGE INTO."""
+    the source while its scan is live would corrupt it), stamp the
+    outgoing snapshot stale, then swap directories — ``path`` ->
+    ``._old``, ``._tmp`` -> ``path`` — and drop ``._old``. The data is
+    written ONCE per merge (the pre-r8 shape re-read the tmp and ran a
+    second full Spark write into the final path, doubling write I/O per
+    micro-batch and leaving the snapshot deleted-then-half-written if
+    that second job crashed).
+
+    Crash windows (all healed by :func:`recover_snapshot`): during the
+    staging write ``path`` is untouched and the orphaned ``._tmp`` is
+    dropped; between the stamp and the first rename ``path`` is intact
+    (a lingering in-place stamp is vacuous — recover only reads stamps
+    off ``._old`` — and readers skip underscore files); between the
+    renames ``path`` is briefly absent but the stamped ``._old`` plus
+    the complete ``._tmp`` roll the swap forward; after the second
+    rename a stale ``._old`` is dropped on the next recover. The stamp
+    precedes the swap (r9 ADVICE), so there is NO window that leaves an
+    unstamped ``._old`` — the double-fault resurrection claim holds for
+    every crash point, not just cleanup crashes. At scale the store is
+    a transactional table format and this is one MERGE INTO."""
     import shutil
 
     tmp = path.rstrip("/") + "._tmp"
@@ -351,12 +379,12 @@ def overwrite_via_tmp(df: DataFrame, path: str) -> None:
     if os.path.exists(old):        # unreachable after recover; defensive
         shutil.rmtree(old)
     if os.path.exists(path):
+        # stamp the OUTGOING snapshot BEFORE it becomes '._old' — the
+        # stamp rides the rename, so '._old' is born marked stale
+        open(os.path.join(path, _STALE_MARK), "w").close()
         os.rename(path, old)
     os.rename(tmp, path)
     if os.path.exists(old):
-        # stamp BEFORE removing: a crash here leaves a marked ._old
-        # that recover_snapshot drops instead of resurrecting
-        open(os.path.join(old, _STALE_MARK), "w").close()
         shutil.rmtree(old, ignore_errors=True)
 
 

@@ -886,12 +886,13 @@ def _cross_cell_topk(scored: DataFrame, k: int,
     return out.orderBy("query_id", "rank") if ordered else out
 
 
-def knn_graph_ivf(corpus: DataFrame, k: int = 5, kc: int = 8,
+def knn_graph_ivf(corpus: DataFrame | None, k: int = 5, kc: int = 8,
                   n_probe: int = 2, iters: int = 3, id_col: str = "vec_id",
                   vec_col: str = "embedding",
                   with_score: bool = False,
                   centroids: list[list[float]] | None = None,
-                  ordered: bool = True) -> DataFrame:
+                  ordered: bool = True,
+                  index: DataFrame | None = None) -> DataFrame:
     """Approximate kNN graph at corpus scale: k-means coarse partition,
     each vector scores only the vectors in its ``n_probe`` nearest cells.
 
@@ -925,7 +926,49 @@ def knn_graph_ivf(corpus: DataFrame, k: int = 5, kc: int = 8,
     ``ordered=False`` (r8) skips the final presentational global sort —
     a graph headed for a TABLE WRITE (the stored-graph build the
     incremental path consumes) pays a range exchange + sort for
-    nothing; row content is identical either way."""
+    nothing; row content is identical either way.
+
+    ``index`` (r9, VERDICT r8 #4): the persisted :func:`ivf_index`
+    table. When given, BOTH sides of the cell equi-join read the
+    stored assignment/probe columns and the probe UDF never runs —
+    ``corpus``/``centroids``/``kc``/``iters`` are then unused (corpus
+    may be None); only ``k`` and ``n_probe`` remain live, and
+    ``n_probe`` is validated against the index's pinned build column
+    outright (same unconditional contract as
+    :func:`knn_graph_ivf_incremental` — a width mismatch silently
+    changes which cells' members are candidates). This is what the
+    IVF consumers (classify / degrees / pagerank) feed so assignment
+    is computed ONCE per corpus build instead of once per consumer;
+    byte-equality with the direct path is pytest-pinned
+    (test_knn_graph_ivf_from_index_byte_equal)."""
+    if index is not None:
+        need = {id_col, vec_col, "centroid_id", "probes", "n_probe"}
+        missing_cols = need - set(index.columns)
+        if missing_cols:
+            raise ValueError(
+                f"knn_graph_ivf: index is missing column(s) "
+                f"{sorted(missing_cols)} — build it with "
+                f"ivf_index(corpus, centroids, n_probe)")
+        built = index.select("n_probe").first()
+        np_eff = (min(n_probe, len(centroids))
+                  if centroids is not None else n_probe)
+        if built is not None and built[0] != np_eff:
+            raise ValueError(
+                f"knn_graph_ivf: index was built with "
+                f"n_probe={built[0]} but n_probe={n_probe} (effective "
+                f"{np_eff}) was requested — rebuild the index or match "
+                f"the request")
+        members = index.select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).alias("cvec"),
+                               "centroid_id")
+        q = index.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("qvec"),
+                         F.explode("probes").alias("centroid_id"))
+        return _cross_cell_topk(_ivf_cell_scored(q, members, k), k,
+                                with_score, ordered=ordered)
+    if corpus is None:
+        raise ValueError("knn_graph_ivf: pass corpus, or index (the "
+                         "persisted ivf_index table)")
     cents = (centroids if centroids is not None
              else kmeans_fit(corpus, k=kc, iters=iters,
                              id_col=id_col, vec_col=vec_col))

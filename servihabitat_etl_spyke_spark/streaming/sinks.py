@@ -397,14 +397,19 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
     probes which writes already landed:
 
     - no batch id in the index → fresh batch, normal path;
-    - ALL batch ids in the index, some in the graph (either edge
+    - ALL batch ids in the index, EVERY id in the graph (either edge
       endpoint — crash in the data→marker gap) → fully applied; just
       commit the marker;
-    - ALL in the index, none in the graph (crash during/after the
-      graph write) → the operator consumes an index VIEW excluding
-      them (anti-join, exactly the pre-append state) and the re-append
-      is skipped; a fully-applied no-edge batch also lands here, where
-      re-running the merge is the identity;
+    - ALL in the index, SOME ids absent from both graph endpoints
+      (crash during/after the graph write — including a replayed
+      MIXED batch whose old-generation ids are long in the graph) →
+      exactly the absent ids are re-merged through an index VIEW
+      excluding them (anti-join, the pre-append state) and the
+      re-append is skipped. The probe is PER-ROW, never any-id (r9
+      ADVICE: an any-id membership probe declared a crashed mixed
+      batch applied on its old ids alone, silently dropping the
+      fresh vectors from the graph). An applied vector with no edges
+      at all also reads as absent — its re-merge is the identity;
     - SOME ids in the index (a mixed batch: an old feed replayed under
       a fresh checkpoint after the original checkpoint was lost) →
       the indexed ids are old corpus; only the genuinely-new rows are
@@ -412,7 +417,7 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
     - any non-indexed id in the graph (either endpoint) → impossible
       under this write order; raises loudly as corruption.
 
-    The diagnosis is per-row (one batch-sized semi-join plus limit-1
+    The diagnosis is per-row (batch-sized semi/anti-joins plus limit-1
     probes) — the same cost class as the operator's own validation. A
     transactional table format replaces all of this with one
     transaction.
@@ -429,9 +434,11 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
     rebuild is byte-equal to the graph the incremental path maintained.
     The rebuild appends index rows PER-ROW (after a checkpoint loss a
     replayed batch may mix old and new ids — all-or-nothing would drop
-    the new vectors from the index forever), and under ``validate``
-    enforces the same index-n_probe contract the incremental operator
-    does. The converse loss — index gone, graph intact — is genuinely
+    the new vectors from the index forever), and enforces the same
+    index-n_probe contract the incremental operator does —
+    unconditionally, mirroring the operator's ungated guard (r9
+    ADVICE: an earlier docstring said "under validate", which the code
+    never was). The converse loss — index gone, graph intact — is genuinely
     unrecoverable (the graph holds no vectors) and raises a named,
     actionable error instead of a raw path error on every replay.
     """
@@ -566,18 +573,36 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
                 fresh = rows.join(F.broadcast(present), id_col,
                                   "left_anti")
                 if fresh.isEmpty():
-                    if _contains_any(graph_ids, ids, id_col):
-                        # crash landed in the data→marker gap: the
-                        # batch is fully applied — only the marker is
-                        # stale
+                    # PER-ROW graph probe (r9 ADVICE, medium): ids in
+                    # the index but absent from BOTH graph endpoints
+                    # are stranded by a crash between the index append
+                    # and the graph commit. The old ANY-id membership
+                    # probe misread exactly one window: a MIXED batch
+                    # (old + new ids under a fresh checkpoint) that
+                    # appended its fresh ids and crashed before the
+                    # graph overwrite — on replay all its ids are
+                    # indexed and its OLD-generation ids match the
+                    # graph, so the batch was declared applied and the
+                    # fresh vectors never became graph queries (silent
+                    # divergence from the full rebuild).
+                    stranded = (ids.join(graph_ids, id_col, "left_anti")
+                                .localCheckpoint())
+                    if stranded.isEmpty():
+                        # every batch id is in the graph: fully applied
+                        # — crash landed in the data→marker gap; only
+                        # the marker is stale
                         _commit_batch_marker(marker, bid)
                         return
-                    # index-appended / graph-write-missing: consume the
-                    # PRE-append view and skip the re-append below. (A
-                    # fully-applied batch whose vectors produced no
-                    # edges AT ALL also lands here — its graph write
-                    # changed nothing, so re-running the merge is the
-                    # identity and the heal stays exact.)
+                    # re-merge ONLY the stranded rows, through an index
+                    # VIEW excluding them (exactly the pre-append
+                    # state); their index rows landed before the crash,
+                    # so the re-append is skipped. (A fully-applied
+                    # vector that produced no edges AT ALL also reads
+                    # as stranded — its re-merge is the identity, so
+                    # the heal stays exact.)
+                    rows_eff = (rows.join(F.broadcast(stranded), id_col,
+                                          "left_semi").localCheckpoint())
+                    ids = rows_eff.select(id_col)
                     old_index = old_index.join(F.broadcast(ids), id_col,
                                                "left_anti")
                     skip_append = True

@@ -44,11 +44,14 @@ def _worst_case_out() -> dict:
         "sf": 0.1,
         "gated_by_retry": names,
         "noise_factor": 12.34,
-        "environment": {"loadavg_at_start": 123.45, "canary_sec": 123.456},
+        "environment": {"loadavg_at_start": 123.45, "canary_sec": 123.456,
+                        "canary_end_sec": 123.456,
+                        "canary_pin_generation": 2},
         "baseline_round": "r06",
         "median_delta_vs_baseline": 123.45,
         "median_delta_vs_baseline_noise_adj": 123.45,
         "regressions_over_2x": names,
+        "flag_canary_factors": {n: 123.45 for n in names},
         "median_delta_vs_prev_round": 123.45,
         "headline_missing_from_registry": names[:5],
         "window_waited_sec": 123456,
@@ -106,6 +109,8 @@ def test_protocol_line_core_floor_is_always_under_budget():
 def test_protocol_line_typical_round_not_thinned():
     out = _worst_case_out()
     out["regressions_over_2x"] = []
+    # main() only attaches flag_canary_factors when flags survive
+    out.pop("flag_canary_factors")
     out["gated_by_retry"] = ["text_line_filter"]
     out.pop("headline_missing_from_registry")
     line = bench._protocol_line(out)
@@ -206,3 +211,12 @@ def test_readme_counts_match_registry():
     assert stated_o == len(ORACLES), (
         f"README says {stated_o} oracled; len(ORACLES) is "
         f"{len(ORACLES)} — update the marked line in README.md")
+    # second prose site (r8 verdict "What's wrong #3": this exact line
+    # said 231 while the registry held 232 — the same drift class the
+    # counts:registry marker killed, at a line the marker didn't cover)
+    m2 = re.search(r"counts:rotation.*?the registry holds (\d+)\.",
+                   readme, re.DOTALL)
+    assert m2, "README.md lost its <!-- counts:rotation --> marker line"
+    assert int(m2.group(1)) == len(QUERIES), (
+        f"README rotation section says the registry holds "
+        f"{int(m2.group(1))}; len(QUERIES) is {len(QUERIES)}")

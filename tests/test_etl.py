@@ -412,3 +412,87 @@ def test_recover_snapshot_does_not_resurrect_stale_old(spark, tmp_path):
     assert recover_snapshot(path)
     assert sorted(map(tuple,
                       spark.read.parquet(path).collect())) == [("2", "b")]
+
+
+def test_overwrite_via_tmp_stamps_before_swap_and_rolls_forward(
+        spark, tmp_path, monkeypatch):
+    """r9 ADVICE (etl.py #2): the gen-1 protocol stamped '._old' only
+    AFTER the second rename — a crash between os.rename(tmp, path) and
+    the stamp left an UNstamped '._old', and an external loss of path
+    then resurrected N-1 as committed (the exact double-fault the stamp
+    claims to prevent). Gen-2 stamps the outgoing snapshot BEFORE the
+    first rename, so '._old' is born stale-marked in every window.
+    Witnessed by crashing the swap between the two renames (the
+    narrowest window): '._old' must already carry the stamp, and
+    recover must roll the swap FORWARD to the complete staged successor
+    — never revive the stamped N-1."""
+    import os
+
+    from servihabitat_etl_spyke_spark.operators import etl as etl_mod
+    from servihabitat_etl_spyke_spark.operators.etl import (
+        _STALE_MARK, overwrite_via_tmp, recover_snapshot)
+
+    path = str(tmp_path / "snap")
+    spark.createDataFrame([("1", "a")], ["id", "v"]).write.parquet(path)
+
+    real_rename = os.rename
+
+    def crash_on_second_rename(src, dst):
+        if src.endswith("._tmp"):
+            raise OSError("simulated crash between the two renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(etl_mod.os, "rename", crash_on_second_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        overwrite_via_tmp(
+            spark.createDataFrame([("2", "b")], ["id", "v"]), path)
+    monkeypatch.setattr(etl_mod.os, "rename", real_rename)
+
+    # the crash state: path absent, ._old STAMPED (stamp rode the first
+    # rename), ._tmp complete
+    assert not os.path.exists(path)
+    assert os.path.exists(os.path.join(path + "._old", _STALE_MARK))
+    assert os.path.exists(path + "._tmp")
+
+    # recover rolls FORWARD: the staged successor commits, the stamped
+    # N-1 is dropped, nothing resurrects
+    assert recover_snapshot(path)
+    assert sorted(map(tuple,
+                      spark.read.parquet(path).collect())) == [("2", "b")]
+    assert not os.path.exists(path + "._old")
+    assert not os.path.exists(path + "._tmp")
+
+
+def test_recover_snapshot_drops_orphaned_tmp(spark, tmp_path):
+    """r9 ADVICE (etl.py #4): a crash DURING the staging write leaves a
+    '._tmp' holding a full snapshot's worth of uncommitted data; the
+    old recover never touched it, so an abandoned store leaked it
+    forever. recover now drops the orphan (committed state untouched),
+    and a stale in-place stamp from the stamp-to-first-rename window is
+    invisible to readers (underscore convention)."""
+    import os
+
+    from servihabitat_etl_spyke_spark.operators.etl import (
+        _STALE_MARK, recover_snapshot)
+
+    path = str(tmp_path / "snap")
+    spark.createDataFrame([("1", "a")], ["id", "v"]).write.parquet(path)
+    spark.createDataFrame([("9", "x")], ["id", "v"]).write.parquet(
+        path + "._tmp")
+    # crash between the stamp and the first rename also leaves the
+    # live path stamped — vacuous, and readers must skip it
+    open(os.path.join(path, _STALE_MARK), "w").close()
+
+    assert recover_snapshot(path)
+    assert not os.path.exists(path + "._tmp")     # orphan dropped
+    assert sorted(map(tuple,
+                      spark.read.parquet(path).collect())) == [("1", "a")]
+
+    # an abandoned store (no committed path at all) also sheds its
+    # orphan staging dir instead of holding it until a write that
+    # never comes
+    ghost = str(tmp_path / "ghost")
+    spark.createDataFrame([("9", "x")], ["id", "v"]).write.parquet(
+        ghost + "._tmp")
+    assert not recover_snapshot(ghost)
+    assert not os.path.exists(ghost + "._tmp")

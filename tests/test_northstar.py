@@ -91,6 +91,47 @@ def test_knn_graph_ivf_recall(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.5, sum(recalls) / len(recalls)
 
 
+def test_knn_graph_ivf_from_index_byte_equal(spark, sf_dir):
+    """r9 (VERDICT r8 #4): knn_graph_ivf fed the persisted ivf_index
+    table must be BYTE-IDENTICAL to the direct corpus path with the
+    same codebook — the index stores exactly the assignment (probes[0]
+    == argmin by stable argsort) and probe list the direct path
+    recomputes, so the cell equi-join sees the same candidates. This is
+    the equality that lets every IVF consumer (classify / degrees /
+    pagerank / hard-negatives) read the index instead of re-running
+    the assignment UDF per consumer."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 400)
+    cents = SIM.kmeans_fit(emb, k=4, iters=3)
+    direct = SIM.knn_graph_ivf(emb, k=5, n_probe=2, centroids=cents,
+                               with_score=True)
+    idx = SIM.ivf_index(emb, cents, n_probe=2)
+    via_index = SIM.knn_graph_ivf(None, k=5, n_probe=2, index=idx,
+                                  with_score=True)
+    got = sorted(map(tuple, via_index.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want and want
+
+
+def test_knn_graph_ivf_index_contract_errors(spark, sf_dir):
+    """The index-fed path enforces its contract loudly: missing index
+    columns and an n_probe width mismatch both raise (a silent width
+    drift changes which cells' members are candidates), and corpus=None
+    without an index is an explicit error."""
+    import pytest as _pytest
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 100)
+    cents = SIM.kmeans_fit(emb, k=4, iters=2)
+    idx = SIM.ivf_index(emb, cents, n_probe=2)
+    with _pytest.raises(ValueError, match="missing column"):
+        SIM.knn_graph_ivf(None, k=5, n_probe=2,
+                          index=idx.drop("probes"))
+    with _pytest.raises(ValueError, match="n_probe"):
+        SIM.knn_graph_ivf(None, k=5, n_probe=3, index=idx)
+    with _pytest.raises(ValueError, match="pass corpus"):
+        SIM.knn_graph_ivf(None, k=5)
+
+
 def test_knn_graph_ivf_incremental_equals_full_rebuild(spark, sf_dir):
     """The r7 incremental-maintenance contract: with a FIXED codebook,
     updating the stored graph with a new batch must land byte-identical

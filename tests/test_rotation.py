@@ -118,9 +118,17 @@ def test_evidence_latest_round_wins():
 
 
 def test_driver_window_is_oldest_evidence():
-    """Integration: the first 50 of queries() are exactly the 50
-    oldest-evidence verified names (given no unverified names exist —
-    true while the registry stays closed)."""
+    """Integration: queries() ordering against the LIVE evidence state.
+
+    Front of the queue, in order: (a) unverified names (new builds),
+    (b) the partially-drained ``_REVERIFY`` lane — names whose
+    implementation changed in round N but whose latest driver evidence
+    predates N; these legitimately jump the age queue IN LANE ORDER
+    until the driver re-records them (r8 verdict: the old version of
+    this test asserted pure age order over the first 50 and broke the
+    moment CORRECTNESS_r08.json partially drained the lane).  Pure
+    oldest-evidence-first ordering is asserted only over the remainder.
+    """
     q = list(entry_mod.queries())
     ev = entry_mod._EVIDENCE
     unverified = [n for n in q if n not in entry_mod._DRIVER_VERIFIED]
@@ -128,8 +136,22 @@ def test_driver_window_is_oldest_evidence():
         # new operators registered this round occupy the front instead
         assert q[:len(unverified)] == unverified[:len(unverified)]
         return
-    window_rounds = [ev[n][0] for n in q[:50]]
-    rest_rounds = [ev[n][0] for n in q[50:]]
-    assert max(window_rounds) <= min(rest_rounds), (
-        "driver window is not age-ordered: a fresher-evidence name "
-        "sorted ahead of a staler one")
+    # Active (undrained) _REVERIFY lane members: evidence predates the
+    # changed-in round.  They occupy the front, in _REVERIFY listing
+    # order; drained members (driver re-verified at/after the change)
+    # have self-expired back into the age-ordered tier.
+    lane = [n for n in entry_mod._REVERIFY
+            if n in ev
+            and ev[n][0] < entry_mod._REVERIFY[n]
+            and n in entry_mod._DRIVER_VERIFIED]
+    assert q[:len(lane)] == lane, (
+        "active _REVERIFY lane members must lead the queue in lane "
+        "order")
+    rest = q[len(lane):]
+    window = rest[:max(0, 50 - len(lane))]
+    tail = rest[max(0, 50 - len(lane)):]
+    if window and tail:
+        assert max(ev[n][0] for n in window) <= \
+            min(ev[n][0] for n in tail), (
+            "driver window is not age-ordered over non-lane names: a "
+            "fresher-evidence name sorted ahead of a staler one")

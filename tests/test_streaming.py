@@ -1048,6 +1048,40 @@ def test_stream_knn_graph_upsert_self_heals_stranded_windows(
                           "_knn_graph_last_batch")
     assert os.path.exists(marker)       # the no-op replay committed it
 
+    # --- window C (r9 ADVICE, medium): MIXED batch, fresh ids index-
+    # appended, graph write crashed. A replayed old feed under a fresh
+    # checkpoint carries old-generation ids (long in the index AND
+    # graph) alongside new ids; the crash strands the new ids'
+    # index rows. The old ANY-id graph probe matched the batch's OLD
+    # ids and declared it fully applied — marker committed, fresh
+    # vectors never merged into the graph (silent divergence from the
+    # rebuild). The per-row stranded probe must re-merge exactly the
+    # absent ids through the pre-append index view.
+    seed_base("wc")
+    old_part = base.filter(F.col("vec_id") % 7 == 1)   # old-generation
+    mixed = old_part.unionByName(day1)
+    (SIM.ivf_index(day1, cents, n_probe=2)
+     .write.partitionBy("centroid_id").mode("append")
+     .parquet(str(tmp_path / "wc_i")))          # the stranded append
+    src2 = tmp_path / "replay_feed_mixed"
+    src2.mkdir()
+    mixed.coalesce(1).write.parquet(str(src2 / "m.parquet"))
+    q = stream_knn_graph_upsert(
+        spark.readStream.schema(mixed.schema)
+        .parquet(str(src2 / "m.parquet")),
+        str(tmp_path / "wc_g"), str(tmp_path / "wc_i"),
+        str(tmp_path / "wc_c"), cents, k=5, n_probe=2)
+    q.awaitTermination(180)
+    got = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                 for r in spark.read.parquet(
+                     str(tmp_path / "wc_g")).collect())
+    assert got == want and want          # the fresh vectors ARE merged
+    idx = spark.read.parquet(str(tmp_path / "wc_i"))
+    assert idx.join(day1.select("vec_id"), "vec_id",
+                    "left_semi").count() == n_day1   # appended ONCE
+    assert os.path.exists(os.path.join(str(tmp_path / "wc_c"),
+                                       "_knn_graph_last_batch"))
+
 
 def test_stream_knn_graph_upsert_rebuilds_lost_graph_from_index(
         spark, sf_dir, tmp_path):
