@@ -112,6 +112,30 @@ _REVERIFY: dict[str, int] = {
     "ann_knn_graph_ivf": 9,
     "graph_knn_degrees_ivf": 9,
     "ann_recall_report": 9,
+    # r9 second sweep: the r8 presentational-sort lesson extended INTO
+    # the similarity operators — the query-file sweep could not reach
+    # the trailing orderBys inside cosine_topk/knn_graph/pq/mmr etc.,
+    # where the range-sample re-executes the GEMM child (measured ~2x
+    # at sf0.1: knn_graph 2.5 s sorted vs 1.2 unsorted). All registered
+    # consumers are hash-gated or aggregate the edges, so the sort was
+    # pure waste; rank columns carry the order.
+    "ann_knn_graph_incremental": 9,
+    "ann_hard_negatives": 9,
+    "ann_knn_classify": 9,
+    "graph_pagerank_knn": 9,
+    "ann_knn_graph": 9,
+    "ann_cosine_topk": 9,
+    "graph_knn_degrees": 9,
+    "retrieval_mmr_topk": 9,
+    "ann_ivfpq_topk": 9,
+    "ann_pq_topk": 9,
+    "ann_ivf_kmeans_topk": 9,
+    "retrieval_hybrid_rrf": 9,
+    "ann_jl_rerank_topk": 9,
+    "ann_filtered_topk": 9,
+    "ann_lsh_topk": 9,
+    "ann_ivf_topk": 9,
+    "multimodal_embed_ann": 9,
     # r8: ann_knn_graph_incremental now runs the persisted-index path
     # (no old-corpus rescan) with the touched-query merge window
     "ann_knn_graph_incremental": 8,

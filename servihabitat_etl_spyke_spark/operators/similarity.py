@@ -141,12 +141,17 @@ def _dim_of(df: DataFrame, vec_col: str, op: str) -> int:
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                ordered: bool = True) -> DataFrame:
     """Exact top-k neighbors per query vector.
 
     Returns (query_id, neighbor_id, rank) — integer output so results are
     hash-stable across engines (scores drive the order but stay internal;
-    ties broken by neighbor id)."""
+    ties broken by neighbor id). ``ordered=False`` (r9) skips the final
+    presentational global sort — the ``rank`` column already carries the
+    order, and an order-insensitive consumer (hash gate, aggregation,
+    join) pays a range-sampling re-execution of the child plan for
+    nothing (the r8 sweep's lesson, extended into the operators)."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
@@ -155,14 +160,15 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .select("query_id", "neighbor_id",
                       cosine(F.col("qvec"), F.col("cvec")).alias("score")))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
-    return (scored.select("query_id", "neighbor_id",
-                          F.row_number().over(w).alias("rank"))
-            .filter(F.col("rank") <= k)
-            .orderBy("query_id", "rank"))
+    out = (scored.select("query_id", "neighbor_id",
+                         F.row_number().over(w).alias("rank"))
+           .filter(F.col("rank") <= k))
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 def cosine_topk_pandas(corpus: DataFrame, queries: DataFrame, k: int = 10,
-                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       ordered: bool = True) -> DataFrame:
     """Vectorized scorer: numpy matmul per Arrow batch (the bench/scale
     variant of :func:`cosine_topk`; identical results, verified in tests).
 
@@ -206,10 +212,12 @@ def cosine_topk_pandas(corpus: DataFrame, queries: DataFrame, k: int = 10,
     partial = corpus.mapInPandas(
         score, schema="query_id long, neighbor_id long, score double")
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
-    return (partial.select("query_id", "neighbor_id",
-                           F.row_number().over(w).alias("rank"))
-            .filter(F.col("rank") <= k)
-            .orderBy("query_id", "rank"))
+    out = (partial.select("query_id", "neighbor_id",
+                          F.row_number().over(w).alias("rank"))
+           .filter(F.col("rank") <= k))
+    # ordered=False (r9): rank carries the order; the global sort's
+    # range-sample re-executes the GEMM child (see cosine_topk)
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 # -- Random-hyperplane LSH -----------------------------------------------------
@@ -240,7 +248,8 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
 
 def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  n_planes: int = 8, multiprobe: bool = True,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 ordered: bool = True) -> DataFrame:
     """ANN: hyperplane-LSH bucket join + exact re-rank inside the bucket.
 
     Sub-linear: each query only scores vectors sharing its bucket (expected
@@ -275,10 +284,10 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .select("query_id", "neighbor_id",
                       cosine(F.col("qvec"), F.col("cvec")).alias("score")))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
-    return (scored.select("query_id", "neighbor_id",
-                          F.row_number().over(w).alias("rank"))
-            .filter(F.col("rank") <= k)
-            .orderBy("query_id", "rank"))
+    out = (scored.select("query_id", "neighbor_id",
+                         F.row_number().over(w).alias("rank"))
+           .filter(F.col("rank") <= k))
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 # -- IVF-style coarse quantization ---------------------------------------------
@@ -446,7 +455,8 @@ def assign_to_centroids(corpus: DataFrame, centroids: list[list[float]],
 def ann_ivf_topk_trained(corpus: DataFrame, queries: DataFrame,
                          centroids: list[list[float]], k: int = 10,
                          n_probe: int = 2, id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         ordered: bool = True) -> DataFrame:
     """IVF ANN over a TRAINED codebook (kmeans_fit) instead of the label
     stand-in: assign corpus once, probe the n_probe nearest centroids per
     query, exact re-rank inside."""
@@ -454,11 +464,13 @@ def ann_ivf_topk_trained(corpus: DataFrame, queries: DataFrame,
     cdf = corpus.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "centroid_id int, cvec array<double>")
-    return _ivf_probe(assigned, queries, cdf, k, n_probe, id_col, vec_col)
+    return _ivf_probe(assigned, queries, cdf, k, n_probe, id_col,
+                      vec_col, ordered=ordered)
 
 
 def _ivf_probe(assigned: DataFrame, queries: DataFrame, cdf: DataFrame,
-               k: int, n_probe: int, id_col: str, vec_col: str) -> DataFrame:
+               k: int, n_probe: int, id_col: str, vec_col: str,
+               ordered: bool = True) -> DataFrame:
     """Shared IVF probe + re-rank: rank centroids by the SAME metric used
     for corpus assignment (squared euclidean — probing by a different
     metric would skip exactly the cell holding a query's true neighbors),
@@ -481,10 +493,10 @@ def _ivf_probe(assigned: DataFrame, queries: DataFrame, cdf: DataFrame,
               .select("query_id", "neighbor_id",
                       cosine(F.col("qvec"), F.col("cvec")).alias("score")))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
-    return (scored.select("query_id", "neighbor_id",
-                          F.row_number().over(w).alias("rank"))
-            .filter(F.col("rank") <= k)
-            .orderBy("query_id", "rank"))
+    out = (scored.select("query_id", "neighbor_id",
+                         F.row_number().over(w).alias("rank"))
+           .filter(F.col("rank") <= k))
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 def ivf_centroids(corpus: DataFrame, label_col: str = "label",
@@ -504,7 +516,8 @@ def ivf_centroids(corpus: DataFrame, label_col: str = "label",
 
 def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  n_probe: int = 2, label_col: str = "label",
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 ordered: bool = True) -> DataFrame:
     """IVF probe over the label stand-in codebook: per-label centroids,
     probe via the shared :func:`_ivf_probe` (same metric as assignment),
     exact re-rank inside. At scale the corpus is partitioned by label so
@@ -512,7 +525,8 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     cdf = (ivf_centroids(corpus, label_col, vec_col)
            .select("centroid_id", F.col("centroid").alias("cvec")))
     assigned = corpus.withColumn("centroid_id", F.col(label_col))
-    return _ivf_probe(assigned, queries, cdf, k, n_probe, id_col, vec_col)
+    return _ivf_probe(assigned, queries, cdf, k, n_probe, id_col,
+                      vec_col, ordered=ordered)
 
 
 # -- int8 storage quantization ------------------------------------------------
@@ -640,7 +654,8 @@ def pca_project(corpus: DataFrame, model: dict, id_col: str = "vec_id",
 def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
               vec_col: str = "embedding",
               with_score: bool = False,
-              max_closure_cells: int = 200_000_000) -> DataFrame:
+              max_closure_cells: int = 200_000_000,
+              ordered: bool = True) -> DataFrame:
     """Exact k-nearest-neighbor GRAPH: cosine top-k neighbors for EVERY
     corpus vector (queries == corpus) — the building block for kNN-graph
     near-dup clustering, SemDeDup-style pruning, and retrieval-augmented
@@ -731,8 +746,12 @@ def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
     schema = "query_id long, neighbor_id long, rank int"
     if with_score:
         schema += ", score double"
-    return (corpus.mapInPandas(score, schema=schema)
-            .orderBy("query_id", "rank"))
+    out = corpus.mapInPandas(score, schema=schema)
+    # ordered=False (r9): the range-sampling pass of a global sort
+    # RE-EXECUTES the child plan — here that child is the full blocked
+    # GEMM, so a presentational sort on a hash-checked or aggregated
+    # output runs the O(n^2) scoring twice (measured ~2x at sf0.1)
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 def _probes_udf(centroids: list[list[float]], n_probe: int):
@@ -1352,7 +1371,8 @@ def pq_encode(corpus: DataFrame, codebooks: list,
 
 def pq_search(codes_df: DataFrame, queries: DataFrame, codebooks: list,
               k: int = 10, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              ordered: bool = True) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over the PQ-encoded corpus: per
     query a (m x ks) lookup table of exact query-subvector-to-centroid
     squared distances, then every encoded row's approximate distance is
@@ -1402,10 +1422,10 @@ def pq_search(codes_df: DataFrame, queries: DataFrame, codebooks: list,
     scored = codes_df.mapInPandas(
         scan, schema="query_id long, neighbor_id long, adc double")
     w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
-    return (scored.select("query_id", "neighbor_id",
-                          F.row_number().over(w).alias("rank"))
-            .filter(F.col("rank") <= k)
-            .orderBy("query_id", "rank"))
+    out = (scored.select("query_id", "neighbor_id",
+                         F.row_number().over(w).alias("rank"))
+           .filter(F.col("rank") <= k))
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 def recall_report(exact_edges: DataFrame,
@@ -1431,7 +1451,8 @@ def recall_report(exact_edges: DataFrame,
 def ivfpq_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  kc: int = 8, n_probe: int = 2, m: int = 16, ks: int = 64,
                  iters: int = 3, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 ordered: bool = True) -> DataFrame:
     """IVF-PQ (IVFADC, Jegou et al. 2011 §IV): the composition behind
     billion-scale ANN — a coarse k-means quantizer routes vectors to
     cells, each vector stores only the PQ codes of its RESIDUAL
@@ -1541,10 +1562,10 @@ def ivfpq_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
                              schema="query_id long, neighbor_id long, "
                                     "adc double"))
     w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
-    return (scored.select("query_id", "neighbor_id",
-                          F.row_number().over(w).alias("rank"))
-            .filter(F.col("rank") <= k)
-            .orderBy("query_id", "rank"))
+    out = (scored.select("query_id", "neighbor_id",
+                         F.row_number().over(w).alias("rank"))
+           .filter(F.col("rank") <= k))
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
@@ -1583,7 +1604,8 @@ def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
 def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 10,
                pool: int = 50, lam: float = 0.7,
                id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               ordered: bool = True) -> DataFrame:
     """Maximal-Marginal-Relevance diversified top-k (Carbonell &
     Goldstein 1998): greedily pick, per query, the candidate maximizing
     ``lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s)`` —
@@ -1650,10 +1672,10 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 10,
                                  + 0.5).astype(np.int64),
         })
 
-    return (pooled.groupBy("query_id").applyInPandas(
+    out = pooled.groupBy("query_id").applyInPandas(
         _mmr, schema="query_id long, neighbor_id long, rank int, "
                      "mmr_nano long")
-        .orderBy("query_id", "rank"))
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 def jl_project(corpus: DataFrame, out_dim: int = 8, seed: int = 7,

@@ -456,7 +456,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline. Integer-only output keeps the hash stable across engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.cosine_topk(emb, queries, k=10)
+    return SIM.cosine_topk(emb, queries, k=10, ordered=False)
 
 
 @query("ann_lsh_topk")  # approximate -> rows-only; recall asserted in pytest
@@ -466,7 +466,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.ann_lsh_topk(emb, queries, k=10, n_planes=4)
+    return SIM.ann_lsh_topk(emb, queries, k=10, n_planes=4,
+                            ordered=False)
 
 
 @query("ann_ivf_topk")  # approximate -> rows-only; recall asserted in pytest
@@ -475,7 +476,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 nearest partitions, exact re-rank inside."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.ann_ivf_topk(emb, queries, k=10, n_probe=2)
+    return SIM.ann_ivf_topk(emb, queries, k=10, n_probe=2,
+                            ordered=False)
 
 
 @query("ann_knn_graph", oracle="""
@@ -500,7 +502,7 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     each partition emits its own rows' top-k with no second shuffle. The
     oracle replays the full n^2 ranking in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.knn_graph(emb, k=5)
+    return SIM.knn_graph(emb, k=5, ordered=False)
 
 
 def _ivf_index_for(emb: DataFrame, kc: int = 4, n_probe: int = 2,
@@ -528,7 +530,7 @@ def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate by construction — recall vs the exact graph asserted in
     tests."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.knn_graph_ivf(None, k=5, n_probe=2,
+    return SIM.knn_graph_ivf(None, k=5, n_probe=2, ordered=False,
                              index=_ivf_index_for(emb))
 
 
@@ -566,7 +568,8 @@ def ann_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ordered=False).localCheckpoint()
     idx = SIM.ivf_index(old, cents, n_probe=2).localCheckpoint()
     return SIM.knn_graph_ivf_incremental(None, old_graph, new, cents,
-                                         k=5, n_probe=2, old_index=idx)
+                                         k=5, n_probe=2, old_index=idx,
+                                         ordered=False)
 
 
 @query("ann_ivf_index_build")  # k-means codebook -> rows-only; parity
@@ -631,7 +634,7 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-by-contract); the scale path is `ann_hard_negatives_ivf` —
     identical consumer logic fed by the cluster-pruned graph."""
     emb = load_table(spark, sf_dir, "embeddings")
-    graph = SIM.knn_graph(emb, k=10, with_score=True)
+    graph = SIM.knn_graph(emb, k=10, with_score=True, ordered=False)
     return _hard_negatives_from(graph)
 
 
@@ -660,7 +663,7 @@ def ann_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the persisted `ivf_index` (r9) — one assignment pass, not two."""
     emb = load_table(spark, sf_dir, "embeddings")
     graph = SIM.knn_graph_ivf(None, k=10, n_probe=2, with_score=True,
-                              index=_ivf_index_for(emb))
+                              ordered=False, index=_ivf_index_for(emb))
     return _hard_negatives_from(graph)
 
 
@@ -693,7 +696,7 @@ def graph_knn_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT-graph oracle baseline; the scale path is
     `graph_knn_degrees_ivf` (same histogram over the pruned graph)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return _degree_histogram(SIM.knn_graph(emb, k=5))
+    return _degree_histogram(SIM.knn_graph(emb, k=5, ordered=False))
 
 
 def _degree_histogram(edges: DataFrame) -> DataFrame:
@@ -718,7 +721,7 @@ def graph_knn_degrees_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in pytest). Fed by the persisted `ivf_index` (r9)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _degree_histogram(
-        SIM.knn_graph_ivf(None, k=5, n_probe=2,
+        SIM.knn_graph_ivf(None, k=5, n_probe=2, ordered=False,
                           index=_ivf_index_for(emb)))
 
 
@@ -753,7 +756,7 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT-graph oracle baseline; the scale path is
     `graph_pagerank_knn_ivf` (same PageRank over the pruned graph)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return _pagerank_over(SIM.knn_graph(emb, k=5))
+    return _pagerank_over(SIM.knn_graph(emb, k=5, ordered=False))
 
 
 def _pagerank_over(edges: DataFrame) -> DataFrame:
@@ -788,7 +791,7 @@ def graph_pagerank_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest. Fed by the persisted `ivf_index` (r9)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _pagerank_over(
-        SIM.knn_graph_ivf(None, k=5, n_probe=2,
+        SIM.knn_graph_ivf(None, k=5, n_probe=2, ordered=False,
                           index=_ivf_index_for(emb)))
 
 
@@ -800,7 +803,8 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     cents = SIM.kmeans_fit(emb, k=4, iters=3)
-    return SIM.ann_ivf_topk_trained(emb, queries, cents, k=10, n_probe=2)
+    return SIM.ann_ivf_topk_trained(emb, queries, cents, k=10, n_probe=2,
+                                    ordered=False)
 
 
 # ---------------------------------------------------------------------------
@@ -957,7 +961,7 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = (MM.extract_features(blobs, dim=16)
              .withColumnRenamed("doc_id", "vec_id"))
     queries = feats.filter(F.col("vec_id") < 3)
-    return SIM.cosine_topk(feats, queries, k=3)
+    return SIM.cosine_topk(feats, queries, k=3, ordered=False)
 
 
 @query("multimodal_audio_meta", oracle="""
@@ -1323,7 +1327,7 @@ def ann_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = (SIM.jl_project(emb, out_dim=12)
             .withColumnRenamed("projected", "embedding"))
     qp = proj.filter(F.col("vec_id") < 5)
-    pool = SIM.cosine_topk(proj, qp, k=50)
+    pool = SIM.cosine_topk(proj, qp, k=50, ordered=False)
     cand = pool.select("query_id", "neighbor_id")
     nv = emb.select(F.col("vec_id").alias("neighbor_id"),
                     F.col("embedding").alias("nv"))
@@ -1350,7 +1354,8 @@ def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate) and lam=1 equivalence with the relevance-only ranking."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.mmr_rerank(emb, queries, k=10, pool=50, lam=0.7)
+    return SIM.mmr_rerank(emb, queries, k=10, pool=50, lam=0.7,
+                          ordered=False)
 
 
 @query("text_normalize", oracle="""
@@ -2048,7 +2053,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = SIM.pq_train(emb, m=16, ks=64, iters=4)
     codes = SIM.pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.pq_search(codes, queries, books, k=10)
+    return SIM.pq_search(codes, queries, books, k=10, ordered=False)
 
 
 @query("text_winnowing", oracle="""
@@ -2196,8 +2201,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge tables; pytest pins the report against an independently
     computed recall."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = SIM.knn_graph(emb, k=5)
-    approx = SIM.knn_graph_ivf(None, k=5, n_probe=2,
+    exact = SIM.knn_graph(emb, k=5, ordered=False)
+    approx = SIM.knn_graph_ivf(None, k=5, n_probe=2, ordered=False,
                                index=_ivf_index_for(emb))
     return SIM.recall_report(exact, approx)
 
@@ -2262,7 +2267,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.ivfpq_search(emb, queries, k=10, kc=4, n_probe=2,
-                            m=16, ks=64, iters=3)
+                            m=16, ks=64, iters=3, ordered=False)
 
 
 # ---------------------------------------------------------------------------
@@ -2386,7 +2391,8 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = TX.bm25_topk(docs, ["table", "hash", "join"], k=30)
     w = W.orderBy(F.col("score_nano").desc(), "doc_id")
     bm_r = bm.select("doc_id", F.row_number().over(w).alias("rank"))
-    dense = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=30)
+    dense = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=30,
+                            ordered=False)
     dense_r = dense.select(F.col("neighbor_id").alias("doc_id"), "rank")
     return SIM.rrf_fuse([bm_r, dense_r], id_col="doc_id", k=10)
 
@@ -2541,7 +2547,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.join(F.broadcast(allowed),
                       emb.vec_id == allowed.doc_id, "left_semi")
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.cosine_topk(corpus, queries, k=10)
+    return SIM.cosine_topk(corpus, queries, k=10, ordered=False)
 
 
 @query("text_cms_estimate", oracle="""
@@ -2885,7 +2891,8 @@ def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer, `knn_graph_ivf` edges). Exact-integer output, hash-checked
     end to end."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return _knn_classify_over(SIM.knn_graph(emb, k=10), emb)
+    return _knn_classify_over(SIM.knn_graph(emb, k=10, ordered=False),
+                              emb)
 
 
 def _knn_classify_over(edges: DataFrame, emb: DataFrame) -> DataFrame:
@@ -2922,7 +2929,7 @@ def ann_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact composition. Fed by the persisted `ivf_index` (r9)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _knn_classify_over(
-        SIM.knn_graph_ivf(None, k=10, n_probe=2,
+        SIM.knn_graph_ivf(None, k=10, n_probe=2, ordered=False,
                           index=_ivf_index_for(emb)), emb)
 
 

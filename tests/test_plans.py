@@ -330,12 +330,53 @@ _ALLOWED_HAZARDS = {
 }
 
 
+# Queries ALLOWED to range-partition (a global sort somewhere in the
+# final plan). The r8/r9 presentational-sort sweeps measured a trailing
+# orderBy costing 30-55% of total on row-local pipelines and ~2x on
+# GEMM pipelines (the range-sampling pass RE-EXECUTES the child plan),
+# so ORDER IS OPT-IN: a name belongs here only when the sort IS the
+# semantics. Anything else that range-partitions fails the audit — the
+# r8 sweep's lesson as a standing regression gate (VERDICT r8 #7).
+_ALLOWED_RANGE_SORTS = {
+    # TPC-H-shaped queries whose ORDER BY is part of the published
+    # query spec (queries_tpch.py was excluded from the sweep for
+    # exactly this reason)
+    "q1_pricing_summary", "q5_local_supplier_volume", "q5_region_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q12_late_priority",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_part_counts", "q20_concentrated_suppliers",
+    "q21_sole_late_supplier", "q22_dormant_customers",
+    # list-query envelope parity: the reference's AutoAPI list endpoint
+    # returns ORDERED pages off its indexed iteration (db.ts) — sorted
+    # output IS the reproduced behavior
+    "group_count", "group_index_build", "multi_prefix_group",
+    "read_multiple", "runtime_model_bootstrap", "runtime_model_sheet",
+    "dedup_first_wins", "dedup_merge_first_wins",
+    "etl_cascade_delete", "etl_dynamodb_roundtrip",
+    "etl_empty_list_sanitize", "etl_enum_normalize", "etl_keyed_upsert",
+    "fn_add_object_key", "fn_iso_timestamp", "fn_json_parse",
+    "fn_password_hash", "fn_split_join", "fn_uuid_validate",
+    # temporal/streaming-twin semantics: event-time order is the result
+    "asof_join_events", "asof_forward_events", "range_join_events",
+    "edge_detection", "sessionize", "window_tumbling_hourly",
+    "window_topk_per_group",
+    # tiny grouped-result presentation sorts (histogram / label / k-row
+    # tables — the range exchange moves a handful of rows; its sample
+    # pass re-executes only the final one-row-per-group aggregate)
+    "graph_knn_degrees", "graph_knn_degrees_ivf",
+    "ann_knn_classify", "ann_knn_classify_ivf",
+    "text_heavy_hitters", "text_phrase_search",
+}
+
+
 def test_registry_wide_no_new_scale_hazards(spark, sf_dir):
-    """Every registered query's physical plan is checked for the three
-    100 TB killers — CartesianProduct, Exchange SinglePartition, and
-    BroadcastNestedLoopJoin — against an explicit allowlist of by-design
-    exceptions. A new query (or a refactor of an old one) that introduces
-    one of these fails here with its name."""
+    """Every registered query's physical plan is checked for the four
+    100 TB hazards — CartesianProduct, Exchange SinglePartition,
+    BroadcastNestedLoopJoin, and RangePartitioning (presentational
+    global sorts) — against explicit allowlists of by-design
+    exceptions. A new query (or a refactor of an old one) that
+    introduces one of these fails here with its name."""
     violations = {}
     for name, fn in sorted(QUERIES.items()):
         df = fn(spark, sf_dir)
@@ -350,9 +391,13 @@ def test_registry_wide_no_new_scale_hazards(spark, sf_dir):
             found.add("single_part")
         if "BroadcastNestedLoopJoin" in tree:
             found.add("bnlj")
+        if "rangepartitioning" in plan and \
+                name not in _ALLOWED_RANGE_SORTS:
+            found.add("range_sort")
         extra = found - _ALLOWED_HAZARDS.get(name, set())
         if extra:
             violations[name] = sorted(extra)
+        spark.catalog.clearCache()
     assert not violations, violations
 
 
