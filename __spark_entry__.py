@@ -138,7 +138,8 @@ _REVERIFY: dict[str, int] = {
     "multimodal_embed_ann": 9,
     # r8: ann_knn_graph_incremental now runs the persisted-index path
     # (no old-corpus rescan) with the touched-query merge window
-    "ann_knn_graph_incremental": 8,
+    # (ann_knn_graph_incremental re-listed in the r9 block above —
+    # dict literals keep the LAST duplicate, so the stale entry must go)
     # r8: trailing presentational orderBys dropped (hashes are
     # order-insensitive; each sort cost a range-sampling job + sort —
     # and the range-sample pass RE-EXECUTES the whole child plan, so
@@ -163,7 +164,7 @@ _REVERIFY: dict[str, int] = {
     "dedup_simhash": 8,
     "dedup_containment": 8,
     "dedup_boilerplate_lines": 8,
-    "ann_hard_negatives": 8,
+    # (ann_hard_negatives moved to the r9 block above)
     "multimodal_audio_features": 8,
     "multimodal_audio_neardup": 8,
     "multimodal_video_scenes": 8,
@@ -192,7 +193,7 @@ _REVERIFY: dict[str, int] = {
     "text_distinct_ngrams": 8,
     "curate_gopher_filter": 8,
     "state_machine_entries": 8,
-    "ann_jl_rerank_topk": 8,
+    # (ann_jl_rerank_topk moved to the r9 block above)
     "dedup_exact_normalized": 8,
     "snapshot_diff": 8,
     "embed_pca": 8,
