@@ -83,6 +83,32 @@ def test_reverify_jumps_queue_until_reverified(monkeypatch):
     assert out.index("chg") < out.index("b")
 
 
+def test_reverify_literal_has_no_duplicate_keys():
+    """A Python dict literal silently keeps the LAST duplicate key —
+    exactly how three r9-changed names kept their r8 lane round from
+    stale entries lower in the ``_REVERIFY`` literal and would have
+    expired out of the lane unverified. Parse the source and fail on
+    any name listed twice."""
+    import ast
+    import os
+
+    src = open(os.path.join(
+        os.path.dirname(os.path.abspath(entry_mod.__file__)),
+        "__spark_entry__.py")).read()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.AnnAssign) and \
+                getattr(node.target, "id", None) == "_REVERIFY":
+            keys = [k.value for k in node.value.keys
+                    if isinstance(k, ast.Constant)]
+            dupes = sorted({k for k in keys if keys.count(k) > 1})
+            assert not dupes, (
+                f"_REVERIFY lists these names more than once (the last "
+                f"entry silently wins): {dupes}")
+            return
+    raise AssertionError("_REVERIFY literal not found in source")
+
+
 def test_evidence_latest_round_wins():
     """Against the real CORRECTNESS_r*.json files: every name's
     recorded (round, green) must equal an independent re-parse that
