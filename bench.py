@@ -291,6 +291,18 @@ WINDOW_WAIT_BUDGET_SEC = int(os.environ.get(
 ADJUDICATE_WAIT_BUDGET_SEC = int(os.environ.get(
     "SPARK_GRAFT_BENCH_ADJ_WAIT_SEC", "300"))
 
+# Per-attempt steal threshold (% of one CPU-second per wall second,
+# from /proc/stat — see _steal_ticks): the canary probe is ~0.2 s and
+# min-of-5, so it DODGES the multi-second full-machine steal bursts
+# that inflate a 2-10 s query (observed: trip canary 0.8 while the
+# flagged query's attempts ran under 30%+ steal). An attempt whose
+# steal reading exceeds this is contaminated; a gate trip whose EVERY
+# attempt was contaminated is adjudicated as a degraded window even
+# when the trip canary reads quiet. Ambient on this VM measures 0-8%;
+# burst windows measure 25-1600% (a 1 s full-machine stall inside a
+# 2 s attempt reads ~1600%).
+STEAL_QUIET_PCT = 20.0
+
 
 def _steal_ticks() -> int | None:
     """Cumulative host-steal ticks from /proc/stat (8th cpu field).
@@ -507,16 +519,23 @@ def main() -> None:
         # shrink the total and masquerade as a speedup
         print(f"WARNING: headline queries missing from registry: "
               f"{missing}", file=sys.stderr)
+    attempt_steal: dict[str, list[float | None]] = {}
+
     def _timed_run(name: str) -> float:
         # some queries persist() intermediates; without the cache clear
         # a repeat run would read the previous run's cache and
         # under-time the query (and entries would leak across the run)
         spark.catalog.clearCache()
+        s0 = _steal_ticks()
         t0 = time.perf_counter()
         df = QUERIES[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - t0
+        s1 = _steal_ticks()
         attempt_log[name].append(round(elapsed, 3))
+        attempt_steal.setdefault(name, []).append(
+            round((s1 - s0) / 100.0 / elapsed * 100.0, 1)
+            if s0 is not None and s1 is not None else None)
         return elapsed
 
     sf_val = _sf_value()
@@ -551,34 +570,74 @@ def main() -> None:
                 sf_val == CANARY_PIN_SF:
             # the ladder is exhausted and the gate still trips:
             # adjudicate the window instead of recording an ambiguous
-            # number. Canary quiet -> genuine flag, ships with the
-            # proof; canary degraded -> wait out the storm (shared
-            # bounded budget) and re-attempt.
+            # number. Two degradation signals, because they see
+            # different noise: the canary (0.2 s min-of-5) catches
+            # SUSTAINED load but dodges multi-second steal bursts; the
+            # per-attempt steal reading catches the bursts. A flag is
+            # genuine only when an attempt with CLEAN steal, measured
+            # against a quiet canary, still trips the gate.
+            pin = base_times.get(name)
+
+            def _clean_best() -> float | None:
+                pairs = zip(attempt_log[name],
+                            attempt_steal.get(name, []))
+                clean = [t for t, s in pairs
+                         if s is None or s <= STEAL_QUIET_PCT]
+                return min(clean) if clean else None
+
             c = _canary_seconds(spark)
             factor = round(c / CANARY_PIN_SEC, 2) if c else None
+            steals = [s for s in attempt_steal.get(name, [])
+                      if s is not None]
             evid: dict = {
                 "canary_at_trip_sec": round(c, 3) if c else None,
                 "canary_factor_at_trip": factor,
+                "min_attempt_steal_pct": min(steals) if steals else None,
             }
-            if factor is not None and factor > WINDOW_GATE and \
-                    adj_wait_left > 0:
-                waited = 0
-                while (c / CANARY_PIN_SEC > WINDOW_GATE
-                       and waited < adj_wait_left):
-                    step = min(WINDOW_WAIT_STEP_SEC,
-                               adj_wait_left - waited)
-                    time.sleep(step)
-                    waited += step
-                    c = _canary_seconds(spark)
-                adj_wait_left -= waited
-                evid["waited_sec"] = waited
-                evid["canary_factor_after_wait"] = round(
-                    c / CANARY_PIN_SEC, 2)
-                if c / CANARY_PIN_SEC <= WINDOW_GATE:
-                    # storm passed: re-measure on the quiet window
-                    for _ in range(2):
-                        best = min(best, _timed_run(name))
-            evid["cleared"] = not _over_gate(best, base_times.get(name))
+            waited_total, rounds = 0, 0
+            while rounds < 3 and adj_wait_left > 0 and \
+                    _over_gate(best, pin):
+                cb = _clean_best()
+                if cb is not None and \
+                        (factor is None or factor <= WINDOW_GATE):
+                    # a clean-steal attempt under a quiet canary is the
+                    # honest measurement — over or under the gate, no
+                    # more adjudication will change the verdict
+                    break
+                if factor is not None and factor > WINDOW_GATE:
+                    # sustained storm: wait it out (bounded)
+                    while (c / CANARY_PIN_SEC > WINDOW_GATE
+                           and waited_total < adj_wait_left):
+                        step = min(WINDOW_WAIT_STEP_SEC,
+                                   adj_wait_left - waited_total)
+                        time.sleep(step)
+                        waited_total += step
+                        c = _canary_seconds(spark)
+                    if c / CANARY_PIN_SEC > WINDOW_GATE:
+                        break               # budget spent, still stormy
+                else:
+                    # burst-contaminated attempts under a quiet canary:
+                    # give the burst a moment to pass, then re-measure
+                    step = min(30, adj_wait_left - waited_total)
+                    if step > 0:
+                        time.sleep(step)
+                        waited_total += step
+                for _ in range(2):
+                    best = min(best, _timed_run(name))
+                c = _canary_seconds(spark)
+                factor = round(c / CANARY_PIN_SEC, 2) if c else None
+                rounds += 1
+            adj_wait_left -= waited_total
+            if waited_total:
+                evid["waited_sec"] = waited_total
+            if rounds:
+                evid["adjudication_rounds"] = rounds
+                evid["canary_factor_after"] = factor
+                steals = [s for s in attempt_steal.get(name, [])
+                          if s is not None]
+                evid["min_attempt_steal_pct_after"] = (
+                    min(steals) if steals else None)
+            evid["cleared"] = not _over_gate(best, pin)
             storm_evidence[name] = evid
         timings[name] = round(best, 3)
     # end-of-run canary (late r8): the start gate can only defend the
@@ -661,6 +720,10 @@ def main() -> None:
     # _snapshot_prev_round() pins BENCH_PREV.json from next round
     detail["queries"] = timings
     detail["attempts"] = attempt_log
+    # per-attempt host-steal (% of one CPU over the attempt's wall) —
+    # pairs with "attempts" index-by-index; the burst evidence behind
+    # storm_adjudications' clean-steal rule
+    detail["attempt_steal_pct"] = attempt_steal
     detail["gated_by_retry"] = sorted(
         n for n, ts in attempt_log.items() if len(ts) > 3)
     if storm_evidence:
