@@ -295,6 +295,29 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 _STALE_MARK = "_stale_snapshot"
 
 
+def _gc_tree(d: str) -> None:
+    """Retire a directory ATOMICALLY before deleting it: rename to a
+    ``._gc`` trash name — which no heal path ever re-enters — then
+    rmtree the trash. A bare rmtree of a stamped ``._old`` is not
+    atomic: a crash mid-delete can remove the ``_stale_snapshot`` mark
+    before the data files, and the next :func:`recover_snapshot` would
+    take the legacy gen-1 branch and rename that partial,
+    stamp-stripped N-1 directory over an absent ``path`` — resurrecting
+    partial stale data as committed, the exact double fault the stamp
+    protocol guards against (r10 ADVICE). After the rename, the worst a
+    crash can leave is ``._gc`` litter, swept by the next call here (or
+    by recover_snapshot for abandoned stores)."""
+    import shutil
+
+    trash = d.rstrip("/") + "._gc"
+    shutil.rmtree(trash, ignore_errors=True)   # a prior crash's litter
+    try:
+        os.rename(d, trash)
+    except OSError:
+        trash = d         # d already gone, or rename refused: in place
+    shutil.rmtree(trash, ignore_errors=True)
+
+
 def recover_snapshot(path: str) -> bool:
     """Heal an interrupted :func:`overwrite_via_tmp` swap at ``path`` and
     report whether a committed snapshot now exists there.
@@ -325,7 +348,17 @@ def recover_snapshot(path: str) -> bool:
       — report absent, drop the stale ``._old``;
     - ``path`` absent, UNstamped ``._old``: a gen-1 mid-swap residue
       (no stamp existed before the first rename back then) — restore
-      it, the legacy heal."""
+      it, the legacy heal.
+
+    Every ``._old`` deletion goes through :func:`_gc_tree` (rename to
+    ``._gc`` first — r10 ADVICE: a crash mid-rmtree could strip the
+    stamp off a half-deleted ``._old`` and feed the legacy gen-1
+    branch partial data); ``._gc`` litter from a crashed delete is
+    swept here so an abandoned store does not hold it forever. A
+    partial ``._tmp`` needs no such guard: the roll-forward branch
+    requires a stamped ``._old``, which :func:`overwrite_via_tmp`
+    creates only AFTER the staging write returned — no reachable state
+    renames a half-deleted ``._tmp`` into ``path``."""
     import shutil
 
     tmp = path.rstrip("/") + "._tmp"
@@ -333,17 +366,19 @@ def recover_snapshot(path: str) -> bool:
     exists = os.path.exists(path)
     if os.path.exists(old):
         if exists:
-            shutil.rmtree(old, ignore_errors=True)
+            _gc_tree(old)
         elif os.path.exists(os.path.join(old, _STALE_MARK)):
             if os.path.exists(tmp):
                 os.rename(tmp, path)           # roll the swap forward
                 exists = True
-            shutil.rmtree(old, ignore_errors=True)
+            _gc_tree(old)
         else:
             os.rename(old, path)               # legacy gen-1 heal
             exists = True
     if os.path.exists(tmp):
         shutil.rmtree(tmp, ignore_errors=True)  # orphaned staging dir
+    if os.path.exists(old + "._gc"):
+        shutil.rmtree(old + "._gc", ignore_errors=True)
     return exists
 
 
@@ -368,16 +403,17 @@ def overwrite_via_tmp(df: DataFrame, path: str) -> None:
     rename a stale ``._old`` is dropped on the next recover. The stamp
     precedes the swap (r9 ADVICE), so there is NO window that leaves an
     unstamped ``._old`` — the double-fault resurrection claim holds for
-    every crash point, not just cleanup crashes. At scale the store is
-    a transactional table format and this is one MERGE INTO."""
-    import shutil
-
+    every crash point, not just cleanup crashes; ``._old`` deletions
+    rename to ``._gc`` first so a crash mid-delete cannot strip the
+    stamp off a surviving partial (r10 ADVICE, see :func:`_gc_tree`).
+    At scale the store is a transactional table format and this is one
+    MERGE INTO."""
     tmp = path.rstrip("/") + "._tmp"
     old = path.rstrip("/") + "._old"
     recover_snapshot(path)
     df.write.mode("overwrite").parquet(tmp)
     if os.path.exists(old):        # unreachable after recover; defensive
-        shutil.rmtree(old)
+        _gc_tree(old)
     if os.path.exists(path):
         # stamp the OUTGOING snapshot BEFORE it becomes '._old' — the
         # stamp rides the rename, so '._old' is born marked stale
@@ -385,7 +421,7 @@ def overwrite_via_tmp(df: DataFrame, path: str) -> None:
         os.rename(path, old)
     os.rename(tmp, path)
     if os.path.exists(old):
-        shutil.rmtree(old, ignore_errors=True)
+        _gc_tree(old)
 
 
 def upsert_into_path(spark: SparkSession, incoming: DataFrame, path: str,

@@ -777,6 +777,24 @@ def _probes_udf(centroids: list[list[float]], n_probe: int):
     return _probes
 
 
+def _index_n_probe(index: DataFrame, caller: str) -> int | None:
+    """The index's pinned build ``n_probe``, validated for UNIFORMITY:
+    the column is constant by :func:`ivf_index`'s construction, so a
+    mixed-width index means some writer bypassed the append-time guard
+    (e.g. the streaming sink's) — its candidate cells are undefined and
+    consuming it silently mixes probe widths across rows (r10 ADVICE:
+    the previous single-row ``.first()`` check trusted whichever row
+    Spark returned first). The probe is tiny — a distinct over one int
+    column, limit 2. None on an empty index (nothing to mismatch)."""
+    rows = index.select("n_probe").distinct().limit(2).collect()
+    if len(rows) > 1:
+        raise ValueError(
+            f"{caller}: index holds MIXED n_probe rows "
+            f"({sorted(r[0] for r in rows)}...) — it was appended to "
+            f"with inconsistent probe widths; rebuild the index")
+    return rows[0][0] if rows else None
+
+
 def ivf_index(corpus: DataFrame, centroids: list[list[float]],
               n_probe: int = 2, id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
@@ -968,13 +986,13 @@ def knn_graph_ivf(corpus: DataFrame | None, k: int = 5, kc: int = 8,
                 f"knn_graph_ivf: index is missing column(s) "
                 f"{sorted(missing_cols)} — build it with "
                 f"ivf_index(corpus, centroids, n_probe)")
-        built = index.select("n_probe").first()
+        built = _index_n_probe(index, "knn_graph_ivf")
         np_eff = (min(n_probe, len(centroids))
                   if centroids is not None else n_probe)
-        if built is not None and built[0] != np_eff:
+        if built is not None and built != np_eff:
             raise ValueError(
                 f"knn_graph_ivf: index was built with "
-                f"n_probe={built[0]} but n_probe={n_probe} (effective "
+                f"n_probe={built} but n_probe={n_probe} (effective "
                 f"{np_eff}) was requested — rebuild the index or match "
                 f"the request")
         members = index.select(F.col(id_col).alias("neighbor_id"),
@@ -1182,12 +1200,12 @@ def knn_graph_ivf_incremental(old_corpus: DataFrame | None,
         # validate=False exists for sub-k bootstrap corpora, not for
         # waiving the index contract — a silent width mismatch changes
         # the candidate cells with no error in either mode)
-        built = old_index.select("n_probe").first()
+        built = _index_n_probe(old_index, "knn_graph_ivf_incremental")
         np_eff = min(n_probe, len(centroids))
-        if built is not None and built[0] != np_eff:
+        if built is not None and built != np_eff:
             raise ValueError(
                 f"knn_graph_ivf_incremental: old_index was built "
-                f"with n_probe={built[0]} but n_probe={n_probe} "
+                f"with n_probe={built} but n_probe={n_probe} "
                 f"(effective {np_eff}) was requested — a mismatch "
                 f"changes which cells' members were candidates; "
                 f"rebuild the index or match the request")

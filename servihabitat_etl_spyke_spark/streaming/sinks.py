@@ -481,13 +481,14 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
             # (UNgated there too): rebuilding with a different n_probe
             # than the index was built with would silently change
             # which cells' members are candidates AND append
-            # mixed-n_probe rows
-            built = stored.select("n_probe").first()
+            # mixed-n_probe rows (r10: uniformity-checked — a mixed
+            # index means a writer bypassed this very guard)
+            built = _sim._index_n_probe(stored, "stream_knn_graph_upsert")
             np_eff = min(n_probe, len(centroids))
-            if built is not None and built[0] != np_eff:
+            if built is not None and built != np_eff:
                 raise ValueError(
                     f"stream_knn_graph_upsert: stored index was "
-                    f"built with n_probe={built[0]} but "
+                    f"built with n_probe={built} but "
                     f"n_probe={n_probe} (effective {np_eff}) was "
                     f"requested — rebuild the index or match the "
                     f"request")

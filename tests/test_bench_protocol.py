@@ -46,7 +46,8 @@ def _worst_case_out() -> dict:
         "noise_factor": 12.34,
         "environment": {"loadavg_at_start": 123.45, "canary_sec": 123.456,
                         "canary_end_sec": 123.456,
-                        "canary_pin_generation": 2},
+                        "canary_pin_generation": 2,
+                        "steal_pct_at_start": 1234.5},
         "baseline_round": "r06",
         "median_delta_vs_baseline": 123.45,
         "median_delta_vs_baseline_noise_adj": 123.45,
@@ -139,38 +140,158 @@ def test_regression_gate_rule():
 def test_quiet_window_wait_contract():
     """The canary gate waits in 60 s steps only at the pin's SF, stamps
     how long it waited, and reports exhaustion instead of looping
-    forever. Exercised against a stub canary so no Spark is needed."""
+    forever. Exercised against a stub canary + stub steal sample so no
+    Spark (and no real sleeping) is needed."""
     readings = iter([2.0 * bench.CANARY_PIN_SEC,
                      1.5 * bench.CANARY_PIN_SEC,
                      1.05 * bench.CANARY_PIN_SEC])
     slept = []
     orig_canary, orig_sleep = bench._canary_seconds, bench.time.sleep
+    orig_steal = bench._steal_pct_sample
     bench._canary_seconds = lambda spark: next(readings)
+    bench._steal_pct_sample = lambda window_sec=0: 0.0
     bench.time.sleep = lambda s: slept.append(s)
     try:
-        canary, waited, exhausted = bench._wait_for_quiet_window(None)
+        canary, steal, waited, exhausted = \
+            bench._wait_for_quiet_window(None)
     finally:
         bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
+        bench._steal_pct_sample = orig_steal
     assert not exhausted and waited == sum(slept) == 120
     assert canary <= bench.WINDOW_GATE * bench.CANARY_PIN_SEC
+    assert steal == 0.0
 
     # budget exhaustion: the canary never quiets -> give up after the
     # budget, say so
     bench._canary_seconds = lambda spark: 3.0 * bench.CANARY_PIN_SEC
+    bench._steal_pct_sample = lambda window_sec=0: 0.0
     bench.time.sleep = lambda s: slept.append(s)
     try:
-        canary, waited, exhausted = bench._wait_for_quiet_window(None)
+        canary, steal, waited, exhausted = \
+            bench._wait_for_quiet_window(None)
     finally:
         bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
+        bench._steal_pct_sample = orig_steal
     assert exhausted and waited == bench.WINDOW_WAIT_BUDGET_SEC
 
     # a missing canary table (custom SF layout) skips the wait outright
     bench._canary_seconds = lambda spark: None
     try:
-        canary, waited, exhausted = bench._wait_for_quiet_window(None)
+        canary, steal, waited, exhausted = \
+            bench._wait_for_quiet_window(None)
     finally:
         bench._canary_seconds = orig_canary
     assert canary is None and waited == 0 and not exhausted
+
+
+def test_quiet_window_also_gates_on_steal():
+    """r10 (VERDICT r9 #2): a QUIET canary under HIGH host steal must
+    not open the window — the 0.2 s min-of-5 canary dodges the
+    multi-second bursts that inflate real queries (the official r9 run
+    started at 42.8% steal with a 1.02 canary). The wait holds until
+    the direct steal sample reads <= STEAL_QUIET_PCT; a None steal
+    sample (no /proc/stat steal column) degrades to canary-only."""
+    steal_readings = iter([42.8, 31.0, 4.0])
+    slept = []
+    orig_canary, orig_sleep = bench._canary_seconds, bench.time.sleep
+    orig_steal = bench._steal_pct_sample
+    bench._canary_seconds = lambda spark: 1.02 * bench.CANARY_PIN_SEC
+    bench._steal_pct_sample = lambda window_sec=0: next(steal_readings)
+    bench.time.sleep = lambda s: slept.append(s)
+    try:
+        canary, steal, waited, exhausted = \
+            bench._wait_for_quiet_window(None)
+    finally:
+        bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
+        bench._steal_pct_sample = orig_steal
+    assert not exhausted and waited == sum(slept) == 120
+    assert steal == 4.0 <= bench.STEAL_QUIET_PCT
+
+    # canary-only fallback: no steal column anywhere -> quiet canary
+    # opens the window immediately
+    bench._canary_seconds = lambda spark: 1.02 * bench.CANARY_PIN_SEC
+    bench._steal_pct_sample = lambda window_sec=0: None
+    bench.time.sleep = lambda s: slept.append(s)
+    try:
+        canary, steal, waited, exhausted = \
+            bench._wait_for_quiet_window(None)
+    finally:
+        bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
+        bench._steal_pct_sample = orig_steal
+    assert not exhausted and waited == 0 and steal is None
+
+
+def test_cold_attempts_cannot_adjudicate_a_flag():
+    """r10 (VERDICT r9 #1/#3): the qualifying clean-steal measurement
+    behind a flag verdict must be a WARM attempt — the query's first
+    attempt of the process (and the first after any wait) reads 2-3x
+    its converged time even at zero steal (judge r9 re-time:
+    dedup_semantic_lsh 8.87 s cold vs 3.87 s converged, steal 0.0
+    throughout), so a cold attempt can neither confirm nor clear."""
+    qcb = bench._qualifying_clean_best
+    # the r9-flag signature: only the cold first attempt is steal-clean
+    # -> NO qualifying measurement exists yet (keep adjudicating)
+    assert qcb([8.87, 6.2, 5.9], [0.0, 45.0, 61.0], {0}) is None
+    # a warm clean attempt qualifies; the cold one never wins the min
+    assert qcb([8.87, 3.87], [0.0, 0.0], {0}) == 3.87
+    # post-wait re-attempts: index 2 followed a wait -> cold; index 3
+    # is the warm qualifying one
+    assert qcb([9.0, 8.0, 7.5, 3.9], [50.0, 44.0, 0.0, 0.0],
+               {0, 2}) == 3.9
+    # steal-contaminated warm attempts still never qualify
+    assert qcb([9.0, 4.0], [0.0, 35.0], {0}) is None
+    # missing steal readings (no /proc/stat) degrade to cold-rule only
+    assert qcb([9.0, 4.1], [None, None], {0}) == 4.1
+
+
+def test_wait_steal_quiet_is_bounded_and_converges():
+    orig_steal, orig_sleep = bench._steal_pct_sample, bench.time.sleep
+    slept = []
+    readings = iter([80.0, 30.0, 2.0])
+    bench._steal_pct_sample = lambda window_sec=0: next(readings)
+    bench.time.sleep = lambda s: slept.append(s)
+    try:
+        steal, waited = bench._wait_steal_quiet(30)
+    finally:
+        bench._steal_pct_sample, bench.time.sleep = orig_steal, orig_sleep
+    assert steal == 2.0 and waited == sum(slept) == 10
+    # budget bound: a storm that never quiets stops at the budget
+    bench._steal_pct_sample = lambda window_sec=0: 99.0
+    bench.time.sleep = lambda s: slept.append(s)
+    try:
+        steal, waited = bench._wait_steal_quiet(12)
+    finally:
+        bench._steal_pct_sample, bench.time.sleep = orig_steal, orig_sleep
+    assert steal == 99.0 and waited == 12
+    # a quiet machine never sleeps at all (the old fixed 10 s did)
+    bench._steal_pct_sample = lambda window_sec=0: 1.0
+    try:
+        steal, waited = bench._wait_steal_quiet(30)
+    finally:
+        bench._steal_pct_sample = orig_steal
+    assert waited == 0
+
+
+def test_canary_pin_prose_matches_constant():
+    """r10 (VERDICT r9 #5): PLANS.md's pin-generation-2 writeup and
+    BENCH_BASELINE.json's canary_note each state the gen-2 pin value;
+    both said 0.18 after the constant moved to 0.20 in the same round
+    (commit 331034c) — load-bearing drift for anyone re-deriving
+    noise_factor. Marker-pinned here the way README counts are."""
+    with open(os.path.join(_ROOT, "PLANS.md")) as fh:
+        plans = fh.read()
+    m = re.search(r"pin:canary.*?(\d+\.\d+)", plans, re.DOTALL)
+    assert m, "PLANS.md lost its <!-- pin:canary --> marker line"
+    assert float(m.group(1)) == bench.CANARY_PIN_SEC, (
+        f"PLANS.md documents the gen-2 canary pin as {m.group(1)}; "
+        f"bench.py ships CANARY_PIN_SEC = {bench.CANARY_PIN_SEC}")
+    with open(os.path.join(_ROOT, "BENCH_BASELINE.json")) as fh:
+        note = json.load(fh).get("canary_note", "")
+    m2 = re.search(r"generation 2 \((\d+\.\d+)", note)
+    assert m2, "BENCH_BASELINE.json canary_note lost its gen-2 pin value"
+    assert float(m2.group(1)) == bench.CANARY_PIN_SEC, (
+        f"BENCH_BASELINE.json canary_note says the gen-2 pin is "
+        f"{m2.group(1)}; bench.py ships {bench.CANARY_PIN_SEC}")
 
 
 def test_headline_names_all_registered():

@@ -463,6 +463,57 @@ def test_overwrite_via_tmp_stamps_before_swap_and_rolls_forward(
     assert not os.path.exists(path + "._tmp")
 
 
+def test_gc_tree_crash_mid_delete_cannot_strip_the_stamp(tmp_path,
+                                                         monkeypatch):
+    """r10 ADVICE: a bare rmtree of a stamped '._old' is not atomic — a
+    crash mid-delete can remove the _stale_snapshot mark before the
+    data files, and the next recover would take the legacy gen-1
+    branch and rename the partial, stamp-stripped N-1 over an absent
+    path, resurrecting partial stale data as committed. Deletions now
+    rename to '._old._gc' FIRST (atomic), so a crashed delete leaves
+    only trash no heal path ever re-enters; the litter is swept by the
+    next recover."""
+    import os
+    import shutil
+
+    from servihabitat_etl_spyke_spark.operators.etl import (
+        _STALE_MARK, recover_snapshot)
+
+    path = str(tmp_path / "snap")
+    # the double-fault state: path absent, stamped '._old' present
+    os.makedirs(path + "._old")
+    open(os.path.join(path + "._old", _STALE_MARK), "w").close()
+    with open(os.path.join(path + "._old", "part-0.parquet"), "w") as fh:
+        fh.write("stale N-1 data")
+
+    real_rmtree = shutil.rmtree
+
+    def crash_mid_delete(d, ignore_errors=False, **kw):
+        if str(d).endswith("._gc"):
+            # simulate the worst-ordered partial delete: the stamp
+            # file dies, the data files survive
+            mark = os.path.join(str(d), _STALE_MARK)
+            if os.path.exists(mark):
+                os.remove(mark)
+            return None
+        return real_rmtree(d, ignore_errors=ignore_errors, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", crash_mid_delete)
+    assert not recover_snapshot(path)      # absent, not resurrected
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+
+    # the crashed delete left TRASH, never a stamp-stripped '._old'
+    # that the legacy gen-1 branch would restore as committed
+    assert not os.path.exists(path + "._old")
+    assert os.path.exists(
+        os.path.join(path + "._old._gc", "part-0.parquet"))
+
+    # the next recover sweeps the litter and still reports absent
+    assert not recover_snapshot(path)
+    assert not os.path.exists(path + "._old._gc")
+    assert not os.path.exists(path)
+
+
 def test_recover_snapshot_drops_orphaned_tmp(spark, tmp_path):
     """r9 ADVICE (etl.py #4): a crash DURING the staging write leaves a
     '._tmp' holding a full snapshot's worth of uncommitted data; the

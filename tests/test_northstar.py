@@ -130,6 +130,17 @@ def test_knn_graph_ivf_index_contract_errors(spark, sf_dir):
         SIM.knn_graph_ivf(None, k=5, n_probe=3, index=idx)
     with _pytest.raises(ValueError, match="pass corpus"):
         SIM.knn_graph_ivf(None, k=5)
+    # r10 ADVICE: an index corrupted with MIXED n_probe rows (a writer
+    # that bypassed the sink's append-time guard) must raise, not pass
+    # because the single arbitrary row the old check sampled happened
+    # to match the request — mixed widths silently change which cells'
+    # members are candidates per row
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    mixed = SIM.ivf_index(half_a, cents, n_probe=2).unionByName(
+        SIM.ivf_index(half_b, cents, n_probe=3))
+    with _pytest.raises(ValueError, match="MIXED"):
+        SIM.knn_graph_ivf(None, k=5, n_probe=2, index=mixed)
 
 
 def test_knn_graph_ivf_incremental_equals_full_rebuild(spark, sf_dir):
