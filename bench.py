@@ -544,6 +544,20 @@ def _protocol_line(out: dict) -> str:
     return line
 
 
+def _noise_adjusted(median: float, noise_factor: float | None) -> float:
+    """The noise-normalized median delta: divide by the canary ratio so
+    a uniform machine-wide SLOWDOWN reads ~1.0. The divisor is clamped
+    at 1.0 (r10): a sub-pin canary is the documented healthy signature
+    of residual probe-specific JIT heat beyond the fixed 40-probe
+    warmup (end factors 0.66-0.86 on quiet runs), NOT evidence the
+    machine runs queries faster than pin-time — dividing by 0.82 would
+    inflate the adjusted median ABOVE the raw one (observed: 1.12 raw
+    -> 1.37 "adjusted"), charging the engine for the canary's own
+    warmth. Adjustment exists to discount degradation only; it never
+    manufactures it. Per-query gating uses RAW deltas either way."""
+    return round(median / max(1.0, noise_factor or 1.0), 2)
+
+
 def _over_gate(t: float, base: float | None) -> bool:
     """The regression gate (r8, VERDICT r7 #6): flagged iff the timing
     exceeds max(2 * pin, pin + 0.5 s). For pins >= 0.5 s that is the
@@ -884,14 +898,15 @@ def main() -> None:
             out["baseline_round"] = base.get("round", "r01")
             out["median_delta_vs_baseline"] = round(
                 _median(deltas.values()), 2) if deltas else None
-            # noise-normalized view: divide by the canary ratio so a
-            # uniform machine-wide slowdown reads ~1.0 (per-query gating
-            # still uses the RAW deltas — normalization never launders a
-            # real regression out of regressions_over_2x)
+            # noise-normalized view (see _noise_adjusted: divisor
+            # clamped at 1.0 — discounts degradation, never
+            # manufactures it; per-query gating still uses the RAW
+            # deltas, so normalization never launders a real
+            # regression out of regressions_over_2x)
             if deltas and out.get("noise_factor"):
-                out["median_delta_vs_baseline_noise_adj"] = round(
-                    out["median_delta_vs_baseline"] / out["noise_factor"],
-                    2)
+                out["median_delta_vs_baseline_noise_adj"] = \
+                    _noise_adjusted(out["median_delta_vs_baseline"],
+                                    out["noise_factor"])
             # gate rule (r8): >2x AND more than +0.5 s absolute — the
             # absolute allowance keeps sub-0.5 s pins from flagging on
             # scheduler hiccups that say nothing about the engine

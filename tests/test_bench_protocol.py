@@ -272,6 +272,18 @@ def test_wait_steal_quiet_is_bounded_and_converges():
     assert waited == 0
 
 
+def test_noise_adjustment_discounts_slowdowns_never_manufactures_them():
+    """r10: the adjusted median divides by the canary factor only when
+    the factor exceeds 1.0. A sub-pin canary is residual probe JIT
+    heat (healthy end factors 0.66-0.86), not machine speed — dividing
+    by it inflated the adjusted median ABOVE raw (observed 1.12 raw ->
+    1.37 'adjusted'), charging the engine for the probe's warmth."""
+    assert bench._noise_adjusted(1.5, 1.5) == 1.0      # uniform slowdown
+    assert bench._noise_adjusted(1.12, 0.82) == 1.12   # clamped at 1.0
+    assert bench._noise_adjusted(1.12, None) == 1.12   # no canary
+    assert bench._noise_adjusted(2.0, 1.25) == 1.6
+
+
 def test_canary_pin_prose_matches_constant():
     """r10 (VERDICT r9 #5): PLANS.md's pin-generation-2 writeup and
     BENCH_BASELINE.json's canary_note each state the gen-2 pin value;
