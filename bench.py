@@ -601,6 +601,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + parquet footers once (excluded from timing)
     QUERIES["total_count"](spark, SF_DIR).collect()
+    # warm the Python-worker pool too (r10): workers fork from a daemon
+    # that never imported numpy/pandas, so every fresh worker pays the
+    # import + Arrow-path setup on its first task — previously inside
+    # the first pandas-UDF query's timed attempt. One tiny mapInPandas
+    # over as many partitions as local cores spins the whole pool up
+    # OUTSIDE the timing (workers persist via spark.python.worker.reuse)
+    n_workers = spark.sparkContext.defaultParallelism
+    (spark.range(n_workers * 4).repartition(n_workers)
+     .mapInPandas(lambda it: it, "id long").count())
     canary_sec, steal_at_start, window_waited, window_exhausted = \
         _wait_for_quiet_window(spark)
 
