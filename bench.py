@@ -353,18 +353,36 @@ def _steal_pct_sample(window_sec: float = STEAL_SAMPLE_SEC) -> float | None:
 def _wait_steal_quiet(budget_sec: float,
                       step_sec: float = 5.0) -> tuple[float | None, float]:
     """Sleep in step_sec steps until a direct steal sample reads quiet
-    (<= STEAL_QUIET_PCT) or budget_sec is spent; (last sample, seconds
-    slept). The retry ladder's terminal rung (r9 VERDICT #6): a fixed
-    10 s backoff both oversleeps on a machine that is already quiet
-    and undersleeps a storm that outlasts it — gating the re-attempt
-    on the contention signal itself converges in whichever is less."""
-    slept = 0.0
+    (<= STEAL_QUIET_PCT) or budget_sec of WALL CLOCK is spent; (last
+    sample, seconds of cooling sleep). The retry ladder's terminal
+    rung (r9 VERDICT #6): a fixed 10 s backoff both oversleeps on a
+    machine that is already quiet and undersleeps a storm that
+    outlasts it — gating the re-attempt on the contention signal
+    itself converges in whichever is less. Two accountings on purpose
+    (r10 review): the budget bound charges the 2 s observation window
+    of every sample (real wall time — without it a '10 s' bound cost
+    ~16 s), while the RETURNED figure counts only the cooling sleeps,
+    because it feeds both the adjudication's waited_sec evidence and
+    the cold-attempt rule — a 2 s observation doesn't cool a cache,
+    and charging it would cold-mark attempts on a machine that never
+    waited. Hosts without a /proc/stat steal column get the signal-
+    blind legacy behavior back: one fixed sleep of min(budget, 10) s
+    rather than NO backoff at all — the pause is the whole point when
+    the signal that would justify skipping it is unreadable."""
+    slept = 0.0                        # cooling sleeps (returned)
+    spent = STEAL_SAMPLE_SEC           # wall clock incl. observations
     steal = _steal_pct_sample()
+    if steal is None:
+        legacy = min(budget_sec, 10.0)
+        if legacy > 0:
+            time.sleep(legacy)
+        return None, legacy
     while steal is not None and steal > STEAL_QUIET_PCT \
-            and slept < budget_sec:
-        step = min(step_sec, budget_sec - slept)
+            and spent < budget_sec:
+        step = min(step_sec, budget_sec - spent)
         time.sleep(step)
         slept += step
+        spent += step + STEAL_SAMPLE_SEC
         steal = _steal_pct_sample()
     return steal, slept
 
@@ -435,8 +453,15 @@ def _wait_for_quiet_window(spark) -> tuple[float | None, float | None,
         canary = _canary_seconds(spark)
         if canary is None:
             # probe table vanished mid-wait: no canary evidence — stop
-            # waiting instead of dying on None arithmetic
-            return canary, steal, waited, False
+            # waiting instead of dying on None arithmetic, but don't
+            # report a verified-quiet start either (r10 review): take
+            # one FRESH steal sample (the loop's is from before the
+            # last sleep) and let the steal signal alone decide the
+            # exhausted marker, preserving the protocol-line invariant
+            # "start steal <= 20% or window_wait_exhausted says so"
+            steal = _steal_pct_sample()
+            return canary, steal, waited, bool(
+                steal is not None and steal > STEAL_QUIET_PCT)
         steal = _steal_pct_sample()
     return canary, steal, waited, not _quiet()
 

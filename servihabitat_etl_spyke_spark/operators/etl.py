@@ -314,7 +314,24 @@ def _gc_tree(d: str) -> None:
     try:
         os.rename(d, trash)
     except OSError:
-        trash = d         # d already gone, or rename refused: in place
+        # d already gone: nothing to retire. Rename REFUSED with d
+        # still present (undeletable ._gc litter, open handle): a bare
+        # rmtree here would reopen the exact stamp-stripping window
+        # this function closes (r10 review) — delete in place with the
+        # stamp LAST, so a crash mid-delete leaves the partial still
+        # marked stale and the heal paths still refuse it.
+        if not os.path.isdir(d):
+            return
+        for entry in os.listdir(d):
+            if entry == _STALE_MARK:
+                continue
+            p = os.path.join(d, entry)
+            try:
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+            except OSError:
+                pass
+        shutil.rmtree(d, ignore_errors=True)   # stamp + dir, last
+        return
     shutil.rmtree(trash, ignore_errors=True)
 
 

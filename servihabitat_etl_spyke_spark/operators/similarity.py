@@ -780,19 +780,37 @@ def _probes_udf(centroids: list[list[float]], n_probe: int):
 def _index_n_probe(index: DataFrame, caller: str) -> int | None:
     """The index's pinned build ``n_probe``, validated for UNIFORMITY:
     the column is constant by :func:`ivf_index`'s construction, so a
-    mixed-width index means some writer bypassed the append-time guard
-    (e.g. the streaming sink's) — its candidate cells are undefined and
-    consuming it silently mixes probe widths across rows (r10 ADVICE:
-    the previous single-row ``.first()`` check trusted whichever row
-    Spark returned first). The probe is tiny — a distinct over one int
-    column, limit 2. None on an empty index (nothing to mismatch)."""
-    rows = index.select("n_probe").distinct().limit(2).collect()
-    if len(rows) > 1:
+    mixed-width (or NULL-holding) index means some writer bypassed the
+    append-time guard (e.g. the streaming sink's) — its candidate
+    cells are undefined and consuming it silently mixes probe widths
+    across rows (r10 ADVICE: the previous single-row ``.first()``
+    check trusted whichever row Spark returned first). One map-side
+    PARTIAL aggregate (min/max/counts — no row shuffle, unlike a
+    distinct; with parquet aggregate pushdown it is footer-only): the
+    rows are read once, which the one-shot consumers pay anyway and
+    the incremental path pays per batch as the price of the contract —
+    at production scale the pinned width would additionally ride the
+    table's properties so readers skip even that. NULLs are counted
+    explicitly: min/max silently ignore them, so a {NULL, k} index
+    would otherwise masquerade as uniform. None on an empty index
+    (nothing to mismatch against)."""
+    row = index.agg(F.min("n_probe").alias("lo"),
+                    F.max("n_probe").alias("hi"),
+                    F.count(F.lit(1)).alias("rows"),
+                    F.count("n_probe").alias("nonnull")).first()
+    if row["rows"] == 0:
+        return None
+    if row["nonnull"] != row["rows"]:
+        raise ValueError(
+            f"{caller}: index holds {row['rows'] - row['nonnull']} "
+            f"NULL n_probe row(s) — a writer bypassed the append-time "
+            f"guard; rebuild the index")
+    if row["lo"] != row["hi"]:
         raise ValueError(
             f"{caller}: index holds MIXED n_probe rows "
-            f"({sorted(r[0] for r in rows)}...) — it was appended to "
-            f"with inconsistent probe widths; rebuild the index")
-    return rows[0][0] if rows else None
+            f"({row['lo']}..{row['hi']}) — it was appended to with "
+            f"inconsistent probe widths; rebuild the index")
+    return row["lo"]
 
 
 def ivf_index(corpus: DataFrame, centroids: list[list[float]],

@@ -221,6 +221,40 @@ def test_quiet_window_also_gates_on_steal():
     assert not exhausted and waited == 0 and steal is None
 
 
+def test_canary_vanishing_mid_wait_defers_to_the_steal_signal():
+    """r10 review: if the probe table becomes unreadable mid-wait, the
+    gate loses its canary but must not report a verified-quiet start —
+    a fresh steal sample alone decides the exhausted marker, keeping
+    the protocol-line invariant 'start steal <= 20% or
+    window_wait_exhausted says the gate gave up'."""
+    canaries = iter([2.0 * bench.CANARY_PIN_SEC, None])
+    orig_canary, orig_sleep = bench._canary_seconds, bench.time.sleep
+    orig_steal = bench._steal_pct_sample
+    bench._canary_seconds = lambda spark: next(canaries)
+    bench._steal_pct_sample = lambda window_sec=0: 80.0   # still stormy
+    bench.time.sleep = lambda s: None
+    try:
+        canary, steal, waited, exhausted = \
+            bench._wait_for_quiet_window(None)
+    finally:
+        bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
+        bench._steal_pct_sample = orig_steal
+    assert canary is None and steal == 80.0 and exhausted
+
+    # same vanish under a quiet steal signal: no false alarm either
+    canaries = iter([2.0 * bench.CANARY_PIN_SEC, None])
+    bench._canary_seconds = lambda spark: next(canaries)
+    bench._steal_pct_sample = lambda window_sec=0: 1.0
+    bench.time.sleep = lambda s: None
+    try:
+        canary, steal, waited, exhausted = \
+            bench._wait_for_quiet_window(None)
+    finally:
+        bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
+        bench._steal_pct_sample = orig_steal
+    assert canary is None and steal == 1.0 and not exhausted
+
+
 def test_cold_attempts_cannot_adjudicate_a_flag():
     """r10 (VERDICT r9 #1/#3): the qualifying clean-steal measurement
     behind a flag verdict must be a WARM attempt — the query's first
@@ -255,14 +289,18 @@ def test_wait_steal_quiet_is_bounded_and_converges():
     finally:
         bench._steal_pct_sample, bench.time.sleep = orig_steal, orig_sleep
     assert steal == 2.0 and waited == sum(slept) == 10
-    # budget bound: a storm that never quiets stops at the budget
+    # budget bound in WALL-CLOCK terms (r10 review): each sample's 2 s
+    # observation window is charged against the budget, so a 12 s
+    # budget admits 8 s of cooling sleep (2+5+2+3+2 = 14 >= 12), not
+    # 12 s of sleep on top of 6 s of unbilled observation
+    slept.clear()
     bench._steal_pct_sample = lambda window_sec=0: 99.0
     bench.time.sleep = lambda s: slept.append(s)
     try:
         steal, waited = bench._wait_steal_quiet(12)
     finally:
         bench._steal_pct_sample, bench.time.sleep = orig_steal, orig_sleep
-    assert steal == 99.0 and waited == 12
+    assert steal == 99.0 and waited == sum(slept) == 8
     # a quiet machine never sleeps at all (the old fixed 10 s did)
     bench._steal_pct_sample = lambda window_sec=0: 1.0
     try:
@@ -270,6 +308,18 @@ def test_wait_steal_quiet_is_bounded_and_converges():
     finally:
         bench._steal_pct_sample = orig_steal
     assert waited == 0
+    # a host with NO readable steal column gets the signal-blind
+    # legacy backoff (one fixed min(budget, 10) s sleep), never a
+    # zero-wait re-attempt (r10 review: the pause is the whole point
+    # when the signal that would justify skipping it is unreadable)
+    slept.clear()
+    bench._steal_pct_sample = lambda window_sec=0: None
+    bench.time.sleep = lambda s: slept.append(s)
+    try:
+        steal, waited = bench._wait_steal_quiet(30)
+    finally:
+        bench._steal_pct_sample, bench.time.sleep = orig_steal, orig_sleep
+    assert steal is None and waited == sum(slept) == 10
 
 
 def test_noise_adjustment_discounts_slowdowns_never_manufactures_them():

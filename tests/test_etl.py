@@ -514,6 +514,56 @@ def test_gc_tree_crash_mid_delete_cannot_strip_the_stamp(tmp_path,
     assert not os.path.exists(path)
 
 
+def test_gc_tree_rename_refused_deletes_stamp_last(tmp_path, monkeypatch):
+    """r10 review follow-up: when the trash rename itself is REFUSED
+    (undeletable '._gc' litter, open handle) the fallback must not be
+    a bare rmtree of the stamped dir — that reopens the exact
+    stamp-stripping window _gc_tree closes. The in-place fallback
+    deletes data files FIRST and the stamp last, so a crash mid-delete
+    leaves the partial still marked stale and no heal path restores
+    it."""
+    import os
+    import shutil
+
+    from servihabitat_etl_spyke_spark.operators import etl as etl_mod
+    from servihabitat_etl_spyke_spark.operators.etl import (
+        _STALE_MARK, _gc_tree)
+
+    d = str(tmp_path / "snap._old")
+    os.makedirs(d)
+    open(os.path.join(d, _STALE_MARK), "w").close()
+    with open(os.path.join(d, "part-0.parquet"), "w") as fh:
+        fh.write("stale data")
+
+    real_rename = os.rename
+
+    def refuse(src, dst):
+        raise OSError("simulated ENOTEMPTY on the trash name")
+
+    # crash the FINAL dir delete so the mid-fallback state is visible
+    real_rmtree = shutil.rmtree
+    calls = []
+
+    def crash_final(p, ignore_errors=False, **kw):
+        if str(p) == d:
+            calls.append(p)
+            return None                      # simulated crash
+        return real_rmtree(p, ignore_errors=ignore_errors, **kw)
+
+    monkeypatch.setattr(etl_mod.os, "rename", refuse)
+    monkeypatch.setattr(shutil, "rmtree", crash_final)
+    _gc_tree(d)
+    monkeypatch.setattr(etl_mod.os, "rename", real_rename)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+
+    # the data file died first; the stamp SURVIVED the simulated crash
+    # — the partial is still marked stale, so recover_snapshot will
+    # drop it, never restore it
+    assert calls, "fallback never reached the final delete"
+    assert not os.path.exists(os.path.join(d, "part-0.parquet"))
+    assert os.path.exists(os.path.join(d, _STALE_MARK))
+
+
 def test_recover_snapshot_drops_orphaned_tmp(spark, tmp_path):
     """r9 ADVICE (etl.py #4): a crash DURING the staging write leaves a
     '._tmp' holding a full snapshot's worth of uncommitted data; the

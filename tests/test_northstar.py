@@ -141,6 +141,14 @@ def test_knn_graph_ivf_index_contract_errors(spark, sf_dir):
         SIM.ivf_index(half_b, cents, n_probe=3))
     with _pytest.raises(ValueError, match="MIXED"):
         SIM.knn_graph_ivf(None, k=5, n_probe=2, index=mixed)
+    # NULL n_probe rows are corruption too, and min/max alone would
+    # silently ignore them — the guard counts them explicitly (r10
+    # review: a {NULL, 2} index must not masquerade as uniform)
+    nulled = idx.withColumn(
+        "n_probe",
+        F.when(F.col("vec_id") % 2 == 0, F.col("n_probe")))
+    with _pytest.raises(ValueError, match="NULL n_probe"):
+        SIM.knn_graph_ivf(None, k=5, n_probe=2, index=nulled)
 
 
 def test_knn_graph_ivf_incremental_equals_full_rebuild(spark, sf_dir):
