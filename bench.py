@@ -310,6 +310,30 @@ ADJUDICATE_WAIT_BUDGET_SEC = int(os.environ.get(
 # 2 s attempt reads ~1600%).
 STEAL_QUIET_PCT = 20.0
 
+# Guest-side load gate (r11, VERDICT r10 #5): the official r10 run
+# began at loadavg 20.19 under 0.0% steal and a 1.07 canary — every
+# signal passed while the guest itself was visibly busy (the driver's
+# correctness pass still decaying). Steal only witnesses HOST
+# contention, and the 0.2 s min-of-5 canary dodges the scheduler
+# queueing that a 1-10 s query eats whole, so the quiet-window wait
+# now ALSO requires the 1-min loadavg at or under half the core count
+# — quiet-window runs on this VM start at loadavg 0.3-3 (our own
+# Spark startup burst contributes <~3 to the 1-min average), while
+# post-driver decay reads 10-20+. Re-sampled fresh every wait step:
+# loadavg decays on a ~1-min constant, so the 60 s steps genuinely
+# re-read a settling machine.
+LOADAVG_QUIET = 0.5 * (os.cpu_count() or 32)
+
+
+def _loadavg_1m() -> float | None:
+    """The 1-min load average, None where the platform lacks it — a
+    module-level indirection so the gate tests can stub the signal the
+    same way they stub the canary and the steal sample."""
+    try:
+        return os.getloadavg()[0]
+    except OSError:
+        return None
+
 
 def _steal_ticks() -> int | None:
     """Cumulative host-steal ticks from /proc/stat (8th cpu field).
@@ -351,32 +375,38 @@ def _steal_pct_sample(window_sec: float = STEAL_SAMPLE_SEC) -> float | None:
 
 
 def _wait_steal_quiet(budget_sec: float,
-                      step_sec: float = 5.0) -> tuple[float | None, float]:
+                      step_sec: float = 5.0,
+                      ) -> tuple[float | None, float, float]:
     """Sleep in step_sec steps until a direct steal sample reads quiet
     (<= STEAL_QUIET_PCT) or budget_sec of WALL CLOCK is spent; (last
-    sample, seconds of cooling sleep). The retry ladder's terminal
-    rung (r9 VERDICT #6): a fixed 10 s backoff both oversleeps on a
-    machine that is already quiet and undersleeps a storm that
-    outlasts it — gating the re-attempt on the contention signal
-    itself converges in whichever is less. Two accountings on purpose
-    (r10 review): the budget bound charges the 2 s observation window
-    of every sample (real wall time — without it a '10 s' bound cost
-    ~16 s), while the RETURNED figure counts only the cooling sleeps,
-    because it feeds both the adjudication's waited_sec evidence and
-    the cold-attempt rule — a 2 s observation doesn't cool a cache,
-    and charging it would cold-mark attempts on a machine that never
-    waited. Hosts without a /proc/stat steal column get the signal-
+    sample, seconds of cooling sleep, wall-clock seconds spent). The
+    retry ladder's terminal rung (r9 VERDICT #6): a fixed 10 s backoff
+    both oversleeps on a machine that is already quiet and undersleeps
+    a storm that outlasts it — gating the re-attempt on the contention
+    signal itself converges in whichever is less. Two accountings on
+    purpose (r10 review): the budget bound charges the 2 s observation
+    window of every sample (real wall time — without it a '10 s' bound
+    cost ~16 s), while the SLEPT figure counts only the cooling
+    sleeps, because it feeds both the adjudication's waited_sec
+    evidence and the cold-attempt rule — a 2 s observation doesn't
+    cool a cache, and charging it would cold-mark attempts on a
+    machine that never waited. The third element is the wall clock the
+    call consumed (cooling + observation windows) so the CALLER can
+    charge its own budget honestly (r11, r10 ADVICE: adjudication used
+    to bill only int(slept) against ADJUDICATE_WAIT_BUDGET_SEC, making
+    it a soft bound that real adjudications exceeded by seconds per
+    flag). Hosts without a /proc/stat steal column get the signal-
     blind legacy behavior back: one fixed sleep of min(budget, 10) s
     rather than NO backoff at all — the pause is the whole point when
     the signal that would justify skipping it is unreadable."""
-    slept = 0.0                        # cooling sleeps (returned)
+    slept = 0.0                        # cooling sleeps
     spent = STEAL_SAMPLE_SEC           # wall clock incl. observations
     steal = _steal_pct_sample()
     if steal is None:
         legacy = min(budget_sec, 10.0)
         if legacy > 0:
             time.sleep(legacy)
-        return None, legacy
+        return None, legacy, max(legacy, 0.0)
     while steal is not None and steal > STEAL_QUIET_PCT \
             and spent < budget_sec:
         step = min(step_sec, budget_sec - spent)
@@ -384,29 +414,47 @@ def _wait_steal_quiet(budget_sec: float,
         slept += step
         spent += step + STEAL_SAMPLE_SEC
         steal = _steal_pct_sample()
-    return steal, slept
+    return steal, slept, spent
 
 
 def _qualifying_clean_best(times: list[float],
                            steals: list[float | None],
-                           cold_idx: set[int]) -> float | None:
+                           cold_idx: set[int],
+                           pin: float | None = None) -> float | None:
     """Min over the attempts eligible to serve as a flag's honest
-    measurement: steal-clean AND not cold. Cold attempts — the query's
-    first attempt of the process, and the first attempt after any
-    backoff/adjudication wait — routinely read 2-3x the converged time
-    even at zero steal (cold page cache / scheduler state; r9 judge
-    re-time: dedup_semantic_lsh's first clean-steal attempt 8.87 s vs
-    3.87 s converged, ann_knn_classify 9.57 s -> 1.73 s with steal 0.0
-    throughout), so a cold attempt can neither confirm a flag as
-    genuine nor clear it — it measures cache state, not the engine
-    (r9 VERDICT #1/#3). None when no attempt qualifies yet — the
-    adjudication loop then keeps re-attempting (warm attempts are
-    cheap; a verdict without one is ambiguous)."""
+    measurement: warm, AND (steal-clean OR fast enough to clear the
+    gate outright). Cold attempts — the query's first attempt of the
+    process, and the first attempt after any backoff/adjudication wait
+    — routinely read 2-3x the converged time even at zero steal (cold
+    page cache / scheduler state; r9 judge re-time: dedup_semantic_lsh's
+    first clean-steal attempt 8.87 s vs 3.87 s converged,
+    ann_knn_classify 9.57 s -> 1.73 s with steal 0.0 throughout), so a
+    cold attempt can neither confirm a flag as genuine nor clear it —
+    it measures cache state, not the engine (r9 VERDICT #1/#3).
+
+    Fast-under-storm rule (r11, VERDICT r10 #1): contention is
+    one-directional — host steal can only ever make a query SLOWER,
+    never faster — so a warm attempt at or under the regression gate
+    (max(2x pin, pin + 0.5 s), see _over_gate) is valid evidence of
+    non-regression even when its steal reading is dirty. Only SLOW
+    readings need a clean window to be trusted: the r10 official run
+    disqualified representative 2.40/2.63 s attempts at 215-266% steal
+    and let a 16.17 s session-slow-mode outlier at 13.5% steal become
+    the 'warm clean best' (14x pin; the judge's re-time read 1.11 s
+    even inside a storm). Without a pin the rule cannot apply (there
+    is no gate) and dirty attempts stay disqualified as before.
+
+    None when no attempt qualifies yet — the adjudication loop then
+    keeps re-attempting (warm attempts are cheap; a verdict without
+    one is ambiguous)."""
     best = None
     for i, t in enumerate(times):
         s = steals[i] if i < len(steals) else None
-        if i in cold_idx or (s is not None and s > STEAL_QUIET_PCT):
+        if i in cold_idx:
             continue
+        if (s is not None and s > STEAL_QUIET_PCT
+                and (not pin or _over_gate(t, pin))):
+            continue   # slow under dirty steal: untrusted either way
         best = t if best is None else min(best, t)
     return best
 
@@ -423,28 +471,35 @@ def _sf_value() -> float | str:
 
 
 def _wait_for_quiet_window(spark) -> tuple[float | None, float | None,
-                                           int, bool]:
-    """(final canary_sec, final steal_pct, seconds waited, gave_up) —
-    sleeps in WINDOW_WAIT_STEP_SEC steps until the window is quiet on
-    BOTH signals or WINDOW_WAIT_BUDGET_SEC is spent. Quiet means the
-    constant-work canary reads <= WINDOW_GATE * pin AND a direct
-    multi-second steal sample reads <= STEAL_QUIET_PCT (r9 VERDICT #2:
-    the canary's 0.2 s min-of-5 probe dodges the very bursts that
-    inflate 2-10 s queries — the official r9 run started at 42.8%
-    steal under a 1.02 canary; the two signals see different noise, so
-    the gate needs both). A None canary (custom layout) or a non-pin
+                                           float | None, int, bool]:
+    """(final canary_sec, final steal_pct, final loadavg_1m, seconds
+    waited, gave_up) — sleeps in WINDOW_WAIT_STEP_SEC steps until the
+    window is quiet on ALL THREE signals or WINDOW_WAIT_BUDGET_SEC is
+    spent. Quiet means the constant-work canary reads <= WINDOW_GATE *
+    pin AND a direct multi-second steal sample reads <=
+    STEAL_QUIET_PCT (r9 VERDICT #2: the canary's 0.2 s min-of-5 probe
+    dodges the very bursts that inflate 2-10 s queries — the official
+    r9 run started at 42.8% steal under a 1.02 canary; the signals see
+    different noise, so the gate needs them all) AND the 1-min loadavg
+    reads <= LOADAVG_QUIET (r11, VERDICT r10 #5: the official r10 run
+    started at loadavg 20.19 with 0.0% steal and a 1.07 canary —
+    guest-side load is the one noise source the other two signals are
+    structurally blind to). A None canary (custom layout) or a non-pin
     SF skips the wait outright — the factor is only meaningful at the
-    pin's SF; a None steal sample (no /proc/stat steal column)
-    degrades to the canary-only gate."""
+    pin's SF; a None steal sample (no /proc/stat steal column) or a
+    None loadavg (platform without getloadavg) degrades that signal
+    out of the gate."""
     canary = _canary_seconds(spark)
     if canary is None or _sf_value() != CANARY_PIN_SF:
-        return canary, None, 0, False
+        return canary, None, _loadavg_1m(), 0, False
     steal = _steal_pct_sample()
+    load = _loadavg_1m()
     waited = 0
 
     def _quiet() -> bool:
         return (canary / CANARY_PIN_SEC <= WINDOW_GATE
-                and (steal is None or steal <= STEAL_QUIET_PCT))
+                and (steal is None or steal <= STEAL_QUIET_PCT)
+                and (load is None or load <= LOADAVG_QUIET))
 
     while not _quiet() and waited < WINDOW_WAIT_BUDGET_SEC:
         step = min(WINDOW_WAIT_STEP_SEC, WINDOW_WAIT_BUDGET_SEC - waited)
@@ -456,14 +511,18 @@ def _wait_for_quiet_window(spark) -> tuple[float | None, float | None,
             # waiting instead of dying on None arithmetic, but don't
             # report a verified-quiet start either (r10 review): take
             # one FRESH steal sample (the loop's is from before the
-            # last sleep) and let the steal signal alone decide the
-            # exhausted marker, preserving the protocol-line invariant
-            # "start steal <= 20% or window_wait_exhausted says so"
+            # last sleep) and a fresh loadavg, and let those signals
+            # alone decide the exhausted marker, preserving the
+            # protocol-line invariant "start steal <= 20% (and loadavg
+            # <= gate) or window_wait_exhausted says so"
             steal = _steal_pct_sample()
-            return canary, steal, waited, bool(
-                steal is not None and steal > STEAL_QUIET_PCT)
+            load = _loadavg_1m()
+            return canary, steal, load, waited, bool(
+                (steal is not None and steal > STEAL_QUIET_PCT)
+                or (load is not None and load > LOADAVG_QUIET))
         steal = _steal_pct_sample()
-    return canary, steal, waited, not _quiet()
+        load = _loadavg_1m()
+    return canary, steal, load, waited, not _quiet()
 
 
 # once-per-process flag: the convergence warmup below only needs to run
@@ -504,6 +563,80 @@ def _canary_seconds(spark) -> float | None:
         probe()
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+# Session-mode witness (r11, VERDICT r10 #4): the dominant residual
+# noise source on this VM is a per-SESSION Python-worker fixed-cost
+# mode — identical pandas-UDF plans read 2.5-3x apart across Spark
+# sessions at ZERO steal (r10: graph_knn_degrees held 4.5-5.9 s across
+# six warm attempts in one session and 1.57 s in the next; four of the
+# five names median-floor re-pinned in r10b carry the same spread).
+# The mode is measurable at startup: a CONSTANT-WORK Arrow-batched
+# probe over the already-warmed worker pool reads ~2.5x slower in a
+# slow-mode session, correlating with the python-heavy queries' own
+# floors. Min-of-N like the canary (matching order statistics), and
+# registry-independent so engine changes can never move it. Recorded
+# as environment.worker_probe_sec so any flag on a python-worker-heavy
+# query can be adjudicated against the session's own mode without a
+# judge re-time; environment.worker_warmup_sec records the one-time
+# pool spin-up (numpy/Arrow imports) beside it.
+WORKER_PROBE_ATTEMPTS = 3
+
+
+def _worker_probe_seconds(spark) -> float:
+    """Min-of-WORKER_PROBE_ATTEMPTS timings of a fixed pandas-UDF
+    round-trip: one tiny Arrow batch per worker through a constant
+    numpy workload. The work is negligible on purpose — the reading is
+    dominated by the per-task worker fixed cost (dispatch, Arrow
+    serialization, worker turnaround), which is exactly the quantity
+    that differs between session modes."""
+    n = spark.sparkContext.defaultParallelism
+
+    def _fixed_work(batches):
+        import numpy as np
+        a = np.full((128, 128), 1e-3)
+        for pdf in batches:
+            acc = a @ a
+            pdf["id"] = pdf["id"] + int(acc[0, 0] * 0)
+            yield pdf
+
+    best = float("inf")
+    for _ in range(WORKER_PROBE_ATTEMPTS):
+        t0 = time.perf_counter()
+        (spark.range(n * 2).repartition(n)
+         .mapInPandas(_fixed_work, "id long").count())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+# Slow-mode re-verify (r11, VERDICT r10 #6): a flag that survives
+# adjudication with a qualifying measurement beyond this factor of its
+# pin, while the canary and steal both read clean, carries the
+# session-slow-mode signature above — the engine is the same; the
+# session drew a slow worker mode. Such a flag is re-verified in a
+# FRESH Spark session (a new SparkContext forks a new worker pool,
+# which re-draws the mode) before it ships: both r10 official flags
+# re-timed clean in the judge's fresh sessions (3.61 s -> 1.57 s,
+# 16.17 s -> 1.11 s on identical plans).
+SLOW_MODE_FACTOR = 2.5
+
+
+def _slow_mode_signature(evid: dict, pin: float | None) -> bool:
+    """True when a SURVIVING flag's evidence says 'clean machine, yet
+    far over pin' — the signature of a slow-mode worker session, not an
+    engine regression. Requires a pin (no pin -> no flag to re-verify),
+    an uncleared verdict, a qualifying warm measurement beyond
+    SLOW_MODE_FACTOR * pin, and a quiet canary at the last reading (a
+    stormy canary means the flag is storm-ambiguous, which the
+    adjudication budget already handled — re-running it in a fresh
+    session would measure the same storm)."""
+    if not pin or evid.get("cleared"):
+        return False
+    wcb = evid.get("warm_clean_best_sec")
+    factor = evid.get("canary_factor_after",
+                      evid.get("canary_factor_at_trip"))
+    return (wcb is not None and wcb > SLOW_MODE_FACTOR * pin
+            and (factor is None or factor <= WINDOW_GATE))
 
 
 # hard budget: the driver stores a 2000-byte stdout TAIL, so the WHOLE
@@ -612,10 +745,9 @@ def main() -> None:
     prev_round = _snapshot_prev_round()
     # load average BEFORE Spark spins up its executor threads — the
     # number meant to witness OUTSIDE load, not our own
-    try:
-        load_at_start = round(os.getloadavg()[0], 2)
-    except OSError:
-        load_at_start = None
+    load_at_start = _loadavg_1m()
+    if load_at_start is not None:
+        load_at_start = round(load_at_start, 2)
     steal_start = _steal_ticks()
     wall_start = time.monotonic()
     spark = get_spark("bench")
@@ -633,10 +765,17 @@ def main() -> None:
     # over as many partitions as local cores spins the whole pool up
     # OUTSIDE the timing (workers persist via spark.python.worker.reuse)
     n_workers = spark.sparkContext.defaultParallelism
+    t0 = time.perf_counter()
     (spark.range(n_workers * 4).repartition(n_workers)
      .mapInPandas(lambda it: it, "id long").count())
-    canary_sec, steal_at_start, window_waited, window_exhausted = \
-        _wait_for_quiet_window(spark)
+    # session-mode witness pair (r11, VERDICT r10 #4): the pool
+    # spin-up time, then a constant-work worker probe over the warmed
+    # pool — slow-mode sessions read ~2.5x on both (see the
+    # _worker_probe_seconds note and BENCH_BASELINE's repin notes)
+    worker_warmup_sec = round(time.perf_counter() - t0, 3)
+    worker_probe_sec = round(_worker_probe_seconds(spark), 3)
+    canary_sec, steal_at_start, load_at_window, window_waited, \
+        window_exhausted = _wait_for_quiet_window(spark)
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
@@ -718,7 +857,7 @@ def main() -> None:
                 # re-measure twice more rather than recording the spike
                 if not _over_gate(best, base_times.get(name)):
                     break
-                _, slept = _wait_steal_quiet(10)
+                _, slept, _ = _wait_steal_quiet(10)
                 if slept:
                     cold_idx[name].add(len(attempt_log[name]))
             best = min(best, _timed_run(name))
@@ -743,7 +882,7 @@ def main() -> None:
             def _clean_best() -> float | None:
                 return _qualifying_clean_best(
                     attempt_log[name], attempt_steal.get(name, []),
-                    cold_idx[name])
+                    cold_idx[name], pin)
 
             c = _canary_seconds(spark)
             factor = round(c / CANARY_PIN_SEC, 2) if c else None
@@ -754,14 +893,22 @@ def main() -> None:
                 "canary_factor_at_trip": factor,
                 "min_attempt_steal_pct": min(steals) if steals else None,
             }
-            waited_total, rounds = 0, 0
-            while rounds < 3 and adj_wait_left > 0 and \
+            # two accountings (r11, r10 ADVICE): waited_total counts
+            # COOLING sleeps only (it feeds the waited_sec evidence
+            # and the cold-attempt rule — observation windows don't
+            # cool a cache), while adj_spent counts the WALL CLOCK the
+            # adjudication consumed (sleeps + steal-sample observation
+            # windows) and is what the shared budget is charged with —
+            # the budget is a hard bound again, not a soft one that
+            # real adjudications overran by seconds per flag
+            waited_total, adj_spent, rounds = 0.0, 0.0, 0
+            while rounds < 3 and adj_wait_left - adj_spent > 0 and \
                     _over_gate(best, pin):
                 waited_before = waited_total
                 cb = _clean_best()
                 if cb is not None and \
                         (factor is None or factor <= WINDOW_GATE):
-                    # a warm clean-steal attempt under a quiet canary
+                    # a warm qualifying attempt under a quiet canary
                     # is the honest measurement — over or under the
                     # gate, no more adjudication will change the verdict
                     break
@@ -775,21 +922,30 @@ def main() -> None:
                     # sustained storm: wait it out (bounded)
                     while (c is not None
                            and c / CANARY_PIN_SEC > WINDOW_GATE
-                           and waited_total < adj_wait_left):
+                           and adj_spent < adj_wait_left):
                         step = min(WINDOW_WAIT_STEP_SEC,
-                                   adj_wait_left - waited_total)
+                                   adj_wait_left - adj_spent)
                         time.sleep(step)
                         waited_total += step
+                        adj_spent += step
                         c = _canary_seconds(spark)
                     if c is None or c / CANARY_PIN_SEC > WINDOW_GATE:
                         break   # budget spent still stormy, or no probe
                 else:
                     # burst-contaminated (or cold-only) attempts under
                     # a quiet canary: wait for the steal signal itself
-                    # to read quiet (bounded) instead of a blind pause
-                    _, slept = _wait_steal_quiet(
-                        min(30, adj_wait_left - waited_total))
-                    waited_total += int(slept)
+                    # to read quiet (bounded) instead of a blind pause.
+                    # Skip outright when the remaining budget cannot
+                    # fund even one observation window (r11, r10
+                    # ADVICE: the call spends >= STEAL_SAMPLE_SEC
+                    # unconditionally)
+                    remaining = adj_wait_left - adj_spent
+                    if remaining <= STEAL_SAMPLE_SEC:
+                        break
+                    _, slept, wall = _wait_steal_quiet(
+                        min(30, remaining))
+                    waited_total += slept
+                    adj_spent += wall
                 if waited_total > waited_before:
                     # the attempt that follows a wait is cold (page
                     # cache / scheduler state) — it may not serve as
@@ -800,9 +956,9 @@ def main() -> None:
                 c = _canary_seconds(spark)
                 factor = round(c / CANARY_PIN_SEC, 2) if c else None
                 rounds += 1
-            adj_wait_left -= waited_total
+            adj_wait_left -= adj_spent
             if waited_total:
-                evid["waited_sec"] = waited_total
+                evid["waited_sec"] = round(waited_total, 1)
             if rounds:
                 evid["adjudication_rounds"] = rounds
                 evid["canary_factor_after"] = factor
@@ -831,6 +987,54 @@ def main() -> None:
     if sf_val == CANARY_PIN_SF:
         spark.catalog.clearCache()
         canary_end_sec = _canary_seconds(spark)
+    # slow-mode re-verify (r11, VERDICT r10 #6 — see _slow_mode_signature):
+    # surviving flags whose evidence reads 'clean machine, far over
+    # pin' are re-timed ONCE in a fresh Spark session (new worker pool
+    # = new session-mode draw) before they ship. Placed AFTER the
+    # end-of-run canary so the bracket still describes the main run's
+    # window. Bounded: it fires only on residual flags (rare — two in
+    # ten rounds, both environmental on judge re-time), takes 3
+    # attempts per name, and caps at 5 names (never silently — the
+    # names beyond the cap are listed in the evidence).
+    retry_names = sorted(n for n, ev in storm_evidence.items()
+                         if _slow_mode_signature(ev, base_times.get(n)))
+    if retry_names:
+        if len(retry_names) > 5:
+            for n in retry_names[5:]:
+                storm_evidence[n]["fresh_session_retry_skipped"] = \
+                    "retry cap (5 names) reached"
+            retry_names = retry_names[:5]
+        spark.stop()
+        spark = get_spark("bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        QUERIES["total_count"](spark, SF_DIR).collect()
+        (spark.range(n_workers * 4).repartition(n_workers)
+         .mapInPandas(lambda it: it, "id long").count())
+        retry_probe = round(_worker_probe_seconds(spark), 3)
+        for name in retry_names:
+            evr = storm_evidence[name]
+            evr["fresh_session_retry"] = True
+            # the retry session's own mode witness: pairs with the
+            # main session's environment.worker_probe_sec so the
+            # record shows WHICH session drew the slow mode
+            evr["fresh_session_worker_probe_sec"] = retry_probe
+            # first attempt in the new session is cold (fresh executor
+            # / codegen state for this plan shape)
+            cold_idx[name].add(len(attempt_log[name]))
+            start = len(attempt_log[name])
+            for _ in range(3):
+                _timed_run(name)
+            fresh_best = min(attempt_log[name][start:])
+            evr["fresh_session_best_sec"] = round(fresh_best, 3)
+            timings[name] = round(min(timings[name], fresh_best), 3)
+            cb = _qualifying_clean_best(
+                attempt_log[name], attempt_steal.get(name, []),
+                cold_idx[name], base_times.get(name))
+            evr["warm_clean_best_sec"] = (round(cb, 3)
+                                          if cb is not None else None)
+            evr["cold_attempt_idx"] = sorted(cold_idx[name])
+            evr["cleared"] = not _over_gate(timings[name],
+                                            base_times.get(name))
     # stdout carries only the 5 slowest queries (bounded, ~150 bytes):
     # the full per-query dict lives in BENCH_DETAIL.json. The driver
     # records a 2000-byte stdout TAIL, and the full dict (116+ entries,
@@ -865,11 +1069,22 @@ def main() -> None:
             out["window_degraded"] = True
     out["environment"] = {
         "loadavg_at_start": load_at_start,
+        # the gate's THIRD signal (r11, VERDICT r10 #5): the 1-min
+        # loadavg when the window opened — the timed loop started only
+        # after this read <= LOADAVG_QUIET (or window_wait_exhausted
+        # says the gate gave up waiting)
+        "loadavg_at_window": round(load_at_window, 2)
+        if load_at_window is not None else None,
         "canary_sec": round(canary_sec, 3) if canary_sec is not None
         else None,
         "canary_end_sec": round(canary_end_sec, 3)
         if canary_end_sec is not None else None,
         "canary_pin_generation": CANARY_PIN_GENERATION,
+        # session-mode witness (r11, VERDICT r10 #4): worker-pool
+        # spin-up time + constant-work worker probe — slow-mode
+        # sessions read ~2.5x on both (see _worker_probe_seconds)
+        "worker_warmup_sec": worker_warmup_sec,
+        "worker_probe_sec": worker_probe_sec,
         # the quiet-window gate's SECOND signal (r9 VERDICT #2): a
         # direct multi-second steal sample taken when the gate opened
         # — the timed loop started only after this read <= 20% (or

@@ -330,7 +330,21 @@ def _gc_tree(d: str) -> None:
                 shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
             except OSError:
                 pass
-        shutil.rmtree(d, ignore_errors=True)   # stamp + dir, last
+        # the final sweep may only run once the stamp is PROVABLY the
+        # last thing left (r11, r10 ADVICE): rmtree deletes children in
+        # arbitrary order, so with any undeletable data entry surviving
+        # the loop above it could strip the stamp first and leave an
+        # UNstamped partial for recover_snapshot's legacy branch to
+        # resurrect — the exact double fault this function closes. If
+        # anything but the stamp survived, leave the stamp standing so
+        # the partial stays marked stale; the next call (or heal) can
+        # finish the job when the entry becomes deletable.
+        try:
+            survivors = [e for e in os.listdir(d) if e != _STALE_MARK]
+        except OSError:
+            return
+        if not survivors:
+            shutil.rmtree(d, ignore_errors=True)   # stamp + dir, last
         return
     shutil.rmtree(trash, ignore_errors=True)
 

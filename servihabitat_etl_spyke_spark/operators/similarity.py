@@ -1103,7 +1103,9 @@ def knn_graph_ivf_incremental(old_corpus: DataFrame | None,
                               with_score: bool = False,
                               validate: bool = True,
                               old_index: DataFrame | None = None,
-                              ordered: bool = True) -> DataFrame:
+                              ordered: bool = True,
+                              index_width_checked: int | None = None,
+                              ) -> DataFrame:
     """Daily-ingest kNN-graph maintenance: update the stored graph with
     a new embedding batch WITHOUT rescoring old-vs-old — the ANN leg of
     the incremental trilogy next to ``dedup_incremental`` and
@@ -1217,8 +1219,19 @@ def knn_graph_ivf_incremental(old_corpus: DataFrame | None,
         # width is "checked against the request outright", and
         # validate=False exists for sub-k bootstrap corpora, not for
         # waiving the index contract — a silent width mismatch changes
-        # the candidate cells with no error in either mode)
-        built = _index_n_probe(old_index, "knn_graph_ivf_incremental")
+        # the candidate cells with no error in either mode).
+        # ``index_width_checked`` short-circuits the uniformity
+        # aggregate ONLY (r11, r10 ADVICE): it is the caller's
+        # attestation that ``_index_n_probe`` already ran on this same
+        # store (e.g. a streaming sink validating once per stream
+        # instead of re-scanning the index every micro-batch) — the
+        # width-vs-request comparison below still runs on the attested
+        # value, so a wrong attestation fails loudly unless it happens
+        # to equal the request (in which case the candidate cells are
+        # the requested ones anyway).
+        built = (index_width_checked if index_width_checked is not None
+                 else _index_n_probe(old_index,
+                                     "knn_graph_ivf_incremental"))
         np_eff = min(n_probe, len(centroids))
         if built is not None and built != np_eff:
             raise ValueError(

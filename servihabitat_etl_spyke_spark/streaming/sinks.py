@@ -451,6 +451,26 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
 
     marker = os.path.join(checkpoint, "_knn_graph_last_batch")
 
+    # once-per-STREAM index-width pin (r11, r10 ADVICE): the uniformity
+    # validation (_index_n_probe) is an O(stored-index) aggregate, and
+    # running it every micro-batch re-scans an index whose only writer
+    # during the stream is this sink's own guard-checked appends — the
+    # re-validation added cost, not safety. The FIRST batch that loads
+    # the stored index validates uniformity and pins the width here;
+    # later batches pass the pinned width to the operator (its
+    # width-vs-request check still runs on the attested value). The pin
+    # dies with the stream — a restart re-validates once. None = not
+    # yet pinned (also the empty-index reading, which pins nothing:
+    # re-checking an empty store is free, and the sink's own append
+    # makes the next check the last).
+    pinned = {"width": None}
+
+    def _pinned_index_width(index: DataFrame) -> int | None:
+        if pinned["width"] is None:
+            pinned["width"] = _sim._index_n_probe(
+                index, "stream_knn_graph_upsert")
+        return pinned["width"]
+
     def _contains_any(store: DataFrame, ids: DataFrame, col: str) -> bool:
         return bool(store.select(F.col(col))
                     .join(F.broadcast(ids), col, "left_semi")
@@ -482,8 +502,9 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
             # than the index was built with would silently change
             # which cells' members are candidates AND append
             # mixed-n_probe rows (r10: uniformity-checked — a mixed
-            # index means a writer bypassed this very guard)
-            built = _sim._index_n_probe(stored, "stream_knn_graph_upsert")
+            # index means a writer bypassed this very guard; r11: the
+            # check runs once per stream via the pinned-width cache)
+            built = _pinned_index_width(stored)
             np_eff = min(n_probe, len(centroids))
             if built is not None and built != np_eff:
                 raise ValueError(
@@ -543,6 +564,10 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
                     f"to re-bootstrap from the next batch")
             old_graph = spark.read.parquet(graph_path)
             old_index = spark.read.parquet(index_path)
+            # validate the FULL stored index once per stream; later
+            # batches hand the operator the pinned width instead of
+            # paying the O(index) uniformity aggregate again (r11)
+            index_width = _pinned_index_width(old_index)
             ids = rows.select(id_col)
             # batch ids already in the index — ≤ batch-sized, pinned
             # once to drive the PER-ROW diagnosis below (r8 review: the
@@ -632,13 +657,18 @@ def stream_knn_graph_upsert(stream: DataFrame, graph_path: str,
                 None, old_graph, rows_eff, centroids, k=k,
                 n_probe=n_probe, id_col=id_col, vec_col=vec_col,
                 with_score=True, validate=validate,
-                old_index=old_index, ordered=False)
+                old_index=old_index, ordered=False,
+                index_width_checked=index_width)
             if not skip_append:
                 (_sim.ivf_index(rows_eff, centroids, n_probe, id_col,
                                 vec_col)
                  .write.partitionBy("centroid_id").mode("append")
                  .parquet(index_path))
             _overwrite_via_tmp(new_graph, graph_path)
+        # every branch that reaches here left the store at the
+        # effective width (bootstrap wrote it; the others validated it
+        # against the request) — pin it so no later batch re-scans
+        pinned["width"] = min(n_probe, len(centroids))
         _commit_batch_marker(marker, bid)
 
     writer = (stream.writeStream

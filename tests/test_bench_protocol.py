@@ -44,9 +44,13 @@ def _worst_case_out() -> dict:
         "sf": 0.1,
         "gated_by_retry": names,
         "noise_factor": 12.34,
-        "environment": {"loadavg_at_start": 123.45, "canary_sec": 123.456,
+        "environment": {"loadavg_at_start": 123.45,
+                        "loadavg_at_window": 123.45,
+                        "canary_sec": 123.456,
                         "canary_end_sec": 123.456,
                         "canary_pin_generation": 2,
+                        "worker_warmup_sec": 123.456,
+                        "worker_probe_sec": 123.456,
                         "steal_pct_at_start": 1234.5},
         "baseline_round": "r06",
         "median_delta_vs_baseline": 123.45,
@@ -140,44 +144,49 @@ def test_regression_gate_rule():
 def test_quiet_window_wait_contract():
     """The canary gate waits in 60 s steps only at the pin's SF, stamps
     how long it waited, and reports exhaustion instead of looping
-    forever. Exercised against a stub canary + stub steal sample so no
-    Spark (and no real sleeping) is needed."""
+    forever. Exercised against a stub canary + stub steal sample +
+    stub loadavg so no Spark (and no real sleeping) is needed."""
     readings = iter([2.0 * bench.CANARY_PIN_SEC,
                      1.5 * bench.CANARY_PIN_SEC,
                      1.05 * bench.CANARY_PIN_SEC])
     slept = []
     orig_canary, orig_sleep = bench._canary_seconds, bench.time.sleep
     orig_steal = bench._steal_pct_sample
+    orig_load = bench._loadavg_1m
     bench._canary_seconds = lambda spark: next(readings)
     bench._steal_pct_sample = lambda window_sec=0: 0.0
+    bench._loadavg_1m = lambda: 0.5
     bench.time.sleep = lambda s: slept.append(s)
     try:
-        canary, steal, waited, exhausted = \
+        canary, steal, load, waited, exhausted = \
             bench._wait_for_quiet_window(None)
     finally:
         bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
         bench._steal_pct_sample = orig_steal
+        bench._loadavg_1m = orig_load
     assert not exhausted and waited == sum(slept) == 120
     assert canary <= bench.WINDOW_GATE * bench.CANARY_PIN_SEC
-    assert steal == 0.0
+    assert steal == 0.0 and load == 0.5
 
     # budget exhaustion: the canary never quiets -> give up after the
     # budget, say so
     bench._canary_seconds = lambda spark: 3.0 * bench.CANARY_PIN_SEC
     bench._steal_pct_sample = lambda window_sec=0: 0.0
+    bench._loadavg_1m = lambda: 0.5
     bench.time.sleep = lambda s: slept.append(s)
     try:
-        canary, steal, waited, exhausted = \
+        canary, steal, load, waited, exhausted = \
             bench._wait_for_quiet_window(None)
     finally:
         bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
         bench._steal_pct_sample = orig_steal
+        bench._loadavg_1m = orig_load
     assert exhausted and waited == bench.WINDOW_WAIT_BUDGET_SEC
 
     # a missing canary table (custom SF layout) skips the wait outright
     bench._canary_seconds = lambda spark: None
     try:
-        canary, steal, waited, exhausted = \
+        canary, steal, load, waited, exhausted = \
             bench._wait_for_quiet_window(None)
     finally:
         bench._canary_seconds = orig_canary
@@ -195,30 +204,92 @@ def test_quiet_window_also_gates_on_steal():
     slept = []
     orig_canary, orig_sleep = bench._canary_seconds, bench.time.sleep
     orig_steal = bench._steal_pct_sample
+    orig_load = bench._loadavg_1m
     bench._canary_seconds = lambda spark: 1.02 * bench.CANARY_PIN_SEC
     bench._steal_pct_sample = lambda window_sec=0: next(steal_readings)
+    bench._loadavg_1m = lambda: 0.5
     bench.time.sleep = lambda s: slept.append(s)
     try:
-        canary, steal, waited, exhausted = \
+        canary, steal, load, waited, exhausted = \
             bench._wait_for_quiet_window(None)
     finally:
         bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
         bench._steal_pct_sample = orig_steal
+        bench._loadavg_1m = orig_load
     assert not exhausted and waited == sum(slept) == 120
     assert steal == 4.0 <= bench.STEAL_QUIET_PCT
 
     # canary-only fallback: no steal column anywhere -> quiet canary
-    # opens the window immediately
+    # (and quiet loadavg) opens the window immediately
     bench._canary_seconds = lambda spark: 1.02 * bench.CANARY_PIN_SEC
     bench._steal_pct_sample = lambda window_sec=0: None
+    bench._loadavg_1m = lambda: 0.5
     bench.time.sleep = lambda s: slept.append(s)
     try:
-        canary, steal, waited, exhausted = \
+        canary, steal, load, waited, exhausted = \
             bench._wait_for_quiet_window(None)
     finally:
         bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
         bench._steal_pct_sample = orig_steal
+        bench._loadavg_1m = orig_load
     assert not exhausted and waited == 0 and steal is None
+
+
+def test_quiet_window_also_gates_on_loadavg():
+    """r11 (VERDICT r10 #5): guest-side load is the one noise source
+    the canary and the steal sample are structurally blind to — the
+    official r10 run started at loadavg 20.19 with 0.0% steal and a
+    1.07 canary. A quiet canary + quiet steal under HIGH loadavg must
+    hold the window until the load decays (or the budget exhausts and
+    says so); a None loadavg (no getloadavg) degrades the signal out
+    of the gate."""
+    load_readings = iter([20.19, 0.6 * bench.LOADAVG_QUIET])
+    slept = []
+    orig_canary, orig_sleep = bench._canary_seconds, bench.time.sleep
+    orig_steal = bench._steal_pct_sample
+    orig_load = bench._loadavg_1m
+    bench._canary_seconds = lambda spark: 1.02 * bench.CANARY_PIN_SEC
+    bench._steal_pct_sample = lambda window_sec=0: 0.0
+    bench._loadavg_1m = lambda: next(load_readings)
+    bench.time.sleep = lambda s: slept.append(s)
+    try:
+        canary, steal, load, waited, exhausted = \
+            bench._wait_for_quiet_window(None)
+    finally:
+        bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
+        bench._steal_pct_sample = orig_steal
+        bench._loadavg_1m = orig_load
+    assert not exhausted and waited == sum(slept) == 60
+    assert load == 0.6 * bench.LOADAVG_QUIET <= bench.LOADAVG_QUIET
+
+    # sustained guest load exhausts the budget and SAYS so — the
+    # protocol-line invariant 'quiet start or window_wait_exhausted'
+    bench._canary_seconds = lambda spark: 1.02 * bench.CANARY_PIN_SEC
+    bench._steal_pct_sample = lambda window_sec=0: 0.0
+    bench._loadavg_1m = lambda: 3.0 * bench.LOADAVG_QUIET
+    bench.time.sleep = lambda s: slept.append(s)
+    try:
+        canary, steal, load, waited, exhausted = \
+            bench._wait_for_quiet_window(None)
+    finally:
+        bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
+        bench._steal_pct_sample = orig_steal
+        bench._loadavg_1m = orig_load
+    assert exhausted and waited == bench.WINDOW_WAIT_BUDGET_SEC
+
+    # missing loadavg (platform without getloadavg) degrades to the
+    # two-signal gate, never blocks
+    bench._canary_seconds = lambda spark: 1.02 * bench.CANARY_PIN_SEC
+    bench._steal_pct_sample = lambda window_sec=0: 0.0
+    bench._loadavg_1m = lambda: None
+    try:
+        canary, steal, load, waited, exhausted = \
+            bench._wait_for_quiet_window(None)
+    finally:
+        bench._canary_seconds = orig_canary
+        bench._steal_pct_sample = orig_steal
+        bench._loadavg_1m = orig_load
+    assert not exhausted and waited == 0 and load is None
 
 
 def test_canary_vanishing_mid_wait_defers_to_the_steal_signal():
@@ -230,29 +301,51 @@ def test_canary_vanishing_mid_wait_defers_to_the_steal_signal():
     canaries = iter([2.0 * bench.CANARY_PIN_SEC, None])
     orig_canary, orig_sleep = bench._canary_seconds, bench.time.sleep
     orig_steal = bench._steal_pct_sample
+    orig_load = bench._loadavg_1m
     bench._canary_seconds = lambda spark: next(canaries)
     bench._steal_pct_sample = lambda window_sec=0: 80.0   # still stormy
+    bench._loadavg_1m = lambda: 0.5
     bench.time.sleep = lambda s: None
     try:
-        canary, steal, waited, exhausted = \
+        canary, steal, load, waited, exhausted = \
             bench._wait_for_quiet_window(None)
     finally:
         bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
         bench._steal_pct_sample = orig_steal
+        bench._loadavg_1m = orig_load
     assert canary is None and steal == 80.0 and exhausted
 
-    # same vanish under a quiet steal signal: no false alarm either
+    # same vanish under quiet steal + loadavg: no false alarm either
     canaries = iter([2.0 * bench.CANARY_PIN_SEC, None])
     bench._canary_seconds = lambda spark: next(canaries)
     bench._steal_pct_sample = lambda window_sec=0: 1.0
+    bench._loadavg_1m = lambda: 0.5
     bench.time.sleep = lambda s: None
     try:
-        canary, steal, waited, exhausted = \
+        canary, steal, load, waited, exhausted = \
             bench._wait_for_quiet_window(None)
     finally:
         bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
         bench._steal_pct_sample = orig_steal
+        bench._loadavg_1m = orig_load
     assert canary is None and steal == 1.0 and not exhausted
+
+    # vanish under quiet steal but HIGH guest load (r11): the loadavg
+    # signal alone must still set the exhausted marker
+    canaries = iter([2.0 * bench.CANARY_PIN_SEC, None])
+    bench._canary_seconds = lambda spark: next(canaries)
+    bench._steal_pct_sample = lambda window_sec=0: 1.0
+    bench._loadavg_1m = lambda: 3.0 * bench.LOADAVG_QUIET
+    bench.time.sleep = lambda s: None
+    try:
+        canary, steal, load, waited, exhausted = \
+            bench._wait_for_quiet_window(None)
+    finally:
+        bench._canary_seconds, bench.time.sleep = orig_canary, orig_sleep
+        bench._steal_pct_sample = orig_steal
+        bench._loadavg_1m = orig_load
+    assert canary is None and load == 3.0 * bench.LOADAVG_QUIET \
+        and exhausted
 
 
 def test_cold_attempts_cannot_adjudicate_a_flag():
@@ -285,10 +378,14 @@ def test_wait_steal_quiet_is_bounded_and_converges():
     bench._steal_pct_sample = lambda window_sec=0: next(readings)
     bench.time.sleep = lambda s: slept.append(s)
     try:
-        steal, waited = bench._wait_steal_quiet(30)
+        steal, waited, wall = bench._wait_steal_quiet(30)
     finally:
         bench._steal_pct_sample, bench.time.sleep = orig_steal, orig_sleep
     assert steal == 2.0 and waited == sum(slept) == 10
+    # the wall-clock figure charges cooling AND the 2 s observation
+    # window of every sample (r11, r10 ADVICE: callers charge THIS
+    # against their budgets, not the cooling figure)
+    assert wall == 10 + 3 * bench.STEAL_SAMPLE_SEC
     # budget bound in WALL-CLOCK terms (r10 review): each sample's 2 s
     # observation window is charged against the budget, so a 12 s
     # budget admits 8 s of cooling sleep (2+5+2+3+2 = 14 >= 12), not
@@ -297,17 +394,19 @@ def test_wait_steal_quiet_is_bounded_and_converges():
     bench._steal_pct_sample = lambda window_sec=0: 99.0
     bench.time.sleep = lambda s: slept.append(s)
     try:
-        steal, waited = bench._wait_steal_quiet(12)
+        steal, waited, wall = bench._wait_steal_quiet(12)
     finally:
         bench._steal_pct_sample, bench.time.sleep = orig_steal, orig_sleep
     assert steal == 99.0 and waited == sum(slept) == 8
-    # a quiet machine never sleeps at all (the old fixed 10 s did)
+    assert wall == 8 + 3 * bench.STEAL_SAMPLE_SEC
+    # a quiet machine never sleeps at all (the old fixed 10 s did) —
+    # but its one observation window is still real wall clock
     bench._steal_pct_sample = lambda window_sec=0: 1.0
     try:
-        steal, waited = bench._wait_steal_quiet(30)
+        steal, waited, wall = bench._wait_steal_quiet(30)
     finally:
         bench._steal_pct_sample = orig_steal
-    assert waited == 0
+    assert waited == 0 and wall == bench.STEAL_SAMPLE_SEC
     # a host with NO readable steal column gets the signal-blind
     # legacy backoff (one fixed min(budget, 10) s sleep), never a
     # zero-wait re-attempt (r10 review: the pause is the whole point
@@ -316,10 +415,74 @@ def test_wait_steal_quiet_is_bounded_and_converges():
     bench._steal_pct_sample = lambda window_sec=0: None
     bench.time.sleep = lambda s: slept.append(s)
     try:
-        steal, waited = bench._wait_steal_quiet(30)
+        steal, waited, wall = bench._wait_steal_quiet(30)
     finally:
         bench._steal_pct_sample, bench.time.sleep = orig_steal, orig_sleep
-    assert steal is None and waited == sum(slept) == 10
+    assert steal is None and waited == sum(slept) == 10 and wall == 10
+
+
+def test_fast_under_storm_attempts_clear_a_flag():
+    """r11 (VERDICT r10 #1): contention is one-directional — steal can
+    only make a query SLOWER — so a warm attempt at or under the
+    regression gate (max(2x pin, pin + 0.5 s)) is valid non-regression
+    evidence even at 200%+ steal. Only SLOW readings need a clean
+    window: the r10 official run disqualified representative
+    2.40/2.63 s attempts at 215-266% steal and let a 16.17 s slow-mode
+    outlier at 13.5% steal serve as the 'warm clean best' (14x a
+    1.146 s pin; the judge's re-time read 1.11 s inside a storm)."""
+    qcb = bench._qualifying_clean_best
+    # the r10 signature, re-pinned: with a pin whose gate the fast
+    # dirty attempts clear, they qualify and WIN the min over the slow
+    # clean-steal outlier
+    pin = 1.86                      # gate = 3.72
+    assert qcb([16.17, 2.40, 2.63], [13.5, 215.0, 266.0],
+               {0}, pin) == 2.40
+    # a dirty attempt OVER the gate still never qualifies — slow
+    # readings need a clean window to be trusted
+    assert qcb([16.17, 4.40], [13.5, 215.0], {0}, 1.86) is None
+    # a COLD fast attempt under a storm still never qualifies — cold
+    # attempts measure cache state in both directions
+    assert qcb([2.40, 9.0], [215.0, 30.0], {0}, 1.86) is None
+    # without a pin there is no gate: dirty attempts stay disqualified
+    # exactly as before the rule
+    assert qcb([9.0, 2.40], [0.0, 215.0], set(), None) == 9.0
+
+
+def test_slow_mode_signature_selects_fresh_session_retry():
+    """r11 (VERDICT r10 #6): a SURVIVING flag whose qualifying warm
+    measurement exceeds 2.5x pin while the canary reads quiet carries
+    the per-session worker slow-mode signature (identical plans span
+    2.5-3x across sessions at zero steal) and is re-verified in a
+    fresh session before it ships. Cleared flags, storm-ambiguous
+    flags (stormy canary), pinless names, and ordinary-magnitude flags
+    never trigger the restart."""
+    sig = bench._slow_mode_signature
+    # the r10 graph_knn_degrees official record: 3.61 s clean-warm
+    # against a 1.213 pin (2.98x), canary quiet -> retry
+    assert sig({"cleared": False, "warm_clean_best_sec": 3.61,
+                "canary_factor_at_trip": 1.07}, 1.213)
+    # cleared flags need no retry
+    assert not sig({"cleared": True, "warm_clean_best_sec": 3.61,
+                    "canary_factor_at_trip": 1.07}, 1.213)
+    # a genuine ~2.2x regression (under the 2.5x signature bar) ships
+    # as measured — the retry is for slow-mode outliers, not a third
+    # chance for every flag
+    assert not sig({"cleared": False, "warm_clean_best_sec": 2.7,
+                    "canary_factor_at_trip": 1.0}, 1.213)
+    # stormy canary = storm-ambiguous, already handled by the
+    # adjudication budget; a fresh session would measure the same storm
+    assert not sig({"cleared": False, "warm_clean_best_sec": 3.61,
+                    "canary_factor_at_trip": 2.4}, 1.213)
+    # canary_factor_after (post-adjudication) takes precedence over
+    # the at-trip reading
+    assert not sig({"cleared": False, "warm_clean_best_sec": 3.61,
+                    "canary_factor_at_trip": 1.0,
+                    "canary_factor_after": 2.4}, 1.213)
+    # no qualifying warm measurement yet / no pin: nothing to re-verify
+    assert not sig({"cleared": False, "warm_clean_best_sec": None,
+                    "canary_factor_at_trip": 1.0}, 1.213)
+    assert not sig({"cleared": False, "warm_clean_best_sec": 3.61,
+                    "canary_factor_at_trip": 1.0}, None)
 
 
 def test_noise_adjustment_discounts_slowdowns_never_manufactures_them():

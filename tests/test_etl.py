@@ -564,6 +564,69 @@ def test_gc_tree_rename_refused_deletes_stamp_last(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(d, _STALE_MARK))
 
 
+def test_gc_tree_survivor_entry_keeps_the_stamp(tmp_path, monkeypatch):
+    """r11 (r10 ADVICE): in the rename-refused fallback, the final
+    stamp+dir sweep may only run once the stamp is PROVABLY the last
+    entry left. With any data entry surviving its own deletion (EBUSY,
+    open handle), rmtree — which deletes children in arbitrary order —
+    could strip the stamp while the undeletable entry lives on,
+    leaving an UNstamped partial for recover_snapshot's legacy gen-1
+    branch to resurrect. The stamp must stay standing instead."""
+    import os
+    import shutil
+
+    from servihabitat_etl_spyke_spark.operators import etl as etl_mod
+    from servihabitat_etl_spyke_spark.operators.etl import (
+        _STALE_MARK, _gc_tree)
+
+    d = str(tmp_path / "snap._old")
+    os.makedirs(d)
+    open(os.path.join(d, _STALE_MARK), "w").close()
+    with open(os.path.join(d, "part-0.parquet"), "w") as fh:
+        fh.write("stale data")
+    with open(os.path.join(d, "part-1.parquet"), "w") as fh:
+        fh.write("stale data too")
+
+    def refuse_rename(src, dst):
+        raise OSError("simulated ENOTEMPTY on the trash name")
+
+    real_unlink = os.unlink
+
+    def refuse_one(p, *a, **kw):
+        if str(p).endswith("part-1.parquet"):
+            raise OSError("simulated EBUSY")
+        return real_unlink(p, *a, **kw)
+
+    # any rmtree of the stamped dir itself would be the regression
+    real_rmtree = shutil.rmtree
+    swept = []
+
+    def watch_sweep(p, ignore_errors=False, **kw):
+        if str(p) == d:
+            swept.append(p)
+            return None
+        return real_rmtree(p, ignore_errors=ignore_errors, **kw)
+
+    monkeypatch.setattr(etl_mod.os, "rename", refuse_rename)
+    monkeypatch.setattr(etl_mod.os, "unlink", refuse_one)
+    monkeypatch.setattr(shutil, "rmtree", watch_sweep)
+    _gc_tree(d)
+    monkeypatch.setattr(etl_mod.os, "unlink", real_unlink)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+
+    # the deletable entry died, the survivor lives — and the STAMP
+    # stayed with it: the partial is still marked stale, and the final
+    # sweep never ran against the stamped dir
+    assert not swept, "final sweep ran despite a surviving data entry"
+    assert not os.path.exists(os.path.join(d, "part-0.parquet"))
+    assert os.path.exists(os.path.join(d, "part-1.parquet"))
+    assert os.path.exists(os.path.join(d, _STALE_MARK))
+
+    # once the entry becomes deletable, the next call finishes the job
+    _gc_tree(d)
+    assert not os.path.exists(d)
+
+
 def test_recover_snapshot_drops_orphaned_tmp(spark, tmp_path):
     """r9 ADVICE (etl.py #4): a crash DURING the staging write leaves a
     '._tmp' holding a full snapshot's worth of uncommitted data; the

@@ -892,6 +892,103 @@ def test_stream_knn_graph_upsert_matches_full_rebuild(spark, sf_dir,
     assert again == want
 
 
+def test_stream_knn_graph_upsert_validates_index_once_per_stream(
+        spark, sf_dir, tmp_path):
+    """r11 (r10 ADVICE): the index-uniformity validation
+    (_index_n_probe) is an O(stored-index) aggregate; running it every
+    micro-batch re-scanned an index whose only writer during the
+    stream is the sink's own guard-checked appends. The sink now pins
+    the width once per stream: a BOOTSTRAP stream never scans at all
+    (it wrote the index itself), and a RESTARTED stream on an existing
+    store validates exactly once — with the final graph still
+    byte-equal to the full rebuild."""
+    import os
+    import time as _time
+
+    from servihabitat_etl_spyke_spark.operators import similarity as SIM
+    from servihabitat_etl_spyke_spark.streaming.sinks import (
+        stream_knn_graph_upsert)
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 240).select("vec_id", "embedding")
+    parts = [emb.filter(F.col("vec_id") % 4 == m) for m in range(4)]
+    cents = SIM.kmeans_fit(parts[0], k=3, iters=2)
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    now = _time.time()
+
+    def drop(i, part):
+        p = str(src / f"b{i}.parquet")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i, now + i))
+        os.utime(p, (now + i, now + i))
+
+    real = SIM._index_n_probe
+    calls = []
+
+    def counting(index, caller):
+        calls.append(caller)
+        return real(index, caller)
+
+    SIM._index_n_probe = counting
+    try:
+        # run 1: bootstrap + one increment — the sink wrote the index
+        # itself, so NO validation scan is ever needed
+        drop(0, parts[0])
+        drop(1, parts[1])
+        q = stream_knn_graph_upsert(
+            (spark.readStream.schema(emb.schema)
+             .option("maxFilesPerTrigger", 1)
+             .parquet(str(src / "b*.parquet"))),
+            str(tmp_path / "graph"), str(tmp_path / "idx"),
+            str(tmp_path / "ckpt"), cents, k=5, n_probe=2)
+        q.awaitTermination(180)
+        assert calls == [], (
+            f"bootstrap stream scanned the index it wrote: {calls}")
+
+        # run 2: a fresh sink instance over the EXISTING store (the
+        # restart case) with two more increments — exactly ONE
+        # validation on the first batch, pinned thereafter
+        drop(2, parts[2])
+        drop(3, parts[3])
+        q2 = stream_knn_graph_upsert(
+            (spark.readStream.schema(emb.schema)
+             .option("maxFilesPerTrigger", 1)
+             .parquet(str(src / "b*.parquet"))),
+            str(tmp_path / "graph"), str(tmp_path / "idx"),
+            str(tmp_path / "ckpt"), cents, k=5, n_probe=2)
+        q2.awaitTermination(180)
+        assert len(calls) == 1, (
+            f"restarted stream should validate exactly once, saw "
+            f"{calls}")
+    finally:
+        SIM._index_n_probe = real
+
+    # the caching never changes semantics: still equal to the rebuild
+    got = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                 for r in spark.read.parquet(
+                     str(tmp_path / "graph")).collect())
+    want = sorted(map(tuple, SIM.knn_graph_ivf(
+        emb, k=5, n_probe=2, centroids=cents).collect()))
+    assert got == want and want
+
+    # the attestation parameter stays loud on a WRONG width: the
+    # width-vs-request check runs on the attested value
+    stored_idx = spark.read.parquet(str(tmp_path / "idx"))
+    stored_graph = spark.read.parquet(str(tmp_path / "graph"))
+    extra = (load_table(spark, sf_dir, "embeddings")
+             .filter((F.col("vec_id") >= 240) & (F.col("vec_id") < 244))
+             .select("vec_id", "embedding"))
+    with pytest.raises(ValueError, match="n_probe"):
+        SIM.knn_graph_ivf_incremental(
+            None, stored_graph, extra, cents, k=5, n_probe=2,
+            with_score=True, old_index=stored_idx,
+            index_width_checked=3)
+
+
 def test_stream_knn_graph_upsert_custom_columns_and_validate(
         spark, sf_dir, tmp_path):
     """r8 review findings: (1) the day-1 bootstrap must forward
