@@ -118,6 +118,27 @@ _REVERIFY: dict[str, int] = {
     "scale_bucketed_join": 8,
     "corpus_profile": 8,
     "text_bpe_tokenize": 8,
+    # r11 optimization round: connected_components gained a size-routed
+    # driver union-find fast path (identical labels, pytest-pinned
+    # against the distributed loop and an independent union-find), and
+    # ann_knn_graph_incremental's stored-graph build now reads the
+    # persisted ivf_index instead of re-running assignment (byte-equal,
+    # test_knn_graph_ivf_from_index_byte_equal). Outputs unchanged;
+    # fresh driver evidence anyway, ordered by bench cost.
+    "multimodal_audio_dedup": 11,
+    "dedup_clusters_incremental": 11,
+    "dedup_canonical": 11,
+    "ann_knn_graph_incremental": 11,
+    "dedup_cluster_sample": 11,
+    "dedup_clusters": 11,
+    "dedup_cluster_sizes": 11,
+    # r11 continued: semantic_dedup/_lsh compute assignment + unit
+    # vectors in one corpus pass (join removed, same rows);
+    # minhash_lsh_neardup_windowed carries the day column through the
+    # signature instead of joining it back onto the banded table.
+    "dedup_semantic_lsh": 11,
+    "dedup_semantic": 11,
+    "dedup_minhash_windowed": 11,
 }
 
 

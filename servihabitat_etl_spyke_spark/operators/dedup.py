@@ -424,15 +424,20 @@ def minhash_lsh_neardup_windowed(docs: DataFrame, day_col: str,
     bucket equi-key, cutting candidate volume by ~(corpus lifetime /
     window) — the term that otherwise grows quadratically as a crawl
     store accumulates years of snapshots."""
-    sig = minhash_signatures(docs, k, id_col, text_col, n)
-    days = docs.select(F.col(id_col), F.col(day_col).alias("_day"))
-    bucketed = (band_signatures(sig, bands, rows, id_col)
-                .join(days, id_col)
+    # the crawl day rides the signature as a passthrough column (r11):
+    # joining a separate (id, day) projection back onto the banded table
+    # cost a full shuffle of both sides + a second docs scan for a
+    # column that was on the doc row all along
+    sig = minhash_signatures(docs, k, id_col, text_col, n,
+                             passthrough=[day_col])
+    bucketed = (band_signatures(sig, bands, rows, id_col,
+                                passthrough=[day_col])
                 .select(
-                    F.col(id_col), "band", "key", "_day",
+                    F.col(id_col), "band", "key",
+                    F.col(day_col).alias("_day"),
                     F.explode(F.array(
-                        F.floor(F.col("_day") / window),
-                        F.floor(F.col("_day") / window) + 1)).alias("_tb")))
+                        F.floor(F.col(day_col) / window),
+                        F.floor(F.col(day_col) / window) + 1)).alias("_tb")))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))
@@ -708,50 +713,115 @@ def embedding_neardup_lsh(corpus: DataFrame, threshold: float = 0.45,
 # -- near-dup clustering (connected components) -------------------------------
 
 
+def _cc_driver_union_find(p: DataFrame, pdf: "pd.DataFrame") -> DataFrame:
+    """The under-cap leg of :func:`connected_components`: classic
+    union-find with path compression over the collected (u, v) pairs,
+    labels = component minimum (identical to min-label propagation by
+    definition of reachability). ``p`` supplies the session and the id
+    type; ``pdf`` is its collected pandas frame. One Arrow
+    createDataFrame back out — the label table stays a DataFrame, so
+    downstream joins/windows are unchanged."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:            # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    us, vs = pdf["u"].tolist(), pdf["v"].tolist()
+    for a in us:
+        parent.setdefault(a, a)
+    for b in vs:
+        parent.setdefault(b, b)
+    for a, b in zip(us, vs):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    cmin: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in cmin or v < cmin[r]:
+            cmin[r] = v
+    out = pd.DataFrame({"doc_id": list(parent),
+                        "cluster_id": [cmin[find(v)] for v in parent]})
+    schema = T.StructType([
+        T.StructField("doc_id", p.schema[0].dataType),
+        T.StructField("cluster_id", p.schema[0].dataType)])
+    return p.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iter: int = 25,
-                         star_threshold: int = 5_000_000) -> DataFrame:
+                         star_threshold: int = 5_000_000,
+                         driver_cap: int = 1_000_000) -> DataFrame:
     """Cluster near-dup pairs into connected components: (doc_id,
     cluster_id) where cluster_id is the minimum doc id reachable through
     the pair graph — the canonical-representative step every dedup
     pipeline runs after pair generation (keep cluster_id, drop the rest).
 
-    Iterative min-label propagation: each round every vertex takes the min
-    of its own label and its neighbors' labels; converges in O(graph
-    diameter) rounds, and near-dup clusters are shallow (pairs come from
-    shared buckets, so components are dense and diameter is small — 2-4
-    rounds in practice). Each round is one join + one groupBy on the edge
-    partitioning; lineage is truncated per round with localCheckpoint so
-    the plan doesn't grow unboundedly. Only vertices that appear in some
-    pair are emitted — singleton docs are their own cluster by definition.
+    THREE size-routed implementations, all producing identical labels
+    (pytest-pinned against each other and an independent union-find):
 
-    Above ``star_threshold`` undirected edges the call auto-delegates to
-    :func:`connected_components_star` (alternating large-star/small-star,
-    rounds independent of component diameter) — identical labels, so the
-    switch is invisible to callers; the propagation loop below is the
-    simple, shuffle-minimal form that covers real dedup graph sizes."""
+    - up to ``driver_cap`` pairs: DRIVER UNION-FIND (r11). Verified
+      near-dup pairs are a thin slice of any corpus by construction (the
+      candidate generators bound them), and the label table is the
+      decision-pass proxy the optimization guide says to compute on
+      small rows: one Arrow collect of (u, v) longs — ``driver_cap``
+      pairs is ~16 MB, the same small-by-contract class as knn_graph's
+      corpus matrix — then an O(E α(E)) union-find, then one Arrow
+      createDataFrame back. The distributed variants spend ~6 actions
+      (materialize + converge-count per batch) whose per-round shuffles
+      dominate wall-clock at ANY scale where the pair table fits a
+      driver — and at 100 TB a pair table PAST the cap routes to the
+      loops below unchanged.
+    - past the cap: iterative min-label propagation — each round every
+      vertex takes the min of its own label and its neighbors' labels;
+      converges in O(graph diameter) rounds (near-dup clusters are
+      dense and shallow, 2-4 rounds in practice). Each round is one
+      join + one groupBy on the edge partitioning; lineage truncated
+      per round with localCheckpoint. Only vertices that appear in some
+      pair are emitted — singleton docs are their own cluster by
+      definition.
+    - above ``star_threshold`` undirected edges: auto-delegate to
+      :func:`connected_components_star` (alternating large-star/
+      small-star, rounds independent of component diameter — billion-doc
+      chains do happen in crawl dedup).
+
+    ``driver_cap=0`` disables the union-find path (the convergence-guard
+    tests pin the distributed loop through it)."""
     # materialize the pair table ONCE before mirroring: the union's two
     # branches are separate subplans, so an expensive pairs pipeline
     # (LSH join, fingerprint index, ...) would otherwise execute twice
     p = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
          .localCheckpoint())
-    edges = p.union(p.select(F.col("v").alias("u"),
-                             F.col("u").alias("v")))
-    n_edges = edges.count()
-    # AUTO-SWITCH: past `star_threshold` edges the graph is big enough
-    # that a high-diameter component (billion-doc chains do happen in
-    # crawl dedup) would blow the O(diameter) round count — delegate to
-    # the alternating large-star/small-star variant, whose rounds are
-    # O(log^2 n) INDEPENDENT of diameter (Kiveris et al. 2014 §4). Both
-    # algorithms produce identical (doc_id, min-reachable-id) labels, so
-    # the switch is invisible to callers and to the shared oracle. The
-    # checkpointed pair table is reused, not recomputed.
-    if n_edges > 2 * star_threshold:   # n_edges counts both directions
+    n_pairs = p.count()                # cached blocks — no recompute
+    # AUTO-SWITCH first (its threshold dwarfs driver_cap): past
+    # `star_threshold` edges a high-diameter component would blow the
+    # O(diameter) round count — delegate to the alternating large-star/
+    # small-star variant, whose rounds are O(log^2 n) INDEPENDENT of
+    # diameter (Kiveris et al. 2014 §4). Both produce identical
+    # (doc_id, min-reachable-id) labels, so the switch is invisible to
+    # callers and to the shared oracle. The checkpointed pair table is
+    # reused, not recomputed.
+    if n_pairs > star_threshold:
         # the star variant owns the full output contract, including
         # self-pair-only vertices as singleton clusters
         return connected_components_star(p, id_a="u", id_b="v",
                                          max_iter=max_iter)
+    if 0 < n_pairs <= driver_cap and p.schema[0].dataType == \
+            p.schema[1].dataType:
+        pdf = p.toPandas()
+        if not (pdf["u"].isna().any() or pdf["v"].isna().any()):
+            return _cc_driver_union_find(p, pdf)
+    edges = p.union(p.select(F.col("v").alias("u"),
+                             F.col("u").alias("v")))
+    n_edges = 2 * n_pairs
     # size the iterative loop's parallelism to the edge table (same
     # rationale as graph.pagerank): per-task fixed overhead dominates
     # each round when the default width would hold a few hundred edges
@@ -861,6 +931,30 @@ def canonical_selection(docs: DataFrame, clusters: DataFrame,
 # -- semantic dedup (SemDeDup shape) ------------------------------------------
 
 
+def _assigned_units(corpus: DataFrame, cents: list[list[float]],
+                    id_col: str, vec_col: str) -> DataFrame:
+    """(id, centroid_id, uvec) in ONE corpus pass (r11): nearest-centroid
+    assignment (raw vector — the same squared-euclidean metric k-means
+    fit with) and unit normalization live on the same row, so computing
+    them in one projection replaces the previous assign-then-join-units
+    form, which scanned the corpus twice (one ArrowEvalPython pass + one
+    normalize pass) and paid a join exchange to glue columns back
+    together. Zero-norm vectors drop exactly as _unit_vectors dropped
+    them (the inner join used to drop their assignment rows)."""
+    from .similarity import nearest_centroid, norm
+    return (corpus
+            .select(F.col(id_col),
+                    nearest_centroid(cents)(F.col(vec_col))
+                    .alias("centroid_id"),
+                    F.col(vec_col).alias("_v"),
+                    norm(F.col(vec_col)).alias("_n"))
+            .filter(F.col("_n") > 0)
+            .select(F.col(id_col), "centroid_id",
+                    F.transform("_v",
+                                lambda x: x.cast("double") / F.col("_n"))
+                    .alias("uvec")))
+
+
 def semantic_dedup(corpus: DataFrame, k: int = 8, threshold: float = 0.9,
                    iters: int = 3, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
@@ -880,17 +974,13 @@ def semantic_dedup(corpus: DataFrame, k: int = 8, threshold: float = 0.9,
     import numpy as np
     import pandas as pd
 
-    from .similarity import kmeans_fit, assign_to_centroids
+    from .similarity import kmeans_fit
     cents = kmeans_fit(corpus, k=k, iters=iters,
                        id_col=id_col, vec_col=vec_col)
-    units = _unit_vectors(corpus, id_col, vec_col)
     # referenced twice below (the grouped pairwise scan + the final
-    # keep-flag join) — persist so assignment runs once
-    assigned = (assign_to_centroids(corpus, cents, id_col=id_col,
-                                    vec_col=vec_col)
-                .select(id_col, "centroid_id")
-                .join(units, id_col)
-                .persist())
+    # keep-flag join) — persist so assignment runs once. One corpus
+    # pass computes assignment AND unit vectors (r11, _assigned_units).
+    assigned = _assigned_units(corpus, cents, id_col, vec_col).persist()
 
     # In-cluster pairwise scan as ONE numpy GEMM per cluster
     # (applyInPandas): each unit vector crosses Arrow once, vs once per
@@ -935,17 +1025,13 @@ def semantic_dedup_lsh(corpus: DataFrame, k: int = 8, threshold: float = 0.9,
     a pair missed by every band stays unpruned (recall tuned by
     (bands, rows); at cos 0.9, 8x4 gives ~0.998 candidate recall) — so
     keep-flags are a superset of the exact operator's."""
-    from .similarity import (_dim_of, _hyperplanes, assign_to_centroids,
-                             dot, kmeans_fit)
+    from .similarity import _dim_of, _hyperplanes, dot, kmeans_fit
     dim = _dim_of(corpus, vec_col, "semantic_dedup_lsh")
     cents = kmeans_fit(corpus, k=k, iters=iters,
                        id_col=id_col, vec_col=vec_col)
-    units = _unit_vectors(corpus, id_col, vec_col)
-    assigned = (assign_to_centroids(corpus, cents, id_col=id_col,
-                                    vec_col=vec_col)
-                .select(id_col, "centroid_id")
-                .join(units, id_col)
-                .persist())
+    # one corpus pass for assignment + unit vectors (r11, see
+    # _assigned_units)
+    assigned = _assigned_units(corpus, cents, id_col, vec_col).persist()
     planes = _hyperplanes(bands * rows, dim)
     # ALL band keys in one Arrow-batched GEMM (shared kernel — see
     # _band_keys_udf for why the expression form loses)

@@ -563,10 +563,16 @@ def ann_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan honest — the stored graph is consumed by three branches of
     # the merge, which must read a table, not re-execute the build).
     # ordered=False: a table write needs no presentational global sort.
-    old_graph = SIM.knn_graph_ivf(old, k=5, n_probe=2, centroids=cents,
-                                  with_score=True,
-                                  ordered=False).localCheckpoint()
+    # r11: the stored graph is built FROM the persisted index (byte-
+    # equal to the direct path, test_knn_graph_ivf_from_index_byte_equal)
+    # — the index already carries assignment + probe lists, so the two
+    # full-corpus UDF passes (assign + probe) the direct path paid are
+    # gone; one corpus pass builds the index, everything downstream
+    # reads it.
     idx = SIM.ivf_index(old, cents, n_probe=2).localCheckpoint()
+    old_graph = SIM.knn_graph_ivf(None, k=5, n_probe=2, with_score=True,
+                                  ordered=False,
+                                  index=idx).localCheckpoint()
     return SIM.knn_graph_ivf_incremental(None, old_graph, new, cents,
                                          k=5, n_probe=2, old_index=idx,
                                          ordered=False)

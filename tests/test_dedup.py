@@ -65,10 +65,18 @@ def test_connected_components_random_graphs_match_union_find(spark):
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r.doc_id: r.cluster_id
                for r in connected_components(pairs).collect()}
+        # driver_cap=0 pins the distributed propagation loop (the
+        # default routes an under-cap graph to the r11 driver
+        # union-find, which this test would otherwise compare against
+        # itself)
+        prop = {r.doc_id: r.cluster_id
+                for r in connected_components(
+                    pairs, driver_cap=0).collect()}
         star = {r.doc_id: r.cluster_id
                 for r in connected_components(
                     pairs, star_threshold=0).collect()}
         assert got == truth
+        assert prop == truth
         assert star == truth
 
 
@@ -76,11 +84,32 @@ def test_connected_components_long_path_converges(spark):
     from servihabitat_etl_spyke_spark.operators.dedup import (
         connected_components)
     # path 0-1-2-...-12: min label must travel the full diameter
+    # (driver_cap=0 pins the distributed propagation loop)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "id_a long, id_b long")
-    out = connected_components(pairs).collect()
+    out = connected_components(pairs, driver_cap=0).collect()
     assert {r["cluster_id"] for r in out} == {0}
     assert len(out) == 13
+
+
+def test_connected_components_driver_cap_routing(spark):
+    """r11: the under-cap driver union-find and the distributed loop
+    must label identically (self-pairs included), and a graph past
+    ``driver_cap`` must route to the distributed loop unchanged."""
+    from servihabitat_etl_spyke_spark.operators.dedup import (
+        connected_components)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 7), (10, 11), (11, 10)],
+        "id_a long, id_b long")
+    want = {1: 1, 2: 1, 3: 1, 7: 7, 10: 10, 11: 10}
+    fast = {r.doc_id: r.cluster_id
+            for r in connected_components(pairs).collect()}
+    # driver_cap below the pair count: the same call must take the
+    # distributed loop (no collect) and produce the same labels
+    slow = {r.doc_id: r.cluster_id
+            for r in connected_components(pairs, driver_cap=3).collect()}
+    assert fast == want
+    assert slow == want
 
 
 def test_minhash_signature_matches_hashlib_ground_truth(spark):
@@ -144,7 +173,10 @@ def test_connected_components_raises_on_nonconvergence(spark):
     path_graph = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(path_graph, max_iter=1)
+        # driver_cap=0: the guard lives in the distributed loop (the
+        # r11 driver union-find needs no iterations, so the default
+        # routing would never reach it on a graph this small)
+        connected_components(path_graph, max_iter=1, driver_cap=0)
 
 
 def test_embedding_neardup_drops_zero_vectors(spark):
