@@ -124,14 +124,10 @@ _REVERIFY: dict[str, int] = {
     # ann_knn_graph_incremental's stored-graph build now reads the
     # persisted ivf_index instead of re-running assignment (byte-equal,
     # test_knn_graph_ivf_from_index_byte_equal). Outputs unchanged;
-    # fresh driver evidence anyway, ordered by bench cost.
-    "multimodal_audio_dedup": 11,
-    "dedup_clusters_incremental": 11,
-    "dedup_canonical": 11,
+    # fresh driver evidence anyway, ordered by bench cost. (The CC
+    # consumers this block listed re-enter below at 12 — their feeding
+    # operator changed again.)
     "ann_knn_graph_incremental": 11,
-    "dedup_cluster_sample": 11,
-    "dedup_clusters": 11,
-    "dedup_cluster_sizes": 11,
     # r11 continued: semantic_dedup/_lsh compute assignment + unit
     # vectors in one corpus pass (join removed, same rows);
     # minhash_lsh_neardup_windowed carries the day column through the
@@ -139,6 +135,28 @@ _REVERIFY: dict[str, int] = {
     "dedup_semantic_lsh": 11,
     "dedup_semantic": 11,
     "dedup_minhash_windowed": 11,
+    # r12 optimization round 2: dedup_clusters_incremental's two LSH
+    # candidate+verify passes now share one banded-table economy and
+    # one verify pass (value-identical split, oracle hash green);
+    # profile_columns' exact path aggregates a materialized projection
+    # twice instead of one Expand-planned mixed aggregate;
+    # unigram_lm/bigram_lm fold scalar totals (and lm_score's min_p
+    # probe) into the model-build materialization action;
+    # connected_components folds its null check into the pair-count
+    # action and restricts the driver leg to fixed-width integer ids
+    # (labels unchanged — pytest-pinned). Outputs identical; fresh
+    # driver evidence anyway, ordered by bench cost.
+    "profile_columns": 12,
+    "dedup_clusters_incremental": 12,
+    "text_lm_score": 12,
+    "text_bigram_lm_score": 12,
+    "dedup_clusters": 12,
+    "dedup_canonical": 12,
+    "dedup_cluster_sample": 12,
+    "dedup_cluster_sizes": 12,
+    "dedup_snapshot_incremental": 12,
+    "multimodal_audio_dedup": 12,
+    "multimodal_video_dedup": 12,
 }
 
 

@@ -259,6 +259,17 @@ def minhash_signatures(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
     reuses THIS function so stream and batch signatures can never
     drift). ``passthrough`` columns ride along unchanged (e.g. the
     event-time column a streaming watermark needs downstream)."""
+    # passthrough names must not shadow the stage's internal columns
+    # (r12, ADVICE): a day column named like mh3 / _sh / _toks / _h
+    # would collide with the signature projection and break the select
+    # silently — fail loudly on the driver instead
+    reserved = {"_sh", "_toks", "_h"} | {f"mh{i}" for i in range(k)}
+    bad = sorted(set(passthrough or []) & reserved)
+    if bad:
+        raise ValueError(
+            f"minhash_signatures: passthrough column(s) {bad} collide "
+            f"with internal signature columns (mh0..mh{k - 1}, _sh, "
+            "_toks, _h) — rename them before passing through")
     # drop NULL-text docs (the explode+groupBy form dropped them naturally;
     # without this they'd carry null signatures and collide in every LSH
     # band — m null docs -> O(m^2) spurious candidate pairs)
@@ -301,6 +312,15 @@ def band_signatures(sig: DataFrame, bands: int = 4, rows: int = 4,
     groups of ``rows``, each group md5-compacted to one key.
     ``passthrough`` columns ride along unchanged (e.g. the ``_sh``
     shingle array a downstream verification join needs)."""
+    # same collision guard as minhash_signatures (r12, ADVICE): the
+    # banding select would silently mis-bind a passthrough named like
+    # an internal column
+    bad = sorted(set(passthrough or []) & {"band", "key", "bk"})
+    if bad:
+        raise ValueError(
+            f"band_signatures: passthrough column(s) {bad} collide with "
+            "internal banding columns (band, key, bk) — rename them "
+            "before passing through")
     extra = passthrough or []
     return sig.select(
         F.col(id_col), *extra,
@@ -794,13 +814,30 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
       chains do happen in crawl dedup).
 
     ``driver_cap=0`` disables the union-find path (the convergence-guard
-    tests pin the distributed loop through it)."""
+    tests pin the distributed loop through it).
+
+    Caller-facing memory contract (r12, ADVICE): with the default cap
+    the under-cap leg collects up to ``driver_cap`` (u, v) pairs onto
+    the DRIVER — ~16 MB per million long-id pairs via Arrow. Size
+    ``driver_cap`` to the driver's memory budget, or pass
+    ``driver_cap=0`` on memory-constrained drivers to force the
+    distributed legs. The leg only fires for fixed-width integer id
+    types with zero null ids (checked Spark-side in the same action as
+    the pair count), so unbounded string ids never ride it."""
     # materialize the pair table ONCE before mirroring: the union's two
     # branches are separate subplans, so an expensive pairs pipeline
     # (LSH join, fingerprint index, ...) would otherwise execute twice
     p = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
          .localCheckpoint())
-    n_pairs = p.count()                # cached blocks — no recompute
+    # ONE action over the cached blocks yields the pair count AND the
+    # null count (r12, ADVICE): the previous shape collected up to
+    # driver_cap rows BEFORE discovering a null id, paying a full
+    # driver collect and then running the distributed loop anyway
+    stats = p.agg(F.count(F.lit(1)).alias("n"),
+                  F.count("u").alias("nu"),
+                  F.count("v").alias("nv")).first()
+    n_pairs = stats["n"]               # cached blocks — no recompute
+    n_null_ids = 2 * n_pairs - stats["nu"] - stats["nv"]
     # AUTO-SWITCH first (its threshold dwarfs driver_cap): past
     # `star_threshold` edges a high-diameter component would blow the
     # O(diameter) round count — delegate to the alternating large-star/
@@ -814,11 +851,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # self-pair-only vertices as singleton clusters
         return connected_components_star(p, id_a="u", id_b="v",
                                          max_iter=max_iter)
-    if 0 < n_pairs <= driver_cap and p.schema[0].dataType == \
-            p.schema[1].dataType:
-        pdf = p.toPandas()
-        if not (pdf["u"].isna().any() or pdf["v"].isna().any()):
-            return _cc_driver_union_find(p, pdf)
+    # fast path restricted to FIXED-WIDTH integer id types (r12,
+    # ADVICE): the ~16 MB-per-million-pairs sizing contract assumes
+    # 8-byte ids — unbounded string ids have no byte-size guard, so
+    # they take the distributed loop regardless of row count
+    from pyspark.sql import types as T
+    _fixed = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    if (0 < n_pairs <= driver_cap and n_null_ids == 0
+            and isinstance(p.schema[0].dataType, _fixed)
+            and p.schema[0].dataType == p.schema[1].dataType):
+        return _cc_driver_union_find(p, p.toPandas())
     edges = p.union(p.select(F.col("v").alias("u"),
                              F.col("u").alias("v")))
     n_edges = 2 * n_pairs

