@@ -23,6 +23,7 @@ plan-shape compilation is amortized across thousands of queries.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -656,6 +657,13 @@ def _protocol_line(out: dict) -> str:
     out = dict(out)
     n_regressions = len(out.get("regressions_over_2x") or [])
     line = json.dumps(out, separators=(",", ":"))
+    if len(line) > LINE_BUDGET and len(out.get("queries") or {}) > 5:
+        # drop the r12 mover extension first, keeping the original
+        # top-5-by-cost contract intact
+        out["queries"] = dict(sorted(out["queries"].items(),
+                                     key=lambda kv: -kv[1])[:5])
+        out["queries_movers_thinned"] = True
+        line = json.dumps(out, separators=(",", ":"))
     if len(line) > LINE_BUDGET:
         out["queries"] = {}
         out["queries_thinned"] = True   # self-describing, like the others
@@ -1041,6 +1049,26 @@ def main() -> None:
     # ~3 KB) pushed the head of the line past it every round since r02,
     # leaving "parsed": null in BENCH_r*.json.
     top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    # r12 (VERDICT r11 #10): ALSO carry the 15 biggest round-over-round
+    # movers (by |log ratio| vs the previous record), so the driver's
+    # PERF per-query comparison — stdout-tail `queries` dicts only —
+    # overlaps on more than the top-5 cost rotation (its r11 n_common
+    # was 1). Entries are ADDED, never removed/renamed; ~20 entries
+    # keeps the JSON line inside the driver's 2000-byte stdout tail.
+    prev_times: dict[str, float] = {}
+    try:
+        with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_PREV.json")) as fh:
+            prev_times = json.load(fh).get("queries", {}) or {}
+    except (OSError, ValueError):
+        pass
+    movers = sorted(
+        (n for n in timings if isinstance(prev_times.get(n), (int, float))
+         and prev_times[n] > 0 and timings[n] > 0),
+        key=lambda n: -abs(math.log(timings[n] / prev_times[n])))[:15]
+    for n in movers:
+        top5.setdefault(n, timings[n])
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),

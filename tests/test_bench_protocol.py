@@ -127,6 +127,25 @@ def test_protocol_line_typical_round_not_thinned():
     assert parsed["gated_by_retry"] == ["text_line_filter"]
 
 
+def test_protocol_line_thins_movers_before_dropping_queries():
+    """r12: the queries dict may carry up to 15 round-over-round movers
+    on top of the top-5-by-cost contract. Over budget, the movers thin
+    FIRST (back to the exact 5 slowest, marked explicitly); the dict
+    only empties if even top-5 cannot fit."""
+    out = _worst_case_out()
+    out["queries"] = {f"mover_query_with_a_long_name_{i:02d}": 1.0 + i
+                      for i in range(20)}
+    line = bench._protocol_line(out)
+    assert len(line) <= bench.LINE_BUDGET
+    parsed = json.loads(line)
+    if parsed.get("queries"):
+        assert len(parsed["queries"]) == 5
+        assert parsed["queries_movers_thinned"] is True
+        # the survivors are the 5 SLOWEST, not an arbitrary subset
+        assert set(parsed["queries"]) == {
+            f"mover_query_with_a_long_name_{i:02d}" for i in range(15, 20)}
+
+
 def test_regression_gate_rule():
     """r8 gate rule (VERDICT r7 #6): flagged iff t > max(2*pin,
     pin+0.5s) — pure 2x for pins >= 0.5 s, absolute +0.5 s allowance
